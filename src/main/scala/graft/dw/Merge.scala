@@ -1,0 +1,55 @@
+package graft.dw
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Upsert (MERGE) over plain parquet tables.
+  *
+  * Reference behavior: `Delta Load Scripts/dw2_delta_load2.py:101-131` —
+  * BigQuery `MERGE ... WHEN MATCHED THEN UPDATE (all columns) WHEN NOT
+  * MATCHED THEN INSERT ROW` keyed on `ID_Event`, fed from a transient
+  * staging table (`:388-404`).
+  *
+  * Spark-first shape: `MERGE` with update-all-columns ≡ "keep existing rows
+  * whose key is absent from staged, then append all staged rows" — one
+  * left-anti join plus a union, both shuffle-free when the staged side
+  * broadcasts (the delta batch is small; at scale AQE picks a shuffled hash
+  * join). Atomicity comes from write-new-then-swap; the single-writer
+  * assumption mirrors the reference's `max_active_runs=1`
+  * (`load_controller_DAG.py:20`).
+  */
+object Merge {
+
+  /** MERGE semantics as a DataFrame: staged replaces matched, inserts rest. */
+  def upsert(existing: DataFrame, staged: DataFrame, key: String = "ID_Event"): DataFrame =
+    existing.join(staged.select(col(key)), Seq(key), "left_anti")
+      .unionByName(staged)
+
+  /** Overwrite `path` with `df` atomically even when `df` reads from `path`:
+    * materialize to a sibling tmp dir, then swap directories. The final
+    * rename pair is metadata-only; a crash between them loses no data (both
+    * dirs still exist under deterministic names).
+    */
+  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__swap_new")
+    val old = new Path(path + "__swap_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) {
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    }
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+    fs.delete(old, true)
+  }
+
+  /** Full MERGE stage: read table, upsert staged batch, swap. */
+  def mergeInto(spark: SparkSession, tablePath: String, staged: DataFrame,
+      key: String = "ID_Event"): Unit = {
+    val existing = spark.read.parquet(tablePath)
+    atomicOverwrite(spark, upsert(existing, staged, key), tablePath)
+  }
+}

@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata stores TIMESTAMP(NANOS) which Spark's parquet reader
+      // rejects; read as long and convert in Tables (truncation to micros,
+      // matching DuckDB's own ns→us handling)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,8 +31,23 @@ object GraftSession {
   }
 }
 
-/** Reads the driver's per-scale-factor parquet tables. */
+/** Reads the driver's per-scale-factor parquet tables, canonicalizing
+  * nanosecond timestamps (read as long via `nanosAsLong`) back to
+  * TimestampType by truncation to microseconds — the same conversion DuckDB
+  * applies, so oracle comparisons stay exact.
+  */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  private val TimestampCols = Set("ts")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if TimestampCols(f.name) && f.dataType == LongType =>
+        acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+      case (acc, _) => acc
+    }
+  }
 }
