@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: nothing here ever collects or broadcasts the corpus.
+  * - exact dedup shuffles a 128-bit digest, not the document text;
+  * - MinHash/LSH shuffles (doc, band-bucket) pairs — candidates are found by
+  *   an equi-join on bucket, the classic band trick, so cost is
+  *   O(docs·bands + candidate pairs), never O(n²);
+  * - verification (exact Jaccard) runs only over candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row (min id) per distinct value of `textCol`.
+    * Groups by md5 digest so the shuffle key is 16 bytes regardless of
+    * document size; the winner set then semi-joins back — both shuffles are
+    * compact-key hash exchanges.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Character n-shingle array over the canonical text (short texts yield
+    * one whole-text shingle).
+    */
+  def shingleArray(text: Column, n: Int): Column = {
+    val canon = TextAnalysis.normalize(text)
+    transform(
+      sequence(lit(1), greatest(length(canon) - (n - 1), lit(1))),
+      i => canon.substr(i, lit(n)))
+  }
+
+  /** MinHash signature: k independent min-hashes (md5 keyed by seed) over
+    * the shingle set. Returns (idCol, m0..m{k-1}).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, shingleLen: Int = 5): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(shingleArray(col(textCol), shingleLen)).as("_sh"))
+    val mins = (0 until k).map(j =>
+      min(md5(concat_ws("|", lit(j.toString), col("_sh")))).as(s"m$j"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band buckets: `bands` groups of `k/bands` signature rows, each
+    * hashed to one bucket id. Returns (idCol, band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, idCol: String, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("_b.band").as("band"), col("_b.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs: ids sharing any band bucket (a < b, distinct). */
+  def lshCandidates(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+    val b = buckets.select(col("band").as("_band2"), col("bucket").as("_bucket2"),
+      col(idCol).as("doc_b"))
+    a.join(b, col("band") === col("_band2") && col("bucket") === col("_bucket2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs over distinct shingles.
+    * Returns (doc_a, doc_b, inter, uni) with integer counts so thresholding
+    * stays exact (`thNum/thDen ≤ inter/uni` ⟺ `thDen·inter ≥ thNum·uni`).
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(shingleArray(col(textCol), shingleLen))).as("_s"))
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa._id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb._id") && col("sa._s") === col("sb._s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na._id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
+    * exact-verified pairs with Jaccard ≥ thNum/thDen.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, shingleLen: Int = 5,
+      thNum: Int = 4, thDen: Int = 5): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen)
+    val cands = lshCandidates(lshBuckets(sig, idCol, k, bands), idCol)
+    jaccardVerify(docs, cands, textCol, idCol, shingleLen)
+      .filter(col("inter") * thDen >= col("uni") * thNum)
+  }
+
+  /** SimHash fingerprint, `bits ≤ 32`, oracle-mirrorable form: bit i of a
+    * token's md5 is the top bit of hex nibble i; per-bit ±1 votes are summed
+    * over all token occurrences and the sign vector packs into a long.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    require(bits <= 32)
+    val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", md5(col("_t")))
+    val votes = (1 to bits).map(i =>
+      sum(when(substring(col("_h"), i, 1).isin(highNibbles: _*), 1).otherwise(-1)).as(s"v$i"))
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (1 to bits).map(i =>
+      when(col(s"v$i") >= 0, lit(1L) * lit(1L << (bits - i))).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Word n-gram array over canonical tokens (short docs yield one
+    * partial n-gram — concat_ws skips the missing tail).
+    */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + o)): _*))
+  }
+
+  /** N-gram Jaccard near-dups: candidates via any shared n-gram, verified
+    * with exact integer Jaccard ≥ thNum/thDen.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thNum: Int = 3, thDen: Int = 5): DataFrame = {
+    val ng = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("_g"))
+    val sizes = ng.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val inter = ng.as("ga")
+      .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))
+      .groupBy(col("ga._id").as("doc_a"), col("gb._id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na._id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
+      .filter(col("inter") * thDen >= col("uni") * thNum)
+  }
+}

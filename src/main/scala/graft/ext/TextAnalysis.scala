@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, fingerprinting, token counting, quality scoring and a
+  * stopword-based language-ID heuristic.
+  *
+  * Everything is a pure column expression (whole-stage codegen, no UDFs):
+  * per-row cost is constant-per-byte and the operators compose with any
+  * partitioning, so they scale linearly with data volume.
+  */
+object TextAnalysis {
+
+  /** Canonical text form: lowercase, whitespace collapsed, trimmed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Deterministic document fingerprint over the canonical form. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Canonical token array (single-space split of the normalized text). */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count on the raw text. */
+  def whitespaceTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, single digits, single symbols —
+    * a cheap proxy for subword tokenizer output length.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Count of tokens contained in `set`. */
+  def stopwordHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set: _*)))
+
+  /** Stopword lists used by the language-ID heuristic (order = tie-break
+    * preference).
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "les", "des", "et", "un", "une", "du", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** N-gram/stopword language ID: argmax of per-language stopword hits,
+    * ties broken in [[StopwordSets]] order, all-zero → "unknown".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = StopwordSets.map { case (lang, set) => lang -> stopwordHits(toks, set) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best === 0, "unknown")) { case (acc, (lang, s)) =>
+      acc.when(s === best, lang)
+    }.otherwise("unknown")
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters in the canonical form. */
+  def punctRatio(text: Column): Column = {
+    val n = normalize(text)
+    when(length(n) === 0, lit(0.0))
+      .otherwise((length(n) - length(regexp_replace(n, "[^a-z0-9 ]", ""))) / length(n))
+  }
+
+  /** Mean token length (exact integer sum / count, then one double divide). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)) / size(toks)
+  }
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline extension operators (SURVEY §7.5), each exercising
+  * the `graft.ext` modules over `documents`/`embeddings`, each with a DuckDB
+  * oracle mirroring the exact arithmetic (md5-keyed hashes, sequential
+  * double folds) so results compare bit-for-bit.
+  */
+object ExtensionQueries {
+
+  /** DuckDB mirror of TextAnalysis.normalize. */
+  private def normSql(c: String) = s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
+
+  private val highNibbles = "('8','9','a','b','c','d','e','f')"
+
+  val all: Map[String, Q] = Map(
+    // exact dedup: one survivor per distinct text (min doc_id), digest-keyed
+    "x1_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // MinHash signatures (k=8 over 5-char shingles of the canonical text)
+    "x2_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 8, shingleLen = 5).orderBy("doc_id")
+    }),
+
+    // MinHash + LSH banding (4 bands × 2 rows) + exact-Jaccard verify ≥ 0.8
+    "x3_minhash_lsh_neardup" -> ((s, dir) => {
+      Dedup.minhashNearDups(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 8, bands = 4, shingleLen = 5, thNum = 4, thDen = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash fingerprint (32-bit, md5-nibble votes over token occurrences)
+    "x4_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 32)
+        .orderBy("doc_id")
+    }),
+
+    // word-3-gram Jaccard near-dups ≥ 0.6 (integer-exact threshold)
+    "x5_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id",
+        n = 3, thNum = 3, thDen = 5).orderBy("doc_a", "doc_b")
+    }),
+
+    // brute-force cosine top-5 per vector (exact ANN baseline)
+    "x6_cosine_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (8 deterministic hyperplanes → rank within bucket)
+    "x7_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nPlanes = 8, dims = 64).orderBy("query_id", "rank")
+    }),
+
+    // embedding-cosine near-duplicate pairs ≥ 0.45
+    "x8_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDups(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // stopword-heuristic language ID
+    "x9_lang_id" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+    }),
+
+    // quality scoring: char/token counts, punct + stopword ratios
+    "x10_quality_score" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      d.select(col("doc_id"),
+        length(TextAnalysis.normalize(col("text"))).as("n_chars_norm"),
+        size(toks).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        (TextAnalysis.stopwordHits(toks, TextAnalysis.StopwordSets.head._2) / size(toks))
+          .as("stopword_ratio"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + BPE-ish regex
+    "x11_token_count" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // canonical-form document fingerprint
+    "x12_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }))
+
+  // ── oracle SQL ──
+
+  private def minhashSigSql: String = {
+    val mins = (0 until 8).map(j => s"min(md5('$j|' || sh)) AS m$j").mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, substr(t, CAST(i AS INT), 5) AS sh
+       |       FROM norm, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i))
+       |SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashLshSql: String = {
+    val mins = (0 until 8).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, substr(t, CAST(i AS INT), 5) AS s
+       |       FROM norm, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |          FROM cand c
+       |          JOIN shd sa ON sa.doc_id = c.doc_a
+       |          JOIN shd sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.inter, na.n + nb.n - i.inter AS uni
+       |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+       |             JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 5 >= (na.n + nb.n - i.inter) * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val votes = (1 to 32).map(i =>
+      s"sum(CASE WHEN substr(h, $i, 1) IN $highNibbles THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val pack = (1 to 32).map(i =>
+      s"CASE WHEN v$i >= 0 THEN CAST(${1L << (32 - i)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, md5(t) AS h FROM
+       |  (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t FROM documents)),
+       |v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+       |SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  private def ngramJaccardSql: String =
+    s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |ng AS (SELECT DISTINCT doc_id,
+       |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS g
+       |       FROM norm, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter, na.n + nb.n - i.inter AS uni
+       |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+       |             JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 5 >= (na.n + nb.n - i.inter) * 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val cosSql =
+    """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+
+  private def topkSql: String =
+    s"""WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def annLshSql: String = {
+    val buckets = Similarity.planes(8, 64).map { pv =>
+      val lits = pv.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lits) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH bk AS (SELECT vec_id, embedding, $buckets AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def langIdSql: String = {
+    val scores = TextAnalysis.StopwordSets.map { case (lang, set) =>
+      val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.StopwordSets.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |s AS (SELECT doc_id, lang, $scores FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN $best = 0 THEN 'unknown' $chain ELSE 'unknown' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val en = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, ${normSql("text")} AS n,
+       |             string_split(${normSql("text")}, ' ') AS l FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(n) AS INT) AS n_chars_norm,
+       |  CAST(len(l) AS INT) AS n_tokens,
+       |  CASE WHEN length(n) = 0 THEN 0.0
+       |       ELSE (length(n) - length(regexp_replace(n, '[^a-z0-9 ]', '', 'g'))) / length(n)
+       |  END AS punct_ratio,
+       |  len(list_filter(l, x -> list_contains($en, x))) / len(l) AS stopword_ratio,
+       |  list_sum(list_transform(l, x -> length(x))) / len(l) AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT * FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+    "x2_minhash_sig" -> minhashSigSql,
+    "x3_minhash_lsh_neardup" -> minhashLshSql,
+    "x4_simhash" -> simhashSql,
+    "x5_ngram_jaccard" -> ngramJaccardSql,
+    "x6_cosine_topk" -> topkSql,
+    "x7_ann_lsh" -> annLshSql,
+    "x8_embed_neardup" ->
+      s"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round($cosSql, 9) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $cosSql >= 0.45
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x9_lang_id" -> langIdSql,
+    "x10_quality_score" -> qualitySql,
+    "x11_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x12_fingerprint" ->
+      s"""SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id""")
+}
