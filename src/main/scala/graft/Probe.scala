@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: `runMain graft.Probe <sfDir> <query>[,query...] [--explain]`
+  * — times named SparkEntry queries one by one (fresh-cache) and optionally
+  * dumps their formatted physical plans. Not part of the driver contract.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val doExplain = args.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (doExplain) { println(s"== $name =="); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[probe] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -1,7 +1,10 @@
 package graft.ext
 
+import graft.functions.Md5Slices
+import graft.util.Par
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
@@ -11,6 +14,12 @@ import org.apache.spark.sql.functions._
   *   an equi-join on bucket, the classic band trick, so cost is
   *   O(docs·bands + candidate pairs), never O(n²);
   * - verification (exact Jaccard) runs only over candidate pairs.
+  *
+  * Expression-shape note: the canonical text / token array is always
+  * materialized as a column *before* any `transform` lambda references it —
+  * Catalyst evaluates lambda bodies per element, so an embedded
+  * `regexp_replace` would otherwise run once per shingle position instead
+  * of once per document.
   */
 object Dedup {
 
@@ -27,26 +36,46 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Character n-shingle array over the canonical text (short texts yield
-    * one whole-text shingle).
+  /** Character n-shingle array over an already-materialized canonical-text
+    * column (short texts yield one whole-text shingle). `canon` must be a
+    * plain attribute, not a computed expression — see the class doc.
     */
-  def shingleArray(text: Column, n: Int): Column = {
-    val canon = TextAnalysis.normalize(text)
+  def shingleArray(canon: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(length(canon) - (n - 1), lit(1))),
       i => canon.substr(i, lit(n)))
+
+  /** (id, shingle) exploded view with the canonicalization done once per
+    * document before the per-position lambda runs.
+    */
+  private def explodedShingles(docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int, distinctPerDoc: Boolean): DataFrame = {
+    val canon = Par.spread(docs).select(col(idCol),
+      TextAnalysis.normalize(col(textCol)).as("_c"))
+    val arr = shingleArray(col("_c"), shingleLen)
+    canon.select(col(idCol),
+      explode(if (distinctPerDoc) array_distinct(arr) else arr).as("_sh"))
   }
 
-  /** MinHash signature: k independent min-hashes (md5 keyed by seed) over
-    * the shingle set. Returns (idCol, m0..m{k-1}).
+  /** MinHash signature: k min-hashes over the shingle set, derived from
+    * k/4 md5 digests per shingle — each 32-hex-char md5 is sliced into four
+    * independent 8-hex (32-bit) hash values, so the hash cost per shingle is
+    * k/4 digests, not k. Each slice is converted to a long *before* the min:
+    * fixed-width hex keeps numeric order = lexicographic order, and a
+    * bigint min aggregates via HashAggregate where a string min would force
+    * SortAggregate (full sort of the exploded shingle stream, twice).
+    * Returns (idCol, m0..m{k-1}) as longs.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, shingleLen: Int = 5): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(shingleArray(col(textCol), shingleLen)).as("_sh"))
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    val exploded = explodedShingles(docs, textCol, idCol, shingleLen,
+      distinctPerDoc = false)
+    val sliced = exploded.select(col(idCol),
+      shim.column(Md5Slices(shim.expression(col("_sh")), k / 4)).as("_hs"))
     val mins = (0 until k).map(j =>
-      min(md5(concat_ws("|", lit(j.toString), col("_sh")))).as(s"m$j"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(element_at(col("_hs"), j + 1)).as(s"m$j"))
+    sliced.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH band buckets: `bands` groups of `k/bands` signature rows, each
@@ -76,15 +105,18 @@ object Dedup {
   /** Exact Jaccard verification of candidate pairs over distinct shingles.
     * Returns (doc_a, doc_b, inter, uni) with integer counts so thresholding
     * stays exact (`thNum/thDen ≤ inter/uni` ⟺ `thDen·inter ≥ thNum·uni`).
+    * The exploded shingle set is persisted — it feeds the per-doc sizes and
+    * both sides of the intersection join.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
       idCol: String, shingleLen: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(shingleArray(col(textCol), shingleLen))).as("_s"))
+    val sh = explodedShingles(docs, textCol, idCol, shingleLen,
+      distinctPerDoc = true)
+      .withColumnRenamed(idCol, "_id").persist()
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa._id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb._id") && col("sa._s") === col("sb._s"))
+      .join(sh.as("sb"), col("doc_b") === col("sb._id") && col("sa._sh") === col("sb._sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("na"), col("doc_a") === col("na._id"))
@@ -94,13 +126,15 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
-    * exact-verified pairs with Jaccard ≥ thNum/thDen.
+    * exact-verified pairs with Jaccard ≥ thNum/thDen. Band buckets are
+    * persisted across the candidate self-join so signatures compute once.
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4, shingleLen: Int = 5,
       thNum: Int = 4, thDen: Int = 5): DataFrame = {
     val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen)
-    val cands = lshCandidates(lshBuckets(sig, idCol, k, bands), idCol)
+    val buckets = lshBuckets(sig, idCol, k, bands).persist()
+    val cands = lshCandidates(buckets, idCol)
     jaccardVerify(docs, cands, textCol, idCol, shingleLen)
       .filter(col("inter") * thDen >= col("uni") * thNum)
   }
@@ -112,7 +146,7 @@ object Dedup {
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
     require(bits <= 32)
     val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val toks = docs.select(col(idCol),
+    val toks = Par.spread(docs).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
       .withColumn("_h", md5(col("_t")))
     val votes = (1 to bits).map(i =>
@@ -124,23 +158,25 @@ object Dedup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
-  /** Word n-gram array over canonical tokens (short docs yield one
-    * partial n-gram — concat_ws skips the missing tail).
+  /** Word n-gram array over an already-materialized token-array column
+    * (short docs yield one partial n-gram — concat_ws skips the missing
+    * tail). `toks` must be a plain attribute — see the class doc.
     */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def wordNgrams(toks: Column, n: Int = 3): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + o)): _*))
-  }
 
   /** N-gram Jaccard near-dups: candidates via any shared n-gram, verified
-    * with exact integer Jaccard ≥ thNum/thDen.
+    * with exact integer Jaccard ≥ thNum/thDen. The exploded n-gram set is
+    * persisted across the self-join and the sizes aggregate.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, thNum: Int = 3, thDen: Int = 5): DataFrame = {
-    val ng = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(wordNgrams(col(textCol), n))).as("_g"))
+    val ng = Par.spread(docs)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_g"))
+      .persist()
     val sizes = ng.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = ng.as("ga")
       .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))

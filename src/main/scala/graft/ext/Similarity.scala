@@ -3,8 +3,10 @@ package graft.ext
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
+import graft.functions.FloatDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -19,15 +21,18 @@ import org.apache.spark.sql.functions._
   *   reproducible across runs and engines.
   *
   * All dot products fold left-to-right in double precision — bit-identical
-  * to a serial evaluation regardless of partitioning.
+  * to a serial evaluation regardless of partitioning. The hot loop is the
+  * codegen'd [[graft.functions.FloatDot]] over primitive float arrays, and
+  * per-vector norms are computed once on the O(n) side of every O(n²)
+  * pairing (never per pair). Pair rows are projected down to
+  * (id, id, cosine) before any shuffle, so the window/sort stages move
+  * 24-byte rows, not embedding payloads.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Codegen'd sequential-fold dot product of two float-array columns. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    shim.column(FloatDot(shim.expression(a), shim.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -45,14 +50,42 @@ object Similarity {
   def planes(nPlanes: Int, dims: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map(p => (0 until dims).map(d => planeSign(p, d)))
 
-  /** Sign-bucket id ('1'/'0' per hyperplane) for an embedding column. */
+  /** Sign-bucket id ('1'/'0' per hyperplane) for an embedding column.
+    * ±1.0 is exact in float, so float-array plane literals keep the dot
+    * product bit-identical to the double-list oracle.
+    */
   def lshBucket(emb: Column, planeVectors: Seq[Seq[Double]]): Column = {
     val bits = planeVectors.map { pv =>
-      val planeLit = array(pv.map(lit): _*)
+      val planeLit = array(pv.map(v => lit(v.toFloat)): _*)
       when(dot(emb, planeLit) >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
+
+  /** (id, vec, norm) projection: norms are computed once per vector here,
+    * not once per pair in the O(n²) stage.
+    */
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String,
+      id: String, vec: String, norm: String): DataFrame =
+    emb.select(col(idCol).as(id), col(vecCol).as(vec),
+      sqrt(dot(col(vecCol), col(vecCol))).as(norm))
+
+  /** Spread the stream side of an O(n²) broadcast join across every core:
+    * an embeddings table is small on disk (a few MB per million rows), so
+    * the file scan yields one partition and the quadratic compare would
+    * otherwise run on a single thread. At cluster scale this is the same
+    * shape — partition the query side, broadcast the corpus side.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    graft.util.Par.spread(df)
+
+  /** Like [[spread]], but hash-partitioned on `key`: the broadcast join
+    * preserves stream-side partitioning, so a downstream
+    * `Window.partitionBy(key)` needs no exchange — the O(n²) pair stream
+    * never gets shuffled, only sorted within partitions.
+    */
+  private def spreadBy(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   /** Exact top-k cosine neighbors for every vector (self excluded).
     * Output: (query_id, neighbor_id, cosine, rank); ties broken by
@@ -60,10 +93,11 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = emb.select(col(idCol).as("query_id"), col(vecCol).as("_va"))
-    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"))
+    val a = spreadBy(withNorm(emb, idCol, vecCol, "query_id", "_va", "_na"), "query_id")
+    val b = withNorm(emb, idCol, vecCol, "neighbor_id", "_vb", "_nb")
     val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("_cos", cosine(col("_va"), col("_vb")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -78,14 +112,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val pv = planes(nPlanes, dims)
     val bucketed = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), pv).as("_bucket"))
+      lshBucket(col(vecCol), pv).as("_bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_nrm"))
     val a = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("_va"),
-      col("_bucket"))
+      col("_nrm").as("_na"), col("_bucket"))
     val b = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"),
-      col("_bucket").as("_bucket2"))
+      col("_nrm").as("_nb"), col("_bucket").as("_bucket2"))
     val pairs = a.join(b,
         col("_bucket") === col("_bucket2") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("_cos", cosine(col("_va"), col("_vb")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -97,10 +133,11 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b). */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("_va"))
-    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("_vb"))
+    val a = spread(withNorm(emb, idCol, vecCol, "doc_a", "_va", "_na"))
+    val b = withNorm(emb, idCol, vecCol, "doc_b", "_vb", "_nb")
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("_cos", cosine(col("_va"), col("_vb")))
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
       .filter(col("_cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
   }

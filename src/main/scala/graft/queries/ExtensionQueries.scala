@@ -28,10 +28,13 @@ object ExtensionQueries {
         k = 8, shingleLen = 5).orderBy("doc_id")
     }),
 
-    // MinHash + LSH banding (4 bands × 2 rows) + exact-Jaccard verify ≥ 0.8
+    // MinHash + LSH banding (4 bands × 4 rows, 7-char shingles) +
+    // exact-Jaccard verify ≥ 0.8. r=4 keeps the per-band collision
+    // probability at sim⁴ — with short bands (r=2) ordinary same-language
+    // documents collide constantly and the verify join explodes.
     "x3_minhash_lsh_neardup" -> ((s, dir) => {
       Dedup.minhashNearDups(Tables(s, dir, "documents"), "text", "doc_id",
-        k = 8, bands = 4, shingleLen = 5, thNum = 4, thDen = 5)
+        k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -104,8 +107,14 @@ object ExtensionQueries {
 
   // ── oracle SQL ──
 
+  /** One min-hash slice: 8 hex chars (32 bits) of md5 number j/4 as a
+    * bigint — mirrors Dedup.minhashSignatures exactly.
+    */
+  private def mhSlice(j: Int, shCol: String) =
+    s"min(CAST(concat('0x', substr(md5('${j / 4}|' || $shCol), ${1 + 8 * (j % 4)}, 8)) AS BIGINT)) AS m$j"
+
   private def minhashSigSql: String = {
-    val mins = (0 until 8).map(j => s"min(md5('$j|' || sh)) AS m$j").mkString(", ")
+    val mins = (0 until 8).map(j => mhSlice(j, "sh")).mkString(", ")
     s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, substr(t, CAST(i AS INT), 5) AS sh
        |       FROM norm, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i))
@@ -113,13 +122,16 @@ object ExtensionQueries {
   }
 
   private def minhashLshSql: String = {
-    val mins = (0 until 8).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(", ")
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bucket FROM sig")
-      .mkString("\n UNION ALL ")
+    val (k, nBands, shLen) = (16, 4, 7)
+    val r = k / nBands
+    val mins = (0 until k).map(j => mhSlice(j, "s")).mkString(", ")
+    val bands = (0 until nBands).map { b =>
+      val ms = (b * r until (b + 1) * r).map(j => s"m$j::VARCHAR").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
+    }.mkString("\n UNION ALL ")
     s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
-       |sh AS (SELECT doc_id, substr(t, CAST(i AS INT), 5) AS s
-       |       FROM norm, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)),
+       |sh AS (SELECT doc_id, substr(t, CAST(i AS INT), $shLen) AS s
+       |       FROM norm, unnest(generate_series(1, greatest(length(t) - ${shLen - 1}, 1))) AS u(i)),
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
