@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.5(a): dedup operator semantics on small in-memory corpora. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "an entirely different document about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat")   // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact: one survivor per distinct text, min id wins") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    assert(out === Array(1L, 3L, 4L))
+  }
+
+  test("shingleArray: sliding windows; short text yields one whole-text shingle") {
+    val df = Seq("abcdefg", "ab").toDF("t")
+    val got = df.select(Dedup.shingleArray(col("t"), 5).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("abcde", "bcdef", "cdefg"))
+    assert(got(1) === Seq("ab"))
+  }
+
+  test("wordNgrams: sliding word windows; short docs yield one partial gram") {
+    val df = Seq(Seq("a", "b", "c", "d"), Seq("a", "b")).toDF("toks")
+    val got = df.select(Dedup.wordNgrams(col("toks"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+  }
+
+  test("minhashSignatures: deterministic, equal for equal texts, wide for k") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8, shingleLen = 5)
+    assert(sig.columns.toSeq === ("doc_id" +: (0 until 8).map(i => s"m$i")))
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) === rows(2L)) // identical text => identical signature
+    assert(rows(1L) !== rows(3L))
+    val again = Dedup.minhashSignatures(docs, "text", "doc_id", k = 8, shingleLen = 5)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows === again) // deterministic across runs
+  }
+
+  test("minhashNearDups: finds planted near-dup with exact integer Jaccard, skips unrelated") {
+    val corpus = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (11L, "large language models are trained on vast corpora of text data from the net"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("jaccardVerify: inter/uni counts are exact set arithmetic") {
+    val corpus = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    // 3-shingles: doc1 {abc,bcd,cde,def}, doc2 {abc,bcd,cde,deg} → inter 3, uni 5
+    val row = Dedup.jaccardVerify(corpus, cands, "text", "doc_id", shingleLen = 3)
+      .head()
+    assert(row.getAs[Long]("inter") === 3L)
+    assert(row.getAs[Long]("uni") === 5L)
+  }
+
+  test("simhash: equal texts agree, fingerprint fits in 32 bits, near-dups are close") {
+    val fp = Dedup.simhash(docs, "text", "doc_id", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v <= 0xffffffffL))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(4L)) < ham(fp(1L), fp(3L)))
+  }
+}

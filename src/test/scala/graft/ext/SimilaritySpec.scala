@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.5(b): similarity-search semantics on hand-checked vectors. */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (3L, Seq(2.0f, 0.0f, 0.0f)),   // parallel to 1
+    (4L, Seq(1.0f, 1.0f, 0.0f))    // 45° to 1 and 2
+  ).toDF("vec_id", "embedding")
+
+  test("dot/cosine expression: exact values") {
+    val d = vecs.filter($"vec_id" === 4L)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .head().getDouble(0)
+    assert(d === 2.0)
+  }
+
+  test("bruteForceTopK: exact neighbors, cosine values, rank order, no self-pairs") {
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val q1 = out.filter(_._1 == 1L).sortBy(_._4)
+    // For query 1: cos(1,3)=1.0, cos(1,4)=1/sqrt(2), cos(1,2)=0
+    assert(q1.map(_._2).toSeq === Seq(3L, 4L, 2L))
+    assert(q1(0)._3 === 1.0)
+    assert(math.abs(q1(1)._3 - 1.0 / math.sqrt(2)) < 1e-9)
+    assert(q1(2)._3 === 0.0)
+    assert(out.forall(r => r._1 != r._2))
+  }
+
+  test("bruteForceTopK: ties broken by ascending neighbor id") {
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // For query 2: vecs 1 and 3 are both cosine 0 ties → id order 1 then 3
+    val q2 = out.filter(_._1 == 2L).sortBy(_._3)
+    assert(q2.map(_._2).toSeq === Seq(4L, 1L, 3L))
+  }
+
+  test("cosineNearDups: threshold inclusive, a < b ordering") {
+    val out = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L)))
+    val all = Similarity.cosineNearDups(vecs, "vec_id", "embedding", -1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(all.forall(p => p._1 < p._2))
+    assert(all.length === 6) // all C(4,2) pairs
+  }
+
+  test("planeSign/planes: deterministic ±1 hyperplanes") {
+    val p1 = Similarity.planes(8, 64)
+    val p2 = Similarity.planes(8, 64)
+    assert(p1 === p2)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("lshTopK: results are a subset of pair universe with bucket-local exact ranks") {
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", k = 3,
+      nPlanes = 2, dims = 3).collect()
+    // Parallel vectors always share every sign bucket → (1,3) must survive.
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((3L, 1L)))
+    // Ranks within each query are 1..n without gaps.
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.5(d): text-analysis operator semantics. */
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).head().getAs[T]("v")
+
+  test("normalize: lowercase, collapse whitespace, trim") {
+    assert(one[String](TextAnalysis.normalize(col("text")), "  Hello\t\n  WORLD  ")
+      === "hello world")
+  }
+
+  test("tokens + whitespaceTokenCount: empty and padded strings") {
+    assert(one[Int](TextAnalysis.whitespaceTokenCount(col("text")), "") === 0)
+    assert(one[Int](TextAnalysis.whitespaceTokenCount(col("text")), "   ") === 0)
+    assert(one[Int](TextAnalysis.whitespaceTokenCount(col("text")), " a  b\tc ") === 3)
+  }
+
+  test("bpeishTokenCount: letter runs, single digits, single symbols") {
+    // "ab12,c" -> [ab][1][2][,][c] = 5
+    assert(one[Int](TextAnalysis.bpeishTokenCount(col("text")), "ab12,c") === 5)
+  }
+
+  test("langId: obvious languages and unknown") {
+    assert(one[String](TextAnalysis.langId(col("text")),
+      "the cat sat on the mat and it is happy") === "en")
+    assert(one[String](TextAnalysis.langId(col("text")),
+      "el perro y la casa en los campos") === "es")
+    assert(one[String](TextAnalysis.langId(col("text")),
+      "zxcv qwer asdf") === "unknown")
+  }
+
+  test("langId: tie broken by StopwordSets order") {
+    // "en" appears in both the en and es lists? No — craft a genuine tie:
+    // one en-stopword and one es-stopword → tie at 1 → first list (en) wins.
+    assert(one[String](TextAnalysis.langId(col("text")), "the perro") === "en")
+  }
+
+  test("punctRatio: punctuation fraction of canonical form; empty → 0") {
+    assert(one[Double](TextAnalysis.punctRatio(col("text")), "") === 0.0)
+    assert(one[Double](TextAnalysis.punctRatio(col("text")), "ab,!") === 0.5)
+  }
+
+  test("fingerprint: equal canonical forms collide, different texts do not") {
+    val fps = Seq("Hello  World", "hello world", "other")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}

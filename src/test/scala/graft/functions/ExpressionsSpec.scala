@@ -1,0 +1,83 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit coverage for graft's native Catalyst expressions — both the
+  * interpreted (`eval`) and whole-stage-codegen (DataFrame) paths, checked
+  * against independent reimplementations of their contracts.
+  */
+class ExpressionsSpec extends SparkSpec {
+
+  private def fold(x: Seq[Float], y: Seq[Float]): Double =
+    x.zip(y).foldLeft(0.0) { case (acc, (a, b)) => acc + a.toDouble * b.toDouble }
+
+  test("FloatDot: codegen path matches sequential double fold") {
+    import spark.implicits._
+    val x = Seq(1.5f, -2.25f, 0.125f, 3.75f)
+    val y = Seq(0.5f, 4.0f, -8.0f, 0.0625f)
+    val df = Seq((x, y)).toDF("a", "b")
+    val got = df.select(
+      shim.column(FloatDot(shim.expression(col("a")), shim.expression(col("b"))))
+        .as("d")).head().getDouble(0)
+    assert(got === fold(x, y))
+  }
+
+  test("FloatDot: interpreted eval matches, ragged arrays use min length, null in → null out") {
+    val lit3 = Literal(new GenericArrayData(Array(1.0f, 2.0f, 3.0f)),
+      ArrayType(FloatType))
+    val lit2 = Literal(new GenericArrayData(Array(10.0f, 20.0f)),
+      ArrayType(FloatType))
+    assert(FloatDot(lit3, lit2).eval(null) === (1.0 * 10.0 + 2.0 * 20.0))
+    val nul = Literal.create(null, ArrayType(FloatType))
+    assert(FloatDot(lit3, nul).eval(null) === null)
+  }
+
+  test("FloatDot: accumulation order is left-to-right (not pairwise/reordered)") {
+    // Catastrophic-cancellation probe: result differs between fold orders.
+    val x = Seq(1e8f, 1.0f, -1e8f, 1.0f)
+    val y = Seq(1.0f, 1.0f, 1.0f, 1.0f)
+    val lit = (s: Seq[Float]) =>
+      Literal(new GenericArrayData(s.toArray), ArrayType(FloatType))
+    assert(FloatDot(lit(x), lit(y)).eval(null) === fold(x, y))
+  }
+
+  /** Oracle-mirror reimplementation: CAST('0x'||substr(md5hex, 1+8s, 8)). */
+  private def hexSlices(s: String, groups: Int): Seq[Long] =
+    (0 until groups).flatMap { g =>
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$g|$s".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      (0 until 4).map(i => java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16))
+    }
+
+  test("Md5Slices: matches the hex-substring oracle formula") {
+    for (input <- Seq("abcde", "", "héllo wörld", "x" * 100); groups <- Seq(1, 2, 4)) {
+      val got = Md5Slices.slices(UTF8String.fromString(input), groups)
+        .toLongArray().toSeq
+      assert(got === hexSlices(input, groups), s"input=$input groups=$groups")
+    }
+  }
+
+  test("Md5Slices: codegen path via DataFrame matches eval path") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "jumps").toDF("s")
+    val rows = df.select(col("s"),
+      shim.column(Md5Slices(shim.expression(col("s")), 2)).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === hexSlices(r.getString(0), 2))
+    }
+  }
+
+  test("Md5Slices: values are unsigned 32-bit range") {
+    val got = Md5Slices.slices(UTF8String.fromString("range-check"), 4).toLongArray()
+    assert(got.forall(v => v >= 0L && v <= 0xffffffffL))
+  }
+}
