@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,34 @@ object ExtensionQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // multimodal ingestion: binary payload + md5-derived typed metadata
+    "x13_media_meta" -> ((s, dir) => {
+      Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"), md5(col("payload")).as("payload_md5"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))
+        .orderBy("media_id")
+    }),
+
+    // video frame sampling: every 5th frame index, deterministic frame ids
+    "x14_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text"), 5)
+        .orderBy("media_id", "frame_no")
+    }),
+
+    // decode (stubbed codec, real typed mapPartitions plumbing) + resize —
+    // no SQL oracle: exercised by MultimodalSpec, driver does rows-only.
+    "x15_decode_resize" -> ((s, dir) => {
+      Multimodal.resizeFeatures(
+        Multimodal.decode(
+          Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")),
+        stride = 4)
+        .orderBy("media_id")
     }))
 
   // ── oracle SQL ──
@@ -263,5 +291,32 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x12_fingerprint" ->
-      s"""SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id""")
+      s"""SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id""",
+    "x13_media_meta" -> mediaMetaSql,
+    "x14_frame_sample" -> frameSampleSql)
+
+  /** DuckDB mirror of Multimodal.slice: bounded int from an md5 hex slice. */
+  private def mmSlice(off: Int, bound: Int) =
+    s"CAST(CAST(concat('0x', substr(md5(text), $off, 8)) AS BIGINT) % $bound + 1 AS INT)"
+
+  private def mediaMetaSql: String =
+    s"""SELECT doc_id AS media_id,
+       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       |  md5(text) AS payload_md5,
+       |  ${mmSlice(1, 1920)} AS width,
+       |  ${mmSlice(9, 1080)} AS height,
+       |  [8000,16000,44100][CAST(CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 3 + 1 AS INT)] AS sample_rate,
+       |  ${mmSlice(25, 240)} AS n_frames,
+       |  ['png','wav','mp4'][CAST(doc_id % 3 + 1 AS INT)] AS format
+       |FROM documents ORDER BY media_id""".stripMargin
+
+  private def frameSampleSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS ph,
+       |             ${mmSlice(25, 240)} AS n_frames
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT media_id, ph, CAST(i AS INT) AS frame_no
+       |      FROM m, unnest(generate_series(0, n_frames - 1)) AS u(i))
+       |SELECT media_id, frame_no, md5(ph || ':' || frame_no) AS frame_fp
+       |FROM f WHERE frame_no % 5 = 0 ORDER BY media_id, frame_no""".stripMargin
 }
