@@ -42,9 +42,17 @@ object Staging {
     * are trimmed (`stg_full_load.py:65`). The raw line is kept alongside the
     * parsed columns for the reject channel.
     */
-  def readRawCsv(spark: SparkSession, path: String): DataFrame = {
+  def readRawCsv(spark: SparkSession, path: String): DataFrame =
+    parseRawLines(spark.read.text(path))
+
+  /** The line-level parse as a pure transform over a `value: string` frame —
+    * shared verbatim by the batch reader above and the Structured Streaming
+    * delta source ([[graft.streaming.DeltaStream]]), so both paths have
+    * identical parse semantics by construction.
+    */
+  def parseRawLines(lines: DataFrame): DataFrame = {
     val headerLine = Schemas.rawColumns.mkString(",")
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .filter(trim(col("value")) =!= headerLine) // header skip, multi-file safe
       .filter(length(trim(col("value"))) > 0)
       .withColumn("_r", from_csv(col("value"), Schemas.raw, Map.empty[String, String]))

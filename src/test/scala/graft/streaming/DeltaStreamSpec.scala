@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.ingest.Staging
+import graft.ods.OdsTransform
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class DeltaStreamSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  private val ts = Timestamp.valueOf("2026-08-12 12:00:00")
+
+  test("file-source delta stream: matches batch path, re-delivery dedups") {
+    val landing = tmpDir("landing")
+    val ods = tmpDir("ods") + "/ods"
+    val ckpt = tmpDir("ckpt")
+    Files.copy(Paths.get(resource("usgs_sample.csv")),
+      Paths.get(landing, "all_day_20260812-000000.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = DeltaStream.start(spark, landing, ods, ckpt, "job-1", Some(ts))
+    q.processAllAvailable()
+
+    // batch reference on the same file
+    val parsed = Staging.normalizeNulls(
+      Staging.readRawCsv(spark, s"$landing/all_day_20260812-000000.csv"))
+    val stg = Staging.finalizeStg(Staging.dqSplit(parsed).accepted,
+      "job-1", "batch", ts.toString)
+    val want = OdsTransform.toOds(stg, ts).select("ID_Event")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+
+    val got1 = spark.read.parquet(ods)
+    assert(got1.select("ID_Event")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet === want)
+    assert(want.nonEmpty)
+
+    // same content re-delivered as a new file → anti-join drops every row
+    Files.copy(Paths.get(resource("usgs_sample.csv")),
+      Paths.get(landing, "all_day_20260813-000000.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(ods).count() === got1.count())
+  }
+
+  test("eventRates: watermarked window counts per magnitude category") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val rates = DeltaStream.eventRates(
+      in.toDF().toDF("DT_time", "LB_magCategory"),
+      watermark = "1 hour", windowLen = "1 hour")
+    val q = rates.writeStream.format("memory")
+      .queryName("rates").outputMode("complete").start()
+    in.addData(
+      ("2026-08-12 10:05:00", "Minor"),
+      ("2026-08-12 10:55:00", "Minor"),
+      ("2026-08-12 10:30:00", "Light"),
+      ("2026-08-12 11:10:00", "Minor"))
+    q.processAllAvailable()
+    val got = spark.table("rates")
+      .select(date_format($"window_start", "HH:mm").as("w"),
+        $"LB_magCategory", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(("10:00", "Minor", 2L), ("10:00", "Light", 1L),
+      ("11:00", "Minor", 1L)))
+  }
+
+  test("networkStats: keyed state accumulates across triggers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String, Option[Double])]
+    val ods = in.toDF().toDF("DT_time", "LB_net", "VL_n_mag")
+    val q = DeltaStream.networkStats(ods).writeStream.format("memory")
+      .queryName("netstats").outputMode("update").start()
+    in.addData(("t", "us", Some(3.5)), ("t", "us", Some(5.0)), ("t", "ak", None))
+    q.processAllAvailable()
+    in.addData(("t", "us", Some(4.0)), ("t", "ak", Some(2.0)))
+    q.processAllAvailable()
+    val last = spark.table("netstats")
+      .groupBy($"net")
+      .agg(max($"n_events").as("n"), max_by($"max_mag", $"n_events").as("mx"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    q.stop()
+    assert(last("us") === ((3L, 5.0)))
+    assert(last("ak")._1 === 2L && last("ak")._2 === 2.0)
+  }
+}
