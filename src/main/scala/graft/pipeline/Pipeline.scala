@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import graft.archive.Archive
+import graft.dw.{DimBuilder, FactBuilder, Merge}
+import graft.ingest.Staging
+import graft.ods.{OdsTransform, PlaceParser}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Warehouse layout: one parquet directory per layer table, mirroring the
+  * reference's BigQuery datasets (STG_ds / ODS_ds / DW_ds, SURVEY §1.2).
+  */
+final case class Warehouse(root: String) {
+  val stg: String = s"$root/stg/T_STG_day_earthquake"
+  val ods: String = s"$root/ods/ods_day_earthquake"
+  val tOds: String = s"$root/ods/T_ODS_day_earthquake"
+  def dim(name: String): String = s"$root/dw/$name"
+  val fact: String = s"$root/dw/T_FACT_Events"
+  val rejected: String = s"$root/rejected"
+  val archive: String = s"$root/archive"
+
+  val dimNames: Seq[String] = Seq("T_DIM_Network", "T_DIM_RegionCountry",
+    "T_DIM_Seismic_Activity_Type", "T_DIM_magCategory", "T_DIM_depthCategory",
+    "T_DIM_date")
+}
+
+/** Stage sequencing (SURVEY §3.2): the reference's five sequential Dataflow
+  * jobs collapse to function calls over DataFrames in one SparkSession; each
+  * layer is still written out to preserve the layered-warehouse contract
+  * (and its restartability). `Controller.run` reproduces the Airflow
+  * branch: filename prefix picks the full or delta chain
+  * (`load_controller_DAG.py:186-188`).
+  */
+object Controller {
+
+  def run(spark: SparkSession, rawPattern: String, states: DataFrame,
+      wh: Warehouse, jobId: String, insertionTs: Timestamp): Unit = {
+    val newest = Staging.latestFile(spark, rawPattern)
+    if (Archive.isFullLoad(newest.split('/').last))
+      FullLoad.run(spark, rawPattern, states, wh, jobId, insertionTs)
+    else
+      DeltaLoad.run(spark, rawPattern, states, wh, jobId, insertionTs)
+  }
+
+  private[pipeline] def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[pipeline] def dimKeys(name: String): Seq[String] = name match {
+    case "T_DIM_Network" => Seq("LB_NetworkSymbol")
+    case "T_DIM_RegionCountry" => Seq("LB_Region", "LB_Country")
+    case "T_DIM_Seismic_Activity_Type" => Seq("LB_type")
+    case "T_DIM_magCategory" => Seq("LB_magCategoryName", "LB_magCategoryDescription")
+    case "T_DIM_depthCategory" => Seq("LB_depthCategoryName", "LB_depthCategoryDescription")
+    case "T_DIM_date" => Seq("DT_date", "LB_DayOfWeek", "ID_DayOfWeekNb",
+      "ID_WeekNb", "LB_MonthName", "ID_MonthNb", "ID_Quarter", "ID_Year")
+  }
+
+  private[pipeline] def dimId(name: String): String = name match {
+    case "T_DIM_Network" => "ID_Network_ID"
+    case "T_DIM_RegionCountry" => "ID_RegionCountry_ID"
+    case "T_DIM_Seismic_Activity_Type" => "ID_type_ID"
+    case "T_DIM_magCategory" => "ID_magCategory_ID"
+    case "T_DIM_depthCategory" => "ID_depthCategory_ID"
+    case "T_DIM_date" => "ID_date_ID"
+  }
+}
+
+/** The full-load chain: STG → ODS → place parse → DW truncate-reload →
+  * archive (`load_controller_DAG.py:187`).
+  */
+object FullLoad {
+
+  def run(spark: SparkSession, rawPattern: String, states: DataFrame,
+      wh: Warehouse, jobId: String, insertionTs: Timestamp): Unit = {
+    // stage 1 — RAW → STG (truncate) + rejected side channel
+    Staging.run(spark, rawPattern, wh.stg,
+      s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
+
+    // stage 2 — STG → typed ODS (truncate)
+    OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
+      .write.mode("overwrite").parquet(wh.ods)
+
+    // stage 3 — region/country parse → T_ODS (truncate)
+    PlaceParser.parsePlaces(spark.read.parquet(wh.ods), states, insertionTs)
+      .write.mode("overwrite").parquet(wh.tOds)
+
+    // stage 4 — star schema truncate-reload
+    val tOds = spark.read.parquet(wh.tOds)
+    val dims = FactBuilder.buildDims(tOds)
+    val byName = Map(
+      "T_DIM_Network" -> dims.network,
+      "T_DIM_RegionCountry" -> dims.regionCountry,
+      "T_DIM_Seismic_Activity_Type" -> dims.seismicType,
+      "T_DIM_magCategory" -> dims.magCategory,
+      "T_DIM_depthCategory" -> dims.depthCategory,
+      "T_DIM_date" -> dims.date)
+    byName.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(wh.dim(name))
+    }
+    FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
+      .write.mode("overwrite").parquet(wh.fact)
+
+    // stage 5 — archive processed raw files
+    Archive.archiveMatching(spark, rawPattern, wh.archive)
+  }
+}
+
+/** The delta chain: STG truncate → ODS append (key dedup) → T_ODS append
+  * (key dedup) → dim extension + fact MERGE → archive
+  * (`load_controller_DAG.py:188`; stages per `Delta Load Scripts`).
+  * A delta into an empty warehouse degenerates to a full load.
+  */
+object DeltaLoad {
+
+  import Controller.{dimId, dimKeys, exists}
+
+  def run(spark: SparkSession, rawPattern: String, states: DataFrame,
+      wh: Warehouse, jobId: String, insertionTs: Timestamp): Unit = {
+    if (!exists(spark, wh.fact)) {
+      FullLoad.run(spark, rawPattern, states, wh, jobId, insertionTs)
+      return
+    }
+
+    // stage 1 — RAW → STG (staging truncates on delta too, stg_delta_load.py:133)
+    Staging.run(spark, rawPattern, wh.stg,
+      s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
+
+    // stage 2 — ODS append, deduped on the stable key (J3)
+    val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
+      .dropDuplicates("ID_Event")
+    OdsTransform.dedupeAgainstExisting(freshOds,
+        spark.read.parquet(wh.ods).select("ID_Event"))
+      .write.mode("append").parquet(wh.ods)
+
+    // stage 3 — place parse append, deduped (parse_country_ods_delta_load2.py)
+    val freshParsed = PlaceParser.parsePlaces(freshOds, states, insertionTs)
+    OdsTransform.dedupeAgainstExisting(freshParsed,
+        spark.read.parquet(wh.tOds).select("ID_Event"))
+      .write.mode("append").parquet(wh.tOds)
+
+    // stage 4 — incremental dims (max-key continuation) + fact MERGE
+    val tOds = spark.read.parquet(wh.tOds)
+    val dims = FactBuilder.buildDims(tOds) // value columns only matter below
+    val full = wh.dimNames.map { name =>
+      val existing = spark.read.parquet(wh.dim(name))
+      val src = name match {
+        case "T_DIM_Network" => dims.network
+        case "T_DIM_RegionCountry" => dims.regionCountry
+        case "T_DIM_Seismic_Activity_Type" => dims.seismicType
+        case "T_DIM_magCategory" => dims.magCategory
+        case "T_DIM_depthCategory" => dims.depthCategory
+        case "T_DIM_date" => dims.date
+      }
+      // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
+      // new dates append as-is; surrogate-keyed dims continue from max id
+      val fresh =
+        if (name == "T_DIM_date")
+          DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
+        else DimBuilder.extend(existing, src,
+          dimKeys(name).map(col), dimKeys(name), dimId(name))
+      fresh.write.mode("append").parquet(wh.dim(name))
+      name -> spark.read.parquet(wh.dim(name))
+    }.toMap
+    val staged = FactBuilder.buildFact(tOds,
+      FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
+        full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
+        full("T_DIM_depthCategory"), full("T_DIM_date")),
+      jobId, insertionTs)
+    Merge.mergeInto(spark, wh.fact, staged)
+
+    // stage 5 — archive
+    Archive.archiveMatching(spark, rawPattern, wh.archive)
+  }
+}
