@@ -1,0 +1,131 @@
+package graft
+
+import graft.ext.Dedup
+import graft.ingest.Staging
+import graft.ods.OdsTransform
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based coverage (SURVEY §5.3) with deterministic ScalaCheck
+  * sampling: each property materializes one generated batch and runs a
+  * single Spark job over it, instead of a job per ScalaCheck case.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long = 42L): List[T] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** Independent reimplementation of the reference key
+    * (`ods_delta_load2.py:18-24`): sha1 hex, first 16 chars, 63-bit mask;
+    * None fields format as "None" inside the f-string.
+    */
+  private def pyStableId(t: Option[String], la: Option[String], lo: Option[String]): Long = {
+    val key = s"${t.getOrElse("None")}_${la.getOrElse("None")}_${lo.getOrElse("None")}"
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes("UTF-8"))
+    val hex = sha.map(b => f"${b & 0xff}%02x").mkString.take(16)
+    java.lang.Long.parseUnsignedLong(hex, 16) & Long.MaxValue
+  }
+
+  private val field: Gen[Option[String]] = Gen.frequency(
+    8 -> Gen.chooseNum(-18000000L, 18000000L).map(v => Some((v / 100000.0).toString)),
+    1 -> Gen.alphaNumStr.map(s => Some(s.take(24))),
+    1 -> Gen.const(None))
+
+  test("property: stableId matches the reference sha1 formula; positive; collision-free on sample") {
+    val rows = sample(Gen.zip(field, field, field), 300)
+    val df = rows.toDF("t", "la", "lo")
+      .select(col("t"), col("la"), col("lo"),
+        OdsTransform.stableId(col("t"), col("la"), col("lo")).as("id"))
+    val got = df.collect().map(r =>
+      ((Option(r.getString(0)), Option(r.getString(1)), Option(r.getString(2))),
+        r.getLong(3)))
+    got.foreach { case (k, id) =>
+      assert(id === pyStableId(k._1, k._2, k._3), s"key=$k")
+      assert(id >= 0)
+    }
+    val distinctKeys = rows.map(k => (k._1.getOrElse("None"), k._2.getOrElse("None"),
+      k._3.getOrElse("None"))).distinct.size
+    assert(got.map(_._2).distinct.length === distinctKeys)
+  }
+
+  test("property: every non-null magnitude/depth lands in exactly one bucket") {
+    val magGen = Gen.frequency(
+      6 -> Gen.chooseNum(-2.0, 12.0),
+      3 -> Gen.oneOf(3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 70.0, 300.0),
+      1 -> Gen.oneOf(2.999999, 8.000001, 69.999999, 300.000001))
+    val vals = sample(magGen, 400)
+    val df = vals.toDF("v").select(col("v"),
+      OdsTransform.magCategory(col("v")).as("mc"),
+      OdsTransform.depthCategory(col("v")).as("dc"))
+    val magBuckets = Set("Not Felt", "Minor", "Light", "Moderate", "Strong", "Major", "Great")
+    val depthBuckets = Set("Shallow", "Intermediate", "Deep")
+    df.collect().foreach { r =>
+      val v = r.getDouble(0)
+      assert(magBuckets.contains(r.getString(1)), s"v=$v")
+      assert(depthBuckets.contains(r.getString(2)), s"v=$v")
+      // boundary semantics: bucket edges are left-inclusive on the next class
+      if (v == 3.0) assert(r.getString(1) === "Minor")
+      if (v == 8.0) assert(r.getString(1) === "Great")
+      if (v == 70.0) assert(r.getString(2) === "Shallow")
+      if (v == 300.0) assert(r.getString(2) === "Intermediate")
+    }
+  }
+
+  test("property: null normalization is idempotent and only '' / '0' null out") {
+    val sGen = Gen.frequency(
+      5 -> Gen.asciiPrintableStr.map(_.take(12)),
+      2 -> Gen.oneOf("", "0", " 0 ", "  ", "00", "0.0"),
+      1 -> Gen.numStr.map(_.take(6)))
+    val df = sample(sGen, 400).toDF("c")
+    val once = Staging.normalizeNulls(df, Seq("c"))
+    val twice = Staging.normalizeNulls(once, Seq("c"))
+    assert(once.as[Option[String]].collect().toSeq ===
+      twice.as[Option[String]].collect().toSeq)
+    once.as[Option[String]].collect().foreach {
+      case Some(v) => assert(v.trim.nonEmpty && v.trim != "0" && v == v.trim)
+      case None => ()
+    }
+  }
+
+  test("property: anti-join dedup is idempotent and union has unique keys") {
+    val keys = sample(Gen.chooseNum(0L, 120L), 200)
+    val (ex, fr) = keys.splitAt(100)
+    val existing = ex.distinct.toDF("ID_Event")
+    val fresh = fr.toDF("ID_Event").dropDuplicates("ID_Event")
+    val d1 = OdsTransform.dedupeAgainstExisting(fresh, existing)
+    val d2 = OdsTransform.dedupeAgainstExisting(d1, existing)
+    assert(d1.as[Long].collect().sorted.toSeq === d2.as[Long].collect().sorted.toSeq)
+    val merged = existing.unionByName(d1)
+    assert(merged.count() === merged.dropDuplicates("ID_Event").count())
+  }
+
+  test("property: minhash signatures are partitioning-invariant") {
+    val wordGen = Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "data", "spark")).map(_.mkString(" "))
+    val docs = sample(wordGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val a = Dedup.minhashSignatures(
+      docs.toDF("doc_id", "text").repartition(1), "text", "doc_id")
+    val b = Dedup.minhashSignatures(
+      docs.toDF("doc_id", "text").repartition(7), "text", "doc_id")
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+  }
+
+  test("property: n-gram Jaccard pairs satisfy 0 < inter <= uni and doc_a < doc_b") {
+    val wordGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    val docs = sample(wordGen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val pairs = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+      "text", "doc_id", n = 3, thNum = 0, thDen = 1) // threshold 0: all candidates
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (i, u) = (r.getLong(2), r.getLong(3))
+      assert(a < b)
+      assert(i > 0 && i <= u, s"pair=($a,$b) inter=$i uni=$u")
+    }
+  }
+}
