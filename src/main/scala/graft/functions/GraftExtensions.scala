@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** `SparkSessionExtensions` installer for graft's native expressions, so
+  * they are callable from SQL text as well as the DataFrame API:
+  *
+  *   SparkSession.builder().withExtensions(GraftExtensions.install)  // code
+  *   --conf spark.sql.extensions=graft.functions.GraftExtensions    // config
+  *
+  * Registered functions:
+  *  - `float_dot(array<float>, array<float>) -> double` — codegen'd
+  *    sequential-fold dot product ([[FloatDot]]).
+  *  - `md5_slices(string, groups int literal) -> array<bigint>` — the
+  *    MinHash hash family ([[Md5Slices]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+
+  val install: SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_dot(a, b) takes two array<float> arguments")
+        FloatDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_slices"),
+      new ExpressionInfo(classOf[Md5Slices].getName, "md5_slices"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "md5_slices(s, groups) takes two arguments")
+        val groups = args(1) match {
+          case Literal(g: Int, IntegerType) => g
+          case other => throw new IllegalArgumentException(
+            s"md5_slices groups must be an int literal, got $other")
+        }
+        Md5Slices(args.head, groups)
+      }))
+  }
+}

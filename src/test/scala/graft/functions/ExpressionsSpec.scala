@@ -76,6 +76,15 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions: expressions callable from SQL text") {
+    val d = spark.sql(
+      "SELECT float_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as float), cast(0.25 as float))) AS d").head().getDouble(0)
+    assert(d === (1.5 * 2.0 + 2.0 * 0.25))
+    val hs = spark.sql("SELECT md5_slices('abcde', 2) AS h").head().getSeq[Long](0)
+    assert(hs === hexSlices("abcde", 2))
+  }
+
   test("Md5Slices: values are unsigned 32-bit range") {
     val got = Md5Slices.slices(UTF8String.fromString("range-check"), 4).toLongArray()
     assert(got.forall(v => v >= 0L && v <= 0xffffffffL))
