@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.lift(1).map(_.split(",").toSeq)
+    val names = args.lift(1).filterNot(a => a == "all" || a.startsWith("--"))
+      .map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val doExplain = args.contains("--explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -167,16 +167,29 @@ object Dedup {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", (0 until n).map(o => try_element_at(toks, i + o)): _*))
 
-  /** N-gram Jaccard near-dups: candidates via any shared n-gram, verified
-    * with exact integer Jaccard ≥ thNum/thDen. The exploded n-gram set is
-    * persisted across the self-join and the sizes aggregate.
+  /** N-gram Jaccard near-dups over *discriminative* n-grams: grams with
+    * document frequency > `maxDf` are dropped from every set (the set-join
+    * analogue of stopword removal), then exact integer Jaccard over the
+    * filtered sets ≥ thNum/thDen, computed in one grouped self-join pass.
+    *
+    * The df cut is the scale guard: without it, stop-phrase n-grams
+    * ("one of the") each contribute df² join pairs — quadratic blowup on
+    * skewed keys that no partitioning fixes. With it the join is bounded by
+    * Σ_{df ≤ maxDf} df², and a pair whose only overlap is stop-phrases
+    * (which shouldn't count as near-duplicate evidence anyway) never joins.
+    * On corpora with no mega-grams the cut is a no-op and the result equals
+    * plain Jaccard. `inter`/`uni` stay exact integers over the filtered
+    * universe, so thresholding is exact.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, thNum: Int = 3, thDen: Int = 5): DataFrame = {
-    val ng = Par.spread(docs)
+      n: Int = 3, thNum: Int = 3, thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
+    val ngAll = Par.spread(docs)
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_g"))
       .persist()
+    val rareGrams = ngAll.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("_g"))
+    val ng = ngAll.join(rareGrams, Seq("_g")).persist()
     val sizes = ng.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = ng.as("ga")
       .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))

@@ -197,9 +197,11 @@ object ExtensionQueries {
        |ng AS (SELECT DISTINCT doc_id,
        |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS g
        |       FROM norm, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+       |ngr AS (SELECT doc_id, g FROM ng
+       |        WHERE g IN (SELECT g FROM ng GROUP BY g HAVING count(*) <= 1000)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |          FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          FROM ngr a JOIN ngr b ON a.g = b.g AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, i.inter, na.n + nb.n - i.inter AS uni
        |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
