@@ -130,6 +130,48 @@ object Similarity {
         round(col("_cos"), 9).as("cosine"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: vectors are assigned to the nearest of
+    * `nCells` coarse centroids (deterministic seeds: the `nCells` vectors
+    * with smallest id — a k-means refinement slots in here without changing
+    * the query shape), then ranking runs within the cell (nprobe=1).
+    *
+    * Scale shape: the centroid table is tiny and broadcast; assignment is
+    * one O(n·nCells) pass; the pair join is an equi-join on cell, so
+    * compare cost drops from n² to Σ cell². Deterministic end-to-end —
+    * assignment ties break toward the smaller centroid id.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+    val aw = Window.partitionBy(col(idCol))
+      .orderBy(col("_s").desc, col("_cid").asc)
+    val assigned = spread(emb.select(col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_nrm")))
+      .join(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("_nrm"), col("_cid"),
+        (dot(col(vecCol), col("_cvec")) / (col("_nrm") * col("_cn"))).as("_s"))
+      .withColumn("_rn", row_number().over(aw))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("_nrm"), col("_cid").as("_cell"))
+    val a = assigned.select(col(idCol).as("query_id"), col(vecCol).as("_va"),
+      col("_nrm").as("_na"), col("_cell"))
+    val b = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"),
+      col("_nrm").as("_nb"), col("_cell").as("_cell2"))
+    val pairs = a.join(b,
+        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_cos"), 9).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b). */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

@@ -62,6 +62,12 @@ object ExtensionQueries {
         k = 5, nPlanes = 8, dims = 64).orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: 16 seed centroids, argmax-cosine cells, rank within cell
+    "x16_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCells = 16).orderBy("query_id", "rank")
+    }),
+
     // embedding-cosine near-duplicate pairs ≥ 0.45
     "x8_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDups(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -238,6 +244,25 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private def annIvfSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |              FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |           FROM embeddings e CROSS JOIN cent c),
+       |asn AS (SELECT vec_id, embedding, cid AS cell FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |           FROM scored) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |      FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def langIdSql: String = {
     val scores = TextAnalysis.StopwordSets.map { case (lang, set) =>
       val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -279,6 +304,7 @@ object ExtensionQueries {
     "x5_ngram_jaccard" -> ngramJaccardSql,
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,
+    "x16_ann_ivf" -> annIvfSql,
     "x8_embed_neardup" ->
       s"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round($cosSql, 9) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

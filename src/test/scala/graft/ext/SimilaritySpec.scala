@@ -59,6 +59,19 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("ivfTopK: co-located parallel vectors rank exactly within their cell") {
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // Centroids are vecs 1 and 2. Vec 3 (parallel to 1) must land in cell 1
+    // with cosine 1.0 to vec 1 at rank 1 from vec 1's perspective.
+    val q1 = out.filter(_._1 == 1L)
+    assert(q1.nonEmpty && q1.minBy(_._4)._2 === 3L && q1.minBy(_._4)._3 === 1.0)
+    // ranks are dense 1..n per query
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
   test("lshTopK: results are a subset of pair universe with bucket-local exact ranks") {
     val out = Similarity.lshTopK(vecs, "vec_id", "embedding", k = 3,
       nPlanes = 2, dims = 3).collect()
