@@ -32,6 +32,7 @@ object Merge {
     * dirs still exist under deterministic names).
     */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    recover(spark, path)
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__swap_new")
@@ -44,6 +45,29 @@ object Merge {
     }
     require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for the swap protocol: a kill between the two renames
+    * leaves no `target` but a complete `__swap_new` (its write finished —
+    * `_SUCCESS` present — before any rename started) and/or the previous
+    * `__swap_old`. Restores target from the newest complete copy. Callers
+    * that branch on the table's existence (e.g. the delta-vs-full decision)
+    * MUST call this first, or a crash window would silently masquerade as
+    * an empty warehouse.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) return
+    val tmp = new Path(path + "__swap_new")
+    val old = new Path(path + "__swap_old")
+    if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, target), s"recovery rename $tmp -> $target failed")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, target), s"recovery rename $old -> $target failed")
+      fs.delete(tmp, true)
+    }
   }
 
   /** Full MERGE stage: read table, upsert staged batch, swap. */

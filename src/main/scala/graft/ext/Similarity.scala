@@ -5,12 +5,13 @@ import java.security.MessageDigest
 
 import graft.functions.FloatDot
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.shim
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Two paths:
+  * Three paths:
   * - [[bruteForceTopK]]: exact all-pairs cosine + per-query rank. O(n²·d) —
   *   the correctness baseline, and still the right choice for one bounded
   *   side (queries × corpus with a broadcast of the small side).
@@ -19,6 +20,8 @@ import org.apache.spark.sql.graftshim.shim
   *   join is an equi-join on bucket (shuffle O(n), compare O(Σ bucket²)).
   *   Hyperplanes are deterministic (md5-seeded ±1), so results are
   *   reproducible across runs and engines.
+  * - [[ivfTopK]]: IVF coarse quantization — nearest-centroid cells,
+  *   ranking within the cell (nprobe=1).
   *
   * All dot products fold left-to-right in double precision — bit-identical
   * to a serial evaluation regardless of partitioning. The hot loop is the
@@ -62,13 +65,13 @@ object Similarity {
     concat(bits: _*)
   }
 
-  /** (id, vec, norm) projection: norms are computed once per vector here,
-    * not once per pair in the O(n²) stage.
+  /** (id, vec, norm [, extra...]) projection: norms are computed once per
+    * vector here, not once per pair in the O(n²) stage.
     */
   private def withNorm(emb: DataFrame, idCol: String, vecCol: String,
-      id: String, vec: String, norm: String): DataFrame =
-    emb.select(col(idCol).as(id), col(vecCol).as(vec),
-      sqrt(dot(col(vecCol), col(vecCol))).as(norm))
+      id: String, vec: String, norm: String, extra: Column*): DataFrame =
+    emb.select(Seq(col(idCol).as(id), col(vecCol).as(vec),
+      sqrt(dot(col(vecCol), col(vecCol))).as(norm)) ++ extra: _*)
 
   /** Spread the stream side of an O(n²) broadcast join across every core:
     * an embeddings table is small on disk (a few MB per million rows), so
@@ -87,47 +90,44 @@ object Similarity {
   private def spreadBy(df: DataFrame, key: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
-  /** Exact top-k cosine neighbors for every vector (self excluded).
-    * Output: (query_id, neighbor_id, cosine, rank); ties broken by
-    * neighbor id for determinism.
+  /** Shared ranking epilogue: cosine per (a, b) pair row, per-query
+    * `row_number` ranked by cosine desc with neighbor-id tie-break, top k,
+    * 9-digit rounding. Expects columns query_id/_va/_na and
+    * neighbor_id/_vb/_nb on `pairs`.
     */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val a = spreadBy(withNorm(emb, idCol, vecCol, "query_id", "_va", "_na"), "query_id")
-    val b = withNorm(emb, idCol, vecCol, "neighbor_id", "_vb", "_nb")
-    val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val slim = pairs.select(col("query_id"), col("neighbor_id"),
+      (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    slim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("_cos"), 9).as("cosine"), col("rank"))
   }
 
+  /** Exact top-k cosine neighbors for every vector (self excluded).
+    * Output: (query_id, neighbor_id, cosine, rank); ties broken by
+    * neighbor id for determinism.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = spreadBy(withNorm(emb, idCol, vecCol, "query_id", "_va", "_na"), "query_id")
+    val b = withNorm(emb, idCol, vecCol, "neighbor_id", "_vb", "_nb")
+    rankTopK(a.join(b, col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Approximate top-k: rank only within the LSH sign bucket. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int, dims: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pv = planes(nPlanes, dims)
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), pv).as("_bucket"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("_nrm"))
-    val a = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("_va"),
-      col("_nrm").as("_na"), col("_bucket"))
-    val b = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"),
-      col("_nrm").as("_nb"), col("_bucket").as("_bucket2"))
-    val pairs = a.join(b,
-        col("_bucket") === col("_bucket2") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("_cos"), 9).as("cosine"), col("rank"))
+    val bucketed = withNorm(emb, idCol, vecCol, "_id", "_v", "_n",
+      lshBucket(col(vecCol), pv).as("_bucket"))
+    val a = bucketed.select(col("_id").as("query_id"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_bucket"))
+    val b = bucketed.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("_bucket").as("_bucket2"))
+    rankTopK(a.join(b,
+      col("_bucket") === col("_bucket2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** IVF-style approximate top-k: vectors are assigned to the nearest of
@@ -142,34 +142,24 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val centroids = emb.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
-    val aw = Window.partitionBy(col(idCol))
+    val aw = Window.partitionBy(col("_id"))
       .orderBy(col("_s").desc, col("_cid").asc)
-    val assigned = spread(emb.select(col(idCol), col(vecCol),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_nrm")))
+    val assigned = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
       .join(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("_nrm"), col("_cid"),
-        (dot(col(vecCol), col("_cvec")) / (col("_nrm") * col("_cn"))).as("_s"))
+      .select(col("_id"), col("_v"), col("_n"), col("_cid"),
+        (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
       .withColumn("_rn", row_number().over(aw))
       .filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("_nrm"), col("_cid").as("_cell"))
-    val a = assigned.select(col(idCol).as("query_id"), col(vecCol).as("_va"),
-      col("_nrm").as("_na"), col("_cell"))
-    val b = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"),
-      col("_nrm").as("_nb"), col("_cell").as("_cell2"))
-    val pairs = a.join(b,
-        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("_cos"), 9).as("cosine"), col("rank"))
+      .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"))
+    val a = assigned.select(col("_id").as("query_id"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_cell"))
+    val b = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("_cell").as("_cell2"))
+    rankTopK(a.join(b,
+      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b). */

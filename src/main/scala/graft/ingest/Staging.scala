@@ -132,11 +132,15 @@ object Staging {
     val file = latestFile(spark, rawPattern)
     val fileName = file.split('/').last
     val parsed = normalizeNulls(readRawCsv(spark, file)).persist()
-    val split = dqSplit(parsed)
-    finalizeStg(split.accepted, jobId, fileName, insertionTs)
-      .write.mode("overwrite").parquet(stgPath)
-    split.rejected.select(RawLineCol).coalesce(1)
-      .write.mode("overwrite").text(rejectedPath)
-    split
+    try {
+      val split = dqSplit(parsed)
+      finalizeStg(split.accepted, jobId, fileName, insertionTs)
+        .write.mode("overwrite").parquet(stgPath)
+      split.rejected.select(RawLineCol).coalesce(1)
+        .write.mode("overwrite").text(rejectedPath)
+      split
+    } finally parsed.unpersist()
+    // returned frames recompute from source if re-used; the cache only
+    // spans the two writes above
   }
 }

@@ -121,6 +121,9 @@ object DeltaLoad {
 
   def run(spark: SparkSession, rawPattern: String, states: DataFrame,
       wh: Warehouse, jobId: String, insertionTs: Timestamp): Unit = {
+    // a crash mid-MERGE-swap must not masquerade as an empty warehouse —
+    // that would silently rebuild from only the newest landing file
+    Merge.recover(spark, wh.fact)
     if (!exists(spark, wh.fact)) {
       FullLoad.run(spark, rawPattern, states, wh, jobId, insertionTs)
       return

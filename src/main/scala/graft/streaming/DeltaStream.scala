@@ -37,17 +37,23 @@ object DeltaStream {
         .text(landingDir)))
 
   /** One micro-batch of the delta pipeline — the exact batch-delta
-    * semantics: DQ split → audit/stg finalize → typed ODS rows → in-batch
-    * key dedup → anti-join against the existing ODS table → append.
-    * Shared by [[start]] and directly testable without a streaming query.
+    * semantics: DQ split → rejected raw lines to the side channel → audit/
+    * stg finalize → typed ODS rows → in-batch key dedup → anti-join against
+    * the existing ODS table → append. Shared by [[start]] and directly
+    * testable without a streaming query.
     */
-  def processBatch(batch: DataFrame, odsPath: String, jobId: String,
-      insertionTs: Timestamp, batchId: Long): Unit = {
+  def processBatch(batch: DataFrame, odsPath: String, rejectedDir: String,
+      jobId: String, insertionTs: Timestamp, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val cached = batch.persist()
     try {
       val split = Staging.dqSplit(cached)
+      // K4 — rejected/unparseable raw lines quarantined like the batch path
+      // (stg_delta_load.py:137-144), not dropped
+      split.rejected.unionByName(split.errors).select(Staging.RawLineCol)
+        .coalesce(1).write.mode("overwrite")
+        .text(s"$rejectedDir/batch-$batchId")
       val stg = Staging.finalizeStg(split.accepted, jobId,
         s"stream-batch-$batchId", insertionTs.toString)
       val ods = OdsTransform.toOds(stg, insertionTs)
@@ -68,12 +74,12 @@ object DeltaStream {
     * inject it for deterministic tests.
     */
   def start(spark: SparkSession, landingDir: String, odsPath: String,
-      checkpointDir: String, jobId: String,
+      rejectedDir: String, checkpointDir: String, jobId: String,
       insertionTs: Option[Timestamp] = None): StreamingQuery =
     stagingStream(spark, landingDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, odsPath, jobId,
+        processBatch(batch, odsPath, rejectedDir, jobId,
           insertionTs.getOrElse(new Timestamp(System.currentTimeMillis())), batchId)
       }
       .start()

@@ -24,8 +24,13 @@ class DeltaStreamSpec extends SparkSpec {
       Paths.get(landing, "all_day_20260812-000000.csv"),
       StandardCopyOption.REPLACE_EXISTING)
 
-    val q = DeltaStream.start(spark, landing, ods, ckpt, "job-1", Some(ts))
+    val rejected = tmpDir("rejected")
+    val q = DeltaStream.start(spark, landing, ods, rejected, ckpt, "job-1", Some(ts))
     q.processAllAvailable()
+
+    // K4: DQ-rejected raw lines land in the side channel, not the void
+    val rejLines = spark.read.text(s"$rejected/batch-0").count()
+    assert(rejLines > 0)
 
     // batch reference on the same file
     val parsed = Staging.normalizeNulls(
