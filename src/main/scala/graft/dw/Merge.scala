@@ -73,6 +73,7 @@ object Merge {
   /** Full MERGE stage: read table, upsert staged batch, swap. */
   def mergeInto(spark: SparkSession, tablePath: String, staged: DataFrame,
       key: String = "ID_Event"): Unit = {
+    recover(spark, tablePath) // the read below must see a post-crash-complete table
     val existing = spark.read.parquet(tablePath)
     atomicOverwrite(spark, upsert(existing, staged, key), tablePath)
   }
