@@ -67,16 +67,10 @@ object Dedup {
     * Returns (idCol, m0..m{k-1}) as longs.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, shingleLen: Int = 5): DataFrame = {
-    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
-    val exploded = explodedShingles(docs, textCol, idCol, shingleLen,
-      distinctPerDoc = false)
-    val sliced = exploded.select(col(idCol),
-      shim.column(Md5Slices(shim.expression(col("_sh")), k / 4)).as("_hs"))
-    val mins = (0 until k).map(j =>
-      min(element_at(col("_hs"), j + 1)).as(s"m$j"))
-    sliced.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-  }
+      k: Int = 8, shingleLen: Int = 5): DataFrame =
+    signaturesFromShingles(
+      explodedShingles(docs, textCol, idCol, shingleLen, distinctPerDoc = false),
+      idCol, k)
 
   /** LSH band buckets: `bands` groups of `k/bands` signature rows, each
     * hashed to one bucket id. Returns (idCol, band, bucket).
@@ -125,17 +119,48 @@ object Dedup {
         (col("na._n") + col("nb._n") - col("inter")).as("uni"))
   }
 
+  /** MinHash signature computation over an already-exploded (id, shingle)
+    * frame — shared with [[minhashSignatures]] and the fused near-dup
+    * pipeline. `min` over a shingle *set* equals `min` over the multiset,
+    * so distinct-per-doc explodes feed it unchanged.
+    */
+  private def signaturesFromShingles(exploded: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    val sliced = exploded.select(col(idCol),
+      shim.column(Md5Slices(shim.expression(col("_sh")), k / 4)).as("_hs"))
+    val mins = (0 until k).map(j =>
+      min(element_at(col("_hs"), j + 1)).as(s"m$j"))
+    sliced.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
-    * exact-verified pairs with Jaccard ≥ thNum/thDen. Band buckets are
-    * persisted across the candidate self-join so signatures compute once.
+    * exact-verified pairs with Jaccard ≥ thNum/thDen. One distinct-shingle
+    * explode is persisted and shared by the signature build, the per-doc
+    * set sizes, and both sides of the intersection join — the dominant
+    * explode+normalize pass runs once, not twice. Band buckets persist
+    * across the candidate self-join so signatures compute once.
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4, shingleLen: Int = 5,
       thNum: Int = 4, thDen: Int = 5): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen)
+    val sh = explodedShingles(docs, textCol, idCol, shingleLen,
+      distinctPerDoc = true).persist()
+    val sig = signaturesFromShingles(sh, idCol, k)
     val buckets = lshBuckets(sig, idCol, k, bands).persist()
     val cands = lshCandidates(buckets, idCol)
-    jaccardVerify(docs, cands, textCol, idCol, shingleLen)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .withColumnRenamed(idCol, "_id")
+    val shd = sh.withColumnRenamed(idCol, "_id")
+    val inter = cands
+      .join(shd.as("sa"), col("doc_a") === col("sa._id"))
+      .join(shd.as("sb"), col("doc_b") === col("sb._id") && col("sa._sh") === col("sb._sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na._id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
       .filter(col("inter") * thDen >= col("uni") * thNum)
   }
 
