@@ -126,21 +126,38 @@ object Staging {
   /** Full staging stage: newest file → parse → normalize → split → write.
     * K1 (truncate-write staging) + K4 (rejected raw lines, single shard like
     * the reference's `shard_name_template=''`).
+    *
+    * A5 — the reference's `rows_in`/`rows_filtered`/`rows_written` Beam
+    * counters (`ods_delta_load2.py:53,142-150`) map to `df.observe`
+    * metrics: collected as a side effect of the writes that run anyway, no
+    * extra job. Retrieve via [[RunMetrics.counters]].
     */
+  final case class RunMetrics(split: DqResult, counters: Map[String, Long])
+
   def run(spark: SparkSession, rawPattern: String, stgPath: String,
-      rejectedPath: String, jobId: String, insertionTs: String): DqResult = {
+      rejectedPath: String, jobId: String, insertionTs: String): RunMetrics = {
+    import org.apache.spark.sql.Observation
     val file = latestFile(spark, rawPattern)
     val fileName = file.split('/').last
     val parsed = normalizeNulls(readRawCsv(spark, file)).persist()
     try {
       val split = dqSplit(parsed)
+      val obsW = Observation()
+      val obsR = Observation()
       finalizeStg(split.accepted, jobId, fileName, insertionTs)
+        .observe(obsW, count(lit(1)).as("rows_written"))
         .write.mode("overwrite").parquet(stgPath)
-      split.rejected.select(RawLineCol).coalesce(1)
+      split.rejected.select(RawLineCol)
+        .observe(obsR, count(lit(1)).as("rows_filtered"))
+        .coalesce(1)
         .write.mode("overwrite").text(rejectedPath)
-      split
+      val written = obsW.get("rows_written").asInstanceOf[Long]
+      val filtered = obsR.get("rows_filtered").asInstanceOf[Long]
+      RunMetrics(split, Map(
+        "rows_written" -> written,
+        "rows_filtered" -> filtered))
+      // returned frames recompute from source if re-used; the cache only
+      // spans the two writes above
     } finally parsed.unpersist()
-    // returned frames recompute from source if re-used; the cache only
-    // spans the two writes above
   }
 }

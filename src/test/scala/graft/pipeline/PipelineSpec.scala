@@ -39,6 +39,15 @@ class PipelineSpec extends SparkSpec {
     assert(!Archive.isFullLoad("all_day_20260812-013000.csv"))
   }
 
+  test("Staging.run: observe counters match channel counts") {
+    val (raw, wh) = setup()
+    val m = graft.ingest.Staging.run(spark, s"$raw/*.csv", wh.stg,
+      s"${wh.rejected}/t", "job-m", ts.toString)
+    assert(m.counters("rows_written") === spark.read.parquet(wh.stg).count())
+    assert(m.counters("rows_filtered") === m.split.rejected.count())
+    assert(m.counters("rows_written") > 0 && m.counters("rows_filtered") > 0)
+  }
+
   test("full load then delta: layers, keys, merge, archive") {
     val (raw, wh) = setup()
 
