@@ -162,6 +162,31 @@ object Similarity {
       col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,
+    * `q_i = floor(v_i/scale + 0.5)` — the explicit-floor form avoids
+    * rounding-mode ambiguity across engines. Returns
+    * (id, scale, q array<int>, n_sat) where n_sat counts saturated lanes.
+    *
+    * This is the storage/bandwidth lever for large embedding corpora: 4×
+    * smaller vectors for ANN candidate generation, with exact re-ranking on
+    * the float originals. The scale column is materialized before the
+    * per-element lambda so the max-abs fold runs once per vector, not once
+    * per element.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scaled = emb.select(col(idCol), col(vecCol),
+      (maxAbs / 127.0).as("scale"))
+    val q = transform(col(vecCol), x =>
+      when(col("scale") === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / col("scale") + 0.5).cast("int")))
+    scaled.select(col(idCol), col("scale"), q.as("q"))
+      .select(col(idCol), round(col("scale"), 9).as("scale"),
+        array_join(col("q"), ",").as("q_str"),
+        size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b). */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

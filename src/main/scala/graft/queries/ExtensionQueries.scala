@@ -68,6 +68,12 @@ object ExtensionQueries {
         k = 5, nCells = 16).orderBy("query_id", "rank")
     }),
 
+    // int8 symmetric quantization of the embedding column
+    "x17_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // embedding-cosine near-duplicate pairs ≥ 0.45
     "x8_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDups(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -305,6 +311,18 @@ object ExtensionQueries {
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,
     "x16_ann_ivf" -> annIvfSql,
+    "x17_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+        |                                    ELSE CAST(floor(x / scale + 0.5) AS INT) END) AS qv
+        |      FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  array_to_string(qv, ',') AS q_str,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x8_embed_neardup" ->
       s"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round($cosSql, 9) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -52,6 +52,21 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length === 6) // all C(4,2) pairs
   }
 
+  test("quantizeInt8: scale, codes, saturation, zero-vector safety") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(math.abs(r1.getDouble(1) - 1.0 / 127) < 1e-9)  // scale = max|v|/127
+    assert(r1.getString(2) === "64,-127,32")  // floor(v/scale + .5)
+    assert(r1.getInt(3) === 1)                // one saturated lane (the max)
+    val r2 = out(2L)
+    assert(r2.getDouble(1) === 0.0 && r2.getString(2) === "0,0,0" && r2.getInt(3) === 0)
+  }
+
   test("planeSign/planes: deterministic ±1 hyperplanes") {
     val p1 = Similarity.planes(8, 64)
     val p2 = Similarity.planes(8, 64)
