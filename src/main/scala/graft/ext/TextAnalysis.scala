@@ -59,6 +59,27 @@ object TextAnalysis {
     }.otherwise("unknown")
   }
 
+  /** PII-pattern scan counts (emails, phone-ish numbers, IPv4) — the
+    * filter/redaction signal of a training-data pipeline. Pure
+    * `regexp_count`, so the scan is codegen'd and embarrassingly parallel.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,14}[0-9]"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailPattern)),
+    "n_phones" -> regexp_count(text, lit(PhonePattern)),
+    "n_ipv4" -> regexp_count(text, lit(Ipv4Pattern)))
+
+  /** Token-repetition signal: distinct tokens / total tokens (1.0 = no
+    * repetition; low values flag boilerplate/spam).
+    */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
   /** Ratio of non-alphanumeric, non-space characters in the canonical form. */
   def punctRatio(text: Column): Column = {
     val n = normalize(text)

@@ -117,6 +117,31 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // PII pattern scan + repetition signal per document
+    "x18_pii_scan" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pii = TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: pii) :+
+        round(TextAnalysis.distinctTokenRatio(col("text")), 9).as("distinct_token_ratio"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // exact corpus statistics: counts, means, discrete percentiles
+    "x19_corpus_stats" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"), length(col("text")).as("n_chars"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("n_toks")).as("min_toks"),
+        max(col("n_toks")).as("max_toks"),
+        // exact percentile (linear interpolation) — same index formula as
+        // DuckDB's quantile_cont, unlike the approx sketch
+        expr("percentile(n_chars, 0.5)").as("p50_chars"))
+        .orderBy("lang")
+    }),
+
     // multimodal ingestion: binary payload + md5-derived typed metadata
     "x13_media_meta" -> ((s, dir) => {
       Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")
@@ -339,7 +364,29 @@ object ExtensionQueries {
     "x12_fingerprint" ->
       s"""SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id""",
     "x13_media_meta" -> mediaMetaSql,
-    "x14_frame_sample" -> frameSampleSql)
+    "x14_frame_sample" -> frameSampleSql,
+    "x18_pii_scan" -> piiScanSql,
+    "x19_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(length(text)) AS sum_chars,
+        |  CAST(min(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END) AS INT) AS min_toks,
+        |  CAST(max(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END) AS INT) AS max_toks,
+        |  quantile_cont(length(text), 0.5) AS p50_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  private def piiScanSql: String = {
+    // DuckDB (RE2) and Java regex agree on these patterns;
+    // len(regexp_extract_all(...)) mirrors Spark's regexp_count
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) AS INT) AS n_ipv4,
+       |  round(CAST(len(list_distinct(string_split(${normSql("text")}, ' '))) AS DOUBLE) /
+       |        len(string_split(${normSql("text")}, ' ')), 9) AS distinct_token_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of Multimodal.slice: bounded int from an md5 hex slice. */
   private def mmSlice(off: Int, bound: Int) =
