@@ -162,6 +162,68 @@ object Similarity {
       col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Higher-order-function dot product for mixed float/double arrays
+    * (refined centroids are double) — same left-to-right double fold as
+    * [[dot]], used only on O(n·nCells) assignment passes, never O(n²).
+    */
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
+    * recompute each cell's centroid as the element-wise mean of its members
+    * and re-assign before ranking.
+    *
+    * Determinism at scale: a floating-point mean depends on partial-sum
+    * order, so each element is summed as an exact DECIMAL(28,10) (decimal
+    * addition commutes) followed by a single double division — bit-identical
+    * on any partitioning, and reproducible by the DuckDB oracle. Further
+    * Lloyd iterations repeat the same two bounded passes (O(n·d) sum +
+    * O(n·nCells) assign); none of it is ever quadratic.
+    */
+  def ivfTopKRefined(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int): DataFrame = {
+    val aw = Window.partitionBy(col("_id"))
+      .orderBy(col("_s").desc, col("_cid").asc)
+    def assign(vectors: DataFrame, cents: DataFrame, cos: Column): DataFrame =
+      vectors.join(broadcast(cents))
+        .select(col("_id"), col("_v"), col("_n"), col("_cid"), cos.as("_s"))
+        .withColumn("_rn", row_number().over(aw))
+        .filter(col("_rn") === 1)
+        .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"))
+
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val seeds = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+    val asn0 = assign(vectors, seeds,
+      dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn")))
+
+    // element-wise mean per cell: exact decimal sum, one double division
+    val sums = asn0
+      .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+      .groupBy(col("_cell"), col("_pos"))
+      .agg(sum(col("_val").cast("decimal(28,10)")).as("_sum"),
+        count(lit(1)).as("_cnt"))
+    val refined = sums
+      .groupBy(col("_cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"),
+          (col("_sum").cast("double") / col("_cnt")).as("_avg")))),
+        s => s.getField("_avg")).as("_cvec"))
+      .select(col("_cell").as("_cid"), col("_cvec"),
+        sqrt(hofDot(col("_cvec"), col("_cvec"))).as("_cn"))
+
+    val asn1 = assign(vectors, refined,
+      hofDot(col("_v"), col("_cvec")) / (col("_n") * col("_cn")))
+    val a = asn1.select(col("_id").as("query_id"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_cell"))
+    val b = asn1.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("_cell").as("_cell2"))
+    rankTopK(a.join(b,
+      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,
     * `q_i = floor(v_i/scale + 0.5)` — the explicit-floor form avoids
     * rounding-mode ambiguity across engines. Returns

@@ -68,6 +68,12 @@ object ExtensionQueries {
         k = 5, nCells = 16).orderBy("query_id", "rank")
     }),
 
+    // IVF + one Lloyd step: decimal-exact centroid means, re-assign, rank
+    "x20_ann_ivf_kmeans" -> ((s, dir) => {
+      Similarity.ivfTopKRefined(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCells = 16).orderBy("query_id", "rank")
+    }),
+
     // int8 symmetric quantization of the embedding column
     "x17_embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
@@ -294,6 +300,40 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private def annIvfKmeansSql: String =
+    s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
+       |               FROM embeddings ORDER BY vec_id LIMIT 16),
+       |s0 AS (SELECT e.vec_id, e.embedding, c.cid,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |            sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |       FROM embeddings e CROSS JOIN cent0 c),
+       |asn0 AS (SELECT vec_id, embedding, cid AS cell FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |            FROM s0) WHERE rn = 1),
+       |sums AS (SELECT cell, CAST(i AS INT) AS pos,
+       |           sum(CAST(v[CAST(i AS INT)] AS DECIMAL(28,10))) AS sm, count(*) AS n
+       |         FROM (SELECT cell, CAST(embedding AS DOUBLE[]) AS v FROM asn0) t,
+       |              unnest(generate_series(1, len(v))) AS u(i)
+       |         GROUP BY 1, 2),
+       |cent1 AS (SELECT cell AS cid, list(CAST(sm AS DOUBLE) / n ORDER BY pos) AS cvec
+       |          FROM sums GROUP BY cell),
+       |s1 AS (SELECT e.vec_id, e.embedding, c.cid,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) /
+       |           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |            sqrt(list_dot_product(c.cvec, c.cvec))) AS s
+       |       FROM embeddings e CROSS JOIN cent1 c),
+       |asn1 AS (SELECT vec_id, embedding, cid AS cell FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |            FROM s1) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |      FROM asn1 a JOIN asn1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def langIdSql: String = {
     val scores = TextAnalysis.StopwordSets.map { case (lang, set) =>
       val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -336,6 +376,7 @@ object ExtensionQueries {
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,
     "x16_ann_ivf" -> annIvfSql,
+    "x20_ann_ivf_kmeans" -> annIvfKmeansSql,
     "x17_embed_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale

@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length === 6) // all C(4,2) pairs
   }
 
+  test("ivfTopKRefined: refinement keeps dense per-query ranks and is partitioning-invariant") {
+    val run1 = Similarity.ivfTopKRefined(vecs.repartition(1), "vec_id", "embedding",
+      k = 3, nCells = 2).collect().map(_.toSeq).toSet
+    val run2 = Similarity.ivfTopKRefined(vecs.repartition(3), "vec_id", "embedding",
+      k = 3, nCells = 2).collect().map(_.toSeq).toSet
+    assert(run1 === run2) // decimal-sum centroids: order-independent means
+    assert(run1.nonEmpty)
+    run1.groupBy(_.head).foreach { case (_, rows) =>
+      assert(rows.map(_.last.asInstanceOf[Int]).toSeq.sorted === (1 to rows.size))
+    }
+  }
+
   test("quantizeInt8: scale, codes, saturation, zero-vector safety") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),
