@@ -190,6 +190,17 @@ object WarehouseQueries {
         .orderBy("event_type")
     }),
 
+    // DAX Q2-Q4 — filtered single-type stats (avg magnitude analogue,
+    // max depth/magnitude analogue) over the fact stream
+    "dax_eq_stats" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      val t = events.select(col("event_type")).orderBy("event_type").limit(1)
+      events.join(broadcast(t), Seq("event_type"))
+        .agg(Exact.davg(col("value")).as("avg_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // DAX Q1/Q12 — latest update + total row count
     "dax_latest" -> ((s, dir) => {
       Tables(s, dir, "events").agg(
@@ -359,6 +370,12 @@ object WarehouseQueries {
       s"""SELECT event_type, count(*) AS total_events, max(value) AS max_value,
          |       ${Exact.davgSql("value")} AS avg_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dax_eq_stats" ->
+      s"""SELECT ${Exact.davgSql("value")} AS avg_value, max(value) AS max_value,
+         |       count(*) AS n_events
+         |FROM events
+         |WHERE event_type = (SELECT min(event_type) FROM events)""".stripMargin,
 
     "dax_latest" ->
       """SELECT max(ts) AS latest_update, count(*) AS total_seismic_events
