@@ -164,16 +164,23 @@ object Dedup {
       .filter(col("inter") * thDen >= col("uni") * thNum)
   }
 
-  /** SimHash fingerprint, `bits ≤ 32`, oracle-mirrorable form: bit i of a
-    * token's md5 is the top bit of hex nibble i; per-bit ±1 votes are summed
-    * over all token occurrences and the sign vector packs into a long.
+  /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a
+    * token's hash is the top bit of hex nibble i of `md5(t) ++ md5("1|"+t)`
+    * (two digests give 64 nibbles — 48 bits keeps the packed long positive,
+    * clear of the sign bit); per-bit ±1 votes are summed over all token
+    * occurrences and the sign vector packs into a long. 48 bits makes the
+    * Hamming-space neighborhood selective enough for near-dup banding
+    * (12-bit bands at 4 bands) where 32 bits collapses ordinary same-domain
+    * documents together.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
-    require(bits <= 32)
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame = {
+    require(bits <= 48)
     val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val toks = Par.spread(docs).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .withColumn("_h", md5(col("_t")))
+      .withColumn("_h",
+        if (bits <= 32) md5(col("_t"))
+        else concat(md5(col("_t")), md5(concat(lit("1|"), col("_t")))))
     val votes = (1 to bits).map(i =>
       sum(when(substring(col("_h"), i, 1).isin(highNibbles: _*), 1).otherwise(-1)).as(s"v$i"))
     val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
@@ -181,6 +188,37 @@ object Dedup {
       when(col(s"v$i") >= 0, lit(1L) * lit(1L << (bits - i))).otherwise(0L))
       .reduce(_ + _)
     agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: candidates share at least one of
+    * `bands` equal fingerprint slices (LSH over Hamming space — by
+    * pigeonhole, any pair within Hamming distance < `bands` shares a band,
+    * so `maxHam ≤ bands - 1` gives guaranteed-complete recall), verified
+    * with the exact popcount of the XOR. Returns (doc_a, doc_b, hamming).
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 32, bands: Int = 4, maxHam: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    val fp = simhash(docs, textCol, idCol, bits).persist()
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * r).bitwiseAND(lit(mask)).as("v")))
+    val banded = fp.select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
+      .select(col(idCol), col("_b.band").as("band"), col("_b.v").as("v"))
+    val cands = banded.as("ba")
+      .join(banded.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.v") === col("bb.v") &&
+          col(s"ba.$idCol") < col(s"bb.$idCol"))
+      .select(col(s"ba.$idCol").as("doc_a"), col(s"bb.$idCol").as("doc_b"))
+      .distinct()
+    cands
+      .join(fp.select(col(idCol).as("doc_a"), col("simhash").as("_fa")), Seq("doc_a"))
+      .join(fp.select(col(idCol).as("doc_b"), col("simhash").as("_fb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("_fa").bitwiseXOR(col("_fb"))).as("hamming"))
+      .filter(col("hamming") <= maxHam)
   }
 
   /** Word n-gram array over an already-materialized token-array column

@@ -38,10 +38,16 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash fingerprint (32-bit, md5-nibble votes over token occurrences)
+    // SimHash fingerprint (48-bit, md5-nibble votes over token occurrences)
     "x4_simhash" -> ((s, dir) => {
-      Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 32)
+      Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 48)
         .orderBy("doc_id")
+    }),
+
+    // SimHash near-dups: 4-band LSH over Hamming space, exact popcount ≤ 3
+    "x21_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables(s, dir, "documents"), "text", "doc_id",
+        bits = 48, bands = 4, maxHam = 3).orderBy("doc_a", "doc_b")
     }),
 
     // word-3-gram Jaccard near-dups ≥ 0.6 (integer-exact threshold)
@@ -222,18 +228,38 @@ object ExtensionQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private def simhashSql: String = {
-    val votes = (1 to 32).map(i =>
+  /** Shared CTE body computing (doc_id, simhash) — used by x4 and x21. */
+  private def simhashCore: String = {
+    val bits = 48
+    val votes = (1 to bits).map(i =>
       s"sum(CASE WHEN substr(h, $i, 1) IN $highNibbles THEN 1 ELSE -1 END) AS v$i")
       .mkString(", ")
-    val pack = (1 to 32).map(i =>
-      s"CASE WHEN v$i >= 0 THEN CAST(${1L << (32 - i)} AS BIGINT) ELSE 0 END")
+    val pack = (1 to bits).map(i =>
+      s"CASE WHEN v$i >= 0 THEN CAST(${1L << (bits - i)} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, md5(t) AS h FROM
+    s"""toks AS (SELECT doc_id, md5(t) || md5('1|' || t) AS h FROM
        |  (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t FROM documents)),
-       |v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
-       |SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $pack AS simhash FROM v)""".stripMargin
   }
+
+  private def simhashSql: String =
+    s"""WITH $simhashCore
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  private def simhashNearDupSql: String =
+    s"""WITH $simhashCore,
+       |banded AS (SELECT doc_id, b AS band, (simhash >> (b * 12)) & 4095 AS bv
+       |           FROM fp, unnest([0, 1, 2, 3]) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+       |FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+       |            JOIN fp fb ON fb.doc_id = c.doc_b
+       |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def ngramJaccardSql: String =
     s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
@@ -372,6 +398,7 @@ object ExtensionQueries {
     "x2_minhash_sig" -> minhashSigSql,
     "x3_minhash_lsh_neardup" -> minhashLshSql,
     "x4_simhash" -> simhashSql,
+    "x21_simhash_neardup" -> simhashNearDupSql,
     "x5_ngram_jaccard" -> ngramJaccardSql,
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,

@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Long]("uni") === 5L)
   }
 
+  test("simhashNearDups: identical docs at hamming 0; banding finds them; unrelated absent") {
+    val corpus = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (11L, "large language models are trained on vast corpora of text data from the web"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id",
+      bits = 48, bands = 4, maxHam = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((10L, 11L)) === Some(0))
+    assert(!pairs.keySet.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
   test("simhash: equal texts agree, fingerprint fits in 32 bits, near-dups are close") {
     val fp = Dedup.simhash(docs, "text", "doc_id", bits = 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
