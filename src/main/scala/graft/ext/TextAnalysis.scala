@@ -1,7 +1,9 @@
 package graft.ext
 
+import graft.functions.Md5Slices
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * normalization, fingerprinting, token counting, quality scoring and a
@@ -19,6 +21,21 @@ object TextAnalysis {
 
   /** Deterministic document fingerprint over the canonical form. */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Polynomial (Rabin-Karp) rolling hash over the token stream:
+    * `h = fold((acc, v) => (acc·B + v) mod M)` with each token's value a
+    * 32-bit md5 slice mod M. Order-sensitive (unlike [[fingerprint]] it
+    * distinguishes permuted documents), incremental (a streamed suffix
+    * extends the hash in O(1) per token), and engine-agnostic: the fold
+    * equals `Σ vᵢ·B^(n-i) mod M`, which the DuckDB oracle reproduces with a
+    * recursive power table. All intermediates stay < 2^40, clear of
+    * overflow in either engine.
+    */
+  def rollingHash(text: Column, b: Long = 131, m: Long = (1L << 31) - 1): Column = {
+    val vals = transform(tokens(text), t =>
+      element_at(shim.column(Md5Slices(shim.expression(t), 1)), 1) % m)
+    aggregate(vals, lit(0L), (acc, v) => (acc * b + v) % m)
+  }
 
   /** Canonical token array (single-space split of the normalized text). */
   def tokens(text: Column): Column = split(normalize(text), " ")

@@ -129,6 +129,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // polynomial rolling-hash fingerprint over the token stream
+    "x22_rolling_hash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")
+    }),
+
     // PII pattern scan + repetition signal per document
     "x18_pii_scan" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -434,6 +441,20 @@ object ExtensionQueries {
     "x13_media_meta" -> mediaMetaSql,
     "x14_frame_sample" -> frameSampleSql,
     "x18_pii_scan" -> piiScanSql,
+    "x22_rolling_hash" -> {
+      val (b, m) = (131L, (1L << 31) - 1)
+      s"""WITH RECURSIVE pw(k, p) AS (
+         |  SELECT 0, CAST(1 AS BIGINT)
+         |  UNION ALL SELECT k + 1, (p * $b) % $m FROM pw WHERE k < 100000
+         |),
+         |t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+         |tv AS (SELECT doc_id, CAST(i AS INT) AS i, len(l) AS n,
+         |         CAST(concat('0x', substr(md5('0|' || l[CAST(i AS INT)]), 1, 8)) AS BIGINT) % $m AS v
+         |       FROM t, unnest(generate_series(1, len(l))) AS u(i))
+         |SELECT doc_id, sum((v * p) % $m) % $m AS rh
+         |FROM tv JOIN pw ON pw.k = tv.n - tv.i
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "x19_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(length(text)) AS sum_chars,

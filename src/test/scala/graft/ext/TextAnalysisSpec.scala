@@ -47,6 +47,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Double](TextAnalysis.punctRatio(col("text")), "ab,!") === 0.5)
   }
 
+  test("rollingHash: matches manual fold, order-sensitive, canonical-form stable") {
+    val m = (1L << 31) - 1
+    def tokVal(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0|$t".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % m
+    }
+    val expect = Seq("hello", "rolling", "world")
+      .foldLeft(0L)((acc, t) => (acc * 131 + tokVal(t)) % m)
+    assert(one[Long](TextAnalysis.rollingHash(col("text")), "Hello  ROLLING world") === expect)
+    val h1 = one[Long](TextAnalysis.rollingHash(col("text")), "a b c")
+    val h2 = one[Long](TextAnalysis.rollingHash(col("text")), "c b a")
+    assert(h1 !== h2) // order-sensitive, unlike the digest fingerprint
+  }
+
   test("fingerprint: equal canonical forms collide, different texts do not") {
     val fps = Seq("Hello  World", "hello world", "other")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
