@@ -101,6 +101,20 @@ object DeltaStream {
       .select(col("window.start").as("window_start"),
         col("LB_magCategory"), col("n_events"))
 
+  /** Streaming exact dedup by content fingerprint: keeps the first
+    * occurrence of each canonical text within the watermark horizon.
+    * State is keyed by the 128-bit digest, never the document — O(1) per
+    * distinct doc — and the watermark bounds state growth, which an
+    * unwindowed `dropDuplicates` would leak forever on an infinite stream.
+    */
+  def streamingDedup(docStream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docStream
+      .withColumn("_fp", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   case class NetState(n_events: Long, max_mag: Double)
   case class NetUpdate(net: String, n_events: Long, max_mag: Double)
 

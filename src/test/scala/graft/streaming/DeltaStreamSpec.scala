@@ -78,6 +78,26 @@ class DeltaStreamSpec extends SparkSpec {
       ("11:00", "Minor", 1L)))
   }
 
+  test("streamingDedup: first canonical occurrence survives, dups within watermark dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = DeltaStream.streamingDedup(
+      in.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("dedup").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-08-12 10:00:00")
+    in.addData((t0, 1L, "Hello World"), (t0, 2L, "hello  world"), (t0, 3L, "other"))
+    q.processAllAvailable()
+    in.addData((java.sql.Timestamp.valueOf("2026-08-12 10:05:00"), 4L, "HELLO WORLD"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(ids.contains(3L))
+    // exactly one of the three canonical "hello world" docs survives
+    assert((ids - 3L).size === 1 && (ids - 3L).subsetOf(Set(1L, 2L, 4L)))
+  }
+
   test("networkStats: keyed state accumulates across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
