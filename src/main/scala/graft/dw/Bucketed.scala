@@ -20,19 +20,31 @@ object Bucketed {
 
   /** Write `df` as a bucketed, sorted managed table (replacing it). The
     * explicit drop also clears an orphaned location left by a crashed
-    * previous write, which Overwrite mode alone refuses to reuse.
+    * previous write (resolved through the catalog — name case folding and
+    * qualification — not by string-concatenating the warehouse dir), which
+    * Overwrite mode alone refuses to reuse.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      org.apache.spark.sql.graftshim.shim.defaultTablePath(spark, table))
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
   }
+
+  /** Crash recovery for the metastore-rename swap: a kill between
+    * `DROP $table` and `RENAME ${table}__next TO $table` leaves the merged
+    * data complete under `__next` — restore it. Mirrors [[Merge.recover]]
+    * for the path-based protocol.
+    */
+  def recoverBucketed(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(s"${table}__next"))
+      spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
 
   /** MERGE into a bucketed table: same left-anti + union semantics as
     * [[Merge.upsert]], but both sides stay bucket-local — no exchange on
@@ -41,6 +53,7 @@ object Bucketed {
     */
   def mergeIntoBucketed(spark: SparkSession, table: String, staged: DataFrame,
       key: String, buckets: Int): Unit = {
+    recoverBucketed(spark, table)
     val stagingTable = s"${table}__staged"
     writeBucketed(staged, stagingTable, key, buckets)
     val merged = Merge.upsert(spark.table(table), spark.table(stagingTable), key)

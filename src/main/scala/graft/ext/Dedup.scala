@@ -96,17 +96,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs over distinct shingles.
+  /** Exact Jaccard over an already-exploded distinct (\_id, \_sh) frame and
+    * candidate (doc_a, doc_b) pairs: intersection counts via the
+    * candidate-filtered element join, union by inclusion-exclusion.
     * Returns (doc_a, doc_b, inter, uni) with integer counts so thresholding
     * stays exact (`thNum/thDen ≤ inter/uni` ⟺ `thDen·inter ≥ thNum·uni`).
-    * The exploded shingle set is persisted — it feeds the per-doc sizes and
-    * both sides of the intersection join.
     */
-  def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
-      idCol: String, shingleLen: Int = 5): DataFrame = {
-    val sh = explodedShingles(docs, textCol, idCol, shingleLen,
-      distinctPerDoc = true)
-      .withColumnRenamed(idCol, "_id").persist()
+  private def jaccardFromElements(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = candidates
       .join(sh.as("sa"), col("doc_a") === col("sa._id"))
@@ -117,6 +113,18 @@ object Dedup {
       .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na._n") + col("nb._n") - col("inter")).as("uni"))
+  }
+
+  /** Exact Jaccard verification of candidate pairs over distinct shingles.
+    * The exploded shingle set is persisted — it feeds the per-doc sizes and
+    * both sides of the intersection join.
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int = 5): DataFrame = {
+    val sh = explodedShingles(docs, textCol, idCol, shingleLen,
+      distinctPerDoc = true)
+      .withColumnRenamed(idCol, "_id").persist()
+    jaccardFromElements(sh, candidates)
   }
 
   /** MinHash signature computation over an already-exploded (id, shingle)
@@ -149,18 +157,7 @@ object Dedup {
     val sig = signaturesFromShingles(sh, idCol, k)
     val buckets = lshBuckets(sig, idCol, k, bands).persist()
     val cands = lshCandidates(buckets, idCol)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-      .withColumnRenamed(idCol, "_id")
-    val shd = sh.withColumnRenamed(idCol, "_id")
-    val inter = cands
-      .join(shd.as("sa"), col("doc_a") === col("sa._id"))
-      .join(shd.as("sb"), col("doc_b") === col("sb._id") && col("sa._sh") === col("sb._sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na._id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
+    jaccardFromElements(sh.withColumnRenamed(idCol, "_id"), cands)
       .filter(col("inter") * thDen >= col("uni") * thNum)
   }
 
@@ -197,7 +194,7 @@ object Dedup {
     * with the exact popcount of the XOR. Returns (doc_a, doc_b, hamming).
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 32, bands: Int = 4, maxHam: Int = 3): DataFrame = {
+      bits: Int = 48, bands: Int = 4, maxHam: Int = 3): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val r = bits / bands
     val mask = (1L << r) - 1

@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalog-resolved location of a managed table (handles case folding and
+    * qualified names, unlike `warehouse.dir + "/" + name`).
+    */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).toString
 }
