@@ -32,6 +32,15 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("recoverBucketed: kill between DROP and RENAME restores the merged table") {
+    Bucketed.writeBucketed(Seq((1L, "a")).toDF("id", "v"), "bk_crash__next", "id", 2)
+    spark.sql("DROP TABLE IF EXISTS bk_crash") // simulate post-DROP crash state
+    Bucketed.mergeIntoBucketed(spark, "bk_crash",
+      Seq((2L, "b")).toDF("id", "v"), "id", 2)
+    assert(spark.table("bk_crash").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "b"))
+  }
+
   test("mergeIntoBucketed: upsert semantics, bucketing preserved across merges") {
     Bucketed.writeBucketed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
       "bk_fact", "id", 4)
