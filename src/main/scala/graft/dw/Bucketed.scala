@@ -43,8 +43,15 @@ object Bucketed {
     */
   def recoverBucketed(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(s"${table}__next"))
+        spark.catalog.tableExists(s"${table}__next")) {
+      // no catalog entry for `table` means its default location, if present,
+      // is an orphan (e.g. metastore lost after a crash) — RENAME validates
+      // the target location is free, so clear it first
+      val loc = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graftshim.shim.defaultTablePath(spark, table))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
       spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
+    }
 
   /** MERGE into a bucketed table: same left-anti + union semantics as
     * [[Merge.upsert]], but both sides stay bucket-local — no exchange on
