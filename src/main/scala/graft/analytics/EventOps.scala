@@ -1,0 +1,79 @@
+package graft.analytics
+
+import graft.util.Exact
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators beyond the reference's aggregate
+  * surface: gap-based sessionization and as-of (most-recent-prior) joins —
+  * the two classic time-ordered operations a behavioral/training-data
+  * pipeline needs over an events table.
+  *
+  * Scale shape: both are single-shuffle operators — one hash exchange on
+  * the entity key, then per-partition sorted windows; no self-joins, no
+  * range explosion. Session aggregates use decimal-exact sums so results
+  * are partitioning-invariant.
+  */
+object EventOps {
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same entity exceeds `gapSeconds`. Returns
+    * one row per session: (entity, session_id ordinal, n_events,
+    * session_start, session_end, total `valueCol`).
+    *
+    * Classic two-window formulation: boundary flag via `lag`, session id
+    * via running sum — both over the same (entity, time, id) sort, so
+    * Catalyst plans a single exchange + sort.
+    */
+  def sessionize(events: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapSeconds: Long): DataFrame = {
+    val order = Seq(col(tsCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    val gapUs = gapSeconds * 1000000L
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val boundary = when(prevTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("_new", boundary)
+      .withColumn("session_id", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entityCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        Exact.dsum(col(valueCol)).as("total_value"))
+  }
+
+  /** As-of join: each `left` row is matched to the single most recent
+    * `right` row of the same entity with `right.ts <= left.ts` (ties on
+    * the right's timestamp resolved toward the larger id, so the result is
+    * deterministic).
+    *
+    * Spark has no native as-of join; the union-tag formulation turns it
+    * into one window pass — interleave both streams sorted by
+    * (entity, ts, side, id) with the right side ordered first at equal
+    * timestamps, and carry the last right-side payload forward with
+    * `last(..., ignoreNulls)`. One shuffle on the entity key, never a
+    * range-join explosion.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, entityCol: String,
+      tsCol: String, idCol: String, payloadCols: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(leftCols.map(col) :+ lit(1).as("_side"): _*)
+    val r = right.select(
+      Seq(col(entityCol), col(tsCol), col(idCol), lit(0).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"_p_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col("_side").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"$outPrefix$c",
+        last(when(col("_side") === 0, col(s"_p_$c")), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"$outPrefix$c")): _*)
+  }
+}

@@ -201,6 +201,25 @@ object WarehouseQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // gap-based sessionization: 30-min inactivity splits, decimal-exact sums
+    "x23_sessionize" -> ((s, dir) => {
+      graft.analytics.EventOps.sessionize(Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // as-of join: each purchase matched to the latest prior view per user
+    "x24_asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = e.filter(col("event_type") === "view" && col("value").isNotNull)
+        .select("user_id", "ts", "event_id", "value")
+      graft.analytics.EventOps.asofJoin(purchases, views,
+        "user_id", "ts", "event_id", Seq("value"), "view_")
+        .orderBy("event_id")
+    }),
+
     // DAX Q1/Q12 — latest update + total row count
     "dax_latest" -> ((s, dir) => {
       Tables(s, dir, "events").agg(
@@ -376,6 +395,28 @@ object WarehouseQueries {
          |       count(*) AS n_events
          |FROM events
          |WHERE event_type = (SELECT min(event_type) FROM events)""".stripMargin,
+
+    "x23_sessionize" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, value,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         |         THEN 1 ELSE 0 END AS nw
+         |  FROM events),
+         |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  ${Exact.dsumSql("value")} AS total_value
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x24_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'view' AND value IS NOT NULL
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, v.value AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "dax_latest" ->
       """SELECT max(ts) AS latest_update, count(*) AS total_seismic_events

@@ -1,0 +1,61 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap splits, ordinal ids, exact totals") {
+    val events = Seq(
+      (1L, ts("2026-08-12 10:00:00"), 7L, 1.5),
+      (2L, ts("2026-08-12 10:10:00"), 7L, 2.5),   // same session (10 min)
+      (3L, ts("2026-08-12 11:00:00"), 7L, 4.0),   // 50-min gap → new session
+      (4L, ts("2026-08-12 09:00:00"), 8L, 1.0)    // other user
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = EventOps.sessionize(events, "user_id", "ts", "event_id", "value", 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toMap
+    assert(out((7L, 1L))._1 === 2L)
+    assert(out((7L, 1L))._2 === ts("2026-08-12 10:00:00"))
+    assert(out((7L, 1L))._3 === ts("2026-08-12 10:10:00"))
+    assert(out((7L, 2L))._1 === 1L)
+    assert(out((8L, 1L))._1 === 1L)
+  }
+
+  test("sessionize: boundary is strict — exactly gapSeconds stays in session") {
+    val events = Seq(
+      (1L, ts("2026-08-12 10:00:00"), 7L, 1.0),
+      (2L, ts("2026-08-12 10:30:00"), 7L, 1.0),   // exactly 1800s → same
+      (3L, ts("2026-08-12 11:00:01"), 7L, 1.0)    // 1801s → new
+    ).toDF("event_id", "ts", "user_id", "value")
+    val n = EventOps.sessionize(events, "user_id", "ts", "event_id", "value", 1800)
+      .count()
+    assert(n === 2)
+  }
+
+  test("asofJoin: latest prior-or-equal right row, ties to larger id, no match → null") {
+    val purchases = Seq(
+      (100L, 7L, ts("2026-08-12 10:00:00"), 9.9),
+      (101L, 7L, ts("2026-08-12 12:00:00"), 8.8),
+      (102L, 8L, ts("2026-08-12 10:00:00"), 7.7)   // user with no views
+    ).toDF("event_id", "user_id", "ts", "value")
+    val views = Seq(
+      (7L, ts("2026-08-12 09:00:00"), 10L, 1.0),
+      (7L, ts("2026-08-12 10:00:00"), 11L, 2.0),   // equal ts → visible
+      (7L, ts("2026-08-12 10:00:00"), 12L, 3.0),   // tie → larger id wins
+      (7L, ts("2026-08-12 13:00:00"), 13L, 4.0)    // after both purchases
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventOps.asofJoin(purchases, views, "user_id", "ts", "event_id",
+      Seq("value"), "view_")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(100L) === Some(3.0)) // equal-ts view, tie-broken to id 12
+    assert(out(101L) === Some(3.0)) // still the latest at 12:00
+    assert(out(102L) === None)      // left join: no view for user 8
+  }
+}
