@@ -45,6 +45,32 @@ object EventOps {
         Exact.dsum(col(valueCol)).as("total_value"))
   }
 
+  /** Range (interval-containment) join: each point row is matched to every
+    * interval of the same entity with `start <= ts <= end`.
+    *
+    * A naive theta join (`ts BETWEEN start AND end`) plans as a nested-loop
+    * join — quadratic per entity and no partitioning helps. The scale-safe
+    * shape used here is grain bucketing: every interval explodes to the
+    * coarse time grains it spans, points bucket to their grain, and the
+    * match becomes an equi-join on (entity, grain) with a residual
+    * containment filter. Join fan-out is bounded by interval-span/grain,
+    * chosen by the caller to match interval length.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, entityCol: String,
+      tsCol: String, startCol: String, endCol: String,
+      grainSeconds: Long): DataFrame = {
+    val gUs = grainSeconds * 1000000L
+    val p = points.withColumn("_grain", unix_micros(col(tsCol)).divide(gUs).cast("long"))
+    val iv = intervals
+      .withColumn("_grain", explode(sequence(
+        (unix_micros(col(startCol)) / gUs).cast("long"),
+        (unix_micros(col(endCol)) / gUs).cast("long"))))
+      .withColumnRenamed(entityCol, "_ent")
+    p.join(iv, col(entityCol) === col("_ent") && p("_grain") === iv("_grain"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_grain", "_ent")
+  }
+
   /** As-of join: each `left` row is matched to the single most recent
     * `right` row of the same entity with `right.ts <= left.ts` (ties on
     * the right's timestamp resolved toward the larger id, so the result is

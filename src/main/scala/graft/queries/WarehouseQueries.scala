@@ -220,12 +220,39 @@ object WarehouseQueries {
         .orderBy("event_id")
     }),
 
+    // range join: events to their containing session interval, via grain
+    // bucketing (equi-join + residual filter, not a nested-loop theta join)
+    "x25_range_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val sessions = graft.analytics.EventOps.sessionize(e,
+        "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      graft.analytics.EventOps.rangeJoin(
+        e.select(col("event_id"), col("user_id"), col("ts")), sessions,
+        "user_id", "ts", "session_start", "session_end", grainSeconds = 3600)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id", "session_id")
+    }),
+
     // DAX Q1/Q12 — latest update + total row count
     "dax_latest" -> ((s, dir) => {
       Tables(s, dir, "events").agg(
         max(col("ts")).as("latest_update"),
         count(lit(1)).as("total_seismic_events"))
     }))
+
+  /** Shared sessionization CTEs (boundary flag + running session id) —
+    * used by the x23 and x25 oracles.
+    */
+  private def sessionCoreSql: String =
+    """o AS (SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM events),
+      |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "w1_dim_surrogate" ->
@@ -397,17 +424,20 @@ object WarehouseQueries {
          |WHERE event_type = (SELECT min(event_type) FROM events)""".stripMargin,
 
     "x23_sessionize" ->
-      s"""WITH o AS (SELECT user_id, ts, event_id, value,
-         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
-         |         THEN 1 ELSE 0 END AS nw
-         |  FROM events),
-         |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o)
+      s"""WITH $sessionCoreSql
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts) AS session_start, max(ts) AS session_end,
          |  ${Exact.dsumSql("value")} AS total_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x25_range_join" ->
+      s"""WITH $sessionCoreSql,
+         |sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+         |         FROM s GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, sess.session_id
+         |FROM events e JOIN sess ON e.user_id = sess.user_id
+         |  AND e.ts BETWEEN sess.st AND sess.en
+         |ORDER BY event_id, session_id""".stripMargin,
 
     "x24_asof_join" ->
       """WITH v AS (SELECT user_id, ts, event_id, value FROM events

@@ -38,6 +38,25 @@ class EventOpsSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("rangeJoin: inclusive bounds across grain boundaries, entity isolation, equi-join plan") {
+    val points = Seq(
+      (1L, 7L, ts("2026-08-12 10:00:00")),  // == start (inclusive)
+      (2L, 7L, ts("2026-08-12 10:07:30")),  // mid, different grain than start
+      (3L, 7L, ts("2026-08-12 10:10:00")),  // == end (inclusive)
+      (4L, 7L, ts("2026-08-12 10:10:01")),  // past end
+      (5L, 8L, ts("2026-08-12 10:05:00"))   // other entity, same time range
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (7L, 100L, ts("2026-08-12 10:00:00"), ts("2026-08-12 10:10:00"))
+    ).toDF("user_id", "iv_id", "start", "end")
+    val joined = EventOps.rangeJoin(points, intervals, "user_id", "ts",
+      "start", "end", grainSeconds = 60)
+    val got = joined.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("asofJoin: latest prior-or-equal right row, ties to larger id, no match → null") {
     val purchases = Seq(
       (100L, 7L, ts("2026-08-12 10:00:00"), 9.9),
