@@ -235,6 +235,20 @@ object WarehouseQueries {
         .orderBy("event_id", "session_id")
     }),
 
+    // schema-driven JSON column extraction + typed aggregation
+    "x26_json_extract" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // DAX Q1/Q12 — latest update + total row count
     "dax_latest" -> ((s, dir) => {
       Tables(s, dir, "events").agg(
@@ -447,6 +461,14 @@ object WarehouseQueries {
         |SELECT p.event_id, p.user_id, p.ts, p.value, v.value AS view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "x26_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dax_latest" ->
       """SELECT max(ts) AS latest_update, count(*) AS total_seismic_events
