@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    RelationalQueries.all ++ WarehouseQueries.all ++ ExtensionQueries.all
+    RelationalQueries.all ++ WarehouseQueries.all ++ ExtensionQueries.all ++
+      PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ WarehouseQueries.oracle ++ ExtensionQueries.oracle
+    RelationalQueries.oracle ++ WarehouseQueries.oracle ++ ExtensionQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -95,11 +95,17 @@ object EventOps {
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col(tsCol).asc, col("_side").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"$outPrefix$c",
-        last(when(col("_side") === 0, col(s"_p_$c")), ignoreNulls = true).over(w))
-    }
+    // Carry ONE struct of all payload columns, not each column separately:
+    // a per-column last(..., ignoreNulls) would skip a matched row whose
+    // payload value is NULL (silently reading it from an older row, and
+    // different columns from different rows). The struct is non-null for
+    // every right row, so all payload fields come from the single most
+    // recent prior row and its NULL fields stay NULL.
+    val payloadStruct = struct(payloadCols.map(c => col(s"_p_$c")): _*)
+    val carried = unioned.withColumn("_asof_row",
+      last(when(col("_side") === 0, payloadStruct), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"$outPrefix$c")): _*)
+      .select(leftCols.map(col) ++ payloadCols.map(c =>
+        col("_asof_row").getField(s"_p_$c").as(s"$outPrefix$c")): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.functions.Md5Slices
+import graft.functions.{Md5Slices, SimhashBits}
 import graft.util.Par
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,23 @@ import org.apache.spark.sql.graftshim.shim
   * of once per document.
   */
 object Dedup {
+
+  /** Materialize `result` into its own (compact) cache, then release the
+    * large intermediate caches it derives from. Without this, each operator
+    * invocation leaks its exploded-shingle/fingerprint cache for the life
+    * of the session — library callers don't `clearCache()` between calls.
+    * The result stays a normal lazy DataFrame backed by a small cached pair
+    * set; on block loss it recomputes from lineage (the unpersisted
+    * intermediates just recompute too), so this is cluster-safe where a
+    * `localCheckpoint` would not be.
+    */
+  private def materializeAndRelease(result: DataFrame,
+      intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    try out.count()
+    finally intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Exact dedup: one surviving row (min id) per distinct value of `textCol`.
     * Groups by md5 digest so the shuffle key is 16 bytes regardless of
@@ -124,7 +141,7 @@ object Dedup {
     val sh = explodedShingles(docs, textCol, idCol, shingleLen,
       distinctPerDoc = true)
       .withColumnRenamed(idCol, "_id").persist()
-    jaccardFromElements(sh, candidates)
+    materializeAndRelease(jaccardFromElements(sh, candidates), sh)
   }
 
   /** MinHash signature computation over an already-exploded (id, shingle)
@@ -157,8 +174,10 @@ object Dedup {
     val sig = signaturesFromShingles(sh, idCol, k)
     val buckets = lshBuckets(sig, idCol, k, bands).persist()
     val cands = lshCandidates(buckets, idCol)
-    jaccardFromElements(sh.withColumnRenamed(idCol, "_id"), cands)
-      .filter(col("inter") * thDen >= col("uni") * thNum)
+    materializeAndRelease(
+      jaccardFromElements(sh.withColumnRenamed(idCol, "_id"), cands)
+        .filter(col("inter") * thDen >= col("uni") * thNum),
+      sh, buckets)
   }
 
   /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a
@@ -172,17 +191,21 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame = {
     require(bits <= 48)
-    val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // One fused digest pass per token: SimhashBits packs all 48 nibble
+    // high-bits into a long, so the vote for nibble i is the bit at
+    // position 48 - i and the ±1 vote sum over n tokens is 2·b_i − n
+    // (b_i = count of set bits) — 48 long bit-op sums + one count in a
+    // single HashAggregate, no per-bit substring/isin string work.
     val toks = Par.spread(docs).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .withColumn("_h",
-        if (bits <= 32) md5(col("_t"))
-        else concat(md5(col("_t")), md5(concat(lit("1|"), col("_t")))))
-    val votes = (1 to bits).map(i =>
-      sum(when(substring(col("_h"), i, 1).isin(highNibbles: _*), 1).otherwise(-1)).as(s"v$i"))
-    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        shim.column(SimhashBits(shim.expression(col("_t")))).as("_m"))
+    val aggs = (1 to bits).map(i =>
+      sum(shiftright(col("_m"), 48 - i).bitwiseAND(lit(1L))).as(s"b$i")) :+
+      count(lit(1)).as("_n")
+    val agg = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val fp = (1 to bits).map(i =>
-      when(col(s"v$i") >= 0, lit(1L) * lit(1L << (bits - i))).otherwise(0L))
+      when(col(s"b$i") * 2 >= col("_n"), lit(1L << (bits - i))).otherwise(0L))
       .reduce(_ + _)
     agg.select(col(idCol), fp.as("simhash"))
   }
@@ -210,12 +233,14 @@ object Dedup {
           col(s"ba.$idCol") < col(s"bb.$idCol"))
       .select(col(s"ba.$idCol").as("doc_a"), col(s"bb.$idCol").as("doc_b"))
       .distinct()
-    cands
-      .join(fp.select(col(idCol).as("doc_a"), col("simhash").as("_fa")), Seq("doc_a"))
-      .join(fp.select(col(idCol).as("doc_b"), col("simhash").as("_fb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("_fa").bitwiseXOR(col("_fb"))).as("hamming"))
-      .filter(col("hamming") <= maxHam)
+    materializeAndRelease(
+      cands
+        .join(fp.select(col(idCol).as("doc_a"), col("simhash").as("_fa")), Seq("doc_a"))
+        .join(fp.select(col(idCol).as("doc_b"), col("simhash").as("_fb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("_fa").bitwiseXOR(col("_fb"))).as("hamming"))
+        .filter(col("hamming") <= maxHam),
+      fp)
   }
 
   /** Word n-gram array over an already-materialized token-array column
@@ -255,11 +280,13 @@ object Dedup {
       .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))
       .groupBy(col("ga._id").as("doc_a"), col("gb._id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na._id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
-      .filter(col("inter") * thDen >= col("uni") * thNum)
+    materializeAndRelease(
+      inter
+        .join(sizes.as("na"), col("doc_a") === col("na._id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na._n") + col("nb._n") - col("inter")).as("uni"))
+        .filter(col("inter") * thDen >= col("uni") * thNum),
+      ngAll, ng)
   }
 }

@@ -162,14 +162,6 @@ object Similarity {
       col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
-  /** Higher-order-function dot product for mixed float/double arrays
-    * (refined centroids are double) — same left-to-right double fold as
-    * [[dot]], used only on O(n·nCells) assignment passes, never O(n²).
-    */
-  private def hofDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
   /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
     * recompute each cell's centroid as the element-wise mean of its members
     * and re-assign before ranking.
@@ -212,10 +204,13 @@ object Similarity {
           (col("_sum").cast("double") / col("_cnt")).as("_avg")))),
         s => s.getField("_avg")).as("_cvec"))
       .select(col("_cell").as("_cid"), col("_cvec"),
-        sqrt(hofDot(col("_cvec"), col("_cvec"))).as("_cn"))
+        sqrt(dot(col("_cvec"), col("_cvec"))).as("_cn"))
 
+    // [[dot]] accepts the float/double mix (vectors are float, refined
+    // centroids double), so the re-assignment pass stays in codegen instead
+    // of the per-element-boxing aggregate(zip_with(...)) interpreter path.
     val asn1 = assign(vectors, refined,
-      hofDot(col("_v"), col("_cvec")) / (col("_n") * col("_cn")))
+      dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn")))
     val a = asn1.select(col("_id").as("query_id"), col("_v").as("_va"),
       col("_n").as("_na"), col("_cell"))
     val b = asn1.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
@@ -249,7 +244,12 @@ object Similarity {
         size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b). */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b).
+    *
+    * All-pairs by construction — the EXACT baseline, quadratic in corpus
+    * size. Production path at scale is [[cosineNearDupsBlocked]]; this stays
+    * as the recall oracle for bounded corpora.
+    */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = spread(withNorm(emb, idCol, vecCol, "doc_a", "_va", "_na"))
@@ -259,5 +259,47 @@ object Similarity {
         (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
       .filter(col("_cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
+  }
+
+  /** Scale-safe embedding near-dup: banded hyperplane-LSH candidate
+    * generation + exact cosine verification on candidates only — the same
+    * candidate-then-verify shape every other dedup path here uses, replacing
+    * [[cosineNearDups]]'s all-pairs join at corpus scale.
+    *
+    * `nPlanes` hyperplanes split into `bands` bands of `nPlanes/bands` sign
+    * bits; a pair is a candidate iff it agrees on every bit of some band
+    * (candidates collide in ~cos-similarity^(r) per band, so near-identical
+    * vectors are recalled with high probability while the join stays an
+    * equi-join on (band, bucket) — never a cross/nested-loop plan). Pairs
+    * colliding in several bands are deduplicated after the (deterministic)
+    * cosine projection.
+    */
+  def cosineNearDupsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, bands: Int = 2,
+      dims: Int = 64): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val r = nPlanes / bands
+    val pv = planes(nPlanes, dims)
+    val base = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(col("_v"), pv.slice(b * r, (b + 1) * r)).as("bucket"))
+    }
+    val banded = base
+      .select(col("_id"), col("_v"), col("_n"),
+        explode(array(bandStructs: _*)).as("_b"))
+      .select(col("_id"), col("_v"), col("_n"),
+        col("_b.band").as("_band"), col("_b.bucket").as("_bucket"))
+    val a = banded.select(col("_id").as("doc_a"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_band"), col("_bucket"))
+    val b = banded.select(col("_id").as("doc_b"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("_band").as("_band2"), col("_bucket").as("_bucket2"))
+    a.join(b, col("_band") === col("_band2") &&
+        col("_bucket") === col("_bucket2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
+      .distinct()
   }
 }

@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.IntegerType
   *    sequential-fold dot product ([[FloatDot]]).
   *  - `md5_slices(string, groups int literal) -> array<bigint>` — the
   *    MinHash hash family ([[Md5Slices]]).
+  *  - `simhash_bits(string) -> bigint` — per-token 48-bit SimHash vote
+  *    mask ([[SimhashBits]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -43,6 +45,13 @@ object GraftExtensions {
             s"md5_slices groups must be an int literal, got $other")
         }
         Md5Slices(args.head, groups)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_bits(s) takes one string argument")
+        SimhashBits(args.head)
       }))
   }
 }

@@ -86,9 +86,18 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
-    // embedding-cosine near-duplicate pairs ≥ 0.45
+    // embedding-cosine near-duplicate pairs ≥ 0.45 (exact all-pairs baseline)
     "x8_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDups(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // embedding-cosine near-dup, scale path: banded hyperplane-LSH
+    // candidates (equi-join on band bucket, no all-pairs join) + exact
+    // cosine verify ≥ 0.45 on candidates only
+    "x27_embed_neardup_blocked" -> ((s, dir) => {
+      Similarity.cosineNearDupsBlocked(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.45, nPlanes = 8, bands = 2, dims = 64)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -179,13 +188,22 @@ object ExtensionQueries {
         .orderBy("media_id", "frame_no")
     }),
 
-    // decode (stubbed codec, real typed mapPartitions plumbing) + resize —
-    // no SQL oracle: exercised by MultimodalSpec, driver does rows-only.
+    // decode (stubbed codec, real typed mapPartitions plumbing) + resize.
+    // The resized feature vector is projected to scalar double columns so
+    // the driver's pandas comparator can sort/hash the output (arrays are
+    // unhashable there); byte/255.0 and the mean-byte brightness are exact
+    // in double, so values compare bit-for-bit with the DuckDB oracle.
     "x15_decode_resize" -> ((s, dir) => {
       Multimodal.resizeFeatures(
         Multimodal.decode(
           Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")),
         stride = 4)
+        .select(col("media_id"), col("kind"),
+          element_at(col("features_small"), 1).as("f0"),
+          element_at(col("features_small"), 2).as("f1"),
+          element_at(col("features_small"), 3).as("f2"),
+          element_at(col("features_small"), 4).as("f3"),
+          col("brightness"))
         .orderBy("media_id")
     }))
 
@@ -314,6 +332,29 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of cosineNearDupsBlocked: 2 bands × 4 hyperplane sign
+    * bits, distinct same-band-bucket candidate pairs, exact cosine verify.
+    */
+  private def embedNearDupBlockedSql: String = {
+    val pv = Similarity.planes(8, 64)
+    def bucket(planeIdx: Range): String = planeIdx.map { p =>
+      val lits = pv(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lits) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH bk AS (SELECT vec_id, ${bucket(0 until 4)} AS bucket0,
+       |                   ${bucket(4 until 8)} AS bucket1 FROM embeddings),
+       |banded AS (SELECT vec_id, 0 AS band, bucket0 AS bucket FROM bk
+       |           UNION ALL SELECT vec_id, 1, bucket1 FROM bk),
+       |cand AS (SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT c.doc_a, c.doc_b, round($cosSql, 9) AS cosine
+       |FROM cand c JOIN embeddings a ON a.vec_id = c.doc_a
+       |            JOIN embeddings b ON b.vec_id = c.doc_b
+       |WHERE $cosSql >= 0.45
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def annIvfSql: String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
        |              FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -428,6 +469,7 @@ object ExtensionQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE $cosSql >= 0.45
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x27_embed_neardup_blocked" -> embedNearDupBlockedSql,
     "x9_lang_id" -> langIdSql,
     "x10_quality_score" -> qualitySql,
     "x11_token_count" ->
@@ -440,6 +482,7 @@ object ExtensionQueries {
       s"""SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id""",
     "x13_media_meta" -> mediaMetaSql,
     "x14_frame_sample" -> frameSampleSql,
+    "x15_decode_resize" -> decodeResizeSql,
     "x18_pii_scan" -> piiScanSql,
     "x22_rolling_hash" -> {
       val (b, m) = (131L, (1L << 31) - 1)
@@ -451,13 +494,13 @@ object ExtensionQueries {
          |tv AS (SELECT doc_id, CAST(i AS INT) AS i, len(l) AS n,
          |         CAST(concat('0x', substr(md5('0|' || l[CAST(i AS INT)]), 1, 8)) AS BIGINT) % $m AS v
          |       FROM t, unnest(generate_series(1, len(l))) AS u(i))
-         |SELECT doc_id, sum((v * p) % $m) % $m AS rh
+         |SELECT doc_id, CAST(sum((v * p) % $m) % $m AS BIGINT) AS rh
          |FROM tv JOIN pw ON pw.k = tv.n - tv.i
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x19_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(length(text)) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(min(CASE WHEN length(trim(text)) = 0 THEN 0
         |               ELSE len(string_split_regex(trim(text), '\s+')) END) AS INT) AS min_toks,
         |  CAST(max(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -492,6 +535,34 @@ object ExtensionQueries {
        |  ${mmSlice(25, 240)} AS n_frames,
        |  ['png','wav','mp4'][CAST(doc_id % 3 + 1 AS INT)] AS format
        |FROM documents ORDER BY media_id""".stripMargin
+
+  /** DuckDB mirror of the stub decode + stride-4 resize: feature i is UTF-8
+    * byte 4·i scaled by /255.0 (0.0 past the payload end), brightness is the
+    * mean byte value. Byte access via hex(encode(text)); the byte sum is an
+    * exact integer in double (< 2^53), so the single division matches
+    * Spark's fold bit-for-bit.
+    */
+  private def decodeResizeSql: String = {
+    def f(i: Int) = {
+      val byteIdx = 4 * i // 0-based byte position selected by the stride
+      s"""CASE WHEN n > $byteIdx
+         |  THEN CAST(CAST(concat('0x', substr(h, ${2 * byteIdx + 1}, 2)) AS INT) AS DOUBLE) / 255.0
+         |  ELSE 0.0 END AS f$i""".stripMargin
+    }
+    s"""WITH b AS (SELECT doc_id AS media_id,
+       |             ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |             hex(encode(text)) AS h, octet_length(encode(text)) AS n
+       |           FROM documents),
+       |br AS (SELECT media_id,
+       |         CAST(sum(CAST(concat('0x', substr(h, 2 * CAST(i AS INT) - 1, 2)) AS INT)) AS DOUBLE) / n AS brightness
+       |       FROM b, unnest(generate_series(1, n)) AS u(i)
+       |       GROUP BY media_id, n)
+       |SELECT b.media_id, b.kind,
+       |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)},
+       |  coalesce(br.brightness, 0.0) AS brightness
+       |FROM b LEFT JOIN br ON b.media_id = br.media_id
+       |ORDER BY b.media_id""".stripMargin
+  }
 
   private def frameSampleSql: String =
     s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS ph,

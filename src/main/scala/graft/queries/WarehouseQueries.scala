@@ -194,7 +194,10 @@ object WarehouseQueries {
     // max depth/magnitude analogue) over the fact stream
     "dax_eq_stats" -> ((s, dir) => {
       val events = Tables(s, dir, "events")
-      val t = events.select(col("event_type")).orderBy("event_type").limit(1)
+      // NULLs out: Spark sorts NULLS FIRST while the oracle's min() skips
+      // them — filter so both sides agree on the smallest non-null type.
+      val t = events.select(col("event_type")).filter(col("event_type").isNotNull)
+        .orderBy("event_type").limit(1)
       events.join(broadcast(t), Seq("event_type"))
         .agg(Exact.davg(col("value")).as("avg_value"),
           max(col("value")).as("max_value"),
@@ -465,7 +468,7 @@ object WarehouseQueries {
     "x26_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

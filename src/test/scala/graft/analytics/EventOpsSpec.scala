@@ -77,4 +77,21 @@ class EventOpsSpec extends SparkSpec {
     assert(out(101L) === Some(3.0)) // still the latest at 12:00
     assert(out(102L) === None)      // left join: no view for user 8
   }
+
+  test("asofJoin: NULL payload fields stay NULL and all payload columns " +
+    "come from the single matched row") {
+    val left = Seq((100L, 7L, ts("2026-08-12 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // older row: both payloads set — must NOT leak into the result
+      (7L, ts("2026-08-12 09:00:00"), 10L, Some(1.0), Some("old")),
+      // most recent prior row: one NULL payload, one set
+      (7L, ts("2026-08-12 10:00:00"), 11L, None, Some("new"))
+    ).toDF("user_id", "ts", "event_id", "a", "b")
+    val row = EventOps.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("a", "b"), "r_").head()
+    // a per-column last(..., ignoreNulls) would return (1.0, "new") —
+    // column a from the older row, column b from the newer: torn row
+    assert(row.isNullAt(row.fieldIndex("r_a")))
+    assert(row.getString(row.fieldIndex("r_b")) === "new")
+  }
 }

@@ -52,6 +52,23 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length === 6) // all C(4,2) pairs
   }
 
+  test("cosineNearDupsBlocked: subset of exact result, parallel vectors " +
+    "always recalled, no nested-loop/cartesian plan") {
+    val exact = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = Similarity.cosineNearDupsBlocked(vecs, "vec_id", "embedding",
+      0.5, nPlanes = 4, bands = 2, dims = 3)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // candidates-then-verify: every reported pair is exact-verified
+    got.foreach { case (pair, cos) => assert(exact(pair) === cos) }
+    // parallel vectors sit on the same side of every hyperplane → identical
+    // bucket in every band → guaranteed candidate
+    assert(got.contains((1L, 3L)))
+    assert(got.keySet.forall(p => p._1 < p._2))
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("ivfTopKRefined: refinement keeps dense per-query ranks and is partitioning-invariant") {
     val run1 = Similarity.ivfTopKRefined(vecs.repartition(1), "vec_id", "embedding",
       k = 3, nCells = 2).collect().map(_.toSeq).toSet

@@ -89,4 +89,43 @@ class ExpressionsSpec extends SparkSpec {
     val got = Md5Slices.slices(UTF8String.fromString("range-check"), 4).toLongArray()
     assert(got.forall(v => v >= 0L && v <= 0xffffffffL))
   }
+
+  test("FloatDot: double and mixed float/double arrays, codegen path") {
+    import spark.implicits._
+    val xf = Seq(1.5f, -2.25f, 0.125f)
+    val yd = Seq(0.5, 4.0, -8.0)
+    val expected = xf.zip(yd).foldLeft(0.0) { case (acc, (a, b)) => acc + a.toDouble * b }
+    val df = Seq((xf, yd)).toDF("f", "d")
+    def dot(a: String, b: String): Double = df.select(
+      shim.column(FloatDot(shim.expression(col(a)), shim.expression(col(b))))
+        .as("v")).head().getDouble(0)
+    assert(dot("f", "d") === expected)       // mixed
+    assert(dot("d", "f") === expected)       // mixed, flipped
+    assert(dot("d", "d") === yd.map(v => v * v).sum) // pure double
+  }
+
+  /** Oracle-mirror reimplementation of the SimHash hash family: top bit of
+    * hex nibble i of md5(t) ++ md5("1|"+t), packed at position 48 - (i+1).
+    */
+  private def simhashMaskOracle(s: String): Long = {
+    def hex(x: String) = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val nibbles = (hex(s) + hex("1|" + s)).take(48)
+    nibbles.zipWithIndex.foldLeft(0L) { case (m, (c, i)) =>
+      if ("89abcdef".contains(c)) m | (1L << (47 - i)) else m
+    }
+  }
+
+  test("SimhashBits: matches the hex-nibble oracle formula, eval and codegen") {
+    import spark.implicits._
+    val inputs = Seq("token", "", "héllo", "x" * 64)
+    inputs.foreach { s =>
+      assert(SimhashBits.mask(UTF8String.fromString(s)) === simhashMaskOracle(s), s)
+    }
+    val rows = inputs.toDF("s").select(col("s"),
+      shim.column(SimhashBits(shim.expression(col("s")))).as("m")).collect()
+    rows.foreach(r => assert(r.getLong(1) === simhashMaskOracle(r.getString(0))))
+    val sql = spark.sql("SELECT simhash_bits('token') AS m").head().getLong(0)
+    assert(sql === simhashMaskOracle("token"))
+  }
 }

@@ -61,6 +61,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = []
         for c in got.columns:
             a, b = got[c], want[c]
+            # the driver hashes raw pandas values, where int64(1) != float64(1.0):
+            # a DuckDB HUGEINT (sum of ints) renders as float64 and hash-fails
+            # against Spark's BIGINT even when values compare == here. Round 1
+            # missed x19/x22/x26 exactly this way — flag kind splits loudly.
+            if {a.dtype.kind, b.dtype.kind} == {"i", "f"}:
+                mismatch.append(f"{c}(dtype spark={a.dtype} duckdb={b.dtype})")
+                continue
             try:
                 eq = (a.astype(object).where(a.notna(), None) ==
                       b.astype(object).where(b.notna(), None)) | (a.isna() & b.isna())
