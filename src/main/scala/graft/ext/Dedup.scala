@@ -1,7 +1,7 @@
 package graft.ext
 
-import graft.functions.{Md5Slices, SimhashBits}
-import graft.util.Par
+import graft.functions.{MinhashSigs, SimhashFp}
+import graft.util.{Caching, Par}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.shim
@@ -22,23 +22,6 @@ import org.apache.spark.sql.graftshim.shim
   * of once per document.
   */
 object Dedup {
-
-  /** Materialize `result` into its own (compact) cache, then release the
-    * large intermediate caches it derives from. Without this, each operator
-    * invocation leaks its exploded-shingle/fingerprint cache for the life
-    * of the session — library callers don't `clearCache()` between calls.
-    * The result stays a normal lazy DataFrame backed by a small cached pair
-    * set; on block loss it recomputes from lineage (the unpersisted
-    * intermediates just recompute too), so this is cluster-safe where a
-    * `localCheckpoint` would not be.
-    */
-  private def materializeAndRelease(result: DataFrame,
-      intermediates: DataFrame*): DataFrame = {
-    val out = result.persist()
-    try out.count()
-    finally intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
 
   /** Exact dedup: one surviving row (min id) per distinct value of `textCol`.
     * Groups by md5 digest so the shuffle key is 16 bytes regardless of
@@ -77,17 +60,25 @@ object Dedup {
   /** MinHash signature: k min-hashes over the shingle set, derived from
     * k/4 md5 digests per shingle — each 32-hex-char md5 is sliced into four
     * independent 8-hex (32-bit) hash values, so the hash cost per shingle is
-    * k/4 digests, not k. Each slice is converted to a long *before* the min:
-    * fixed-width hex keeps numeric order = lexicographic order, and a
-    * bigint min aggregates via HashAggregate where a string min would force
-    * SortAggregate (full sort of the exploded shingle stream, twice).
+    * k/4 digests, not k ([[graft.functions.Md5Slices]] family).
     * Returns (idCol, m0..m{k-1}) as longs.
+    *
+    * Fused: the whole signature is ONE codegen'd expression pass per
+    * document ([[graft.functions.MinhashSigs]]) — the earlier exploded
+    * (doc, shingle) frame (≈ len(text) rows/doc shuffled into a k-column
+    * HashAggregate, then persisted) no longer exists. Map-only, no
+    * shuffle: the shape that scales to any corpus.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, shingleLen: Int = 5): DataFrame =
-    signaturesFromShingles(
-      explodedShingles(docs, textCol, idCol, shingleLen, distinctPerDoc = false),
-      idCol, k)
+      k: Int = 8, shingleLen: Int = 5): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    val sig = shim.column(MinhashSigs(
+      shim.expression(TextAnalysis.normalize(col(textCol))), k / 4, shingleLen))
+    val mins = (0 until k).map(j => element_at(col("_sig"), j + 1).as(s"m$j"))
+    Par.spread(docs)
+      .withColumn("_sig", sig)
+      .select(col(idCol) +: mins: _*)
+  }
 
   /** LSH band buckets: `bands` groups of `k/bands` signature rows, each
     * hashed to one bucket id. Returns (idCol, band, bucket).
@@ -141,43 +132,34 @@ object Dedup {
     val sh = explodedShingles(docs, textCol, idCol, shingleLen,
       distinctPerDoc = true)
       .withColumnRenamed(idCol, "_id").persist()
-    materializeAndRelease(jaccardFromElements(sh, candidates), sh)
-  }
-
-  /** MinHash signature computation over an already-exploded (id, shingle)
-    * frame — shared with [[minhashSignatures]] and the fused near-dup
-    * pipeline. `min` over a shingle *set* equals `min` over the multiset,
-    * so distinct-per-doc explodes feed it unchanged.
-    */
-  private def signaturesFromShingles(exploded: DataFrame, idCol: String,
-      k: Int): DataFrame = {
-    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
-    val sliced = exploded.select(col(idCol),
-      shim.column(Md5Slices(shim.expression(col("_sh")), k / 4)).as("_hs"))
-    val mins = (0 until k).map(j =>
-      min(element_at(col("_hs"), j + 1)).as(s"m$j"))
-    sliced.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    Caching.materializeAndRelease(jaccardFromElements(sh, candidates), sh)
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
-    * exact-verified pairs with Jaccard ≥ thNum/thDen. One distinct-shingle
-    * explode is persisted and shared by the signature build, the per-doc
-    * set sizes, and both sides of the intersection join — the dominant
-    * explode+normalize pass runs once, not twice. Band buckets persist
-    * across the candidate self-join so signatures compute once.
+    * exact-verified pairs with Jaccard ≥ thNum/thDen.
+    *
+    * Scale shape after the [[graft.functions.MinhashSigs]] fusion:
+    * signatures are a map-only pass (no corpus-wide shingle explode at
+    * all); band buckets persist across the candidate self-join; and the
+    * exact-Jaccard verification explodes shingles for the documents that
+    * appear in candidate pairs ONLY — on a near-dup-sparse corpus that is
+    * a few dozen documents, not the corpus.
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4, shingleLen: Int = 5,
       thNum: Int = 4, thDen: Int = 5): DataFrame = {
-    val sh = explodedShingles(docs, textCol, idCol, shingleLen,
-      distinctPerDoc = true).persist()
-    val sig = signaturesFromShingles(sh, idCol, k)
+    val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen)
     val buckets = lshBuckets(sig, idCol, k, bands).persist()
-    val cands = lshCandidates(buckets, idCol)
-    materializeAndRelease(
-      jaccardFromElements(sh.withColumnRenamed(idCol, "_id"), cands)
+    val cands = lshCandidates(buckets, idCol).persist()
+    val candIds = cands.select(col("doc_a").as(idCol))
+      .unionByName(cands.select(col("doc_b").as(idCol))).distinct()
+    val sh = explodedShingles(docs.join(candIds, Seq(idCol), "left_semi"),
+        textCol, idCol, shingleLen, distinctPerDoc = true)
+      .withColumnRenamed(idCol, "_id").persist()
+    Caching.materializeAndRelease(
+      jaccardFromElements(sh, cands)
         .filter(col("inter") * thDen >= col("uni") * thNum),
-      sh, buckets)
+      buckets, cands, sh)
   }
 
   /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a
@@ -191,23 +173,13 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame = {
     require(bits <= 48)
-    // One fused digest pass per token: SimhashBits packs all 48 nibble
-    // high-bits into a long, so the vote for nibble i is the bit at
-    // position 48 - i and the ±1 vote sum over n tokens is 2·b_i − n
-    // (b_i = count of set bits) — 48 long bit-op sums + one count in a
-    // single HashAggregate, no per-bit substring/isin string work.
-    val toks = Par.spread(docs).select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .select(col(idCol),
-        shim.column(SimhashBits(shim.expression(col("_t")))).as("_m"))
-    val aggs = (1 to bits).map(i =>
-      sum(shiftright(col("_m"), 48 - i).bitwiseAND(lit(1L))).as(s"b$i")) :+
-      count(lit(1)).as("_n")
-    val agg = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val fp = (1 to bits).map(i =>
-      when(col(s"b$i") * 2 >= col("_n"), lit(1L << (bits - i))).otherwise(0L))
-      .reduce(_ + _)
-    agg.select(col(idCol), fp.as("simhash"))
+    // Fully fused ([[graft.functions.SimhashFp]]): tokenization, per-token
+    // digest votes ([[graft.functions.SimhashBits]] masks), vote summing
+    // and sign packing all happen in one codegen'd pass per document —
+    // no token explode, no 48-column aggregate, no shuffle. Map-only.
+    Par.spread(docs).select(col(idCol),
+      shim.column(SimhashFp(
+        shim.expression(TextAnalysis.normalize(col(textCol))), bits)).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: candidates share at least one of
@@ -233,7 +205,7 @@ object Dedup {
           col(s"ba.$idCol") < col(s"bb.$idCol"))
       .select(col(s"ba.$idCol").as("doc_a"), col(s"bb.$idCol").as("doc_b"))
       .distinct()
-    materializeAndRelease(
+    Caching.materializeAndRelease(
       cands
         .join(fp.select(col(idCol).as("doc_a"), col("simhash").as("_fa")), Seq("doc_a"))
         .join(fp.select(col(idCol).as("doc_b"), col("simhash").as("_fb")), Seq("doc_b"))
@@ -280,7 +252,7 @@ object Dedup {
       .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))
       .groupBy(col("ga._id").as("doc_a"), col("gb._id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    materializeAndRelease(
+    Caching.materializeAndRelease(
       inter
         .join(sizes.as("na"), col("doc_a") === col("na._id"))
         .join(sizes.as("nb"), col("doc_b") === col("nb._id"))

@@ -147,6 +147,9 @@ object Similarity {
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
     val aw = Window.partitionBy(col("_id"))
       .orderBy(col("_s").desc, col("_cid").asc)
+    // persisted: both sides of the pair self-join read the assignment, and
+    // without the cache the whole assign subtree (broadcast compare +
+    // window + two exchanges) executes twice
     val assigned = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
       .join(broadcast(centroids))
       .select(col("_id"), col("_v"), col("_n"), col("_cid"),
@@ -154,12 +157,15 @@ object Similarity {
       .withColumn("_rn", row_number().over(aw))
       .filter(col("_rn") === 1)
       .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"))
+      .persist()
     val a = assigned.select(col("_id").as("query_id"), col("_v").as("_va"),
       col("_n").as("_na"), col("_cell"))
     val b = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
       col("_n").as("_nb"), col("_cell").as("_cell2"))
-    rankTopK(a.join(b,
-      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
+    graft.util.Caching.materializeAndRelease(
+      rankTopK(a.join(b,
+        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
+      assigned)
   }
 
   /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
@@ -209,14 +215,19 @@ object Similarity {
     // [[dot]] accepts the float/double mix (vectors are float, refined
     // centroids double), so the re-assignment pass stays in codegen instead
     // of the per-element-boxing aggregate(zip_with(...)) interpreter path.
+    // cached for the same reason as ivfTopK: the refined assignment feeds
+    // both sides of the pair join, and its lineage contains the whole
+    // seed-assign + decimal-mean + re-assign chain
     val asn1 = assign(vectors, refined,
-      dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn")))
+      dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).persist()
     val a = asn1.select(col("_id").as("query_id"), col("_v").as("_va"),
       col("_n").as("_na"), col("_cell"))
     val b = asn1.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
       col("_n").as("_nb"), col("_cell").as("_cell2"))
-    rankTopK(a.join(b,
-      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
+    graft.util.Caching.materializeAndRelease(
+      rankTopK(a.join(b,
+        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
+      asn1)
   }
 
   /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,

@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.IntegerType
   *    MinHash hash family ([[Md5Slices]]).
   *  - `simhash_bits(string) -> bigint` — per-token 48-bit SimHash vote
   *    mask ([[SimhashBits]]).
+  *  - `simhash_fp(string, bits int literal) -> bigint` — whole-document
+  *    SimHash fingerprint ([[SimhashFp]]).
+  *  - `minhash_sigs(string, groups int literal, shingleLen int literal)
+  *    -> array<bigint>` — whole-document MinHash signature
+  *    ([[MinhashSigs]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -53,5 +58,27 @@ object GraftExtensions {
         require(args.length == 1, "simhash_bits(s) takes one string argument")
         SimhashBits(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_fp(s, bits) takes two arguments")
+        SimhashFp(args.head, intLit(args(1), "simhash_fp bits"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "minhash_sigs(s, groups, shingleLen) takes three arguments")
+        MinhashSigs(args.head, intLit(args(1), "minhash_sigs groups"),
+          intLit(args(2), "minhash_sigs shingleLen"))
+      }))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 }

@@ -116,6 +116,48 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("MinhashSigs: equals min of Md5Slices over the shingle multiset") {
+    for (input <- Seq("abcdefghij", "abc", "", "héllo wörld again", "x" * 40);
+         n <- Seq(3, 5); groups <- Seq(1, 2)) {
+      val positions = math.max(input.length - (n - 1), 1)
+      val shingles = (1 to positions).map(p =>
+        input.substring(p - 1, math.min(p - 1 + n, input.length)))
+      val expected = shingles
+        .map(sh => Md5Slices.slices(UTF8String.fromString(sh), groups).toLongArray())
+        .reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) })
+      val got = MinhashSigs.sigs(UTF8String.fromString(input), groups, n)
+        .toLongArray()
+      assert(got.toSeq === expected.toSeq, s"input=$input n=$n groups=$groups")
+    }
+  }
+
+  test("SimhashFp: equals per-token mask vote aggregation, eval/codegen/SQL") {
+    import spark.implicits._
+    def oracle(s: String, bits: Int): Long = {
+      val toks = s.split(" ", -1)
+      val votes = (1 to bits).map { i =>
+        toks.count(t => ((simhashMaskOracle(t) >> (48 - i)) & 1L) != 0L) * 2 - toks.length
+      }
+      votes.zipWithIndex.foldLeft(0L) { case (f, (v, idx)) =>
+        if (v >= 0) f | (1L << (bits - idx - 1)) else f
+      }
+    }
+    for (s <- Seq("one two three two", "", "solo", "a b a b a"); bits <- Seq(32, 48)) {
+      assert(SimhashFp.fp(UTF8String.fromString(s), bits) === oracle(s, bits), s"s=$s bits=$bits")
+    }
+    val viaDf = Seq("one two three two").toDF("s")
+      .select(shim.column(SimhashFp(shim.expression(col("s")), 48)).as("f"))
+      .head().getLong(0)
+    assert(viaDf === oracle("one two three two", 48))
+    val viaSql = spark.sql("SELECT simhash_fp('one two three two', 48) AS f")
+      .head().getLong(0)
+    assert(viaSql === oracle("one two three two", 48))
+    val sigSql = spark.sql("SELECT minhash_sigs('abcdefghij', 2, 5) AS s")
+      .head().getSeq[Long](0)
+    assert(sigSql === MinhashSigs.sigs(UTF8String.fromString("abcdefghij"), 2, 5)
+      .toLongArray().toSeq)
+  }
+
   test("SimhashBits: matches the hex-nibble oracle formula, eval and codegen") {
     import spark.implicits._
     val inputs = Seq("token", "", "héllo", "x" * 64)
