@@ -168,6 +168,44 @@ object Similarity {
       assigned)
   }
 
+  /** IVF with multi-probe search (`nprobe > 1`): corpus vectors live in
+    * their single nearest cell, but each QUERY probes its `nprobe` nearest
+    * centroids and ranks over the union of those cells' members — the
+    * standard IVF recall lever. Cost grows as nprobe × mean-cell-size per
+    * query (still an equi-join on cell, never O(n²)); recall approaches
+    * exact as nprobe → nCells. Deterministic: probe order ties break
+    * toward the smaller centroid id, ranking ties toward the smaller
+    * neighbor id.
+    */
+  def ivfTopKProbed(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells, "nprobe must be in 1..nCells")
+    val centroids = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+    val aw = Window.partitionBy(col("_id"))
+      .orderBy(col("_s").desc, col("_cid").asc)
+    // one scored+ranked pass serves both roles: rn == 1 is the corpus
+    // assignment, rn <= nprobe is the query-side probe list
+    val ranked = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+      .join(broadcast(centroids))
+      .select(col("_id"), col("_v"), col("_n"), col("_cid"),
+        (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
+      .withColumn("_rn", row_number().over(aw))
+      .filter(col("_rn") <= nprobe)
+      .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"), col("_rn"))
+      .persist()
+    val probes = ranked.select(col("_id").as("query_id"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_cell"))
+    val corpus = ranked.filter(col("_rn") === 1)
+      .select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+        col("_n").as("_nb"), col("_cell").as("_cell2"))
+    graft.util.Caching.materializeAndRelease(
+      rankTopK(probes.join(corpus,
+        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
+      ranked)
+  }
+
   /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
     * recompute each cell's centroid as the element-wise mean of its members
     * and re-assign before ranking.

@@ -89,8 +89,12 @@ object FullLoad {
     PlaceParser.parsePlaces(spark.read.parquet(wh.ods), states, insertionTs)
       .write.mode("overwrite").parquet(wh.tOds)
 
-    // stage 4 — star schema truncate-reload
-    val tOds = spark.read.parquet(wh.tOds)
+    // stage 4 — star schema truncate-reload. The ODS scan and the six
+    // (tiny) dimensions are cached for the stage: every dimension is
+    // consumed twice — once by its own write, once as a broadcast input to
+    // the fact join — and without the cache each consumption re-runs the
+    // scan + distinct + number subtree.
+    val tOds = spark.read.parquet(wh.tOds).persist()
     val dims = FactBuilder.buildDims(tOds)
     val byName = Map(
       "T_DIM_Network" -> dims.network,
@@ -99,11 +103,16 @@ object FullLoad {
       "T_DIM_magCategory" -> dims.magCategory,
       "T_DIM_depthCategory" -> dims.depthCategory,
       "T_DIM_date" -> dims.date)
-    byName.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(wh.dim(name))
+    try {
+      byName.foreach { case (name, df) =>
+        df.persist().write.mode("overwrite").parquet(wh.dim(name))
+      }
+      FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
+        .write.mode("overwrite").parquet(wh.fact)
+    } finally {
+      byName.values.foreach(_.unpersist(blocking = false))
+      tOds.unpersist(blocking = false)
     }
-    FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
-      .write.mode("overwrite").parquet(wh.fact)
 
     // stage 5 — archive processed raw files
     Archive.archiveMatching(spark, rawPattern, wh.archive)

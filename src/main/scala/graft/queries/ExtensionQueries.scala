@@ -74,6 +74,12 @@ object ExtensionQueries {
         k = 5, nCells = 16).orderBy("query_id", "rank")
     }),
 
+    // IVF multi-probe: corpus in nearest cell, queries probe top-2 cells
+    "x28_ann_ivf_nprobe" -> ((s, dir) => {
+      Similarity.ivfTopKProbed(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCells = 16, nprobe = 2).orderBy("query_id", "rank")
+    }),
+
     // IVF + one Lloyd step: decimal-exact centroid means, re-assign, rank
     "x20_ann_ivf_kmeans" -> ((s, dir) => {
       Similarity.ivfTopKRefined(Tables(s, dir, "embeddings"), "vec_id", "embedding",
@@ -374,6 +380,30 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB mirror of ivfTopKProbed: one ranked centroid-score pass, corpus
+    * at rn = 1, query probe list at rn ≤ 2, rank within probed cells.
+    */
+  private def annIvfProbedSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |              FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |           FROM embeddings e CROSS JOIN cent c),
+       |rk AS (SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |       FROM scored),
+       |corpus AS (SELECT vec_id, embedding, cid AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT vec_id, embedding, cid AS cell FROM rk WHERE rn <= 2),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |      FROM probes a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def annIvfKmeansSql: String =
     s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
        |               FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -451,6 +481,7 @@ object ExtensionQueries {
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,
     "x16_ann_ivf" -> annIvfSql,
+    "x28_ann_ivf_nprobe" -> annIvfProbedSql,
     "x20_ann_ivf_kmeans" -> annIvfKmeansSql,
     "x17_embed_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -115,6 +115,35 @@ object DeltaStream {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming gap-based sessionization via Spark's native
+    * `session_window`: one row per closed session once the watermark passes
+    * its gap horizon — the streaming counterpart of
+    * [[graft.analytics.EventOps.sessionize]]. State is merged per
+    * (entity, overlapping-window), bounded by the watermark; no custom
+    * `flatMapGroupsWithState` needed because the built-in operator already
+    * expresses the semantics (custom-operator ladder step (a)).
+    *
+    * Boundary note: `session_window` merges two events when the gap is
+    * strictly smaller than `gapSeconds` (an event at exactly `t + gap`
+    * starts a new session), while the batch operator keeps `== gap` in the
+    * same session; and `session_end` here is `last event + gap` (window
+    * end), not the last event time. Both are the native operator's
+    * documented semantics, kept as-is rather than papered over.
+    */
+  def streamingSessionize(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, gapSeconds: Long,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(entityCol),
+        session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Exact.dsum(col(valueCol)).as("total_value"))
+      .select(col(entityCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   case class NetState(n_events: Long, max_mag: Double)
   case class NetUpdate(net: String, n_events: Long, max_mag: Double)
 

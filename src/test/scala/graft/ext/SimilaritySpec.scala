@@ -103,6 +103,21 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("ivfTopKProbed: nprobe = nCells recovers the exact result; nprobe=1 equals ivfTopK") {
+    // with every cell probed, the candidate set per query is the whole
+    // corpus → identical to brute force
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val probedAll = Similarity.ivfTopKProbed(vecs, "vec_id", "embedding",
+      k = 3, nCells = 2, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(probedAll === exact)
+    val one = Similarity.ivfTopKProbed(vecs, "vec_id", "embedding",
+      k = 3, nCells = 2, nprobe = 1).collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      k = 3, nCells = 2).collect().map(_.toSeq).toSet
+    assert(one === ivf)
+  }
+
   test("ivfTopK: co-located parallel vectors rank exactly within their cell") {
     val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

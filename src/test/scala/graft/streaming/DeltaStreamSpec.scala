@@ -98,6 +98,39 @@ class DeltaStreamSpec extends SparkSpec {
     assert((ids - 3L).size === 1 && (ids - 3L).subsetOf(Set(1L, 2L, 4L)))
   }
 
+  test("streamingSessionize: sessions close past the watermark with gap-window semantics") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = DeltaStream.streamingSessionize(
+      in.toDF().toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      gapSeconds = 600, watermark = "1 minute")
+    val q = stream.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    in.addData(
+      (7L, ts("2026-08-12 10:00:00"), 1.5),
+      (7L, ts("2026-08-12 10:05:00"), 2.5),  // within 10-min gap → same session
+      (8L, ts("2026-08-12 10:00:00"), 4.0))
+    q.processAllAvailable()
+    // 11:00 advances the watermark to 10:59 — past both sessions' gap
+    // horizons (10:15 / 10:10), so they finalize and emit
+    in.addData((7L, ts("2026-08-12 11:00:00"), 0.5))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    q.stop()
+    val s7 = rows((7L, ts("2026-08-12 10:00:00")))
+    assert(s7._2 === 2L && s7._3 === 4.0)              // merged session, exact sum
+    assert(s7._1 === ts("2026-08-12 10:15:00"))        // end = last event + gap
+    val s8 = rows((8L, ts("2026-08-12 10:00:00")))
+    assert(s8._2 === 1L && s8._1 === ts("2026-08-12 10:10:00"))
+    // the 11:00 event's session is still open (watermark hasn't passed it)
+    assert(!rows.contains((7L, ts("2026-08-12 11:00:00"))))
+  }
+
   test("networkStats: keyed state accumulates across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
