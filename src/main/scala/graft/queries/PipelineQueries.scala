@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.analytics.Measures
 import graft.dw.DimBuilder
-import graft.pipeline.{FullLoad, Warehouse}
+import graft.pipeline.{DeltaLoad, FullLoad, Warehouse}
 import graft.util.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -99,17 +99,48 @@ object PipelineQueries {
       val wh = Warehouse(s"$root/wh")
       FullLoad.run(s, s"$landing/part-*", states, wh,
         "e2e_job", Timestamp.valueOf("2025-06-01 12:00:00"))
-      s.read.parquet(wh.fact).select(
-        col("ID_Network_ID"), col("ID_RegionCountry_ID"), col("ID_type_ID"),
-        col("ID_date_ID"), col("ID_depthCategory_ID"), col("ID_magCategory_ID"),
-        col("VL_n_mag"), col("VL_n_depth"), col("LB_place"), col("DT_time"),
-        col("VL_latitude"), col("VL_longitude"), col("ID_nst"), col("ID_gap"),
-        col("VL_dmin"), col("VL_horizontalError"), col("ID_magNst"))
-        .orderBy("DT_time")
+      factProjection(s.read.parquet(wh.fact))
   }
 
+  /** The delta chain end to end (`load_controller_DAG.py:188`): full load
+    * over the `e % 3 ≠ 0` events, then [[graft.pipeline.DeltaLoad]] over
+    * the rest — staging truncate, key-deduped ODS/T_ODS appends,
+    * max-id-continued dimension extension, fact MERGE. The full-load
+    * archive stage has already moved the first landing file, so the glob
+    * resolves to the delta file alone, exactly the per-run cadence the
+    * reference's DAG drives. The oracle reproduces the two-phase dimension
+    * numbering (phase-1 ids, then new values from max+1).
+    */
+  private val e2eDeltaQuery: Q = (s, dir) => {
+    import s.implicits._
+    val root = s"target/e2e_delta/${new java.io.File(dir).getName}"
+    val landing = s"$root/landing"
+    val ev = Tables(s, dir, "events")
+    val states = Seq(("California", "CA"), ("Alaska", "AK"))
+      .toDF("State", "Abbreviation")
+    val wh = Warehouse(s"$root/wh")
+    synthRawLines(ev.filter(col("event_id") % 3 =!= 0))
+      .coalesce(1).write.mode("overwrite").text(landing)
+    FullLoad.run(s, s"$landing/part-*", states, wh, "e2e_full",
+      Timestamp.valueOf("2025-06-01 12:00:00"))
+    synthRawLines(ev.filter(col("event_id") % 3 === 0))
+      .coalesce(1).write.mode("overwrite").text(landing)
+    DeltaLoad.run(s, s"$landing/part-*", states, wh, "e2e_delta",
+      Timestamp.valueOf("2025-06-02 12:00:00"))
+    factProjection(s.read.parquet(wh.fact))
+  }
+
+  private def factProjection(fact: DataFrame): DataFrame =
+    fact.select(
+      col("ID_Network_ID"), col("ID_RegionCountry_ID"), col("ID_type_ID"),
+      col("ID_date_ID"), col("ID_depthCategory_ID"), col("ID_magCategory_ID"),
+      col("VL_n_mag"), col("VL_n_depth"), col("LB_place"), col("DT_time"),
+      col("VL_latitude"), col("VL_longitude"), col("ID_nst"), col("ID_gap"),
+      col("VL_dmin"), col("VL_horizontalError"), col("ID_magNst"))
+      .orderBy("DT_time")
+
   val all: Map[String, Q] =
-    daxQueries + ("e2e_full_load" -> e2eQuery)
+    daxQueries + ("e2e_full_load" -> e2eQuery) + ("e2e_delta_load" -> e2eDeltaQuery)
 
   /** Q5–Q11 as individually named measures: a mini star (type dim from the
     * mapped activity type, facts joined broadcast) feeding
@@ -143,12 +174,14 @@ object PipelineQueries {
            |FROM events WHERE $daxTypeSql = '$t' GROUP BY 1""".stripMargin
     }.toMap
 
-  /** DuckDB mirror of the full chain: synthesize the same field values
-    * (post '' / '0' normalization, folded in since the generators are
-    * known), apply the DQ gate, the ODS casts/derivations, the place
-    * parser, dimension numbering, and the fact joins.
+  /** Shared DuckDB mirror of the transform chain RAW → enriched ODS:
+    * synthesize the same field values (post '' / '0' normalization, folded
+    * in since the generators are known), apply the DQ gate, the ODS
+    * casts/derivations and the place parser. `phase` tags each row with
+    * its landing file (1 = full load: e % 3 ≠ 0 … everything for the
+    * single-file chain, 2 = delta file) for the two-phase dim numbering.
     */
-  private def e2eSql: String = {
+  private def chainCtes: String = {
     val states = "(VALUES ('California','CA'), ('Alaska','AK')) s(State, Abbreviation)"
     s"""WITH src AS (
        |  SELECT event_id AS e, coalesce(user_id, 7) AS u,
@@ -156,6 +189,7 @@ object PipelineQueries {
        |  FROM events),
        |synth AS (
        |  SELECT e, u, et,
+       |    CASE WHEN e % 3 = 0 THEN 2 ELSE 1 END AS phase,
        |    CASE WHEN u % 171 = 85 THEN NULL ELSE u % 171 - 85 END AS lat_v,
        |    CASE WHEN u % 351 = 175 THEN NULL ELSE u % 351 - 175 END AS lon_v,
        |    CASE WHEN e % 700 = 0 THEN NULL ELSE e % 700 END AS depth_i,
@@ -221,18 +255,47 @@ object PipelineQueries {
        |    CASE WHEN place_v IS NULL OR place_v = '' OR NOT contains(place_v, ',') THEN NULL
        |         WHEN state_name IS NOT NULL THEN 'USA'
        |         ELSE trim(regexp_extract(place_v, ',([^,]*)$$', 1)) END AS country
-       |  FROM pj),
-       |dim_net AS (SELECT row_number() OVER (ORDER BY v NULLS FIRST) AS id, v
-       |            FROM (SELECT DISTINCT net_v AS v FROM enr)),
-       |dim_rc AS (SELECT row_number() OVER (ORDER BY r NULLS FIRST, c NULLS FIRST) AS id, r, c
-       |           FROM (SELECT DISTINCT region AS r, country AS c FROM enr)),
-       |dim_type AS (SELECT row_number() OVER (ORDER BY v NULLS FIRST) AS id, v
-       |             FROM (SELECT DISTINCT typ AS v FROM enr)),
-       |dim_mag AS (SELECT row_number() OVER (ORDER BY v NULLS FIRST) AS id, v
-       |            FROM (SELECT DISTINCT magcat AS v FROM enr)),
-       |dim_depth AS (SELECT row_number() OVER (ORDER BY v NULLS FIRST) AS id, v
-       |              FROM (SELECT DISTINCT depthcat AS v FROM enr))
-       |SELECT dn.id AS ID_Network_ID, drc.id AS ID_RegionCountry_ID,
+       |  FROM pj)""".stripMargin
+  }
+
+  /** The five value dimensions as (select-list, output columns, CTE name). */
+  private val DimSpecs = Seq(
+    ("dim_net", "net_v AS v", Seq("v"), "x.net_v IS NOT DISTINCT FROM dn.v", "dn"),
+    ("dim_rc", "region AS r, country AS c", Seq("r", "c"),
+      "x.region IS NOT DISTINCT FROM drc.r AND x.country IS NOT DISTINCT FROM drc.c", "drc"),
+    ("dim_type", "typ AS v", Seq("v"), "x.typ IS NOT DISTINCT FROM dty.v", "dty"),
+    ("dim_mag", "magcat AS v", Seq("v"), "x.magcat IS NOT DISTINCT FROM dm.v", "dm"),
+    ("dim_depth", "depthcat AS v", Seq("v"), "x.depthcat IS NOT DISTINCT FROM dd.v", "dd"))
+
+  /** Truncate-reload numbering: distinct values over the whole corpus. */
+  private def singlePhaseDims: String = DimSpecs.map { case (nm, sel, cols, _, _) =>
+    val order = cols.map(c => s"$c NULLS FIRST").mkString(", ")
+    s"""$nm AS (SELECT row_number() OVER (ORDER BY $order) AS id, ${cols.mkString(", ")}
+       |  FROM (SELECT DISTINCT $sel FROM enr))""".stripMargin
+  }.mkString(",\n")
+
+  /** Delta numbering (`DimBuilder.extend` semantics): phase-1 values get
+    * full-load ids; values NEW in phase 2 continue from max(id) + 1 in
+    * their own sort order, null-safe against re-inserting NULL rows.
+    */
+  private def twoPhaseDims: String = DimSpecs.map { case (nm, sel, cols, _, _) =>
+    val order = cols.map(c => s"$c NULLS FIRST").mkString(", ")
+    val colList = cols.mkString(", ")
+    val notExists = cols.map(c => s"d.$c IS NOT DISTINCT FROM x.$c").mkString(" AND ")
+    s"""${nm}1 AS (SELECT row_number() OVER (ORDER BY $order) AS id, $colList
+       |  FROM (SELECT DISTINCT $sel FROM enr WHERE phase = 1)),
+       |${nm}2 AS (SELECT (SELECT coalesce(max(id), 0) FROM ${nm}1)
+       |             + row_number() OVER (ORDER BY $order) AS id, $colList
+       |  FROM (SELECT DISTINCT $sel FROM enr WHERE phase = 2) x
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${nm}1 d WHERE $notExists)),
+       |$nm AS (SELECT * FROM ${nm}1 UNION ALL SELECT * FROM ${nm}2)""".stripMargin
+  }.mkString(",\n")
+
+  private def factSelect: String = {
+    val joins = DimSpecs.map { case (nm, _, _, cond, alias) =>
+      s"JOIN $nm $alias ON $cond"
+    }.mkString("\n")
+    s"""SELECT dn.id AS ID_Network_ID, drc.id AS ID_RegionCountry_ID,
        |  dty.id AS ID_type_ID, x.date_id AS ID_date_ID,
        |  dd.id AS ID_depthCategory_ID, dm.id AS ID_magCategory_ID,
        |  x.vl_n_mag AS VL_n_mag, x.vl_n_depth AS VL_n_depth,
@@ -242,15 +305,16 @@ object PipelineQueries {
        |  x.dmin_v AS VL_dmin, x.herr_v AS VL_horizontalError,
        |  CAST(x.magnst_v AS INT) AS ID_magNst
        |FROM enr x
-       |JOIN dim_net dn ON x.net_v IS NOT DISTINCT FROM dn.v
-       |JOIN dim_rc drc ON x.region IS NOT DISTINCT FROM drc.r
-       |              AND x.country IS NOT DISTINCT FROM drc.c
-       |JOIN dim_type dty ON x.typ IS NOT DISTINCT FROM dty.v
-       |JOIN dim_mag dm ON x.magcat IS NOT DISTINCT FROM dm.v
-       |JOIN dim_depth dd ON x.depthcat IS NOT DISTINCT FROM dd.v
+       |$joins
        |ORDER BY DT_time""".stripMargin
   }
 
+  private def e2eSql: String =
+    s"$chainCtes,\n$singlePhaseDims\n$factSelect"
+
+  private def e2eDeltaSql: String =
+    s"$chainCtes,\n$twoPhaseDims\n$factSelect"
+
   val oracle: Map[String, String] =
-    daxOracle + ("e2e_full_load" -> e2eSql)
+    daxOracle + ("e2e_full_load" -> e2eSql) + ("e2e_delta_load" -> e2eDeltaSql)
 }
