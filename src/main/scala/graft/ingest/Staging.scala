@@ -139,7 +139,12 @@ object Staging {
     import org.apache.spark.sql.Observation
     val file = latestFile(spark, rawPattern)
     val fileName = file.split('/').last
-    val parsed = normalizeNulls(readRawCsv(spark, file)).persist()
+    // a landing CSV is one file → one input partition; without the spread
+    // the parse, DQ split and staging write all run on a single core (and
+    // the staging parquet comes out single-file, serializing every
+    // downstream layer too)
+    val parsed = graft.util.Par.spread(
+      normalizeNulls(readRawCsv(spark, file))).persist()
     try {
       val split = dqSplit(parsed)
       val obsW = Observation()

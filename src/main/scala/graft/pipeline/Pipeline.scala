@@ -142,9 +142,10 @@ object DeltaLoad {
     Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
 
-    // stage 2 — ODS append, deduped on the stable key (J3)
+    // stage 2 — ODS append, deduped on the stable key (J3). The fresh ODS
+    // frame is cached: it feeds this append AND stage 3's place parse.
     val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
-      .dropDuplicates("ID_Event")
+      .dropDuplicates("ID_Event").persist()
     OdsTransform.dedupeAgainstExisting(freshOds,
         spark.read.parquet(wh.ods).select("ID_Event"))
       .write.mode("append").parquet(wh.ods)
@@ -154,9 +155,11 @@ object DeltaLoad {
     OdsTransform.dedupeAgainstExisting(freshParsed,
         spark.read.parquet(wh.tOds).select("ID_Event"))
       .write.mode("append").parquet(wh.tOds)
+    freshOds.unpersist(blocking = false)
 
-    // stage 4 — incremental dims (max-key continuation) + fact MERGE
-    val tOds = spark.read.parquet(wh.tOds)
+    // stage 4 — incremental dims (max-key continuation) + fact MERGE. The
+    // T_ODS scan is cached: six dim builds plus the staged fact read it.
+    val tOds = spark.read.parquet(wh.tOds).persist()
     val dims = FactBuilder.buildDims(tOds) // value columns only matter below
     val full = wh.dimNames.map { name =>
       val existing = spark.read.parquet(wh.dim(name))
@@ -183,7 +186,8 @@ object DeltaLoad {
         full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
         full("T_DIM_depthCategory"), full("T_DIM_date")),
       jobId, insertionTs)
-    Merge.mergeInto(spark, wh.fact, staged)
+    try Merge.mergeInto(spark, wh.fact, staged)
+    finally tOds.unpersist(blocking = false)
 
     // stage 5 — archive
     Archive.archiveMatching(spark, rawPattern, wh.archive)
