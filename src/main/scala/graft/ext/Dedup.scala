@@ -215,6 +215,54 @@ object Dedup {
       fp)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair list (doc_a < doc_b), labeling every member with the smallest id
+    * in its component — the canonical survivor a dedup pass would keep.
+    * Returns (canonical_id, member_id), members only (singletons are their
+    * own canonicals and never appear in pairs).
+    *
+    * Min-label propagation: each pass joins labels across edges and takes
+    * the elementwise min — O(component diameter) passes, each one shuffle
+    * on the id. Near-dup components are short transitive chains, so the
+    * loop converges in a handful of iterations; convergence is detected by
+    * the (strictly decreasing) exact label sum, one scalar read per pass.
+    * Nothing is ever collected beyond that scalar, so the operator holds
+    * at any corpus size — this is the iterative-join connected-components
+    * shape, not a driver-side union-find.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // Each round is materialized with localCheckpoint to TRUNCATE LINEAGE:
+    // round N's plan references round N−1 twice (union + join), so without
+    // truncation the logical plan doubles per round and the analyzer — not
+    // the data — becomes the bottleneck (observed as a driver OOM). This
+    // is the standard iterative-join practice (GraphX's Pregel checkpoints
+    // the same way); tradeoff: on executor loss the operator re-runs
+    // instead of recomputing from lineage.
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = labelSum(labels)
+    var iters = 0
+    var converged = prev == null // no pairs → no members, nothing to iterate
+    while (!converged && iters < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "_d"), col("d") === col("_d"))
+        .select(col("s").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val cur = labelSum(next)
+      labels = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      iters += 1
+    }
+    labels.select(col("label").as("canonical_id"), col("id").as("member_id"))
+  }
+
   /** Word n-gram array over an already-materialized token-array column
     * (short docs yield one partial n-gram — concat_ws skips the missing
     * tail). `toks` must be a plain attribute — see the class doc.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.util.Tables
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,28 @@ object ExtensionQueries {
     "x21_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables(s, dir, "documents"), "text", "doc_id",
         bits = 48, bands = 4, maxHam = 3).orderBy("doc_a", "doc_b")
+    }),
+
+    // duplicate-cluster resolution: connected components over the x21
+    // SimHash pair set via iterative min-label propagation; one canonical
+    // (smallest) id per component
+    "x29_dedup_clusters" -> ((s, dir) => {
+      Dedup.dupClusters(Dedup.simhashNearDups(Tables(s, dir, "documents"),
+        "text", "doc_id", bits = 48, bands = 4, maxHam = 3))
+        .orderBy("canonical_id", "member_id")
+    }),
+
+    // deterministic stratified sample: ≤50 docs per language by stable
+    // md5-of-id order
+    "x30_stratified_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(Tables(s, dir, "documents"), "lang", "doc_id", 50)
+        .orderBy("doc_id")
+    }),
+
+    // exact top-10 terms per language (vocabulary inspection pass)
+    "x31_topk_terms" -> ((s, dir) => {
+      Corpus.topTermsPerStratum(Tables(s, dir, "documents"), "lang", "text", 10)
+        .orderBy("lang", "rank")
     }),
 
     // word-3-gram Jaccard near-dups ≥ 0.6 (integer-exact threshold)
@@ -278,19 +300,42 @@ object ExtensionQueries {
     s"""WITH $simhashCore
        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
 
+  /** Banding + candidate CTEs over `fp` — shared by x21 and x29. */
+  private def simhashBandCtes: String =
+    """banded AS (SELECT doc_id, b AS band, (simhash >> (b * 12)) & 4095 AS bv
+      |           FROM fp, unnest([0, 1, 2, 3]) AS u(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM banded a JOIN banded b
+      |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+
   private def simhashNearDupSql: String =
     s"""WITH $simhashCore,
-       |banded AS (SELECT doc_id, b AS band, (simhash >> (b * 12)) & 4095 AS bv
-       |           FROM fp, unnest([0, 1, 2, 3]) AS u(b)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM banded a JOIN banded b
-       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |$simhashBandCtes
        |SELECT c.doc_a, c.doc_b,
        |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
        |FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
        |            JOIN fp fb ON fb.doc_id = c.doc_b
        |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** x29: recursive-CTE transitive closure over the x21 pair set — each
+    * member reaches every node in its component; min reached id is the
+    * canonical survivor.
+    */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $simhashCore,
+       |$simhashBandCtes,
+       |p AS (SELECT c.doc_a, c.doc_b
+       |      FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+       |                  JOIN fp fb ON fb.doc_id = c.doc_b
+       |      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT s AS id, s AS r FROM e
+       |          UNION
+       |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d)
+       |SELECT min(r) AS canonical_id, id AS member_id
+       |FROM reach GROUP BY id ORDER BY canonical_id, member_id""".stripMargin
 
   private def ngramJaccardSql: String =
     s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
@@ -477,6 +522,22 @@ object ExtensionQueries {
     "x3_minhash_lsh_neardup" -> minhashLshSql,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
+    "x29_dedup_clusters" -> dedupClustersSql,
+    "x30_stratified_sample" ->
+      """SELECT * EXCLUDE (_rn) FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rn
+        |  FROM documents)
+        |WHERE _rn <= 50 ORDER BY doc_id""".stripMargin,
+    "x31_topk_terms" ->
+      s"""WITH t AS (SELECT lang, unnest(string_split(${normSql("text")}, ' ')) AS term
+         |           FROM documents),
+         |c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2),
+         |r AS (SELECT lang, term, n,
+         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rank
+         |      FROM c)
+         |SELECT lang, term, n, rank FROM r WHERE rank <= 10
+         |ORDER BY lang, rank""".stripMargin,
     "x5_ngram_jaccard" -> ngramJaccardSql,
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,

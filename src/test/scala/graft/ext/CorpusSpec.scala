@@ -1,0 +1,45 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus operators: deterministic stratified caps and exact vocabulary
+  * ranks on hand-checked fixtures.
+  */
+class CorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stratifiedSample: at most k per stratum, deterministic, md5-ordered") {
+    val docs = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSample(docs, "lang", "doc_id", 3)
+    val byLang = out.collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byLang("en").size === 3 && byLang("fr").size === 3)
+    // reproducible: same input → same sample
+    val again = Corpus.stratifiedSample(docs, "lang", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // matches the independent md5-order reimplementation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val expectEn = (1L to 20L).filter(_ % 2 == 0).sortBy(i => (key(i), i)).take(3).toSet
+    assert(byLang("en") === expectEn)
+  }
+
+  test("topTermsPerStratum: exact counts, rank by count desc then term asc") {
+    val docs = Seq(
+      (1L, "en", "apple banana apple"),
+      (2L, "en", "banana cherry  Apple"),  // normalize lowercases + squeezes
+      (3L, "fr", "chat chien")
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.topTermsPerStratum(docs, "lang", "text", 2)
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("en", "apple", 3L, 1), ("en", "banana", 2L, 2),
+      ("fr", "chat", 1L, 1), ("fr", "chien", 1L, 2)))
+  }
+}

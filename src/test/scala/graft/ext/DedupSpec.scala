@@ -92,4 +92,16 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(1L), fp(4L)) < ham(fp(1L), fp(3L)))
   }
+
+  test("dupClusters: transitive chains collapse to min-id canonical, " +
+    "components stay separate, empty input → empty output") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .count() === 0L)
+  }
 }
