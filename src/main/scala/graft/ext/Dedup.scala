@@ -75,7 +75,9 @@ object Dedup {
     val sig = shim.column(MinhashSigs(
       shim.expression(TextAnalysis.normalize(col(textCol))), k / 4, shingleLen))
     val mins = (0 until k).map(j => element_at(col("_sig"), j + 1).as(s"m$j"))
-    Par.spread(docs)
+    // NULL text drops the document, matching the exploded formulation
+    // (explode of a NULL shingle array emits no rows) and the oracle
+    Par.spread(docs).filter(col(textCol).isNotNull)
       .withColumn("_sig", sig)
       .select(col(idCol) +: mins: _*)
   }
@@ -177,7 +179,8 @@ object Dedup {
     // digest votes ([[graft.functions.SimhashBits]] masks), vote summing
     // and sign packing all happen in one codegen'd pass per document —
     // no token explode, no 48-column aggregate, no shuffle. Map-only.
-    Par.spread(docs).select(col(idCol),
+    // NULL text drops the document (exploded-formulation + oracle parity).
+    Par.spread(docs).filter(col(textCol).isNotNull).select(col(idCol),
       shim.column(SimhashFp(
         shim.expression(TextAnalysis.normalize(col(textCol))), bits)).as("simhash"))
   }
@@ -260,6 +263,12 @@ object Dedup {
       prev = cur
       iters += 1
     }
+    // a silent early exit would split components across two canonicals
+    // with no signal — fail loudly instead (raise maxIters for graphs
+    // with diameter > 30, which near-dup chains never reach in practice)
+    require(converged,
+      s"dupClusters did not converge within $maxIters iterations — " +
+        "component diameter exceeds maxIters")
     labels.select(col("label").as("canonical_id"), col("id").as("member_id"))
   }
 

@@ -141,32 +141,8 @@ object Similarity {
     * assignment ties break toward the smaller centroid id.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int): DataFrame = {
-    val centroids = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
-    val aw = Window.partitionBy(col("_id"))
-      .orderBy(col("_s").desc, col("_cid").asc)
-    // persisted: both sides of the pair self-join read the assignment, and
-    // without the cache the whole assign subtree (broadcast compare +
-    // window + two exchanges) executes twice
-    val assigned = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
-      .join(broadcast(centroids))
-      .select(col("_id"), col("_v"), col("_n"), col("_cid"),
-        (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
-      .withColumn("_rn", row_number().over(aw))
-      .filter(col("_rn") === 1)
-      .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"))
-      .persist()
-    val a = assigned.select(col("_id").as("query_id"), col("_v").as("_va"),
-      col("_n").as("_na"), col("_cell"))
-    val b = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
-      col("_n").as("_nb"), col("_cell").as("_cell2"))
-    graft.util.Caching.materializeAndRelease(
-      rankTopK(a.join(b,
-        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
-      assigned)
-  }
+      nCells: Int): DataFrame =
+    ivfTopKProbed(emb, idCol, vecCol, k, nCells, nprobe = 1)
 
   /** IVF with multi-probe search (`nprobe > 1`): corpus vectors live in
     * their single nearest cell, but each QUERY probes its `nprobe` nearest

@@ -58,20 +58,28 @@ object MinhashSigs {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  // the "<g>|" digest-key prefixes depend only on `groups`, which is fixed
+  // per expression — cached so the per-document hot path allocates nothing
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def prefixes(groups: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(groups, g =>
+      Array.tabulate(g)(i => (i.toString + "|").getBytes(StandardCharsets.UTF_8)))
+
   /** Running minima of the [[Md5Slices]] hash family over all shingles. */
   def sigs(s: UTF8String, groups: Int, shingleLen: Int): UnsafeArrayData = {
     val positions = math.max(s.numChars() - (shingleLen - 1), 1)
     val out = Array.fill(groups * 4)(Long.MaxValue)
     val md = digests.get()
-    val prefixes = Array.tabulate(groups)(g =>
-      (g.toString + "|").getBytes(StandardCharsets.UTF_8))
+    val pfx = prefixes(groups)
     var p = 1
     while (p <= positions) {
       val bytes = s.substringSQL(p, shingleLen).getBytes
       var g = 0
       while (g < groups) {
         md.reset()
-        md.update(prefixes(g))
+        md.update(pfx(g))
         md.update(bytes)
         val d = md.digest()
         var i = 0

@@ -57,12 +57,21 @@ object SimhashBits {
     */
   def mask(s: UTF8String): Long = {
     val bytes = s.getBytes
+    mask(bytes, 0, bytes.length)
+  }
+
+  /** Same mask over a UTF-8 byte slice — lets callers that already hold
+    * the document bytes (e.g. [[SimhashFp]]'s in-place tokenizer) hash
+    * tokens without materializing per-token strings.
+    */
+  def mask(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d0 = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d0 = md.digest()
     md.reset()
     md.update(prefix)
-    md.update(bytes)
+    md.update(bytes, off, len)
     val d1 = md.digest()
     var m = 0L
     var i = 0

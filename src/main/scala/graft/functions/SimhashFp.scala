@@ -49,21 +49,31 @@ case class SimhashFp(child: Expression, bits: Int) extends UnaryExpression {
 
 object SimhashFp {
 
-  /** Fingerprint of an already-canonicalized text. */
+  /** Fingerprint of an already-canonicalized text. Tokenizes in place on
+    * the UTF-8 bytes: 0x20 never occurs inside a multi-byte UTF-8
+    * sequence, so splitting the raw bytes on the space byte is exactly
+    * `split(" ", -1)` (including the single empty token of an empty
+    * string) without materializing any per-token String.
+    */
   def fp(s: UTF8String, bits: Int): Long = {
-    val toks = s.toString.split(" ", -1)
+    val bytes = s.getBytes
     val counts = new Array[Int](bits)
-    var t = 0
-    while (t < toks.length) {
-      val m = SimhashBits.mask(UTF8String.fromString(toks(t)))
-      var i = 1
-      while (i <= bits) {
-        if (((m >> (48 - i)) & 1L) != 0L) counts(i - 1) += 1
-        i += 1
+    var n = 0
+    var start = 0
+    var p = 0
+    while (p <= bytes.length) {
+      if (p == bytes.length || bytes(p) == ' '.toByte) {
+        val m = SimhashBits.mask(bytes, start, p - start)
+        n += 1
+        var i = 1
+        while (i <= bits) {
+          if (((m >> (48 - i)) & 1L) != 0L) counts(i - 1) += 1
+          i += 1
+        }
+        start = p + 1
       }
-      t += 1
+      p += 1
     }
-    val n = toks.length
     var f = 0L
     var i = 1
     while (i <= bits) {

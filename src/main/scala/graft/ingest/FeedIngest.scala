@@ -36,6 +36,9 @@ object FeedIngest {
     if (now.getDayOfMonth == 1) {
       val lastMonth = now.toLocalDate.withDayOfMonth(1).minusDays(1)
       val start = lastMonth.withDayOfMonth(1) // ISO yyyy-MM-dd, as strftime('%Y-%m-%d')
+      // no endtime bound — reference parity (cloud_function.py:24): the
+      // "previous month" query also returns current-day events up to the
+      // request instant; downstream key dedup absorbs the overlap
       Plan(
         s"https://earthquake.usgs.gov/fdsnws/event/1/query?format=csv&starttime=$start",
         f"whole_month_${lastMonth.getMonthValue}%02d.csv")

@@ -146,48 +146,50 @@ object DeltaLoad {
     // frame is cached: it feeds this append AND stage 3's place parse.
     val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
       .dropDuplicates("ID_Event").persist()
-    OdsTransform.dedupeAgainstExisting(freshOds,
-        spark.read.parquet(wh.ods).select("ID_Event"))
-      .write.mode("append").parquet(wh.ods)
+    try {
+      OdsTransform.dedupeAgainstExisting(freshOds,
+          spark.read.parquet(wh.ods).select("ID_Event"))
+        .write.mode("append").parquet(wh.ods)
 
-    // stage 3 — place parse append, deduped (parse_country_ods_delta_load2.py)
-    val freshParsed = PlaceParser.parsePlaces(freshOds, states, insertionTs)
-    OdsTransform.dedupeAgainstExisting(freshParsed,
-        spark.read.parquet(wh.tOds).select("ID_Event"))
-      .write.mode("append").parquet(wh.tOds)
-    freshOds.unpersist(blocking = false)
+      // stage 3 — place parse append, deduped (parse_country_ods_delta_load2.py)
+      val freshParsed = PlaceParser.parsePlaces(freshOds, states, insertionTs)
+      OdsTransform.dedupeAgainstExisting(freshParsed,
+          spark.read.parquet(wh.tOds).select("ID_Event"))
+        .write.mode("append").parquet(wh.tOds)
+    } finally freshOds.unpersist(blocking = false)
 
     // stage 4 — incremental dims (max-key continuation) + fact MERGE. The
     // T_ODS scan is cached: six dim builds plus the staged fact read it.
     val tOds = spark.read.parquet(wh.tOds).persist()
-    val dims = FactBuilder.buildDims(tOds) // value columns only matter below
-    val full = wh.dimNames.map { name =>
-      val existing = spark.read.parquet(wh.dim(name))
-      val src = name match {
-        case "T_DIM_Network" => dims.network
-        case "T_DIM_RegionCountry" => dims.regionCountry
-        case "T_DIM_Seismic_Activity_Type" => dims.seismicType
-        case "T_DIM_magCategory" => dims.magCategory
-        case "T_DIM_depthCategory" => dims.depthCategory
-        case "T_DIM_date" => dims.date
-      }
-      // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
-      // new dates append as-is; surrogate-keyed dims continue from max id
-      val fresh =
-        if (name == "T_DIM_date")
-          DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
-        else DimBuilder.extend(existing, src,
-          dimKeys(name).map(col), dimKeys(name), dimId(name))
-      fresh.write.mode("append").parquet(wh.dim(name))
-      name -> spark.read.parquet(wh.dim(name))
-    }.toMap
-    val staged = FactBuilder.buildFact(tOds,
-      FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
-        full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
-        full("T_DIM_depthCategory"), full("T_DIM_date")),
-      jobId, insertionTs)
-    try Merge.mergeInto(spark, wh.fact, staged)
-    finally tOds.unpersist(blocking = false)
+    try {
+      val dims = FactBuilder.buildDims(tOds) // value columns only matter below
+      val full = wh.dimNames.map { name =>
+        val existing = spark.read.parquet(wh.dim(name))
+        val src = name match {
+          case "T_DIM_Network" => dims.network
+          case "T_DIM_RegionCountry" => dims.regionCountry
+          case "T_DIM_Seismic_Activity_Type" => dims.seismicType
+          case "T_DIM_magCategory" => dims.magCategory
+          case "T_DIM_depthCategory" => dims.depthCategory
+          case "T_DIM_date" => dims.date
+        }
+        // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
+        // new dates append as-is; surrogate-keyed dims continue from max id
+        val fresh =
+          if (name == "T_DIM_date")
+            DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
+          else DimBuilder.extend(existing, src,
+            dimKeys(name).map(col), dimKeys(name), dimId(name))
+        fresh.write.mode("append").parquet(wh.dim(name))
+        name -> spark.read.parquet(wh.dim(name))
+      }.toMap
+      val staged = FactBuilder.buildFact(tOds,
+        FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
+          full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
+          full("T_DIM_depthCategory"), full("T_DIM_date")),
+        jobId, insertionTs)
+      Merge.mergeInto(spark, wh.fact, staged)
+    } finally tOds.unpersist(blocking = false)
 
     // stage 5 — archive
     Archive.archiveMatching(spark, rawPattern, wh.archive)

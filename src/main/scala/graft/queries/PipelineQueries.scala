@@ -43,6 +43,13 @@ object PipelineQueries {
     * depthError > 30, mag < 1) so the reject channel is exercised too.
     */
   private def synthRawLines(ev: DataFrame): DataFrame = {
+    // the time math below is pinned to January 2025 (fixed +02:00 offset,
+    // no ICU in the oracle); past day 21 the synthesized date string would
+    // be invalid ('2025-01-32') and BOTH engines would mis-parse — fail
+    // loudly instead of silently breaking at larger scale factors
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    require(maxId + 7200 < 22L * 86400,
+      s"e2e fixture overflows January 2025: max event_id $maxId (supported < ${22L * 86400 - 7200})")
     val e = col("event_id")
     val u = coalesce(col("user_id"), lit(7L))
     val et = coalesce(col("event_type"), lit("unknown"))
