@@ -1,0 +1,44 @@
+package graft
+
+/** Scale-shape guard over the ENTIRE query surface: no query may plan a
+  * CartesianProduct, and nested-loop joins are allowed only where they are
+  * the documented design (bounded broadcast compares and the explicit
+  * all-pairs exact baselines). Catches an accidental quadratic plan the
+  * moment a refactor introduces one, on every future round.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose physical plan legitimately contains a broadcast
+    * nested-loop join:
+    *  - x6/x8: documented exact all-pairs baselines (the scale paths are
+    *    x7/x16/x20/x27/x28);
+    *  - x16/x20/x28: the O(n·nCells) broadcast centroid compare of IVF
+    *    assignment (bounded by the tiny centroid side, never pairwise).
+    */
+  private val nestedLoopAllowed = Set(
+    "x6_cosine_topk", "x8_embed_neardup",
+    "x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe")
+
+  // the pipeline queries execute whole multi-minute chains on
+  // construction; their physical shape is covered by PipelineSpec
+  private val skip = Set("e2e_full_load", "e2e_delta_load")
+
+  test("no query plans a cartesian product; nested loops only where documented") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => skip(name) }
+      .sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        spark.catalog.clearCache()
+        val cartesian = plan.contains("CartesianProduct")
+        val nestedLoop = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopAllowed(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (nestedLoop) Some(s"$name: undocumented BroadcastNestedLoopJoin")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
