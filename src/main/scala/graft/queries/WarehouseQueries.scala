@@ -204,6 +204,20 @@ object WarehouseQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // deterministic salted join: the hot-key skew lever (5 event types ×
+    // 20k rows each) — result provably identical to the plain equi-join
+    "x32_salted_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val dim = DimBuilder.build(ev, Seq(col("event_type")), Seq("LB_type"), "ID_type_ID")
+        .select(col("LB_type").as("event_type"), col("ID_type_ID"))
+      graft.util.Skew.saltedJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")),
+        dim, keys = Seq("event_type"), salt = 8)
+        .groupBy(col("ID_type_ID"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total_value"))
+        .orderBy("ID_type_ID")
+    }),
+
     // gap-based sessionization: 30-min inactivity splits, decimal-exact sums
     "x23_sessionize" -> ((s, dir) => {
       graft.analytics.EventOps.sessionize(Tables(s, dir, "events"),
@@ -439,6 +453,15 @@ object WarehouseQueries {
          |       count(*) AS n_events
          |FROM events
          |WHERE event_type = (SELECT min(event_type) FROM events)""".stripMargin,
+
+    "x32_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT row_number() OVER (ORDER BY LB_type NULLS FIRST) AS ID_type_ID, LB_type
+         |  FROM (SELECT DISTINCT event_type AS LB_type FROM events))
+         |SELECT d.ID_type_ID, e.event_type, count(*) AS n,
+         |       ${Exact.dsumSql("e.value")} AS total_value
+         |FROM events e JOIN dim d ON e.event_type = d.LB_type
+         |GROUP BY 1, 2 ORDER BY ID_type_ID""".stripMargin,
 
     "x23_sessionize" ->
       s"""WITH $sessionCoreSql
