@@ -269,6 +269,75 @@ object Similarity {
         size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
   }
 
+  /** IVF + int8 candidate scoring + exact rescore — the
+    * bandwidth-efficient production retrieval shape (FAISS-style IVF +
+    * scalar quantization): vectors live in their nearest coarse cell;
+    * within a cell, candidates are ranked by the QUANTIZED dot product
+    * (int8 codes + per-vector scale, 4× smaller than the float payload);
+    * only the top `candK` candidates per query are rescored with the exact
+    * float cosine and cut to `k`.
+    *
+    * Deterministic end to end: the int dot products are exact in double,
+    * scales/norms derive from order-independent folds, and every ranking
+    * tie breaks toward the smaller neighbor id. The candidate pair stream
+    * is projected down to (ids, approx score) before its shuffle; vectors
+    * are joined back from the cached assignment only for the ≤ candK
+    * survivors per query.
+    */
+  def ivfQuantizedRescoreTopK(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, candK: Int): DataFrame = {
+    require(candK >= k, "candK must be >= k")
+    val maxAbs = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val base = spread(emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_n"), (maxAbs / 127.0).as("_sc")))
+      .withColumn("_q", transform(col("_v"), x =>
+        when(col("_sc") === 0.0, lit(0))
+          .otherwise(floor(x.cast("double") / col("_sc") + 0.5).cast("int"))))
+    val centroids = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+    val aw = Window.partitionBy(col("_id"))
+      .orderBy(col("_s").desc, col("_cid").asc)
+    val assigned = base.join(broadcast(centroids))
+      .select(col("_id"), col("_v"), col("_n"), col("_sc"), col("_q"), col("_cid"),
+        (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
+      .withColumn("_rn", row_number().over(aw))
+      .filter(col("_rn") === 1)
+      .select(col("_id"), col("_v"), col("_n"), col("_sc"), col("_q"),
+        col("_cid").as("_cell"))
+      .persist()
+    val a = assigned.select(col("_id").as("query_id"), col("_n").as("_na"),
+      col("_sc").as("_sca"), col("_q").as("_qa"), col("_cell"))
+    val b = assigned.select(col("_id").as("neighbor_id"), col("_n").as("_nb"),
+      col("_sc").as("_scb"), col("_q").as("_qb"), col("_cell").as("_cell2"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_approx").desc, col("neighbor_id").asc)
+    val cands = a.join(b,
+        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_qa"), col("_qb")) * col("_sca") * col("_scb") /
+          (col("_na") * col("_nb"))).as("_approx"))
+      .withColumn("_crn", row_number().over(cw))
+      .filter(col("_crn") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val va = assigned.select(col("_id").as("query_id"), col("_v").as("_va"),
+      col("_n").as("_na"))
+    val vb = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+      col("_n").as("_nb"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    graft.util.Caching.materializeAndRelease(
+      cands.join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("_cos"), 9).as("cosine"), col("rank")),
+      assigned)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b).
     *
     * All-pairs by construction — the EXACT baseline, quadratic in corpus

@@ -4,10 +4,10 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
-/** Dot product of two numeric array columns (`array<float>` or
-  * `array<double>`, any mix), accumulated left-to-right in double
+/** Dot product of two numeric array columns (`array<float>`,
+  * `array<double>` or `array<int>`, any mix), accumulated left-to-right in double
   * precision — bit-identical to a sequential fold (and to DuckDB's
   * `list_dot_product` over `DOUBLE[]` casts), independent of partitioning.
   *
@@ -28,6 +28,7 @@ case class FloatDot(left: Expression, right: Expression)
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
     case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(IntegerType, _) => Some(IntegerType)
     case _ => None
   }
 
@@ -35,7 +36,7 @@ case class FloatDot(left: Expression, right: Expression)
     (elemType(left), elemType(right)) match {
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"float_dot requires two array<float|double> inputs, " +
+        s"float_dot requires two array<float|double|int> inputs, " +
           s"got ${left.dataType} and ${right.dataType}")
     }
 
@@ -49,6 +50,12 @@ case class FloatDot(left: Expression, right: Expression)
       val out = new Array[Double](f.length)
       var i = 0
       while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+      out
+    case IntegerType =>
+      val n = a.asInstanceOf[ArrayData].toIntArray()
+      val out = new Array[Double](n.length)
+      var i = 0
+      while (i < n.length) { out(i) = n(i).toDouble; i += 1 }
       out
     case _ => a.asInstanceOf[ArrayData].toDoubleArray()
   }
@@ -69,6 +76,8 @@ case class FloatDot(left: Expression, right: Expression)
         et match {
           case FloatType =>
             (s"float[] $name = $src.toFloatArray();", s"(double) $name[$idx]")
+          case IntegerType =>
+            (s"int[] $name = $src.toIntArray();", s"(double) $name[$idx]")
           case _ =>
             (s"double[] $name = $src.toDoubleArray();", s"$name[$idx]")
         }

@@ -108,6 +108,15 @@ object ExtensionQueries {
         k = 5, nCells = 16).orderBy("query_id", "rank")
     }),
 
+    // IVF + int8 candidate scoring + exact float rescore (the
+    // bandwidth-efficient retrieval shape): top-20 quantized candidates
+    // per query within the cell, rescored exactly, cut to top-5
+    "x33_ann_quantized_rescore" -> ((s, dir) => {
+      Similarity.ivfQuantizedRescoreTopK(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nCells = 16, candK = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // int8 symmetric quantization of the embedding column
     "x17_embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
@@ -449,6 +458,47 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB mirror of ivfQuantizedRescoreTopK: x17's quantization, x16's
+    * cell assignment, quantized-dot candidate rank (ints exact in double),
+    * exact rescore of the top-20, cut to 5.
+    */
+  private def annQuantizedRescoreSql: String =
+    s"""WITH qq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n,
+       |              list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS sc
+       |            FROM embeddings),
+       |qz AS (SELECT vec_id, v, n, sc,
+       |         list_transform(v, x -> CAST(CASE WHEN sc = 0.0 THEN 0
+       |                                          ELSE floor(x / sc + 0.5) END AS DOUBLE)) AS q
+       |       FROM qq),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |         FROM embeddings ORDER BY vec_id LIMIT 16),
+       |sc0 AS (SELECT e.vec_id, c.cid,
+       |          list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |            (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |             sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |        FROM embeddings e CROSS JOIN cent c),
+       |asn AS (SELECT vec_id, cid AS cell FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |           FROM sc0) WHERE rn = 1),
+       |pair AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           list_dot_product(pa.q, pb.q) * pa.sc * pb.sc / (pa.n * pb.n) AS approx
+       |         FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |         JOIN qz pa ON pa.vec_id = a.vec_id
+       |         JOIN qz pb ON pb.vec_id = b.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rn
+       |            FROM pair) WHERE rn <= 20),
+       |re AS (SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(pa.v, pb.v) / (pa.n * pb.n) AS c2
+       |       FROM cand c JOIN qz pa ON pa.vec_id = c.query_id
+       |                   JOIN qz pb ON pb.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, c2,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c2 DESC, neighbor_id) AS INT) AS rank
+       |      FROM re)
+       |SELECT query_id, neighbor_id, round(c2, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def annIvfKmeansSql: String =
     s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
        |               FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -543,6 +593,7 @@ object ExtensionQueries {
     "x7_ann_lsh" -> annLshSql,
     "x16_ann_ivf" -> annIvfSql,
     "x28_ann_ivf_nprobe" -> annIvfProbedSql,
+    "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,
     "x20_ann_ivf_kmeans" -> annIvfKmeansSql,
     "x17_embed_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -14,12 +14,13 @@ class PlanAuditSpec extends SparkSpec {
     * nested-loop join:
     *  - x6/x8: documented exact all-pairs baselines (the scale paths are
     *    x7/x16/x20/x27/x28);
-    *  - x16/x20/x28: the O(n·nCells) broadcast centroid compare of IVF
+    *  - x16/x20/x28/x33: the O(n·nCells) broadcast centroid compare of IVF
     *    assignment (bounded by the tiny centroid side, never pairwise).
     */
   private val nestedLoopAllowed = Set(
     "x6_cosine_topk", "x8_embed_neardup",
-    "x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe")
+    "x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe",
+    "x33_ann_quantized_rescore")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

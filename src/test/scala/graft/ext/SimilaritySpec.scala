@@ -118,6 +118,16 @@ class SimilaritySpec extends SparkSpec {
     assert(one === ivf)
   }
 
+  test("ivfQuantizedRescoreTopK: candK covering the cell recovers the exact IVF result") {
+    // rescore is exact, so with every in-cell candidate surviving the
+    // quantized cut the result must equal plain IVF top-k
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 2)
+      .collect().map(_.toSeq).toSet
+    val rescored = Similarity.ivfQuantizedRescoreTopK(vecs, "vec_id", "embedding",
+      k = 3, nCells = 2, candK = 4).collect().map(_.toSeq).toSet
+    assert(rescored === ivf)
+  }
+
   test("ivfTopK: co-located parallel vectors rank exactly within their cell") {
     val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

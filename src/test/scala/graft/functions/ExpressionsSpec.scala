@@ -104,6 +104,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(dot("d", "d") === yd.map(v => v * v).sum) // pure double
   }
 
+  test("FloatDot: int arrays (quantized codes) exact, mixed with double") {
+    import spark.implicits._
+    val q = Seq(127, -128, 3)
+    val d = Seq(0.5, 2.0, -1.0)
+    val df = Seq((q, d)).toDF("q", "d")
+    def dot(a: String, b: String): Double = df.select(
+      shim.column(FloatDot(shim.expression(col(a)), shim.expression(col(b))))
+        .as("v")).head().getDouble(0)
+    assert(dot("q", "q") === q.map(v => v.toDouble * v).sum)
+    assert(dot("q", "d") === q.zip(d).map { case (a, b) => a * b }.sum)
+  }
+
   /** Oracle-mirror reimplementation of the SimHash hash family: top bit of
     * hex nibble i of md5(t) ++ md5("1|"+t), packed at position 48 - (i+1).
     */
