@@ -272,6 +272,21 @@ object Dedup {
     labels.select(col("label").as("canonical_id"), col("id").as("member_id"))
   }
 
+  /** The consuming end of near-dup detection: drop every cluster member
+    * except its canonical survivor. `pairs` is any near-dup pair list
+    * (doc_a < doc_b, e.g. from [[minhashNearDups]], [[simhashNearDups]] or
+    * [[Similarity.cosineNearDupsBlocked]]); rows whose id appears in a
+    * cluster under a different canonical are anti-joined away — one
+    * compact-key shuffle over the (tiny) member list, the corpus itself
+    * streams through.
+    */
+  def dedupByClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = dupClusters(pairs)
+      .filter(col("member_id") =!= col("canonical_id"))
+      .select(col("member_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram array over an already-materialized token-array column
     * (short docs yield one partial n-gram — concat_ws skips the missing
     * tail). `toks` must be a plain attribute — see the class doc.

@@ -138,6 +138,16 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the consuming end of near-dup detection: blocked-cosine pairs →
+    // connected-component clusters → corpus with only canonical survivors
+    "x34_neardup_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupsBlocked(emb, "vec_id", "embedding",
+        0.45, nPlanes = 8, bands = 2, dims = 64)
+      Dedup.dedupByClusters(emb, "vec_id", pairs)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // stopword-heuristic language ID
     "x9_lang_id" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -392,28 +402,48 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB mirror of cosineNearDupsBlocked: 2 bands × 4 hyperplane sign
-    * bits, distinct same-band-bucket candidate pairs, exact cosine verify.
+  /** Shared CTEs of the blocked-cosine near-dup (x27/x34): 2 bands × 4
+    * hyperplane sign bits, distinct same-band-bucket candidate pairs,
+    * exact cosine verify ≥ 0.45 into `vp(doc_a, doc_b, cosine)`.
     */
-  private def embedNearDupBlockedSql: String = {
+  private def embedPairCtes: String = {
     val pv = Similarity.planes(8, 64)
     def bucket(planeIdx: Range): String = planeIdx.map { p =>
       val lits = pv(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lits) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
-    s"""WITH bk AS (SELECT vec_id, ${bucket(0 until 4)} AS bucket0,
+    s"""bk AS (SELECT vec_id, ${bucket(0 until 4)} AS bucket0,
        |                   ${bucket(4 until 8)} AS bucket1 FROM embeddings),
        |banded AS (SELECT vec_id, 0 AS band, bucket0 AS bucket FROM bk
        |           UNION ALL SELECT vec_id, 1, bucket1 FROM bk),
        |cand AS (SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
        |         FROM banded x JOIN banded y
-       |           ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT c.doc_a, c.doc_b, round($cosSql, 9) AS cosine
-       |FROM cand c JOIN embeddings a ON a.vec_id = c.doc_a
-       |            JOIN embeddings b ON b.vec_id = c.doc_b
-       |WHERE $cosSql >= 0.45
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |           ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |vp AS (SELECT c.doc_a, c.doc_b, round($cosSql, 9) AS cosine
+       |       FROM cand c JOIN embeddings a ON a.vec_id = c.doc_a
+       |                   JOIN embeddings b ON b.vec_id = c.doc_b
+       |       WHERE $cosSql >= 0.45)""".stripMargin
   }
+
+  private def embedNearDupBlockedSql: String =
+    s"""WITH $embedPairCtes
+       |SELECT doc_a, doc_b, cosine FROM vp ORDER BY doc_a, doc_b""".stripMargin
+
+  /** x34: blocked-cosine pairs → recursive-closure clusters → drop every
+    * member except its canonical (min-id) survivor.
+    */
+  private def embedDedupSql: String =
+    s"""WITH RECURSIVE $embedPairCtes,
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM vp
+       |      UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (SELECT s AS id, s AS r FROM e
+       |          UNION
+       |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+       |dropped AS (SELECT id FROM (SELECT id, min(r) AS canon FROM reach GROUP BY id)
+       |            WHERE canon <> id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
 
   private def annIvfSql: String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
@@ -613,6 +643,7 @@ object ExtensionQueries {
          |WHERE $cosSql >= 0.45
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x27_embed_neardup_blocked" -> embedNearDupBlockedSql,
+    "x34_neardup_dedup" -> embedDedupSql,
     "x9_lang_id" -> langIdSql,
     "x10_quality_score" -> qualitySql,
     "x11_token_count" ->

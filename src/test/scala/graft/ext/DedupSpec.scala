@@ -104,4 +104,13 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
       .count() === 0L)
   }
+
+  test("dedupByClusters: keeps canonicals and untouched docs, drops other members") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L)) // 2,3 collapse into 1; 6 into 5; 4 untouched
+  }
 }
