@@ -315,10 +315,13 @@ object Dedup {
     val ngAll = Par.spread(docs)
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_g"))
-      .persist()
-    val rareGrams = ngAll.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select(col("_g"))
-    val ng = ngAll.join(rareGrams, Seq("_g")).persist()
+    // df cut as an unordered window count over the gram key: one shuffle
+    // on _g produces both the document frequency and the filtered stream —
+    // a separate groupBy + join-back would shuffle the exploded grams a
+    // second time (and need its own persist)
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    val ng = ngAll.withColumn("_df", count(lit(1)).over(dfw))
+      .filter(col("_df") <= maxDf).drop("_df").persist()
     val sizes = ng.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = ng.as("ga")
       .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))
@@ -331,6 +334,6 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("na._n") + col("nb._n") - col("inter")).as("uni"))
         .filter(col("inter") * thDen >= col("uni") * thNum),
-      ngAll, ng)
+      ng)
   }
 }
