@@ -2,6 +2,9 @@ package graft.pipeline
 
 import java.sql.Timestamp
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import graft.archive.Archive
 import graft.dw.{DimBuilder, FactBuilder, Merge}
 import graft.ingest.Staging
@@ -104,9 +107,14 @@ object FullLoad {
       "T_DIM_depthCategory" -> dims.depthCategory,
       "T_DIM_date" -> dims.date)
     try {
-      byName.foreach { case (name, df) =>
-        df.persist().write.mode("overwrite").parquet(wh.dim(name))
-      }
+      // the six dimension writes are independent of each other — submit
+      // them as concurrent jobs (to different paths) instead of a
+      // sequential loop; on a cluster this is the standard way to overlap
+      // small sibling jobs' scheduling fixed costs
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(byName.toSeq.map { case (name, df) =>
+        Future(df.persist().write.mode("overwrite").parquet(wh.dim(name)))
+      }), Duration.Inf)
       FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
         .write.mode("overwrite").parquet(wh.fact)
     } finally {
@@ -163,26 +171,31 @@ object DeltaLoad {
     val tOds = spark.read.parquet(wh.tOds).persist()
     try {
       val dims = FactBuilder.buildDims(tOds) // value columns only matter below
-      val full = wh.dimNames.map { name =>
-        val existing = spark.read.parquet(wh.dim(name))
-        val src = name match {
-          case "T_DIM_Network" => dims.network
-          case "T_DIM_RegionCountry" => dims.regionCountry
-          case "T_DIM_Seismic_Activity_Type" => dims.seismicType
-          case "T_DIM_magCategory" => dims.magCategory
-          case "T_DIM_depthCategory" => dims.depthCategory
-          case "T_DIM_date" => dims.date
+      // each dim's extend-and-append touches only its own path — run the
+      // six chains as concurrent jobs (same rationale as FullLoad stage 4)
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val full = Await.result(Future.sequence(wh.dimNames.map { name =>
+        Future {
+          val existing = spark.read.parquet(wh.dim(name))
+          val src = name match {
+            case "T_DIM_Network" => dims.network
+            case "T_DIM_RegionCountry" => dims.regionCountry
+            case "T_DIM_Seismic_Activity_Type" => dims.seismicType
+            case "T_DIM_magCategory" => dims.magCategory
+            case "T_DIM_depthCategory" => dims.depthCategory
+            case "T_DIM_date" => dims.date
+          }
+          // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
+          // new dates append as-is; surrogate-keyed dims continue from max id
+          val fresh =
+            if (name == "T_DIM_date")
+              DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
+            else DimBuilder.extend(existing, src,
+              dimKeys(name).map(col), dimKeys(name), dimId(name))
+          fresh.write.mode("append").parquet(wh.dim(name))
+          name -> spark.read.parquet(wh.dim(name))
         }
-        // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
-        // new dates append as-is; surrogate-keyed dims continue from max id
-        val fresh =
-          if (name == "T_DIM_date")
-            DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
-          else DimBuilder.extend(existing, src,
-            dimKeys(name).map(col), dimKeys(name), dimId(name))
-        fresh.write.mode("append").parquet(wh.dim(name))
-        name -> spark.read.parquet(wh.dim(name))
-      }.toMap
+      }), Duration.Inf).toMap
       val staged = FactBuilder.buildFact(tOds,
         FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
           full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
