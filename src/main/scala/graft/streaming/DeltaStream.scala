@@ -144,6 +144,29 @@ object DeltaStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each left event is matched to the right
+    * events of the same entity with `left.ts - horizon ≤ right.ts ≤
+    * left.ts` — the streaming primitive under attribution/enrichment
+    * (e.g. purchases × recent views). Both sides are watermarked and the
+    * join condition bounds event time on both ends, so Spark can size and
+    * expire the join state — without the time bound a stream-stream join
+    * would buffer both streams forever.
+    *
+    * Right-side columns come back prefixed `r_`; the right stream must
+    * carry the same entity column name.
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+      entityCol: String, ltsCol: String, rtsCol: String,
+      horizonSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(ltsCol, watermark)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark(s"r_$rtsCol", watermark)
+    l.join(r,
+      col(entityCol) === col(s"r_$entityCol") &&
+        col(s"r_$rtsCol") <= col(ltsCol) &&
+        col(s"r_$rtsCol") >= col(ltsCol) - expr(s"INTERVAL $horizonSeconds SECONDS"))
+  }
+
   case class NetState(n_events: Long, max_mag: Double)
   case class NetUpdate(net: String, n_events: Long, max_mag: Double)
 

@@ -131,6 +131,35 @@ class DeltaStreamSpec extends SparkSpec {
     assert(!rows.contains((7L, ts("2026-08-12 11:00:00"))))
   }
 
+  test("streamingIntervalJoin: matches within the horizon only, per entity") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = DeltaStream.streamingIntervalJoin(
+      purchases.toDF().toDF("user_id", "ts", "p_id"),
+      views.toDF().toDF("user_id", "ts", "v_id"),
+      "user_id", "ts", "ts", horizonSeconds = 600, watermark = "1 minute")
+    val q = joined.select($"p_id", $"r_v_id").writeStream.format("memory")
+      .queryName("ivj").outputMode("append").start()
+    views.addData(
+      (7L, ts("2026-08-12 09:50:00"), 100L),  // exactly horizon before → in
+      (7L, ts("2026-08-12 09:49:59"), 101L),  // 1s too old → out
+      (7L, ts("2026-08-12 09:55:00"), 102L),  // in
+      (7L, ts("2026-08-12 10:00:01"), 103L),  // after the purchase → out
+      (8L, ts("2026-08-12 09:55:00"), 104L))  // other user → out
+    purchases.addData((7L, ts("2026-08-12 10:00:00"), 1L))
+    q.processAllAvailable()
+    // advance both watermarks so the inner join emits
+    views.addData((9L, ts("2026-08-12 11:00:00"), 999L))
+    purchases.addData((9L, ts("2026-08-12 11:00:00"), 999L))
+    q.processAllAvailable()
+    val got = spark.table("ivj").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got.filter(_._1 == 1L).map(_._2) === Set(100L, 102L))
+  }
+
   test("networkStats: keyed state accumulates across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
