@@ -22,11 +22,16 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      // time INSIDE the construction too: operators that materialize
+      // eagerly (dedup caches, iterative clustering, pipeline runs) do
+      // their work in the query function, not at the sink
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (doExplain) { println(s"== $name =="); df.explain("formatted") }
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[probe] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // full-compute materialization (same noop sink as Bench — count()
+      // would let Catalyst prune the projections and trailing sort)
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       spark.catalog.clearCache()
     }
     spark.stop()

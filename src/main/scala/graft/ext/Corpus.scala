@@ -28,6 +28,24 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Per-stratum embedding centroid: the element-wise mean vector of each
+    * stratum's embeddings (class prototypes for data audits / classifier
+    * init), emitted long-form as (stratum, pos, mean) so the result is
+    * flat-comparable. Determinism at scale: each element sums as an exact
+    * DECIMAL(28,10) (decimal addition commutes) followed by one double
+    * division — partitioning-invariant, same device as the IVF k-means
+    * means. One equi-join docs↔embeddings + one grouped aggregate; shuffle
+    * is O(strata × dims).
+    */
+  def strataCentroids(docs: DataFrame, strataCol: String, docIdCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame =
+    docs.select(col(docIdCol).as("_did"), col(strataCol))
+      .join(emb.select(col(vecIdCol).as("_did"), col(vecCol).as("_v")), Seq("_did"))
+      .select(col(strataCol), posexplode(col("_v")).as(Seq("pos", "_val")))
+      .groupBy(col(strataCol), col("pos"))
+      .agg((sum(col("_val").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("mean"))
+
   /** Top-k terms per stratum by exact occurrence count (ties broken by
     * term, so the result is deterministic): token explode → partial-agg
     * count (map-side combine keeps shuffle O(distinct terms)) → per-stratum

@@ -72,6 +72,13 @@ object ExtensionQueries {
         .orderBy("lang", "rank")
     }),
 
+    // per-language embedding centroid (decimal-exact elementwise means)
+    "x35_strata_centroids" -> ((s, dir) => {
+      Corpus.strataCentroids(Tables(s, dir, "documents"), "lang", "doc_id",
+        Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("lang", "pos")
+    }),
+
     // word-3-gram Jaccard near-dups ≥ 0.6 (integer-exact threshold)
     "x5_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id",
@@ -609,6 +616,18 @@ object ExtensionQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rn
         |  FROM documents)
         |WHERE _rn <= 50 ORDER BY doc_id""".stripMargin,
+    "x35_strata_centroids" ->
+      """WITH j AS (SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |x AS (SELECT lang, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS val
+        |      FROM j, unnest(generate_series(1, len(v))) AS u(i))
+        |SELECT lang, pos,
+        |       -- decimal cast routed through VARCHAR: Spark's double→decimal
+        |       -- rounds the SHORTEST string repr (BigDecimal.valueOf), not the
+        |       -- exact binary expansion — casting DuckDB's shortest-repr string
+        |       -- reproduces it (direct CAST differs ~1 element in 300)
+        |       CAST(sum(CAST(CAST(val AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean
+        |FROM x GROUP BY 1, 2 ORDER BY lang, pos""".stripMargin,
     "x31_topk_terms" ->
       s"""WITH t AS (SELECT lang, unnest(string_split(${normSql("text")}, ' ')) AS term
          |           FROM documents),

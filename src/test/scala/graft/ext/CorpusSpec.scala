@@ -29,6 +29,21 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("en") === expectEn)
   }
 
+  test("strataCentroids: exact elementwise means, partitioning-invariant") {
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Corpus.strataCentroids(docs, "lang", "doc_id", emb, "vec_id", "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out === Map(("en", 0) -> 2.0, ("en", 1) -> 4.0,
+      ("fr", 0) -> 5.0, ("fr", 1) -> 5.0))
+    val repartitioned = Corpus.strataCentroids(docs, "lang", "doc_id",
+      emb.repartition(5), "vec_id", "embedding")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(repartitioned === out)
+  }
+
   test("topTermsPerStratum: exact counts, rank by count desc then term asc") {
     val docs = Seq(
       (1L, "en", "apple banana apple"),
