@@ -52,15 +52,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // ms precision: the driver captures only a tail window of the run log,
+    // and a full-precision line for 60+ queries overflows it (the JSON's
+    // front gets truncated → unparseable; happened rounds 1 AND 2)
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => jstr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(120)) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // stdout for humans; a known file for the driver (sbt prefixes stdout
-    // with [info], which broke the driver's log-scrape parse in round 1)
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // a known file for the driver, plus stdout — printed TWICE so any tail
+    // window at least one full line long contains a complete parseable copy
+    // even when the window boundary falls mid-line
+    println(json)
     println(json)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

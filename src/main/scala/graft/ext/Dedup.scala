@@ -45,16 +45,20 @@ object Dedup {
       sequence(lit(1), greatest(length(canon) - (n - 1), lit(1))),
       i => canon.substr(i, lit(n)))
 
-  /** (id, shingle) exploded view with the canonicalization done once per
-    * document before the per-position lambda runs.
+  /** (_id, _set) distinct-shingle SETS, one array row per document — the
+    * verify-side representation. Candidate pairs join to two of these rows
+    * and compute `array_intersect` per pair, so verification is two compact
+    * joins plus per-row array ops instead of a corpus-keyed element
+    * explode + element-level join + re-aggregation (three shuffles saved).
+    * Canonicalization is materialized before the per-position lambda runs
+    * (class doc). NULL text yields no row, matching the oracle's explode.
     */
-  private def explodedShingles(docs: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int, distinctPerDoc: Boolean): DataFrame = {
-    val canon = Par.spread(docs).select(col(idCol),
-      TextAnalysis.normalize(col(textCol)).as("_c"))
-    val arr = shingleArray(col("_c"), shingleLen)
-    canon.select(col(idCol),
-      explode(if (distinctPerDoc) array_distinct(arr) else arr).as("_sh"))
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int): DataFrame = {
+    val canon = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), TextAnalysis.normalize(col(textCol)).as("_c"))
+    canon.select(col("_id"),
+      array_distinct(shingleArray(col("_c"), shingleLen)).as("_set"))
   }
 
   /** MinHash signature: k min-hashes over the shingle set, derived from
@@ -83,85 +87,86 @@ object Dedup {
   }
 
   /** LSH band buckets: `bands` groups of `k/bands` signature rows, each
-    * hashed to one bucket id. Returns (idCol, band, bucket).
+    * hashed to ONE 64-bit bucket key with the band index folded in
+    * (`xxhash64(band, m_i..)`), so the candidate self-join exchanges an
+    * 8-byte long instead of a (band int, 32-char md5 hex) composite — a 5×
+    * narrower shuffle key computed without any string materialization.
+    * A 64-bit hash collision can only ADD a candidate pair, which exact
+    * verification then scores on its true Jaccard — correctness never
+    * rests on the hash. Returns (idCol, band, bucket).
     */
   def lshBuckets(sig: DataFrame, idCol: String, k: Int = 8, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(j => col(s"m$j"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bucket"))
     }
     sig.select(col(idCol), explode(array(bandStructs: _*)).as("_b"))
       .select(col(idCol), col("_b.band").as("band"), col("_b.bucket").as("bucket"))
   }
 
-  /** Candidate pairs: ids sharing any band bucket (a < b, distinct). */
+  /** Candidate pairs: ids sharing any band bucket (a < b, distinct). The
+    * band index is already folded into the bucket hash, so this is a
+    * single-long equi-join; both sides shuffle on the same key from the
+    * same child plan, which Spark's exchange reuse serves with one scan.
+    */
   def lshCandidates(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
-    val b = buckets.select(col("band").as("_band2"), col("bucket").as("_bucket2"),
-      col(idCol).as("doc_b"))
-    a.join(b, col("band") === col("_band2") && col("bucket") === col("_bucket2") &&
-        col("doc_a") < col("doc_b"))
+    val a = buckets.select(col("bucket"), col(idCol).as("doc_a"))
+    val b = buckets.select(col("bucket").as("_bucket2"), col(idCol).as("doc_b"))
+    a.join(b, col("bucket") === col("_bucket2") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** Exact Jaccard over an already-exploded distinct (\_id, \_sh) frame and
-    * candidate (doc_a, doc_b) pairs: intersection counts via the
-    * candidate-filtered element join, union by inclusion-exclusion.
-    * Returns (doc_a, doc_b, inter, uni) with integer counts so thresholding
-    * stays exact (`thNum/thDen ≤ inter/uni` ⟺ `thDen·inter ≥ thNum·uni`).
+  /** Exact Jaccard over per-doc shingle SETS and candidate (doc_a, doc_b)
+    * pairs: two id-keyed joins attach both sets to each pair, then
+    * `array_intersect` scores it in one pass (union by
+    * inclusion-exclusion). Returns (doc_a, doc_b, inter, uni) with integer
+    * counts so thresholding stays exact
+    * (`thNum/thDen ≤ inter/uni` ⟺ `thDen·inter ≥ thNum·uni`).
     */
-  private def jaccardFromElements(sh: DataFrame, candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val inter = candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa._id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb._id") && col("sa._sh") === col("sb._sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na._id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
+  private def jaccardFromSets(sets: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa._id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb._id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa._set"), col("sb._set"))).cast("long").as("inter"),
+        size(col("sa._set")).cast("long").as("_na"),
+        size(col("sb._set")).cast("long").as("_nb"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
-  }
+        (col("_na") + col("_nb") - col("inter")).as("uni"))
 
-  /** Exact Jaccard verification of candidate pairs over distinct shingles.
-    * The exploded shingle set is persisted — it feeds the per-doc sizes and
-    * both sides of the intersection join.
-    */
+  /** Exact Jaccard verification of candidate pairs over distinct shingles. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, textCol: String,
-      idCol: String, shingleLen: Int = 5): DataFrame = {
-    val sh = explodedShingles(docs, textCol, idCol, shingleLen,
-      distinctPerDoc = true)
-      .withColumnRenamed(idCol, "_id").persist()
-    Caching.materializeAndRelease(jaccardFromElements(sh, candidates), sh)
-  }
+      idCol: String, shingleLen: Int = 5): DataFrame =
+    jaccardFromSets(shingleSets(docs, textCol, idCol, shingleLen), candidates)
 
   /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
     * exact-verified pairs with Jaccard ≥ thNum/thDen.
     *
     * Scale shape after the [[graft.functions.MinhashSigs]] fusion:
     * signatures are a map-only pass (no corpus-wide shingle explode at
-    * all); band buckets persist across the candidate self-join; and the
-    * exact-Jaccard verification explodes shingles for the documents that
-    * appear in candidate pairs ONLY — on a near-dup-sparse corpus that is
-    * a few dozen documents, not the corpus.
+    * all) feeding the banded self-join directly — cheaper to serve both
+    * join sides from exchange reuse than to persist 4 bucket rows/doc.
+    * Only the (tiny) candidate pair list is persisted, because it fans out
+    * to the id extraction and the verify join. Exact-Jaccard verification
+    * builds shingle SETS for the documents that appear in candidate pairs
+    * ONLY — on a near-dup-sparse corpus that is a few dozen documents, not
+    * the corpus — and scores each pair with one `array_intersect`.
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4, shingleLen: Int = 5,
       thNum: Int = 4, thDen: Int = 5): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen)
-    val buckets = lshBuckets(sig, idCol, k, bands).persist()
-    val cands = lshCandidates(buckets, idCol).persist()
-    val candIds = cands.select(col("doc_a").as(idCol))
-      .unionByName(cands.select(col("doc_b").as(idCol))).distinct()
-    val sh = explodedShingles(docs.join(candIds, Seq(idCol), "left_semi"),
-        textCol, idCol, shingleLen, distinctPerDoc = true)
-      .withColumnRenamed(idCol, "_id").persist()
+    val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen).persist()
+    val cands = lshCandidates(lshBuckets(sig, idCol, k, bands), idCol).persist()
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+    val sets = shingleSets(docs.join(candIds, Seq(idCol), "left_semi"),
+      textCol, idCol, shingleLen)
     Caching.materializeAndRelease(
-      jaccardFromElements(sh, cands)
+      jaccardFromSets(sets, cands)
         .filter(col("inter") * thDen >= col("uni") * thNum),
-      buckets, cands, sh)
+      sig, cands)
   }
 
   /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a

@@ -150,6 +150,20 @@ object DeltaLoad {
     Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
 
+    warehouseStages(spark, states, wh, jobId, insertionTs)
+
+    // stage 5 — archive
+    Archive.archiveMatching(spark, rawPattern, wh.archive)
+  }
+
+  /** Delta stages 2–4 (ODS/T_ODS appends, dim extension, fact MERGE),
+    * reading the already-truncate-written STG layer. Shared verbatim by the
+    * batch chain above and the streaming per-micro-batch delta
+    * ([[graft.streaming.DeltaStream.startDeltaLoad]]), so both paths have
+    * identical warehouse semantics by construction.
+    */
+  def warehouseStages(spark: SparkSession, states: DataFrame, wh: Warehouse,
+      jobId: String, insertionTs: Timestamp): Unit = {
     // stage 2 — ODS append, deduped on the stable key (J3). The fresh ODS
     // frame is cached: it feeds this append AND stage 3's place parse.
     val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
@@ -203,8 +217,5 @@ object DeltaLoad {
         jobId, insertionTs)
       Merge.mergeInto(spark, wh.fact, staged)
     } finally tOds.unpersist(blocking = false)
-
-    // stage 5 — archive
-    Archive.archiveMatching(spark, rawPattern, wh.archive)
   }
 }

@@ -137,6 +137,42 @@ object PipelineQueries {
     factProjection(s.read.parquet(wh.fact))
   }
 
+  /** The delta chain again, but the delta file is consumed by the
+    * STREAMING path ([[graft.streaming.DeltaStream.startDeltaLoad]]): full
+    * load in batch, then the landing directory becomes a file-source stream
+    * whose one micro-batch runs the whole delta warehouse chain in
+    * `foreachBatch`. The oracle is the SAME SQL as `e2e_delta_load` —
+    * stream and batch must produce the identical fact table, which is the
+    * exactly-once claim made mechanical.
+    */
+  private val e2eStreamDeltaQuery: Q = (s, dir) => {
+    import s.implicits._
+    val root = s"target/e2e_stream/${new java.io.File(dir).getName}"
+    // wipe prior state: a stale streaming checkpoint would mark this run's
+    // landing file as already processed and silently skip the delta
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(rootPath, true)
+    val landing = s"$root/landing"
+    val ev = Tables(s, dir, "events")
+    val states = Seq(("California", "CA"), ("Alaska", "AK"))
+      .toDF("State", "Abbreviation")
+    val wh = Warehouse(s"$root/wh")
+    synthRawLines(ev.filter(col("event_id") % 3 =!= 0))
+      .coalesce(1).write.mode("overwrite").text(landing)
+    FullLoad.run(s, s"$landing/part-*", states, wh, "e2e_full",
+      Timestamp.valueOf("2025-06-01 12:00:00"))
+    // full load archived its file out of landing; the overwrite leaves the
+    // delta file as the only stream input
+    synthRawLines(ev.filter(col("event_id") % 3 === 0))
+      .coalesce(1).write.mode("overwrite").text(landing)
+    val q = graft.streaming.DeltaStream.startDeltaLoad(s, landing, states, wh,
+      s"$root/ckpt", "e2e_stream",
+      Some(Timestamp.valueOf("2025-06-02 12:00:00")))
+    try { q.processAllAvailable() } finally q.stop()
+    factProjection(s.read.parquet(wh.fact))
+  }
+
   private def factProjection(fact: DataFrame): DataFrame =
     fact.select(
       col("ID_Network_ID"), col("ID_RegionCountry_ID"), col("ID_type_ID"),
@@ -146,8 +182,18 @@ object PipelineQueries {
       col("VL_dmin"), col("VL_horizontalError"), col("ID_magNst"))
       .orderBy("DT_time")
 
+  /** Q12 — Total Seismic Events (`DAX Measures Used.txt:68`,
+    * `COUNTROWS(V_FACT_Event)`): the unfiltered fact row count, closing the
+    * 12-measure contract. Map-side partial count → one scalar; scale-free.
+    */
+  private val q12Query: Q = (s, dir) =>
+    Measures.totalSeismicEvents(
+      Tables(s, dir, "events").select(col("event_id").as("ID_Event")))
+
   val all: Map[String, Q] =
-    daxQueries + ("e2e_full_load" -> e2eQuery) + ("e2e_delta_load" -> e2eDeltaQuery)
+    daxQueries + ("dax_q12_total_seismic_events" -> q12Query) +
+      ("e2e_full_load" -> e2eQuery) + ("e2e_delta_load" -> e2eDeltaQuery) +
+      ("e2e_stream_delta" -> e2eStreamDeltaQuery)
 
   /** Q5–Q11 as individually named measures: a mini star (type dim from the
     * mapped activity type, facts joined broadcast) feeding
@@ -323,5 +369,10 @@ object PipelineQueries {
     s"$chainCtes,\n$twoPhaseDims\n$factSelect"
 
   val oracle: Map[String, String] =
-    daxOracle + ("e2e_full_load" -> e2eSql) + ("e2e_delta_load" -> e2eDeltaSql)
+    daxOracle +
+      ("dax_q12_total_seismic_events" ->
+        "SELECT count(*) AS total_seismic_events FROM events") +
+      ("e2e_full_load" -> e2eSql) + ("e2e_delta_load" -> e2eDeltaSql) +
+      // stream and batch delta must agree exactly — same oracle
+      ("e2e_stream_delta" -> e2eDeltaSql)
 }

@@ -84,6 +84,46 @@ object DeltaStream {
       }
       .start()
 
+  /** Start the FULL streaming delta-load: each arriving landing file runs
+    * the complete delta warehouse chain as one micro-batch — DQ split +
+    * rejected side channel, STG truncate-write, then
+    * [[graft.pipeline.DeltaLoad.warehouseStages]] (ODS/T_ODS key-deduped
+    * appends, max-key dim extension, fact MERGE) — the exact batch-delta
+    * semantics, shared by construction. Exactly-once per file comes from
+    * the checkpoint; a replayed batch is additionally idempotent because
+    * every append is key-deduped and the MERGE upserts.
+    *
+    * Requires an initialized warehouse (a full load has run) — the
+    * reference's own cadence (`load_controller_DAG.py:186-188`: the first
+    * run of the day is the full load, deltas follow).
+    */
+  def startDeltaLoad(spark: SparkSession, landingDir: String,
+      states: DataFrame, wh: graft.pipeline.Warehouse, checkpointDir: String,
+      jobId: String, insertionTs: Option[Timestamp] = None): StreamingQuery =
+    stagingStream(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val ts = insertionTs.getOrElse(new Timestamp(System.currentTimeMillis()))
+          graft.dw.Merge.recover(s, wh.fact)
+          // one landing file arrives as one input partition — spread it so
+          // the parse/DQ/stg write parallelize (same as Staging.run)
+          val cached = graft.util.Par.spread(batch).persist()
+          try {
+            val split = Staging.dqSplit(cached)
+            split.rejected.unionByName(split.errors).select(Staging.RawLineCol)
+              .coalesce(1).write.mode("overwrite")
+              .text(s"${wh.rejected}/batch-$batchId")
+            Staging.finalizeStg(split.accepted, jobId,
+                s"stream-batch-$batchId", ts.toString)
+              .write.mode("overwrite").parquet(wh.stg)
+            graft.pipeline.DeltaLoad.warehouseStages(s, states, wh, jobId, ts)
+          } finally cached.unpersist()
+        }
+      }
+      .start()
+
   /** Watermarked windowed aggregation over an ODS-shaped stream: events per
     * (event-time window × magnitude category). Late data beyond the
     * watermark is dropped and closed windows emit finalized counts — the
