@@ -106,11 +106,32 @@ object Similarity {
         round(col("_cos"), 9).as("cosine"), col("rank"))
   }
 
+  /** Hard cap on the all-pairs exact baselines ([[bruteForceTopK]],
+    * [[cosineNearDups]]): both are O(n²) by construction and exist as
+    * recall oracles for bounded corpora only. The guard makes that contract
+    * mechanical — a caller pointing one at a large corpus fails fast with
+    * the scale-safe alternative named, instead of silently launching a
+    * quadratic job; callers that really mean it pass a bigger cap.
+    */
+  val DefaultMaxExactRows: Long = 100000L
+
+  private def guardAllPairs(emb: DataFrame, maxExactRows: Long, op: String,
+      alternative: String): Unit = {
+    val n = emb.count()
+    require(n <= maxExactRows,
+      s"$op is an all-pairs exact baseline (O(n^2) pairs): corpus has $n rows" +
+        s" > maxExactRows=$maxExactRows. Use $alternative at scale, or raise" +
+        " maxExactRows explicitly to accept the quadratic cost.")
+  }
+
   /** Exact top-k cosine neighbors for every vector (self excluded).
     * Output: (query_id, neighbor_id, cosine, rank); ties broken by
-    * neighbor id for determinism.
+    * neighbor id for determinism. All-pairs — guarded by `maxExactRows`.
     */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    guardAllPairs(emb, maxExactRows, "bruteForceTopK",
+      "lshTopK/ivfTopK/ivfQuantizedRescoreTopK")
     val a = spreadBy(withNorm(emb, idCol, vecCol, "query_id", "_va", "_na"), "query_id")
     val b = withNorm(emb, idCol, vecCol, "neighbor_id", "_vb", "_nb")
     rankTopK(a.join(b, col("query_id") =!= col("neighbor_id")), k)
@@ -342,10 +363,11 @@ object Similarity {
     *
     * All-pairs by construction — the EXACT baseline, quadratic in corpus
     * size. Production path at scale is [[cosineNearDupsBlocked]]; this stays
-    * as the recall oracle for bounded corpora.
+    * as the recall oracle for bounded corpora, guarded by `maxExactRows`.
     */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    guardAllPairs(emb, maxExactRows, "cosineNearDups", "cosineNearDupsBlocked")
     val a = spread(withNorm(emb, idCol, vecCol, "doc_a", "_va", "_na"))
     val b = withNorm(emb, idCol, vecCol, "doc_b", "_vb", "_nb")
     a.join(b, col("doc_a") < col("doc_b"))

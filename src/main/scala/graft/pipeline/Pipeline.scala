@@ -161,61 +161,85 @@ object DeltaLoad {
     * batch chain above and the streaming per-micro-batch delta
     * ([[graft.streaming.DeltaStream.startDeltaLoad]]), so both paths have
     * identical warehouse semantics by construction.
+    *
+    * Scale shape: every stage-4 build (six dim extensions, the staged fact)
+    * reads the cached DELTA SLICE — the place-parsed rows this batch
+    * actually appends — never a re-scan of the whole T_ODS. Dim values and
+    * dates present only in older rows are already in the dimension tables
+    * by induction (the full load built them from the whole table, every
+    * delta extends them), so extending from the slice yields the same new
+    * rows the full re-scan would, at delta cost instead of table cost; fact
+    * rows for old events are untouched by the MERGE's anti-join, exactly
+    * the reference's `WHEN MATCHED` contract (`dw2_delta_load2.py:101-131`
+    * updates only staged keys). An empty delta (every landed event already
+    * warehoused) skips dim extension and the fact MERGE outright — no
+    * full-fact rewrite for a no-op batch.
     */
   def warehouseStages(spark: SparkSession, states: DataFrame, wh: Warehouse,
       jobId: String, insertionTs: Timestamp): Unit = {
-    // stage 2 — ODS append, deduped on the stable key (J3). The fresh ODS
-    // frame is cached: it feeds this append AND stage 3's place parse.
+    // The fresh ODS frame feeds both appends and is cached. The T_ODS-shaped
+    // delta slice (parsed + key-deduped against the table) feeds the T_ODS
+    // append AND every stage-4 build — it is snapshotted with an EAGER
+    // localCheckpoint, not persist(): appending it to wh.tOds makes Spark
+    // recache-by-path every cached plan reading that path with a fresh file
+    // listing, so a persisted slice would silently re-dedupe against its own
+    // append and come back empty. The checkpoint truncates lineage to RDD
+    // blocks with no path dependency, freezing the pre-append view.
     val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
       .dropDuplicates("ID_Event").persist()
+    val delta = OdsTransform.dedupeAgainstExisting(
+        PlaceParser.parsePlaces(freshOds, states, insertionTs),
+        spark.read.parquet(wh.tOds).select("ID_Event"))
+      .localCheckpoint()
+    implicit val ec: ExecutionContext = ExecutionContext.global
     try {
-      OdsTransform.dedupeAgainstExisting(freshOds,
-          spark.read.parquet(wh.ods).select("ID_Event"))
-        .write.mode("append").parquet(wh.ods)
-
-      // stage 3 — place parse append, deduped (parse_country_ods_delta_load2.py)
-      val freshParsed = PlaceParser.parsePlaces(freshOds, states, insertionTs)
-      OdsTransform.dedupeAgainstExisting(freshParsed,
-          spark.read.parquet(wh.tOds).select("ID_Event"))
-        .write.mode("append").parquet(wh.tOds)
+      // stages 2+3 — the ODS and T_ODS appends touch different tables and
+      // share only the cached freshOds: submit them as concurrent jobs
+      Await.result(Future.sequence(Seq(
+        Future {
+          OdsTransform.dedupeAgainstExisting(freshOds,
+              spark.read.parquet(wh.ods).select("ID_Event"))
+            .write.mode("append").parquet(wh.ods)
+        },
+        Future { delta.write.mode("append").parquet(wh.tOds) })), Duration.Inf)
     } finally freshOds.unpersist(blocking = false)
 
-    // stage 4 — incremental dims (max-key continuation) + fact MERGE. The
-    // T_ODS scan is cached: six dim builds plus the staged fact read it.
-    val tOds = spark.read.parquet(wh.tOds).persist()
     try {
-      val dims = FactBuilder.buildDims(tOds) // value columns only matter below
-      // each dim's extend-and-append touches only its own path — run the
-      // six chains as concurrent jobs (same rationale as FullLoad stage 4)
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val full = Await.result(Future.sequence(wh.dimNames.map { name =>
-        Future {
-          val existing = spark.read.parquet(wh.dim(name))
-          val src = name match {
-            case "T_DIM_Network" => dims.network
-            case "T_DIM_RegionCountry" => dims.regionCountry
-            case "T_DIM_Seismic_Activity_Type" => dims.seismicType
-            case "T_DIM_magCategory" => dims.magCategory
-            case "T_DIM_depthCategory" => dims.depthCategory
-            case "T_DIM_date" => dims.date
+      // stage 4 — incremental dims (max-key continuation) + fact MERGE,
+      // all from the delta slice
+      if (!delta.isEmpty) {
+        val dims = FactBuilder.buildDims(delta) // value columns only matter below
+        // each dim's extend-and-append touches only its own path — run the
+        // six chains as concurrent jobs (same rationale as FullLoad stage 4)
+        val full = Await.result(Future.sequence(wh.dimNames.map { name =>
+          Future {
+            val existing = spark.read.parquet(wh.dim(name))
+            val src = name match {
+              case "T_DIM_Network" => dims.network
+              case "T_DIM_RegionCountry" => dims.regionCountry
+              case "T_DIM_Seismic_Activity_Type" => dims.seismicType
+              case "T_DIM_magCategory" => dims.magCategory
+              case "T_DIM_depthCategory" => dims.depthCategory
+              case "T_DIM_date" => dims.date
+            }
+            // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
+            // new dates append as-is; surrogate-keyed dims continue from max id
+            val fresh =
+              if (name == "T_DIM_date")
+                DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
+              else DimBuilder.extend(existing, src,
+                dimKeys(name).map(col), dimKeys(name), dimId(name))
+            fresh.write.mode("append").parquet(wh.dim(name))
+            name -> spark.read.parquet(wh.dim(name))
           }
-          // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
-          // new dates append as-is; surrogate-keyed dims continue from max id
-          val fresh =
-            if (name == "T_DIM_date")
-              DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
-            else DimBuilder.extend(existing, src,
-              dimKeys(name).map(col), dimKeys(name), dimId(name))
-          fresh.write.mode("append").parquet(wh.dim(name))
-          name -> spark.read.parquet(wh.dim(name))
-        }
-      }), Duration.Inf).toMap
-      val staged = FactBuilder.buildFact(tOds,
-        FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
-          full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
-          full("T_DIM_depthCategory"), full("T_DIM_date")),
-        jobId, insertionTs)
-      Merge.mergeInto(spark, wh.fact, staged)
-    } finally tOds.unpersist(blocking = false)
+        }), Duration.Inf).toMap
+        val staged = FactBuilder.buildFact(delta,
+          FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
+            full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
+            full("T_DIM_depthCategory"), full("T_DIM_date")),
+          jobId, insertionTs)
+        Merge.mergeInto(spark, wh.fact, staged)
+      }
+    } finally delta.unpersist(blocking = false) // checkpoint blocks; safe no-op if none
   }
 }

@@ -1,5 +1,6 @@
 package graft.util
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Parallelism guard for compute-amplifying operators (shingle explodes,
@@ -11,10 +12,22 @@ import org.apache.spark.sql.DataFrame
   * a no-op when the scan is already wide (the 100 TB case — there the file
   * splits provide the parallelism and an extra shuffle would be pure
   * waste).
+  *
+  * Width is decided from the optimizer's size estimate
+  * (`optimizedPlan.stats`), not `df.rdd.getNumPartitions`: touching the RDD
+  * forces full physical planning (+ codegen) of a subtree that is thrown
+  * away and re-planned under the repartition — pure driver-side waste on
+  * large plans. The stats estimate is exact enough for the only question
+  * asked here: "is this source narrower than the machine".
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val sess = df.sparkSession
+    val par = sess.sparkContext.defaultParallelism
+    val maxPartitionBytes = JavaUtils.byteStringAsBytes(
+      sess.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      maxPartitionBytes + 1
+    if (estParts < par) df.repartition(par) else df
   }
 }

@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The skewed side with its deterministic per-row `_salt` sub-key —
+    * exposed so callers and specs can inspect the distribution the join
+    * actually shuffles on: each original key splits into up to `salt`
+    * (key, _salt) groups of ~1/salt the rows, which IS the bound on any
+    * one reducer's input attributable to that key.
+    */
+  def salted(skewed: DataFrame, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val rowHash = xxhash64(struct(skewed.columns.map(col): _*))
+    skewed.withColumn("_salt", pmod(rowHash, lit(salt.toLong)).cast("int"))
+  }
+
   /** Equi-join `skewed ⋈ dim` on `keys`, salted `salt` ways. */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
-    require(salt >= 1, "salt must be >= 1")
-    val rowHash = xxhash64(struct(skewed.columns.map(col): _*))
-    val left = skewed.withColumn("_salt", pmod(rowHash, lit(salt.toLong)).cast("int"))
     val right = dim.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
-    left.join(right, keys :+ "_salt", joinType).drop("_salt")
+    salted(skewed, salt).join(right, keys :+ "_salt", joinType).drop("_salt")
   }
 }

@@ -3,6 +3,7 @@ package graft.analytics
 import java.sql.Timestamp
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class EventOpsSpec extends SparkSpec {
 
@@ -55,6 +56,35 @@ class EventOpsSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 3L))
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  test("rangeJoin: grain choice is result-invariant; interval fan-out bounded by span/grain + 2") {
+    // 50 points over 2 entities, intervals spanning 600s each
+    val points = (1 to 50).map(i =>
+      (i.toLong, (i % 2).toLong, ts(f"2026-08-12 10:${i % 60}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (0L, 1L, ts("2026-08-12 10:05:00"), ts("2026-08-12 10:15:00")),
+      (1L, 2L, ts("2026-08-12 10:20:00"), ts("2026-08-12 10:30:00"))
+    ).toDF("user_id", "iv_id", "start", "end")
+    def run(grain: Long) = EventOps.rangeJoin(points, intervals, "user_id",
+      "ts", "start", "end", grain)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    // the grain trades interval replication against residual-filter work,
+    // never the answer: coarse (1 grain/interval) == fine (61 grains)
+    assert(run(3600) === run(10))
+    assert(run(600) === run(10))
+    // the replication bound itself, over the same bucketing arithmetic the
+    // operator uses: an interval of span s explodes to at most s/g + 2
+    // grains (+2: both ends can straddle grain boundaries)
+    for (g <- Seq(10L, 600L, 3600L)) {
+      val gUs = g * 1000000L
+      val maxFan = intervals.select(
+        (unix_micros(col("end")).divide(gUs).cast("long") -
+          unix_micros(col("start")).divide(gUs).cast("long") + 1L).as("n"))
+        .agg(max(col("n"))).as[Long].head()
+      assert(maxFan <= 600L / g + 2, s"grain $g fan-out $maxFan")
+    }
   }
 
   test("asofJoin: latest prior-or-equal right row, ties to larger id, no match → null") {

@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length === 6) // all C(4,2) pairs
   }
 
+  test("all-pairs baselines: maxExactRows guard trips, names the scale-safe path") {
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 3, maxExactRows = 3L))
+    assert(e1.getMessage.contains("lshTopK"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.5, maxExactRows = 3L))
+    assert(e2.getMessage.contains("cosineNearDupsBlocked"))
+    // at the cap, both still run
+    assert(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 1,
+      maxExactRows = 4L).count() === 4L)
+  }
+
   test("cosineNearDupsBlocked: subset of exact result, parallel vectors " +
     "always recalled, no nested-loop/cartesian plan") {
     val exact = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.5)

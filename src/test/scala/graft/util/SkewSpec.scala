@@ -30,6 +30,29 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("salted: a hot key's reducer input is split into ~salt balanced sub-keys") {
+    // 8000 rows of one hot key vs 100 of a cold one: the plain join shuffles
+    // all 8000 to ONE reducer (max per-key group = 8000); salting must cut
+    // the largest (key, _salt) group to ~1/salt of that
+    val salt = 8
+    val hot = spark.range(8000).select(col("id"), lit("hot").as("k"))
+    val cold = spark.range(100).select((col("id") + 10000).as("id"), lit("cold").as("k"))
+    val skewed = hot.unionByName(cold)
+
+    val plainMax = skewed.groupBy("k").count()
+      .agg(max("count")).as[Long].head()
+    val saltedMax = Skew.salted(skewed, salt).groupBy("k", "_salt").count()
+      .agg(max("count")).as[Long].head()
+    val saltedGroups = Skew.salted(skewed, salt)
+      .filter($"k" === "hot").select("_salt").distinct().count()
+
+    assert(plainMax === 8000L)
+    assert(saltedGroups === salt.toLong, "every sub-key populated")
+    // xxhash64 row salts are ~uniform; 1.5x slack over the ideal 1000
+    assert(saltedMax <= 8000L / salt * 3 / 2,
+      s"hot key not split: max salted group $saltedMax")
+  }
+
   test("saltedJoin: salt=1 degenerates to the plain join; deterministic across runs") {
     val (skewed, dim) = fixture
     val r1 = Skew.saltedJoin(skewed, dim, Seq("k"), salt = 1)
