@@ -70,11 +70,16 @@ object Merge {
     }
   }
 
-  /** Full MERGE stage: read table, upsert staged batch, swap. */
+  /** Full MERGE stage: read table, upsert staged batch, swap. The staged
+    * batch is cached for the write: [[upsert]] consumes it twice (anti-join
+    * keys + union payload) and its lineage is typically a multi-join build.
+    */
   def mergeInto(spark: SparkSession, tablePath: String, staged: DataFrame,
       key: String = "ID_Event"): Unit = {
     recover(spark, tablePath) // the read below must see a post-crash-complete table
     val existing = spark.read.parquet(tablePath)
-    atomicOverwrite(spark, upsert(existing, staged, key), tablePath)
+    val s = staged.persist()
+    try atomicOverwrite(spark, upsert(existing, s, key), tablePath)
+    finally s.unpersist(blocking = false)
   }
 }

@@ -136,26 +136,43 @@ object Staging {
 
   def run(spark: SparkSession, rawPattern: String, stgPath: String,
       rejectedPath: String, jobId: String, insertionTs: String): RunMetrics = {
-    import org.apache.spark.sql.Observation
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.{Encoders, Observation}
     val file = latestFile(spark, rawPattern)
     val fileName = file.split('/').last
-    // a landing CSV is one file → one input partition; without the spread
-    // the parse, DQ split and staging write all run on a single core (and
-    // the staging parquet comes out single-file, serializing every
-    // downstream layer too)
-    val parsed = graft.util.Par.spread(
-      normalizeNulls(readRawCsv(spark, file))).persist()
+    // a landing CSV is ONE file, and one file under maxPartitionBytes is one
+    // scan partition — the parse, DQ split and staging write would all run
+    // on a single core (and the staging parquet would come out single-file,
+    // serializing every downstream layer too). Text is line-splittable, so
+    // ask the Hadoop reader for core-count splits up front: the same
+    // parallelism a repartition shuffle would buy, without shuffling the
+    // raw bytes at all.
+    val lines = spark.createDataset(spark.sparkContext.textFile(
+      file, spark.sparkContext.defaultParallelism))(Encoders.STRING)
+      .toDF("value")
+    val parsed = normalizeNulls(parseRawLines(lines)).persist()
     try {
       val split = dqSplit(parsed)
       val obsW = Observation()
       val obsR = Observation()
-      finalizeStg(split.accepted, jobId, fileName, insertionTs)
-        .observe(obsW, count(lit(1)).as("rows_written"))
-        .write.mode("overwrite").parquet(stgPath)
-      split.rejected.select(RawLineCol)
-        .observe(obsR, count(lit(1)).as("rows_filtered"))
-        .coalesce(1)
-        .write.mode("overwrite").text(rejectedPath)
+      // the two channel writes share only the cached parse — concurrent jobs
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(Seq(
+        Future {
+          finalizeStg(split.accepted, jobId, fileName, insertionTs)
+            .observe(obsW, count(lit(1)).as("rows_written"))
+            .write.mode("overwrite").parquet(stgPath)
+        },
+        Future {
+          // repartition(1), not coalesce(1): coalesce would collapse the
+          // whole filter stage to one task; this filters wide and shuffles
+          // only the handful of rejected lines to the single writer
+          split.rejected.select(RawLineCol)
+            .observe(obsR, count(lit(1)).as("rows_filtered"))
+            .repartition(1)
+            .write.mode("overwrite").text(rejectedPath)
+        })), Duration.Inf)
       val written = obsW.get("rows_written").asInstanceOf[Long]
       val filtered = obsR.get("rows_filtered").asInstanceOf[Long]
       RunMetrics(split, Map(

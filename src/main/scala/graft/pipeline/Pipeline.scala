@@ -84,20 +84,20 @@ object FullLoad {
     Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
 
-    // stage 2 — STG → typed ODS (truncate)
-    OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
-      .write.mode("overwrite").parquet(wh.ods)
-
-    // stage 3 — region/country parse → T_ODS (truncate)
-    PlaceParser.parsePlaces(spark.read.parquet(wh.ods), states, insertionTs)
-      .write.mode("overwrite").parquet(wh.tOds)
-
-    // stage 4 — star schema truncate-reload. The ODS scan and the six
-    // (tiny) dimensions are cached for the stage: every dimension is
-    // consumed twice — once by its own write, once as a broadcast input to
-    // the fact join — and without the cache each consumption re-runs the
-    // scan + distinct + number subtree.
-    val tOds = spark.read.parquet(wh.tOds).persist()
+    // stages 2–4 — ODS, T_ODS, six dims and the fact are all derived from
+    // the just-written STG through IN-MEMORY frames (each layer persisted;
+    // parquet round-trips are value-exact for these types, so the written
+    // layer and the frame passed forward are identical by construction) and
+    // their eight table writes are submitted as ONE batch of concurrent
+    // jobs: every write is to its own path, dependencies flow through the
+    // caches (block-level locking makes concurrent first materialization
+    // compute-once), and the chain's wall time drops from the sum of
+    // sequential write barriers to roughly its longest dependency path.
+    // On a cluster this is the same standard overlap of sibling jobs'
+    // scheduling fixed costs; restartability is unchanged — every layer is
+    // still on disk when run() returns.
+    val ods = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs).persist()
+    val tOds = PlaceParser.parsePlaces(ods, states, insertionTs).persist()
     val dims = FactBuilder.buildDims(tOds)
     val byName = Map(
       "T_DIM_Network" -> dims.network,
@@ -107,19 +107,19 @@ object FullLoad {
       "T_DIM_depthCategory" -> dims.depthCategory,
       "T_DIM_date" -> dims.date)
     try {
-      // the six dimension writes are independent of each other — submit
-      // them as concurrent jobs (to different paths) instead of a
-      // sequential loop; on a cluster this is the standard way to overlap
-      // small sibling jobs' scheduling fixed costs
       implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(byName.toSeq.map { case (name, df) =>
-        Future(df.persist().write.mode("overwrite").parquet(wh.dim(name)))
-      }), Duration.Inf)
-      FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
-        .write.mode("overwrite").parquet(wh.fact)
+      Await.result(Future.sequence(
+        Future(ods.write.mode("overwrite").parquet(wh.ods)) +:
+        Future(tOds.write.mode("overwrite").parquet(wh.tOds)) +:
+        Future(FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
+          .write.mode("overwrite").parquet(wh.fact)) +:
+        byName.toSeq.map { case (name, df) =>
+          Future(df.persist().write.mode("overwrite").parquet(wh.dim(name)))
+        }), Duration.Inf)
     } finally {
       byName.values.foreach(_.unpersist(blocking = false))
       tOds.unpersist(blocking = false)
+      ods.unpersist(blocking = false)
     }
 
     // stage 5 — archive processed raw files
@@ -179,18 +179,22 @@ object DeltaLoad {
       jobId: String, insertionTs: Timestamp): Unit = {
     // The fresh ODS frame feeds both appends and is cached. The T_ODS-shaped
     // delta slice (parsed + key-deduped against the table) feeds the T_ODS
-    // append AND every stage-4 build — it is snapshotted with an EAGER
-    // localCheckpoint, not persist(): appending it to wh.tOds makes Spark
-    // recache-by-path every cached plan reading that path with a fresh file
-    // listing, so a persisted slice would silently re-dedupe against its own
-    // append and come back empty. The checkpoint truncates lineage to RDD
-    // blocks with no path dependency, freezing the pre-append view.
+    // append AND every stage-4 build. Its dedup side is the T_ODS key set,
+    // snapshotted with an EAGER localCheckpoint BEFORE the appends:
+    // appending to wh.tOds makes Spark recache-by-path every cached plan
+    // whose scan is under that path with a fresh file listing, so a slice
+    // that read T_ODS directly would silently re-dedupe against its own
+    // append and come back empty. Checkpointing the narrow ID list freezes
+    // the pre-append view at a fraction of the cost of checkpointing the
+    // slice itself, and leaves the slice a lazy cached frame whose first
+    // materialization happens inside the append job — overlapped with the
+    // ODS append instead of a serial pre-pass.
     val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
       .dropDuplicates("ID_Event").persist()
+    val tOdsIds = spark.read.parquet(wh.tOds).select("ID_Event").localCheckpoint()
     val delta = OdsTransform.dedupeAgainstExisting(
-        PlaceParser.parsePlaces(freshOds, states, insertionTs),
-        spark.read.parquet(wh.tOds).select("ID_Event"))
-      .localCheckpoint()
+        PlaceParser.parsePlaces(freshOds, states, insertionTs), tOdsIds)
+      .persist()
     implicit val ec: ExecutionContext = ExecutionContext.global
     try {
       // stages 2+3 — the ODS and T_ODS appends touch different tables and
@@ -210,8 +214,15 @@ object DeltaLoad {
       if (!delta.isEmpty) {
         val dims = FactBuilder.buildDims(delta) // value columns only matter below
         // each dim's extend-and-append touches only its own path — run the
-        // six chains as concurrent jobs (same rationale as FullLoad stage 4)
-        val full = Await.result(Future.sequence(wh.dimNames.map { name =>
+        // six chains as concurrent jobs (same rationale as FullLoad stage 4).
+        // Each chain computes its handful of NEW rows, snapshots them with
+        // an eager localCheckpoint (same recache-by-path reasoning as the
+        // delta slice: the frame must survive its own append), kicks the
+        // append off in the background, and immediately returns the
+        // post-extension dimension as existing ∪ fresh IN MEMORY — content-
+        // identical to re-reading the appended table, so the fact MERGE
+        // overlaps the six dim-append jobs instead of waiting behind them.
+        val chains = Await.result(Future.sequence(wh.dimNames.map { name =>
           Future {
             val existing = spark.read.parquet(wh.dim(name))
             val src = name match {
@@ -225,21 +236,24 @@ object DeltaLoad {
             // date-dim IDs are intrinsic (yyyymmdd, dw2_delta_load2.py:329-333):
             // new dates append as-is; surrogate-keyed dims continue from max id
             val fresh =
-              if (name == "T_DIM_date")
+              (if (name == "T_DIM_date")
                 DimBuilder.antiJoinNullSafe(src, existing, Seq("ID_date_ID"))
               else DimBuilder.extend(existing, src,
-                dimKeys(name).map(col), dimKeys(name), dimId(name))
-            fresh.write.mode("append").parquet(wh.dim(name))
-            name -> spark.read.parquet(wh.dim(name))
+                dimKeys(name).map(col), dimKeys(name), dimId(name)))
+                .localCheckpoint()
+            val append = Future(fresh.write.mode("append").parquet(wh.dim(name)))
+            (name -> existing.unionByName(fresh), append)
           }
-        }), Duration.Inf).toMap
+        }), Duration.Inf)
+        val full = chains.map(_._1).toMap
         val staged = FactBuilder.buildFact(delta,
           FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
             full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
             full("T_DIM_depthCategory"), full("T_DIM_date")),
           jobId, insertionTs)
         Merge.mergeInto(spark, wh.fact, staged)
+        Await.result(Future.sequence(chains.map(_._2)), Duration.Inf)
       }
-    } finally delta.unpersist(blocking = false) // checkpoint blocks; safe no-op if none
+    } finally delta.unpersist(blocking = false)
   }
 }
