@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
-  private val skip = Set("e2e_full_load", "e2e_delta_load")
+  private val skip = Set("e2e_full_load", "e2e_delta_load", "e2e_stream_delta")
 
   test("no query plans a cartesian product; nested loops only where documented") {
     val offenders = SparkEntry.queries.toSeq
