@@ -183,24 +183,32 @@ object Similarity {
     val aw = Window.partitionBy(col("_id"))
       .orderBy(col("_s").desc, col("_cid").asc)
     // one scored+ranked pass serves both roles: rn == 1 is the corpus
-    // assignment, rn <= nprobe is the query-side probe list
-    val ranked = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
-      .join(broadcast(centroids))
-      .select(col("_id"), col("_v"), col("_n"), col("_cid"),
+    // assignment, rn <= nprobe is the query-side probe list. The pass
+    // carries ONLY (id, cid, score) into the per-id window — carrying the
+    // vector payload would replicate it nCells× through the window's
+    // shuffle/sort; instead the cell picks are joined back to the cached
+    // vector frame by id afterwards (no broadcast hint: AQE broadcasts the
+    // narrow pick list locally, and at corpus scale — where picks are
+    // corpus-sized — it becomes a shuffled join of two id-keyed frames,
+    // moving the vector payload once instead of nCells×).
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n")).persist()
+    val picks = vectors.join(broadcast(centroids))
+      .select(col("_id"), col("_cid"),
         (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
       .withColumn("_rn", row_number().over(aw))
       .filter(col("_rn") <= nprobe)
-      .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"), col("_rn"))
+      .select(col("_id"), col("_cid").as("_cell"), col("_rn"))
       .persist()
-    val probes = ranked.select(col("_id").as("query_id"), col("_v").as("_va"),
-      col("_n").as("_na"), col("_cell"))
-    val corpus = ranked.filter(col("_rn") === 1)
+    val probes = vectors.join(picks, Seq("_id"))
+      .select(col("_id").as("query_id"), col("_v").as("_va"),
+        col("_n").as("_na"), col("_cell"))
+    val corpus = vectors.join(picks.filter(col("_rn") === 1), Seq("_id"))
       .select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
         col("_n").as("_nb"), col("_cell").as("_cell2"))
     graft.util.Caching.materializeAndRelease(
       rankTopK(probes.join(corpus,
         col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
-      ranked)
+      vectors, picks)
   }
 
   /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
@@ -218,14 +226,19 @@ object Similarity {
       nCells: Int): DataFrame = {
     val aw = Window.partitionBy(col("_id"))
       .orderBy(col("_s").desc, col("_cid").asc)
-    def assign(vectors: DataFrame, cents: DataFrame, cos: Column): DataFrame =
-      vectors.join(broadcast(cents))
-        .select(col("_id"), col("_v"), col("_n"), col("_cid"), cos.as("_s"))
+    // narrow-window assignment, same shape as [[ivfTopKProbed]]: score on
+    // (id, cid, s) only, rejoin the winning cell to the vector frame by id
+    def assign(vectors: DataFrame, cents: DataFrame, cos: Column): DataFrame = {
+      val picks = vectors.join(broadcast(cents))
+        .select(col("_id"), col("_cid"), cos.as("_s"))
         .withColumn("_rn", row_number().over(aw))
         .filter(col("_rn") === 1)
-        .select(col("_id"), col("_v"), col("_n"), col("_cid").as("_cell"))
+        .select(col("_id"), col("_cid").as("_cell"))
+      vectors.join(picks, Seq("_id"))
+        .select(col("_id"), col("_v"), col("_n"), col("_cell"))
+    }
 
-    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n")).persist()
     val seeds = emb.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
@@ -262,7 +275,7 @@ object Similarity {
     graft.util.Caching.materializeAndRelease(
       rankTopK(a.join(b,
         col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
-      asn1)
+      vectors, asn1)
   }
 
   /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,
@@ -320,13 +333,18 @@ object Similarity {
         sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
     val aw = Window.partitionBy(col("_id"))
       .orderBy(col("_s").desc, col("_cid").asc)
-    val assigned = base.join(broadcast(centroids))
-      .select(col("_id"), col("_v"), col("_n"), col("_sc"), col("_q"), col("_cid"),
+    // narrow-window assignment (see [[ivfTopKProbed]]): the float vector
+    // AND the int8 code array stay out of the per-id window shuffle
+    val cached = base.persist()
+    val cellPicks = cached.join(broadcast(centroids))
+      .select(col("_id"), col("_cid"),
         (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
       .withColumn("_rn", row_number().over(aw))
       .filter(col("_rn") === 1)
+      .select(col("_id"), col("_cid").as("_cell"))
+    val assigned = cached.join(cellPicks, Seq("_id"))
       .select(col("_id"), col("_v"), col("_n"), col("_sc"), col("_q"),
-        col("_cid").as("_cell"))
+        col("_cell"))
       .persist()
     val a = assigned.select(col("_id").as("query_id"), col("_n").as("_na"),
       col("_sc").as("_sca"), col("_q").as("_qa"), col("_cell"))
@@ -356,7 +374,7 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"),
           round(col("_cos"), 9).as("cosine"), col("rank")),
-      assigned)
+      cached, assigned)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b).
