@@ -108,13 +108,16 @@ object FullLoad {
       "T_DIM_date" -> dims.date)
     try {
       implicit val ec: ExecutionContext = ExecutionContext.global
+      // register every persist BEFORE submitting the concurrent jobs, so no
+      // future's cache lookup can race a sibling's registration
+      byName.values.foreach(_.persist())
       Await.result(Future.sequence(
         Future(ods.write.mode("overwrite").parquet(wh.ods)) +:
         Future(tOds.write.mode("overwrite").parquet(wh.tOds)) +:
         Future(FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
           .write.mode("overwrite").parquet(wh.fact)) +:
         byName.toSeq.map { case (name, df) =>
-          Future(df.persist().write.mode("overwrite").parquet(wh.dim(name)))
+          Future(df.write.mode("overwrite").parquet(wh.dim(name)))
         }), Duration.Inf)
     } finally {
       byName.values.foreach(_.unpersist(blocking = false))
