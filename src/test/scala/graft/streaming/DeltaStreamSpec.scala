@@ -160,6 +160,61 @@ class DeltaStreamSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._2) === Set(100L, 102L))
   }
 
+  test("startDeltaLoad: two files → two delta batches; checkpoint restart reprocesses neither") {
+    import graft.pipeline.{FullLoad, Warehouse}
+    val root = tmpDir("streamwh")
+    val landing = s"$root/landing"
+    Files.createDirectories(Paths.get(landing))
+    val ckpt = s"$root/ckpt"
+    val wh = Warehouse(s"$root/wh")
+    val states = spark.read.option("header", "true")
+      .csv(resource("us_states.csv"))
+
+    // warehouse initialized by a batch full load (the reference's cadence)
+    Files.copy(Paths.get(resource("usgs_sample.csv")),
+      Paths.get(landing, "whole_month_07.csv"), StandardCopyOption.REPLACE_EXISTING)
+    FullLoad.run(spark, s"$landing/*.csv", states, wh, "job-full", ts)
+    val nFull = spark.read.parquet(wh.fact).count()
+
+    val header = Files.readAllLines(Paths.get(resource("usgs_sample.csv"))).get(0)
+    val replay = Files.readAllLines(Paths.get(resource("usgs_sample.csv"))).get(1)
+    // the stable event key is (time, lat, lon) — each synthetic event needs
+    // its own minute, or the key-dedup would correctly drop it as a replay
+    def novel(id: String, net: String, minute: Int) =
+      f"2024-08-02T09:$minute%02d:00.000Z,48.0,7.8,12.0,4.2,ml,30,60,0.2,0.1,$net,$id," +
+        "2024-08-02T10:00:00.000Z,\"13 km E of Freiburg, Germany\"," +
+        s"earthquake,0.8,3.0,0.1,12,reviewed,$net,$net"
+
+    // batch 1: one replayed + one novel event
+    Files.write(Paths.get(landing, "all_day_20240802-120000.csv"),
+      java.util.Arrays.asList(header, replay, novel("ev_s1", "zz", 30)))
+    val q1 = DeltaStream.startDeltaLoad(spark, landing, states, wh, ckpt,
+      "job-s1", Some(ts))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(wh.fact).count() === nFull + 1)
+
+    // stream DOWN; a second delta file lands; restart on the SAME
+    // checkpoint → exactly the new file is processed, nothing replayed
+    Files.write(Paths.get(landing, "all_day_20240803-120000.csv"),
+      java.util.Arrays.asList(header, replay, novel("ev_s1", "zz", 30),
+        novel("ev_s2", "zz", 31)))
+    val q2 = DeltaStream.startDeltaLoad(spark, landing, states, wh, ckpt,
+      "job-s2", Some(ts))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(spark.read.parquet(wh.fact).count() === nFull + 2)
+    // the new network extended the dim exactly once across both batches
+    val zz = spark.read.parquet(wh.dim("T_DIM_Network"))
+      .filter(col("LB_NetworkSymbol") === "zz")
+    assert(zz.count() === 1)
+    // both streamed events share the single zz dim row in the fact
+    val zzId = zz.select("ID_Network_ID").head().getLong(0)
+    assert(spark.read.parquet(wh.fact)
+      .filter(col("ID_Network_ID") === zzId).count() === 2)
+  }
+
   test("networkStats: keyed state accumulates across triggers") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
