@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no "[info] " logger prefix): the
+// bench driver tail-parses the run log for Bench's one-line JSON, and the
+// prefixed copy fails its parse (rounds 1-3 all came back "parsed": null).
+Compile / run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,8 +30,15 @@ object Merge {
     * materialize to a sibling tmp dir, then swap directories. The final
     * rename pair is metadata-only; a crash between them loses no data (both
     * dirs still exist under deterministic names).
+    *
+    * `preSwap` runs after the tmp write completes but BEFORE any rename —
+    * a commit-order barrier: callers pass work that must be durable before
+    * this table's new version becomes visible (e.g. the delta chain awaits
+    * its dimension appends here, so a fact version never references dim ids
+    * that were not yet written). If it throws, the target is untouched.
     */
-  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
+      preSwap: () => Unit = () => ()): Unit = {
     recover(spark, path)
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -40,6 +47,7 @@ object Merge {
     fs.delete(tmp, true)
     fs.delete(old, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    preSwap()
     if (fs.exists(target)) {
       require(fs.rename(target, old), s"rename $target -> $old failed")
     }
@@ -75,11 +83,11 @@ object Merge {
     * keys + union payload) and its lineage is typically a multi-join build.
     */
   def mergeInto(spark: SparkSession, tablePath: String, staged: DataFrame,
-      key: String = "ID_Event"): Unit = {
+      key: String = "ID_Event", preSwap: () => Unit = () => ()): Unit = {
     recover(spark, tablePath) // the read below must see a post-crash-complete table
     val existing = spark.read.parquet(tablePath)
     val s = staged.persist()
-    try atomicOverwrite(spark, upsert(existing, s, key), tablePath)
+    try atomicOverwrite(spark, upsert(existing, s, key), tablePath, preSwap)
     finally s.unpersist(blocking = false)
   }
 }

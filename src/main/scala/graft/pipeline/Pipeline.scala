@@ -177,21 +177,36 @@ object DeltaLoad {
     * updates only staged keys). An empty delta (every landed event already
     * warehoused) skips dim extension and the fact MERGE outright — no
     * full-fact rewrite for a no-op batch.
+    *
+    * Replay safety (crash / streaming foreachBatch retry): the batch's
+    * commits are ORDERED — dim appends, then the fact swap (the dim await
+    * is [[Merge.atomicOverwrite]]'s `preSwap` barrier, so a visible fact
+    * never references unwritten dim ids), then the T_ODS append LAST.
+    * Because the delta slice is derived from T_ODS, a rerun after a crash
+    * anywhere before that final append recomputes the SAME slice (T_ODS
+    * unchanged) and re-runs stage 4 idempotently: dim extension anti-joins
+    * find already-appended values (their committed surrogate ids are
+    * reused, max-key continuation is stable), the MERGE re-upserts the
+    * same keys, and only then does T_ODS absorb the slice. A crash after
+    * the T_ODS append means everything else already committed — the rerun's
+    * slice is empty and the batch is a no-op. The ODS append is
+    * independently idempotent (key-deduped against its own table) and free
+    * to overlap. `failpoint` is a test hook injecting crashes at the
+    * commit boundaries; production callers leave the default no-op.
     */
   def warehouseStages(spark: SparkSession, states: DataFrame, wh: Warehouse,
-      jobId: String, insertionTs: Timestamp): Unit = {
+      jobId: String, insertionTs: Timestamp,
+      failpoint: String => Unit = _ => ()): Unit = {
     // The fresh ODS frame feeds both appends and is cached. The T_ODS-shaped
-    // delta slice (parsed + key-deduped against the table) feeds the T_ODS
-    // append AND every stage-4 build. Its dedup side is the T_ODS key set,
-    // snapshotted with an EAGER localCheckpoint BEFORE the appends:
+    // delta slice (parsed + key-deduped against the table) feeds every
+    // stage-4 build AND the final T_ODS append. Its dedup side is the T_ODS
+    // key set, snapshotted with an EAGER localCheckpoint up front:
     // appending to wh.tOds makes Spark recache-by-path every cached plan
     // whose scan is under that path with a fresh file listing, so a slice
-    // that read T_ODS directly would silently re-dedupe against its own
-    // append and come back empty. Checkpointing the narrow ID list freezes
-    // the pre-append view at a fraction of the cost of checkpointing the
-    // slice itself, and leaves the slice a lazy cached frame whose first
-    // materialization happens inside the append job — overlapped with the
-    // ODS append instead of a serial pre-pass.
+    // that read T_ODS directly would re-dedupe against its own append if
+    // any of its cached blocks were evicted before the append job ran.
+    // Checkpointing the narrow ID list freezes the pre-append view at a
+    // fraction of the cost of checkpointing the slice itself.
     val freshOds = OdsTransform.toOds(spark.read.parquet(wh.stg), insertionTs)
       .dropDuplicates("ID_Event").persist()
     val tOdsIds = spark.read.parquet(wh.tOds).select("ID_Event").localCheckpoint()
@@ -199,18 +214,14 @@ object DeltaLoad {
         PlaceParser.parsePlaces(freshOds, states, insertionTs), tOdsIds)
       .persist()
     implicit val ec: ExecutionContext = ExecutionContext.global
-    try {
-      // stages 2+3 — the ODS and T_ODS appends touch different tables and
-      // share only the cached freshOds: submit them as concurrent jobs
-      Await.result(Future.sequence(Seq(
-        Future {
-          OdsTransform.dedupeAgainstExisting(freshOds,
-              spark.read.parquet(wh.ods).select("ID_Event"))
-            .write.mode("append").parquet(wh.ods)
-        },
-        Future { delta.write.mode("append").parquet(wh.tOds) })), Duration.Inf)
-    } finally freshOds.unpersist(blocking = false)
-
+    // stage 2 — the ODS append touches only its own table and is key-deduped
+    // against it, so it is replay-safe in isolation: run it in the
+    // background, overlapping all of stage 4
+    val odsAppend = Future {
+      OdsTransform.dedupeAgainstExisting(freshOds,
+          spark.read.parquet(wh.ods).select("ID_Event"))
+        .write.mode("append").parquet(wh.ods)
+    }
     try {
       // stage 4 — incremental dims (max-key continuation) + fact MERGE,
       // all from the delta slice
@@ -223,8 +234,10 @@ object DeltaLoad {
         // delta slice: the frame must survive its own append), kicks the
         // append off in the background, and immediately returns the
         // post-extension dimension as existing ∪ fresh IN MEMORY — content-
-        // identical to re-reading the appended table, so the fact MERGE
-        // overlaps the six dim-append jobs instead of waiting behind them.
+        // identical to re-reading the appended table, so the merged-fact
+        // build overlaps the six dim-append jobs. The appends are awaited
+        // at the merge's preSwap barrier below: they commit BEFORE the new
+        // fact version becomes visible, but after its heavy write.
         val chains = Await.result(Future.sequence(wh.dimNames.map { name =>
           Future {
             val existing = spark.read.parquet(wh.dim(name))
@@ -254,9 +267,21 @@ object DeltaLoad {
             full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
             full("T_DIM_depthCategory"), full("T_DIM_date")),
           jobId, insertionTs)
-        Merge.mergeInto(spark, wh.fact, staged)
-        Await.result(Future.sequence(chains.map(_._2)), Duration.Inf)
+        Merge.mergeInto(spark, wh.fact, staged, preSwap = () => {
+          // barrier: ODS + all six dim appends durable before the swap
+          Await.result(Future.sequence(odsAppend +: chains.map(_._2)), Duration.Inf)
+          failpoint("pre-fact-swap") // dims committed, fact not yet visible
+        })
+        failpoint("post-merge") // fact visible, T_ODS append not yet run
+        // stage 3 — T_ODS absorbs the slice LAST: this is the commit that
+        // makes the batch invisible to a replay, so everything the slice
+        // feeds must already be durable
+        delta.write.mode("append").parquet(wh.tOds)
       }
-    } finally delta.unpersist(blocking = false)
+      Await.result(odsAppend, Duration.Inf)
+    } finally {
+      delta.unpersist(blocking = false)
+      freshOds.unpersist(blocking = false)
+    }
   }
 }

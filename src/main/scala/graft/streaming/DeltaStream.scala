@@ -90,8 +90,12 @@ object DeltaStream {
     * [[graft.pipeline.DeltaLoad.warehouseStages]] (ODS/T_ODS key-deduped
     * appends, max-key dim extension, fact MERGE) — the exact batch-delta
     * semantics, shared by construction. Exactly-once per file comes from
-    * the checkpoint; a replayed batch is additionally idempotent because
-    * every append is key-deduped and the MERGE upserts.
+    * the checkpoint; a replayed batch — including a foreachBatch RETRY
+    * after a mid-batch failure, where some of the batch's writes already
+    * committed — is additionally idempotent because `warehouseStages`
+    * orders its commits (dims → fact swap → T_ODS last) so the slice that
+    * drives the rerun is recomputed unchanged until everything it feeds is
+    * durable; see its replay-safety note.
     *
     * Requires an initialized warehouse (a full load has run) — the
     * reference's own cadence (`load_controller_DAG.py:186-188`: the first

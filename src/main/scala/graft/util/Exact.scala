@@ -14,12 +14,18 @@ import org.apache.spark.sql.types._
   * 100 TB: reproducible results regardless of partition count / AQE
   * decisions.
   *
-  * The quantization is `floor(x·10^scale + 0.5)` summed as a 64-bit
-  * integer — a pure IEEE-double expression both engines evaluate
-  * identically, then an associative long sum. (The previous formulation,
-  * `sum(CAST(x AS DECIMAL(18,s)))`, had identical semantics for
-  * non-negative inputs but ~2.5× the cost: Spark's double→decimal cast
-  * routes every value through `Double.toString` + `BigDecimal`.)
+  * The quantization is `sign(x)·floor(|x|·10^scale + 0.5)` summed as a
+  * 64-bit integer — a pure IEEE-double expression both engines evaluate
+  * identically, then an associative long sum. The sign-aware form rounds
+  * half-units AWAY FROM ZERO for negatives too (−0.125 at scale 2 → −13
+  * units, not −12) — depth/longitude/magnitude inputs can all be
+  * negative — restoring the original `sum(CAST(x AS DECIMAL(18,s)))`
+  * formulation's HALF_UP symmetry at ~2.5× less cost (Spark's
+  * double→decimal cast routes every value through `Double.toString` +
+  * `BigDecimal`). Tie DETECTION still follows the IEEE binary value (1.005
+  * scales to 100.4999…, not a tie), unlike the decimal cast's
+  * shortest-string rounding; since both engines evaluate this same
+  * expression, cross-engine agreement is unconditional either way.
   *
   * Domain bound, by design: the summed magnitude must stay below 2^63
   * quantized units — e.g. 10^11 rows averaging 10^5 at scale 2 still fits
@@ -28,12 +34,12 @@ import org.apache.spark.sql.types._
   */
 object Exact {
 
-  /** Exact sum: per-value fixed-point quantization (round half-up at
-    * `scale` digits), exact integer sum, double out.
+  /** Exact sum: per-value fixed-point quantization (round half away from
+    * zero at `scale` digits), exact integer sum, double out.
     */
   def dsum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    sum(floor(c * f + lit(0.5))).cast(DoubleType) / f
+    sum(signum(c) * floor(abs(c) * f + lit(0.5))).cast(DoubleType) / f
   }
 
   /** Exact average built from the exact sum (same double division both engines). */
@@ -43,7 +49,7 @@ object Exact {
   /** DuckDB oracle-side SQL for [[dsum]] — literally the same arithmetic. */
   def dsumSql(col: String, scale: Int = 2): String = {
     val f = math.pow(10, scale)
-    s"CAST(sum(CAST(floor(($col) * $f + 0.5) AS BIGINT)) AS DOUBLE) / $f"
+    s"CAST(sum(CAST(sign(($col)) * floor(abs($col) * $f + 0.5) AS BIGINT)) AS DOUBLE) / $f"
   }
 
   /** DuckDB oracle-side SQL for [[davg]]. */

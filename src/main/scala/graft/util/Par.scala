@@ -26,8 +26,19 @@ object Par {
     val par = sess.sparkContext.defaultParallelism
     val maxPartitionBytes = JavaUtils.byteStringAsBytes(
       sess.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes /
-      maxPartitionBytes + 1
-    if (estParts < par) df.repartition(par) else df
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sources without stats report the defaultSizeInBytes sentinel
+    // (effectively Long.MaxValue), and join/explode estimates can propagate
+    // past it — both would silently make spread a no-op exactly where a
+    // narrow source needs it. Estimates at or beyond the sentinel are
+    // UNKNOWN: fall back to the physical partition count, paying one
+    // planning of the subtree only on this path.
+    val sentinel = BigInt(sess.conf.get("spark.sql.defaultSizeInBytes",
+      Long.MaxValue.toString))
+    if (size < sentinel) {
+      val estParts = size / maxPartitionBytes + 1
+      if (estParts < par) df.repartition(par) else df
+    } else if (df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
   }
 }
