@@ -78,6 +78,35 @@ object Merge {
     }
   }
 
+  /** Commit a pre-written append: move `pendingDir`'s part files into the
+    * table directory, then delete `pendingDir`. The heavy parquet write
+    * happens earlier (and concurrently with other work) into `pendingDir`,
+    * which is NOT visible to readers of `tablePath`; this call is the
+    * commit, and it is metadata-only — per-file renames within one
+    * filesystem.
+    *
+    * Replay semantics under a crash mid-commit: each part file moves
+    * atomically, so every row is either visible in the table or still in
+    * `pendingDir`, never both. A rerun recomputes its delta from source,
+    * dedupes against the table (seeing exactly the moved rows), overwrites
+    * `pendingDir` with the complement, and commits that — converging to the
+    * no-crash state. Part-file names carry the write job's UUID, so moved
+    * files cannot collide with the table's existing files.
+    */
+  def commitAppend(spark: SparkSession, pendingDir: String, tablePath: String): Unit = {
+    val src = new Path(pendingDir)
+    val dst = new Path(tablePath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dst), s"commitAppend target $dst does not exist")
+    fs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("part-"))
+        require(fs.rename(st.getPath, new Path(dst, name)),
+          s"rename ${st.getPath} -> $dst/$name failed")
+    }
+    fs.delete(src, true)
+  }
+
   /** Full MERGE stage: read table, upsert staged batch, swap. The staged
     * batch is cached for the write: [[upsert]] consumes it twice (anti-join
     * keys + union payload) and its lineage is typically a multi-join build.

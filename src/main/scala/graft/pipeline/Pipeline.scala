@@ -181,7 +181,9 @@ object DeltaLoad {
     * Replay safety (crash / streaming foreachBatch retry): the batch's
     * commits are ORDERED — dim appends, then the fact swap (the dim await
     * is [[Merge.atomicOverwrite]]'s `preSwap` barrier, so a visible fact
-    * never references unwritten dim ids), then the T_ODS append LAST.
+    * never references unwritten dim ids), then the T_ODS commit LAST (its
+    * parquet bytes are pre-written to an invisible pending dir during
+    * stage 4; the commit itself is a metadata-only rename).
     * Because the delta slice is derived from T_ODS, a rerun after a crash
     * anywhere before that final append recomputes the SAME slice (T_ODS
     * unchanged) and re-runs stage 4 idempotently: dim extension anti-joins
@@ -222,10 +224,23 @@ object DeltaLoad {
           spark.read.parquet(wh.ods).select("ID_Event"))
         .write.mode("append").parquet(wh.ods)
     }
+    // every background write this batch started; the finally drains them all
+    // so a stage-4 failure can't leave a zombie job racing a same-JVM retry
+    val background = scala.collection.mutable.ArrayBuffer[Future[Unit]](odsAppend)
     try {
       // stage 4 — incremental dims (max-key continuation) + fact MERGE,
       // all from the delta slice
       if (!delta.isEmpty) {
+        // Pre-write the T_ODS slice to a pending dir CONCURRENTLY with the
+        // stage-4 builds; the pending dir is invisible to T_ODS readers, so
+        // replay ordering is preserved while the heavy write overlaps the
+        // merge instead of serializing after it. Only the metadata-only
+        // rename below (Merge.commitAppend) is the post-merge commit.
+        val pendingTOds = s"${wh.tOds}__pending"
+        val tOdsStage = Future {
+          delta.write.mode("overwrite").parquet(pendingTOds)
+        }
+        background += tOdsStage
         val dims = FactBuilder.buildDims(delta) // value columns only matter below
         // each dim's extend-and-append touches only its own path — run the
         // six chains as concurrent jobs (same rationale as FullLoad stage 4).
@@ -272,14 +287,25 @@ object DeltaLoad {
           Await.result(Future.sequence(odsAppend +: chains.map(_._2)), Duration.Inf)
           failpoint("pre-fact-swap") // dims committed, fact not yet visible
         })
-        failpoint("post-merge") // fact visible, T_ODS append not yet run
+        failpoint("post-merge") // fact visible, T_ODS commit not yet run
         // stage 3 — T_ODS absorbs the slice LAST: this is the commit that
         // makes the batch invisible to a replay, so everything the slice
-        // feeds must already be durable
-        delta.write.mode("append").parquet(wh.tOds)
+        // feeds must already be durable. The parquet bytes were written to
+        // the pending dir during stage 4; only the rename happens here.
+        Await.result(tOdsStage, Duration.Inf)
+        Merge.commitAppend(spark, pendingTOds, wh.tOds)
       }
       Await.result(odsAppend, Duration.Inf)
     } finally {
+      // if stage 4 threw, the background writes (ODS append, pending T_ODS
+      // slice) may still be running: unpersisting their source frames under
+      // them — or letting a same-JVM foreachBatch retry race their commits
+      // against the retry's dedup reads / pending-dir overwrite — could
+      // duplicate rows. Drain them first; their own failures are secondary
+      // to any in-flight primary exception.
+      background.foreach { f =>
+        try Await.ready(f, Duration.Inf) catch { case _: Throwable => () }
+      }
       delta.unpersist(blocking = false)
       freshOds.unpersist(blocking = false)
     }

@@ -39,7 +39,11 @@ object Exact {
     */
   def dsum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    sum(signum(c) * floor(abs(c) * f + lit(0.5))).cast(DoubleType) / f
+    // the product must be cast to LONG before summing: signum is DoubleType,
+    // so the bare product would sum as doubles — exact only below 2^53 units,
+    // not the documented 2^63 — and diverge from dsumSql's CAST(... AS BIGINT)
+    sum((signum(c) * floor(abs(c) * f + lit(0.5))).cast(LongType))
+      .cast(DoubleType) / f
   }
 
   /** Exact average built from the exact sum (same double division both engines). */

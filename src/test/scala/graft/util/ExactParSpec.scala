@@ -31,6 +31,18 @@ class ExactParSpec extends SparkSpec {
     assert(got === sqlForm)
   }
 
+  test("dsum stays exact past 2^53 quantized units (long sum, not double)") {
+    // 2^53/100 quantizes to exactly 2^53 units; ten 0.01s add 10 more units.
+    // A double partial-sum starting at 2^53 drops every +1 (ulp there is 2),
+    // losing 0.1 — above the output ulp (~0.016 at 9e13) — so this fails if
+    // the product ever sums as DoubleType again instead of LongType.
+    val big = math.pow(2, 53) / 100.0
+    val df = (big +: Seq.fill(10)(0.01)).toDF("x").coalesce(1)
+    val got = df.agg(Exact.dsum($"x", 2).as("s")).head().getDouble(0)
+    val exact = ((1L << 53) + 10L).toDouble / 100.0
+    assert(got === exact)
+  }
+
   test("spread widens a single-partition source with sentinel stats") {
     // a localCheckpoint'd frame scans as LogicalRDD: no stats, sizeInBytes =
     // defaultSizeInBytes sentinel. This is exactly the streaming foreachBatch
