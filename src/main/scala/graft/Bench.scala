@@ -32,18 +32,31 @@ object Bench {
     }
     spark.catalog.clearCache()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Median-of-N timing: single-run totals on this machine swing 63-90 s
+    // under background load (BASELINE.md), which is larger than every
+    // remaining per-query gap vs the oracle — one sample can't adjudicate a
+    // 2× bar. Each query runs `reps` consecutive times (cache cleared
+    // between) and reports its MEDIAN; per-rep raw times go to
+    // target/bench_runs.json so the spread stays inspectable without
+    // bloating the driver's one-line JSON.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must not masquerade as a fast one — record it
-      try { force(fn(spark, sfDir)) } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must not masquerade as a fast one — record it
+        try { force(fn(spark, sfDir)) } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may persist intermediates; drop them so no query is
+        // timed against another query's leftover cache or storage pressure
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist intermediates; drop them so no query is
-      // timed against another query's leftover cache or storage pressure
-      spark.catalog.clearCache()
-      name -> dt
+      runs(name) = times
+      name -> times.sorted.apply((times.size - 1) / 2)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -62,7 +75,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val runsJson = runs.map { case (k, ts) =>
+      jstr(k) + ":" + ts.map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val runsOut = java.nio.file.Paths.get("target/bench_runs.json")
+    java.nio.file.Files.createDirectories(runsOut.getParent)
+    java.nio.file.Files.write(runsOut, runsJson.getBytes("UTF-8"))
     // a known file for the driver, plus stdout — printed TWICE so any tail
     // window at least one full line long contains a complete parseable copy
     // even when the window boundary falls mid-line

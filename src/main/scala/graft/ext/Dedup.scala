@@ -314,12 +314,22 @@ object Dedup {
     * On corpora with no mega-grams the cut is a no-op and the result equals
     * plain Jaccard. `inter`/`uni` stay exact integers over the filtered
     * universe, so thresholding is exact.
+    *
+    * Grams travel as 64-bit `xxhash64` keys from the moment they leave the
+    * per-document array: the df-cut window and both sides of the self-join
+    * shuffle an 8-byte long instead of the gram STRING (~20-30 bytes + hash
+    * cost at every exchange) — same trick as [[lshBuckets]]. Collision
+    * tolerance: two distinct grams hashing equal could merge set elements,
+    * perturbing a count by 1; at 64 bits the corpus-wide collision odds are
+    * ~m²/2⁶⁵ (≈10⁻¹¹ even for 10⁸ distinct grams), far below any near-dup
+    * threshold's sensitivity, so pairs are not rescored on raw strings.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, thNum: Int = 3, thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
     val ngAll = Par.spread(docs)
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_g"))
+      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
     // df cut as an unordered window count over the gram key: one shuffle
     // on _g produces both the document frequency and the filtered stream —
     // a separate groupBy + join-back would shuffle the exploded grams a

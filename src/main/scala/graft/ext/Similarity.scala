@@ -198,17 +198,24 @@ object Similarity {
       .withColumn("_rn", row_number().over(aw))
       .filter(col("_rn") <= nprobe)
       .select(col("_id"), col("_cid").as("_cell"), col("_rn"))
+    // ONE pick-to-vector rejoin serves both roles: every row is a query-side
+    // probe, the _rn == 1 subset is the corpus assignment. The earlier shape
+    // joined vectors↔picks twice (probes and corpus separately), paying a
+    // second id-keyed exchange+join and forcing picks into its own persist;
+    // fused, picks is consumed exactly once and only `assigned` is cached.
+    val assigned = vectors.join(picks, Seq("_id"))
+      .select(col("_id"), col("_v"), col("_n"), col("_cell"), col("_rn"))
       .persist()
-    val probes = vectors.join(picks, Seq("_id"))
+    val probes = assigned
       .select(col("_id").as("query_id"), col("_v").as("_va"),
         col("_n").as("_na"), col("_cell"))
-    val corpus = vectors.join(picks.filter(col("_rn") === 1), Seq("_id"))
+    val corpus = assigned.filter(col("_rn") === 1)
       .select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
         col("_n").as("_nb"), col("_cell").as("_cell2"))
     graft.util.Caching.materializeAndRelease(
       rankTopK(probes.join(corpus,
         col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
-      vectors, picks)
+      vectors, assigned)
   }
 
   /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
