@@ -23,11 +23,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=a,b,c runs a subset — for iterating on one query and
+    // for the sf1 scale probe (BASELINE.md) without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // Untimed warm-up pass: JIT/codegen compilation and parquet footer reads
     // land here instead of inflating whichever query happens to run first.
     // Caches persisted inside operators are dropped so the timed pass does
     // the real work.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
@@ -41,7 +49,7 @@ object Bench {
     // bloating the driver's one-line JSON.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast one — record it
@@ -51,8 +59,13 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators may persist intermediates; drop them so no query is
-        // timed against another query's leftover cache or storage pressure
+        // timed against another query's leftover cache or storage pressure.
+        // The explicit GC (outside the timed window) lets the ContextCleaner
+        // reclaim orphaned localCheckpoint RDDs and broadcasts NOW instead
+        // of mid-way through a later query — without it, suite-cumulative
+        // block-manager pressure inflated the heavy queries up to 2×.
         spark.catalog.clearCache()
+        System.gc()
         dt
       }
       runs(name) = times

@@ -10,8 +10,8 @@ import graft.dw.{DimBuilder, FactBuilder, Merge}
 import graft.ingest.Staging
 import graft.ods.{OdsTransform, PlaceParser}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Warehouse layout: one parquet directory per layer table, mirroring the
   * reference's BigQuery datasets (STG_ds / ODS_ds / DW_ds, SURVEY §1.2).
@@ -24,6 +24,7 @@ final case class Warehouse(root: String) {
   val fact: String = s"$root/dw/T_FACT_Events"
   val rejected: String = s"$root/rejected"
   val archive: String = s"$root/archive"
+  val runLog: String = s"$root/run_log"
 
   val dimNames: Seq[String] = Seq("T_DIM_Network", "T_DIM_RegionCountry",
     "T_DIM_Seismic_Activity_Type", "T_DIM_magCategory", "T_DIM_depthCategory",
@@ -80,9 +81,12 @@ object FullLoad {
 
   def run(spark: SparkSession, rawPattern: String, states: DataFrame,
       wh: Warehouse, jobId: String, insertionTs: Timestamp): Unit = {
-    // stage 1 — RAW → STG (truncate) + rejected side channel
-    Staging.run(spark, rawPattern, wh.stg,
+    // stage 1 — RAW → STG (truncate) + rejected side channel; A5 counters
+    // land in the run log
+    val stgMetrics = Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
+    RunLog.append(spark, wh.runLog, jobId, "staging", stgMetrics.counters,
+      insertionTs)
 
     // stages 2–4 — ODS, T_ODS, six dims and the fact are all derived from
     // the just-written STG through IN-MEMORY frames (each layer persisted;
@@ -111,14 +115,23 @@ object FullLoad {
       // register every persist BEFORE submitting the concurrent jobs, so no
       // future's cache lookup can race a sibling's registration
       byName.values.foreach(_.persist())
+      // A5 — row counts ride the writes that run anyway via observe
+      val obsTOds = Observation()
+      val obsFact = Observation()
       Await.result(Future.sequence(
         Future(ods.write.mode("overwrite").parquet(wh.ods)) +:
-        Future(tOds.write.mode("overwrite").parquet(wh.tOds)) +:
+        Future(tOds.observe(obsTOds, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(wh.tOds)) +:
         Future(FactBuilder.buildFact(tOds, dims, jobId, insertionTs)
+          .observe(obsFact, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(wh.fact)) +:
         byName.toSeq.map { case (name, df) =>
           Future(df.write.mode("overwrite").parquet(wh.dim(name)))
         }), Duration.Inf)
+      RunLog.append(spark, wh.runLog, jobId, "full_load", Map(
+        "rows_tods_written" -> obsTOds.get("n").asInstanceOf[Long],
+        "rows_fact_written" -> obsFact.get("n").asInstanceOf[Long]),
+        insertionTs)
     } finally {
       byName.values.foreach(_.unpersist(blocking = false))
       tOds.unpersist(blocking = false)
@@ -150,8 +163,10 @@ object DeltaLoad {
     }
 
     // stage 1 — RAW → STG (staging truncates on delta too, stg_delta_load.py:133)
-    Staging.run(spark, rawPattern, wh.stg,
+    val stgMetrics = Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
+    RunLog.append(spark, wh.runLog, jobId, "staging", stgMetrics.counters,
+      insertionTs)
 
     warehouseStages(spark, states, wh, jobId, insertionTs)
 
@@ -218,10 +233,13 @@ object DeltaLoad {
     implicit val ec: ExecutionContext = ExecutionContext.global
     // stage 2 — the ODS append touches only its own table and is key-deduped
     // against it, so it is replay-safe in isolation: run it in the
-    // background, overlapping all of stage 4
+    // background, overlapping all of stage 4. A5 — the appended-row count
+    // rides the write via observe.
+    val obsOds = Observation()
     val odsAppend = Future {
       OdsTransform.dedupeAgainstExisting(freshOds,
           spark.read.parquet(wh.ods).select("ID_Event"))
+        .observe(obsOds, count(lit(1)).as("n"))
         .write.mode("append").parquet(wh.ods)
     }
     // every background write this batch started; the finally drains them all
@@ -237,22 +255,28 @@ object DeltaLoad {
         // merge instead of serializing after it. Only the metadata-only
         // rename below (Merge.commitAppend) is the post-merge commit.
         val pendingTOds = s"${wh.tOds}__pending"
+        val obsTOds = Observation()
         val tOdsStage = Future {
-          delta.write.mode("overwrite").parquet(pendingTOds)
+          delta.observe(obsTOds, count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(pendingTOds)
         }
         background += tOdsStage
         val dims = FactBuilder.buildDims(delta) // value columns only matter below
-        // each dim's extend-and-append touches only its own path — run the
-        // six chains as concurrent jobs (same rationale as FullLoad stage 4).
-        // Each chain computes its handful of NEW rows, snapshots them with
-        // an eager localCheckpoint (same recache-by-path reasoning as the
-        // delta slice: the frame must survive its own append), kicks the
-        // append off in the background, and immediately returns the
-        // post-extension dimension as existing ∪ fresh IN MEMORY — content-
-        // identical to re-reading the appended table, so the merged-fact
-        // build overlaps the six dim-append jobs. The appends are awaited
-        // at the merge's preSwap barrier below: they commit BEFORE the new
-        // fact version becomes visible, but after its heavy write.
+        // each dim's extend runs as a concurrent job (same rationale as
+        // FullLoad stage 4). Each chain computes its handful of NEW rows,
+        // snapshots them with an eager localCheckpoint (same recache-by-path
+        // reasoning as the delta slice: the frame must survive its own
+        // append), and returns the post-extension dimension as existing ∪
+        // fresh IN MEMORY — content-identical to the post-append table.
+        // The appends themselves START only at the merge's preSwap barrier,
+        // AFTER the staged-fact tmp write has fully executed: `existing` is
+        // a lazy scan of the dim path, so an append committing while the
+        // fact build is still listing that path would make existing ∪ fresh
+        // carry the new row TWICE — join multiplication, duplicate fact
+        // rows (a real race, seen under full-suite load). Deferring the
+        // tiny localCheckpoint'd appends to the barrier closes the window
+        // at ~ms cost and keeps the commit order unchanged: dims durable
+        // before the new fact version becomes visible.
         val chains = Await.result(Future.sequence(wh.dimNames.map { name =>
           Future {
             val existing = spark.read.parquet(wh.dim(name))
@@ -272,19 +296,24 @@ object DeltaLoad {
               else DimBuilder.extend(existing, src,
                 dimKeys(name).map(col), dimKeys(name), dimId(name)))
                 .localCheckpoint()
-            val append = Future(fresh.write.mode("append").parquet(wh.dim(name)))
-            (name -> existing.unionByName(fresh), append)
+            (name, existing.unionByName(fresh), fresh)
           }
         }), Duration.Inf)
-        val full = chains.map(_._1).toMap
+        val full = chains.map(c => c._1 -> c._2).toMap
         val staged = FactBuilder.buildFact(delta,
           FactBuilder.Dims(full("T_DIM_Network"), full("T_DIM_RegionCountry"),
             full("T_DIM_Seismic_Activity_Type"), full("T_DIM_magCategory"),
             full("T_DIM_depthCategory"), full("T_DIM_date")),
           jobId, insertionTs)
         Merge.mergeInto(spark, wh.fact, staged, preSwap = () => {
-          // barrier: ODS + all six dim appends durable before the swap
-          Await.result(Future.sequence(odsAppend +: chains.map(_._2)), Duration.Inf)
+          // barrier: start the six dim appends (fact tmp write is complete,
+          // no reader of the dim paths is in flight) and require them + the
+          // ODS append durable before the swap
+          val appends = chains.map { case (name, _, fresh) =>
+            Future(fresh.write.mode("append").parquet(wh.dim(name)))
+          }
+          background ++= appends
+          Await.result(Future.sequence(odsAppend +: appends), Duration.Inf)
           failpoint("pre-fact-swap") // dims committed, fact not yet visible
         })
         failpoint("post-merge") // fact visible, T_ODS commit not yet run
@@ -294,8 +323,18 @@ object DeltaLoad {
         // the pending dir during stage 4; only the rename happens here.
         Await.result(tOdsStage, Duration.Inf)
         Merge.commitAppend(spark, pendingTOds, wh.tOds)
+        Await.result(odsAppend, Duration.Inf)
+        // A5 — all three observed writes are durable; persist the run record
+        RunLog.append(spark, wh.runLog, jobId, "delta_load", Map(
+          "rows_ods_appended" -> obsOds.get("n").asInstanceOf[Long],
+          "rows_tods_appended" -> obsTOds.get("n").asInstanceOf[Long]),
+          insertionTs)
+      } else {
+        Await.result(odsAppend, Duration.Inf)
+        RunLog.append(spark, wh.runLog, jobId, "delta_load", Map(
+          "rows_ods_appended" -> obsOds.get("n").asInstanceOf[Long],
+          "rows_tods_appended" -> 0L), insertionTs)
       }
-      Await.result(odsAppend, Duration.Inf)
     } finally {
       // if stage 4 threw, the background writes (ODS append, pending T_ODS
       // slice) may still be running: unpersisting their source frames under

@@ -122,4 +122,40 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(wh.fact).count() === nFull + 1)
     assert(spark.read.parquet(wh.dim("T_DIM_Network")).count() === netDim2.count())
   }
+
+  test("A5 run log: persisted per-stage counters equal the table deltas") {
+    val (raw, wh) = setup()
+    def metric(job: String, stage: String, m: String): Long =
+      spark.read.parquet(wh.runLog)
+        .filter($"job_execution_id" === job && $"stage" === stage
+          && $"metric" === m)
+        .select("value").head().getLong(0)
+
+    Controller.run(spark, s"$raw/*.csv", states, wh, "job-full", ts)
+    assert(metric("job-full", "staging", "rows_written")
+      === spark.read.parquet(wh.stg).count())
+    assert(metric("job-full", "staging", "rows_filtered") > 0)
+    assert(metric("job-full", "full_load", "rows_tods_written")
+      === spark.read.parquet(wh.tOds).count())
+    assert(metric("job-full", "full_load", "rows_fact_written")
+      === spark.read.parquet(wh.fact).count())
+
+    // delta: one replayed + one novel event (same fixture as the e2e test)
+    val lines = Files.readAllLines(Paths.get(resource("usgs_sample.csv")))
+    val novel = "2024-08-02T09:30:00.000Z,48.0,7.8,12.0,4.2,ml,30,60,0.2,0.1," +
+      "zz,ev_new,2024-08-02T10:00:00.000Z,\"13 km E of Freiburg, Germany\"," +
+      "earthquake,0.8,3.0,0.1,12,reviewed,zz,zz"
+    Files.write(Paths.get(raw, "all_day_20240802-120000.csv"),
+      java.util.Arrays.asList(lines.get(0), lines.get(1), novel))
+    val odsBefore = spark.read.parquet(wh.ods).count()
+    val tOdsBefore = spark.read.parquet(wh.tOds).count()
+    Controller.run(spark, s"$raw/*.csv", states, wh, "job-delta", ts2)
+    assert(metric("job-delta", "staging", "rows_written")
+      === spark.read.parquet(wh.stg).count())
+    assert(metric("job-delta", "delta_load", "rows_ods_appended")
+      === spark.read.parquet(wh.ods).count() - odsBefore)
+    assert(metric("job-delta", "delta_load", "rows_tods_appended")
+      === spark.read.parquet(wh.tOds).count() - tOdsBefore)
+    assert(metric("job-delta", "delta_load", "rows_tods_appended") === 1L)
+  }
 }
