@@ -31,14 +31,6 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // Untimed warm-up pass: JIT/codegen compilation and parquet footer reads
-    // land here instead of inflating whichever query happens to run first.
-    // Caches persisted inside operators are dropped so the timed pass does
-    // the real work.
-    queries.foreach { case (_, fn) =>
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
-    spark.catalog.clearCache()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Median-of-N timing: single-run totals on this machine swing 63-90 s
     // under background load (BASELINE.md), which is larger than every
@@ -50,6 +42,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = queries.map { case (name, fn) =>
+      // Untimed warm-up run IMMEDIATELY before the query's timed reps — a
+      // single suite-level warm-up pass decayed by the time a late query's
+      // reps ran (JIT code cache evicted, file cache cold, previous
+      // queries' blocks pending cleanup), so first reps measured 1.5-3×
+      // their steady state and dragged every median up. Per-query warm-up
+      // costs the same total invocations and times the steady state.
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast one — record it

@@ -98,6 +98,7 @@ object PipelineQueries {
   private val e2eQuery: Q = (s, dir) => {
       import s.implicits._
       val root = s"target/e2e/${new java.io.File(dir).getName}"
+      wipe(s, root)
       val landing = s"$root/landing"
       synthRawLines(Tables(s, dir, "events"))
         .coalesce(1).write.mode("overwrite").text(landing)
@@ -121,6 +122,7 @@ object PipelineQueries {
   private val e2eDeltaQuery: Q = (s, dir) => {
     import s.implicits._
     val root = s"target/e2e_delta/${new java.io.File(dir).getName}"
+    wipe(s, root)
     val landing = s"$root/landing"
     val ev = Tables(s, dir, "events")
     val states = Seq(("California", "CA"), ("Alaska", "AK"))
@@ -148,11 +150,7 @@ object PipelineQueries {
   private val e2eStreamDeltaQuery: Q = (s, dir) => {
     import s.implicits._
     val root = s"target/e2e_stream/${new java.io.File(dir).getName}"
-    // wipe prior state: a stale streaming checkpoint would mark this run's
-    // landing file as already processed and silently skip the delta
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(rootPath, true)
+    wipe(s, root)
     val landing = s"$root/landing"
     val ev = Tables(s, dir, "events")
     val states = Seq(("California", "CA"), ("Alaska", "AK"))
@@ -171,6 +169,20 @@ object PipelineQueries {
       Some(Timestamp.valueOf("2025-06-02 12:00:00")))
     try { q.processAllAvailable() } finally q.stop()
     factProjection(s.read.parquet(wh.fact))
+  }
+
+  /** Wipe an e2e working root so every invocation runs the chain against an
+    * empty warehouse. Without this, repeated invocations (bench warm-up +
+    * reps, successive rounds with different code) leave archived landing
+    * files, run-log entries, and prior-generation ODS part files behind —
+    * for streaming, a stale checkpoint would even mark the landing file as
+    * already processed and silently skip the delta. Measured: the stale
+    * state more than doubled e2e_delta_load (24.8 s vs 11.8 s fresh) and
+    * grew across rounds.
+    */
+  private def wipe(s: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   private def factProjection(fact: DataFrame): DataFrame =
