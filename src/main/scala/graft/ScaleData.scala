@@ -23,10 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
-  def scaleEvents(df: DataFrame, factor: Int): DataFrame =
+  /** Events are offset by exactly (max id + 1) per copy — NOT a fixed large
+    * stride — because the e2e fixture derives a January-2025 timestamp from
+    * `event_id` seconds and fails loudly past day 31
+    * (`PipelineQueries.synthRawLines`); sf0.1's ids (< 60 k) leave room for
+    * 10 dense copies, a 100 M stride would not.
+    */
+  def scaleEvents(df: DataFrame, factor: Int): DataFrame = {
+    val offset = df.agg(max(col("event_id"))).head().getLong(0) + 1L
     (0 until factor).map { i =>
-      df.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+      df.withColumn("event_id", col("event_id") + lit(i.toLong * offset))
     }.reduce(_ unionByName _)
+  }
 
   def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { i =>

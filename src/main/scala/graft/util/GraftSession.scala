@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // respect the 64 MB advisory size when coalescing instead of refusing
+      // to drop below default parallelism (Spark's tuning-guide-recommended
+      // setting): small exchanges collapse to the few tasks their data
+      // merits rather than paying cores× task-scheduling overhead per
+      // stage, and at 100 TB the advisory size — not this flag — governs
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // driver testdata stores TIMESTAMP(NANOS) which Spark's parquet reader
