@@ -31,4 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pin the heap: G1 uncommits regions after every full GC (the bench runs
+  // one between reps), then regrows the heap 2->6+ GB under the next rep's
+  // allocation burst. This VM's memory is lazily backed at ~40 MB/s
+  // first-touch (measured: AlwaysPreTouch of 24 GB took 9.5 min), so every
+  // regrowth re-paid page faults as 1-5 s YOUNG pauses — 112 s of young GC
+  // in one 4-rep sf1 run, and the source of every "random 20-150 s stall"
+  // this bench has ever shown. Equal -Xms stops the uncommit, so pages
+  // fault in exactly once per JVM. (AlwaysPreTouch would front-load that
+  // 10-minute cost at startup — deliberately NOT used here.)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // gc visibility: multi-second STW pauses show up as uniform slowdowns
+  // across every running task and are invisible without this
+  "-Xlog:gc,gc+heap=info:file=target/gc.log:time,uptime:filecount=2,filesize=10m",
 )

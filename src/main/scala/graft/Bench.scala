@@ -21,11 +21,18 @@ object Bench {
       // see GraftSession: coalesce tiny exchanges to the advisory size
       // instead of pinning every stage at `cpus` tasks
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // single-JVM local run: the executor IS the driver, so heartbeat
+      // eviction is pure downside — under full 32-thread load at sf1 the
+      // heartbeater starved past the 120 s default, HeartbeatReceiver
+      // evicted the local executor, and the fork died with exit 56
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "800s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // SPARK_GRAFT_ONLY=a,b,c runs a subset — for iterating on one query and
     // for the sf1 scale probe (BASELINE.md) without paying the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -51,10 +58,17 @@ object Bench {
       // queries' blocks pending cleanup), so first reps measured 1.5-3×
       // their steady state and dragged every median up. Per-query warm-up
       // costs the same total invocations and times the steady state.
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      System.err.println(s"[bench] $name warmup start")
+      try force(fn(spark, sfDir)) catch {
+        // swallowed for timing purposes, but NEVER silently: a failed
+        // warm-up means the timed reps run against different JVM/FS state
+        // than intended, and that must be visible when reading the log
+        case e: Throwable => System.err.println(s"[bench] $name warmup FAILED: $e")
+      }
       spark.catalog.clearCache()
       System.gc()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
+        System.err.println(s"[bench] $name rep $rep start")
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast one — record it
         try { force(fn(spark, sfDir)) } catch {
@@ -62,6 +76,7 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name rep $rep done: $dt%.2f s")
         // operators may persist intermediates; drop them so no query is
         // timed against another query's leftover cache or storage pressure.
         // The explicit GC (outside the timed window) lets the ContextCleaner

@@ -26,6 +26,10 @@ object GraftSession {
       // stage, and at 100 TB the advisory size — not this flag — governs
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local-mode heartbeats (executor == driver) only exist to be missed
+      // under full-core load; see Bench for the observed eviction cascade
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "800s")
       .config("spark.sql.session.timeZone", "UTC")
       // driver testdata stores TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects; read as long and convert in Tables (truncation to micros,
