@@ -21,6 +21,9 @@ object Bench {
       // see GraftSession: coalesce tiny exchanges to the advisory size
       // instead of pinning every stage at `cpus` tasks
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // floor of 8: see GraftSession — byte-based coalescing starved a
+      // compute-dense candidate shuffle down to one task at sf1
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
       // single-JVM local run: the executor IS the driver, so heartbeat
       // eviction is pure downside — under full 32-thread load at sf1 the
       // heartbeater starved past the 120 s default, HeartbeatReceiver

@@ -10,8 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // see GraftSession: coalesce tiny exchanges to the advisory size
+      // see GraftSession: coalesce tiny exchanges to the advisory size,
+      // floored at 8 tasks for compute-dense narrow shuffles
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

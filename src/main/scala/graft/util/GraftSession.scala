@@ -25,6 +25,13 @@ object GraftSession {
       // merits rather than paying cores× task-scheduling overhead per
       // stage, and at 100 TB the advisory size — not this flag — governs
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ...but never below 8 tasks: byte-based coalescing is blind to
+      // compute density, and a narrow (id, id, score) candidate stream
+      // whose rows each cost a 64-dim dot product coalesced to ONE task at
+      // sf1 (observed: a single thread grinding 50 M pairs for 20+ min
+      // while 31 cores idled). A floor of 8 caps that hazard at 8× while
+      // keeping small exchanges far under the cores× task count.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // local-mode heartbeats (executor == driver) only exist to be missed
       // under full-core load; see Bench for the observed eviction cascade
