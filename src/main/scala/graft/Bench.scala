@@ -12,6 +12,40 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Touch the heap to its high-water mark ONCE, before any timed window.
+    *
+    * This VM lazily backs heap pages at ~40 MB/s on first write (BASELINE.md
+    * round-5 diagnosis): pinning -Xms commits the address range but does not
+    * back it, so the first cold bench of a round paid ~16 GB of first-touch
+    * faults *inside* the timed queries, inflating every class 2-7× vs an
+    * immediate rerun (r5: official 211.8 s vs rerun 74.8 s, same commit).
+    * Allocating and writing through ~70% of -Xmx here converts that one-time
+    * cost into visible startup time so rep 1 measures steady state. One byte
+    * per 4 KiB page suffices — the fault, not the store, is the cost.
+    * SPARK_GRAFT_PRETOUCH=0 skips (e.g. for quick single-query iteration).
+    */
+  private def preTouchHeap(): Unit = {
+    val t0 = System.nanoTime()
+    val chunk = 64 << 20
+    val n = ((Runtime.getRuntime.maxMemory() * 0.7).toLong / chunk).toInt
+    // hold every chunk live until the end: without the references the GC
+    // recycles the same young regions and most of the heap stays untouched
+    val hold = new Array[Array[Byte]](n)
+    var i = 0
+    try {
+      while (i < n) {
+        val a = new Array[Byte](chunk)
+        var j = 0
+        while (j < chunk) { a(j) = 1; j += 4096 }
+        hold(i) = a
+        i += 1
+      }
+    } catch { case _: OutOfMemoryError => () /* touched what fit; proceed */ }
+    java.util.Arrays.fill(hold.asInstanceOf[Array[AnyRef]], null)
+    System.gc()
+    System.err.println(f"[bench] heap pre-touch: ${i.toLong * chunk / (1L << 20)} MiB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,9 +75,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        // a misspelled name must not yield a silent empty suite (bench.json
+        // with total 0 reads as a suspiciously fast valid run)
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] WARNING: unknown SPARK_GRAFT_ONLY names: ${unknown.toSeq.sorted.mkString(",")}")
+        val qs = SparkEntry.queries.filter { case (n, _) => names(n) }
+        require(qs.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: ${names.toSeq.sorted.mkString(",")}")
+        qs
       case None => SparkEntry.queries
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_PRETOUCH", "1") != "0") preTouchHeap()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Median-of-N timing: single-run totals on this machine swing 63-90 s
     // under background load (BASELINE.md), which is larger than every

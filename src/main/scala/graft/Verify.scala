@@ -14,6 +14,11 @@ object Verify {
       // floored at 8 tasks for compute-dense narrow shuffles
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
+      // single-JVM local run (see Bench): under full thread load the
+      // heartbeater can starve past the default, HeartbeatReceiver evicts
+      // the local executor, and the fork dies with exit 56
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "800s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
