@@ -104,12 +104,20 @@ object Bench {
       // queries' blocks pending cleanup), so first reps measured 1.5-3×
       // their steady state and dragged every median up. Per-query warm-up
       // costs the same total invocations and times the steady state.
-      System.err.println(s"[bench] $name warmup start")
-      try force(fn(spark, sfDir)) catch {
-        // swallowed for timing purposes, but NEVER silently: a failed
-        // warm-up means the timed reps run against different JVM/FS state
-        // than intended, and that must be visible when reading the log
-        case e: Throwable => System.err.println(s"[bench] $name warmup FAILED: $e")
+      // the e2e chains execute ~60 jobs across dozens of generated classes
+      // and need TWO untimed executions before rep 1 measures steady state
+      // (measured: isolated reps decayed 38 → 21 → 16 s with one warm-up —
+      // a JIT ramp, not state growth; rep 3 ≈ rep 6); everything else
+      // stabilizes after one
+      val warmups = if (name.startsWith("e2e")) 2 else 1
+      (1 to warmups).foreach { w =>
+        System.err.println(s"[bench] $name warmup $w/$warmups start")
+        try force(fn(spark, sfDir)) catch {
+          // swallowed for timing purposes, but NEVER silently: a failed
+          // warm-up means the timed reps run against different JVM/FS state
+          // than intended, and that must be visible when reading the log
+          case e: Throwable => System.err.println(s"[bench] $name warmup FAILED: $e")
+        }
       }
       spark.catalog.clearCache()
       System.gc()

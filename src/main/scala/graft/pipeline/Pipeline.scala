@@ -85,8 +85,6 @@ object FullLoad {
     // land in the run log
     val stgMetrics = Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
-    RunLog.append(spark, wh.runLog, jobId, "staging", stgMetrics.counters,
-      insertionTs)
 
     // stages 2–4 — ODS, T_ODS, six dims and the fact are all derived from
     // the just-written STG through IN-MEMORY frames (each layer persisted;
@@ -119,6 +117,11 @@ object FullLoad {
       val obsTOds = Observation()
       val obsFact = Observation()
       Await.result(Future.sequence(
+        // the staging metrics record is a metadata-sized append with no
+        // reader in this chain — it overlaps the layer writes instead of
+        // serializing between stage 1 and stage 2
+        Future(RunLog.append(spark, wh.runLog, jobId, "staging",
+          stgMetrics.counters, insertionTs)) +:
         Future(ods.write.mode("overwrite").parquet(wh.ods)) +:
         Future(tOds.observe(obsTOds, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(wh.tOds)) +:
@@ -165,10 +168,14 @@ object DeltaLoad {
     // stage 1 — RAW → STG (staging truncates on delta too, stg_delta_load.py:133)
     val stgMetrics = Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
-    RunLog.append(spark, wh.runLog, jobId, "staging", stgMetrics.counters,
-      insertionTs)
+    // metadata-sized metrics append with no reader in this chain: overlap
+    // the warehouse stages, await before the archive closes the run
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val stgLog = Future(RunLog.append(spark, wh.runLog, jobId, "staging",
+      stgMetrics.counters, insertionTs))
 
     warehouseStages(spark, states, wh, jobId, insertionTs)
+    Await.result(stgLog, Duration.Inf)
 
     // stage 5 — archive
     Archive.archiveMatching(spark, rawPattern, wh.archive)

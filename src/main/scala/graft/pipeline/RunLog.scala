@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   * query load history with plain SQL — the role the reference's Dataflow job
   * metrics UI plays. One append of a handful of rows per run: metadata-cost
   * at any scale.
+  *
+  * Durability contract (deliberate): the run log is NOT part of the replay
+  * protocol. A crash between the final T_ODS commit and this append loses
+  * the batch's `delta_load` record, and the subsequent replay — whose delta
+  * slice is empty because the batch already committed — logs
+  * `rows_*_appended = 0` under the same job id. Operators reading history
+  * should treat a zero-row delta record as "no-op OR replay of a committed
+  * batch"; the warehouse tables themselves are exact either way. Promoting
+  * the log into the commit path would buy nothing (the tables are the source
+  * of truth) at the cost of a write barrier on every batch.
   */
 object RunLog {
 
