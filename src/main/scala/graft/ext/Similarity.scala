@@ -165,6 +165,40 @@ object Similarity {
       nCells: Int): DataFrame =
     ivfTopKProbed(emb, idCol, vecCol, k, nCells, nprobe = 1)
 
+  /** All `nCells` coarse centroids collected into ONE row
+    * (`_cents: array<struct<_cid, _cvec, _cn>>`). Broadcast-joined under
+    * every vector row, cell assignment becomes a MAP-ONLY higher-order
+    * pass — no per-(vector, centroid) row stream, no per-id window shuffle,
+    * no pick-to-vector rejoin, no persist. Seeds are the `nCells`
+    * smallest-id vectors (deterministic; [[ivfTopKRefined]] slots a k-means
+    * step in without changing the shape). The build side is a single row,
+    * so the nested-loop join is the same documented bounded compare as the
+    * previous broadcast-centroid shape.
+    */
+  private def centroidRow(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+      .agg(collect_list(struct(col("_cid"), col("_cvec"), col("_cn")))
+        .as("_cents"))
+
+  /** Per-row scored centroid list over an attached `_cents` column,
+    * ascending by (−cosine, centroid id): element 1 is the cell assignment,
+    * the first `nprobe` elements are the probe list. Evaluates `nCells`
+    * [[FloatDot]] products per row inside one transform — O(n·nCells) work
+    * with no intermediate rows (zero-norm vectors would score NaN and sort
+    * last; the corpus has none and norms are computed from the data, so the
+    * ordering is total).
+    */
+  private def scoredCells(v: Column, n: Column): Column =
+    array_sort(transform(col("_cents"), c =>
+      struct((-dot(v, c.getField("_cvec")) / (n * c.getField("_cn"))).as("_neg"),
+        c.getField("_cid").as("_cid"))))
+
+  private def assignedCell(v: Column, n: Column): Column =
+    element_at(scoredCells(v, n), 1).getField("_cid")
+
   /** IVF with multi-probe search (`nprobe > 1`): corpus vectors live in
     * their single nearest cell, but each QUERY probes its `nprobe` nearest
     * centroids and ranks over the union of those cells' members — the
@@ -173,49 +207,37 @@ object Similarity {
     * exact as nprobe → nCells. Deterministic: probe order ties break
     * toward the smaller centroid id, ranking ties toward the smaller
     * neighbor id.
+    *
+    * Plan shape: assignment is the map-only [[scoredCells]] pass; the pair
+    * join is an equi-join on cell. For nprobe == 1 the two join inputs are
+    * the SAME subtree modulo aliases, so ReuseExchange materializes the
+    * assignment shuffle once — the whole query is one scoring pass, one
+    * exchange, one ranking window, zero persists. For nprobe > 1 the corpus
+    * side re-runs the O(n·nCells) scoring instead of caching it: the
+    * recompute is a map over the (reused) spread exchange and costs less
+    * than the cache write + two cache reads it replaces.
     */
   def ivfTopKProbed(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= nCells, "nprobe must be in 1..nCells")
-    val centroids = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
-    val aw = Window.partitionBy(col("_id"))
-      .orderBy(col("_s").desc, col("_cid").asc)
-    // one scored+ranked pass serves both roles: rn == 1 is the corpus
-    // assignment, rn <= nprobe is the query-side probe list. The pass
-    // carries ONLY (id, cid, score) into the per-id window — carrying the
-    // vector payload would replicate it nCells× through the window's
-    // shuffle/sort; instead the cell picks are joined back to the cached
-    // vector frame by id afterwards (no broadcast hint: AQE broadcasts the
-    // narrow pick list locally, and at corpus scale — where picks are
-    // corpus-sized — it becomes a shuffled join of two id-keyed frames,
-    // moving the vector payload once instead of nCells×).
-    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n")).persist()
-    val picks = vectors.join(broadcast(centroids))
-      .select(col("_id"), col("_cid"),
-        (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
-      .withColumn("_rn", row_number().over(aw))
-      .filter(col("_rn") <= nprobe)
-      .select(col("_id"), col("_cid").as("_cell"), col("_rn"))
-    // ONE pick-to-vector rejoin serves both roles: every row is a query-side
-    // probe, the _rn == 1 subset is the corpus assignment. The earlier shape
-    // joined vectors↔picks twice (probes and corpus separately), paying a
-    // second id-keyed exchange+join and forcing picks into its own persist;
-    // fused, picks is consumed exactly once and only `assigned` is cached.
-    val assigned = vectors.join(picks, Seq("_id"))
-      .select(col("_id"), col("_v"), col("_n"), col("_cell"), col("_rn"))
-      .persist()
-    val probes = assigned
-      .select(col("_id").as("query_id"), col("_v").as("_va"),
-        col("_n").as("_na"), col("_cell"))
-    val corpus = assigned.filter(col("_rn") === 1)
+    val cents = centroidRow(emb, idCol, vecCol, nCells)
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val corpus = vectors.join(broadcast(cents))
       .select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
-        col("_n").as("_nb"), col("_cell").as("_cell2"))
-    graft.util.Caching.materializeAndRelease(
-      rankTopK(probes.join(corpus,
-        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
-      vectors, assigned)
+        col("_n").as("_nb"), assignedCell(col("_v"), col("_n")).as("_cell2"))
+    val probes =
+      if (nprobe == 1)
+        vectors.join(broadcast(cents))
+          .select(col("_id").as("query_id"), col("_v").as("_va"),
+            col("_n").as("_na"), assignedCell(col("_v"), col("_n")).as("_cell"))
+      else
+        vectors.join(broadcast(cents))
+          .select(col("_id").as("query_id"), col("_v").as("_va"),
+            col("_n").as("_na"),
+            explode(transform(slice(scoredCells(col("_v"), col("_n")), 1, nprobe),
+              s => s.getField("_cid"))).as("_cell"))
+    rankTopK(probes.join(corpus,
+      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** IVF with one Lloyd refinement step: seed cells as in [[ivfTopK]], then
@@ -231,28 +253,15 @@ object Similarity {
     */
   def ivfTopKRefined(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int): DataFrame = {
-    val aw = Window.partitionBy(col("_id"))
-      .orderBy(col("_s").desc, col("_cid").asc)
-    // narrow-window assignment, same shape as [[ivfTopKProbed]]: score on
-    // (id, cid, s) only, rejoin the winning cell to the vector frame by id
-    def assign(vectors: DataFrame, cents: DataFrame, cos: Column): DataFrame = {
-      val picks = vectors.join(broadcast(cents))
-        .select(col("_id"), col("_cid"), cos.as("_s"))
-        .withColumn("_rn", row_number().over(aw))
-        .filter(col("_rn") === 1)
-        .select(col("_id"), col("_cid").as("_cell"))
-      vectors.join(picks, Seq("_id"))
-        .select(col("_id"), col("_v"), col("_n"), col("_cell"))
-    }
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val seeds = centroidRow(emb, idCol, vecCol, nCells)
+    // seed assignment, map-only; only (_cell, _v) survives into the means
+    val asn0 = vectors.join(broadcast(seeds))
+      .select(assignedCell(col("_v"), col("_n")).as("_cell"), col("_v"))
 
-    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n")).persist()
-    val seeds = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
-    val asn0 = assign(vectors, seeds,
-      dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn")))
-
-    // element-wise mean per cell: exact decimal sum, one double division
+    // element-wise mean per cell: exact decimal sum, one double division.
+    // [[dot]] accepts the float/double mix (vectors are float, refined
+    // centroids double), so the re-assignment pass below stays codegen'd.
     val sums = asn0
       .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_val")))
       .groupBy(col("_cell"), col("_pos"))
@@ -266,23 +275,20 @@ object Similarity {
         s => s.getField("_avg")).as("_cvec"))
       .select(col("_cell").as("_cid"), col("_cvec"),
         sqrt(dot(col("_cvec"), col("_cvec"))).as("_cn"))
+      .agg(collect_list(struct(col("_cid"), col("_cvec"), col("_cn")))
+        .as("_cents"))
 
-    // [[dot]] accepts the float/double mix (vectors are float, refined
-    // centroids double), so the re-assignment pass stays in codegen instead
-    // of the per-element-boxing aggregate(zip_with(...)) interpreter path.
-    // cached for the same reason as ivfTopK: the refined assignment feeds
-    // both sides of the pair join, and its lineage contains the whole
-    // seed-assign + decimal-mean + re-assign chain
-    val asn1 = assign(vectors, refined,
-      dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).persist()
-    val a = asn1.select(col("_id").as("query_id"), col("_v").as("_va"),
-      col("_n").as("_na"), col("_cell"))
-    val b = asn1.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
-      col("_n").as("_nb"), col("_cell").as("_cell2"))
-    graft.util.Caching.materializeAndRelease(
-      rankTopK(a.join(b,
-        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k),
-      vectors, asn1)
+    // re-assignment against the refined single-row centroid set; the two
+    // pair-join inputs are the same subtree modulo aliases, so ReuseExchange
+    // materializes the refined assignment once — no persist
+    val a = vectors.join(broadcast(refined))
+      .select(col("_id").as("query_id"), col("_v").as("_va"),
+        col("_n").as("_na"), assignedCell(col("_v"), col("_n")).as("_cell"))
+    val b = vectors.join(broadcast(refined))
+      .select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+        col("_n").as("_nb"), assignedCell(col("_v"), col("_n")).as("_cell2"))
+    rankTopK(a.join(b,
+      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,
@@ -332,27 +338,20 @@ object Similarity {
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     val base = spread(emb.select(col(idCol).as("_id"), col(vecCol).as("_v"),
         sqrt(dot(col(vecCol), col(vecCol))).as("_n"), (maxAbs / 127.0).as("_sc")))
-      .withColumn("_q", transform(col("_v"), x =>
-        when(col("_sc") === 0.0, lit(0))
-          .otherwise(floor(x.cast("double") / col("_sc") + 0.5).cast("int"))))
-    val centroids = emb.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
-    val aw = Window.partitionBy(col("_id"))
-      .orderBy(col("_s").desc, col("_cid").asc)
-    // narrow-window assignment (see [[ivfTopKProbed]]): the float vector
-    // AND the int8 code array stay out of the per-id window shuffle
-    val cached = base.persist()
-    val cellPicks = cached.join(broadcast(centroids))
-      .select(col("_id"), col("_cid"),
-        (dot(col("_v"), col("_cvec")) / (col("_n") * col("_cn"))).as("_s"))
-      .withColumn("_rn", row_number().over(aw))
-      .filter(col("_rn") === 1)
-      .select(col("_id"), col("_cid").as("_cell"))
-    val assigned = cached.join(cellPicks, Seq("_id"))
-      .select(col("_id"), col("_v"), col("_n"), col("_sc"), col("_q"),
-        col("_cell"))
-      .persist()
+    val cents = centroidRow(emb, idCol, vecCol, nCells)
+    // map-only assignment + quantization in one pass (see [[scoredCells]]);
+    // the float vector is dropped here — the candidate stage moves only the
+    // int8 codes, scale and norm. The two candidate-join inputs are the same
+    // subtree modulo aliases, so ReuseExchange materializes this once;
+    // the rescore stage re-reads the float vectors from `base`'s (equally
+    // reused) spread exchange. Zero persists.
+    def assigned = base.join(broadcast(cents))
+      .select(col("_id"), col("_n"), col("_sc"),
+        transform(col("_v"), x =>
+          when(col("_sc") === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / col("_sc") + 0.5).cast("int")))
+          .as("_q"),
+        assignedCell(col("_v"), col("_n")).as("_cell"))
     val a = assigned.select(col("_id").as("query_id"), col("_n").as("_na"),
       col("_sc").as("_sca"), col("_q").as("_qa"), col("_cell"))
     val b = assigned.select(col("_id").as("neighbor_id"), col("_n").as("_nb"),
@@ -367,21 +366,19 @@ object Similarity {
       .withColumn("_crn", row_number().over(cw))
       .filter(col("_crn") <= candK)
       .select(col("query_id"), col("neighbor_id"))
-    val va = assigned.select(col("_id").as("query_id"), col("_v").as("_va"),
+    val va = base.select(col("_id").as("query_id"), col("_v").as("_va"),
       col("_n").as("_na"))
-    val vb = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+    val vb = base.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
       col("_n").as("_nb"))
     val rw = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id").asc)
-    graft.util.Caching.materializeAndRelease(
-      cands.join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
-        .withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("_cos"), 9).as("cosine"), col("rank")),
-      cached, assigned)
+    cands.join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_cos"), 9).as("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b).
