@@ -23,33 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
-  /** Events are offset by exactly (max id + 1) per copy — NOT a fixed large
-    * stride — because the e2e fixture derives a January-2025 timestamp from
-    * `event_id` seconds and fails loudly past day 31
-    * (`PipelineQueries.synthRawLines`); sf0.1's ids (< 60 k) leave room for
-    * 10 dense copies, a 100 M stride would not.
+  /** Copy stride = max(id) + 1 (1 for an empty source): dense, collision-free
+    * for any source id range, and — for events — required, because the e2e
+    * fixture derives a January-2025 timestamp from `event_id` seconds and
+    * fails loudly past day 31 (`PipelineQueries.synthRawLines`); a fixed
+    * large stride would blow that window (and collide if source ids ever
+    * reached it).
     */
+  private def stride(df: DataFrame, idCol: String): Long = {
+    val m = df.agg(max(col(idCol))).head()
+    if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+  }
+
   def scaleEvents(df: DataFrame, factor: Int): DataFrame = {
-    val offset = df.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val offset = stride(df, "event_id")
     (0 until factor).map { i =>
       df.withColumn("event_id", col("event_id") + lit(i.toLong * offset))
     }.reduce(_ unionByName _)
   }
 
-  def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
+  def scaleDocuments(df: DataFrame, factor: Int): DataFrame = {
+    val offset = stride(df, "doc_id")
     (0 until factor).map { i =>
-      val d = df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+      val d = df.withColumn("doc_id", col("doc_id") + lit(i.toLong * offset))
       if (i == 0) d
       else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", "$1" + i))
     }.reduce(_ unionByName _)
+  }
 
-  def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame =
+  def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+    val offset = stride(df, "vec_id")
     (0 until factor).map { i =>
-      val d = df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+      val d = df.withColumn("vec_id", col("vec_id") + lit(i.toLong * offset))
       if (i == 0) d
       else d.withColumn("embedding",
         expr(s"transform(embedding, (x, j) -> cast(x + 0.01d * $i * sin(j * ${i + 1}) as float))"))
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")

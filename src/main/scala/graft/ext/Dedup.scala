@@ -159,8 +159,10 @@ object Dedup {
       thNum: Int = 4, thDen: Int = 5): DataFrame = {
     val sig = minhashSignatures(docs, textCol, idCol, k, shingleLen).persist()
     val cands = lshCandidates(lshBuckets(sig, idCol, k, bands), idCol).persist()
+    // no distinct: the left-semi join dedups its build side anyway, and the
+    // duplicate factor is at most 2× the (sparse) pair list
     val candIds = cands
-      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
     val sets = shingleSets(docs.join(candIds, Seq(idCol), "left_semi"),
       textCol, idCol, shingleLen)
     Caching.materializeAndRelease(
@@ -330,25 +332,38 @@ object Dedup {
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
       .select(col("_id"), xxhash64(col("_gs")).as("_g"))
-    // df cut as an unordered window count over the gram key: one shuffle
-    // on _g produces both the document frequency and the filtered stream —
-    // a separate groupBy + join-back would shuffle the exploded grams a
-    // second time (and need its own persist)
-    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
-    val ng = ngAll.withColumn("_df", count(lit(1)).over(dfw))
-      .filter(col("_df") <= maxDf).drop("_df").persist()
-    val sizes = ng.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val inter = ng.as("ga")
-      .join(ng.as("gb"), col("ga._g") === col("gb._g") && col("ga._id") < col("gb._id"))
-      .groupBy(col("ga._id").as("doc_a"), col("gb._id").as("doc_b"))
+    // ONE groupBy(_g) shuffle of the exploded gram stream yields both the
+    // df cut (list size) and, directly, each surviving gram's sorted doc
+    // list — so co-occurring pairs are generated IN PLACE per gram bucket
+    // by a higher-order expression instead of a self-join. vs the previous
+    // window-count + persist + self-join shape this drops the cache write
+    // of the full gram stream, the double scan of it, and the join, and the
+    // (doc_a, doc_b) exchange now gets map-side partial counts (pairs
+    // sharing several grams combine before the shuffle). Per-gram pair
+    // fan-out is bounded by the same Σ_{df ≤ maxDf} df² as before; the
+    // largest in-place pair array is maxDf²/2 structs — memory-bounded by
+    // the df cut that already bounds the join blowup.
+    val grouped = ngAll.groupBy(col("_g"))
+      .agg(collect_list(col("_id")).as("_ids"))
+      .filter(size(col("_ids")) <= maxDf)
+      .select(array_sort(col("_ids")).as("_ids"))
+    val sizes = grouped.select(explode(col("_ids")).as("_id"))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    // ids sorted ascending, so pairing each element with its suffix gives
+    // every unordered pair exactly once with doc_a < doc_b
+    val inter = grouped
+      .select(explode(flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + lit(2), size(col("_ids")) - i - lit(1)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("_p"))
+      .groupBy(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    Caching.materializeAndRelease(
-      inter
-        .join(sizes.as("na"), col("doc_a") === col("na._id"))
-        .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("na._n") + col("nb._n") - col("inter")).as("uni"))
-        .filter(col("inter") * thDen >= col("uni") * thNum),
-      ng)
+    // `grouped` feeds both branches uncached: ReuseExchange materializes the
+    // gram shuffle once, and only the cheap post-shuffle aggregation replays
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na._id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
+      .filter(col("inter") * thDen >= col("uni") * thNum)
   }
 }

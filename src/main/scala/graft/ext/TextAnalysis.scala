@@ -98,15 +98,24 @@ object TextAnalysis {
   }
 
   /** Ratio of non-alphanumeric, non-space characters in the canonical form. */
-  def punctRatio(text: Column): Column = {
-    val n = normalize(text)
+  def punctRatio(text: Column): Column = punctRatioOfNorm(normalize(text))
+
+  /** [[punctRatio]] over an already-normalized column. The split exists
+    * because the higher-order-function operators in this file evaluate
+    * interpreted (outside whole-stage codegen's subexpression elimination),
+    * so a query combining several signals should materialize [[normalize]]/
+    * [[tokens]] ONCE in a prior projection and feed the `OfNorm`/`OfToks`
+    * variants — otherwise every signal re-runs the regex normalization and
+    * split per row.
+    */
+  def punctRatioOfNorm(n: Column): Column =
     when(length(n) === 0, lit(0.0))
       .otherwise((length(n) - length(regexp_replace(n, "[^a-z0-9 ]", ""))) / length(n))
-  }
 
   /** Mean token length (exact integer sum / count, then one double divide). */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def avgTokenLen(text: Column): Column = avgTokenLenOfToks(tokens(text))
+
+  /** [[avgTokenLen]] over a precomputed token array (see [[punctRatioOfNorm]]). */
+  def avgTokenLenOfToks(toks: Column): Column =
     aggregate(toks, lit(0), (acc, t) => acc + length(t)) / size(toks)
-  }
 }

@@ -162,17 +162,24 @@ object ExtensionQueries {
         TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
     }),
 
-    // quality scoring: char/token counts, punct + stopword ratios
+    // quality scoring: char/token counts, punct + stopword ratios. The
+    // normalized form and token array are materialized ONCE in staged
+    // projections (CollapseProject keeps them: the aliases are non-cheap and
+    // multiply referenced) because the HOF-based signals evaluate
+    // interpreted — without this each ratio re-runs the regex normalization
+    // and split per row (measured 0.95 s vs 0.37 s oracle at sf0.1)
     "x10_quality_score" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val toks = TextAnalysis.tokens(col("text"))
-      d.select(col("doc_id"),
-        length(TextAnalysis.normalize(col("text"))).as("n_chars_norm"),
-        size(toks).as("n_tokens"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        (TextAnalysis.stopwordHits(toks, TextAnalysis.StopwordSets.head._2) / size(toks))
-          .as("stopword_ratio"),
-        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+      val toks = col("_toks")
+      d.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("_norm"))
+        .withColumn("_toks", split(col("_norm"), " "))
+        .select(col("doc_id"),
+          length(col("_norm")).as("n_chars_norm"),
+          size(toks).as("n_tokens"),
+          TextAnalysis.punctRatioOfNorm(col("_norm")).as("punct_ratio"),
+          (TextAnalysis.stopwordHits(toks, TextAnalysis.StopwordSets.head._2) / size(toks))
+            .as("stopword_ratio"),
+          TextAnalysis.avgTokenLenOfToks(toks).as("avg_token_len"))
         .orderBy("doc_id")
     }),
 
