@@ -42,4 +42,29 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("x10 materializes normalization and tokens exactly once") {
+    // the quality signals evaluate interpreted (higher-order functions), so
+    // the staged _norm/_toks projections are the whole optimization — if a
+    // future CollapseProject change (or a careless refactor) re-inlines
+    // them, every signal re-runs the regex normalization and split per row.
+    val plan = SparkEntry.queries("x10_quality_score")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    def count(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+    assert(count(plan, "split(") === 1, s"expected one split, plan:\n$plan")
+    assert(count(plan, "regexp_replace(lower(") === 1,
+      s"expected one normalization, plan:\n$plan")
+  }
+
+  test("IVF assignment is map-only: no per-id ranking window beyond top-k") {
+    // the round-6 shape scores all centroids per row inside one higher-order
+    // transform; reintroducing the old per-(vector, centroid) row stream
+    // shows up as a second Window (row_number over _id) in the plan
+    for (name <- Seq("x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      val windows = plan.linesIterator.count(_.contains("Window ["))
+      assert(windows === 1, s"$name: expected only the rank window, got $windows")
+    }
+  }
 }
