@@ -128,4 +128,52 @@ class PropertiesSpec extends SparkSpec {
       assert(i > 0 && i <= u, s"pair=($a,$b) inter=$i uni=$u")
     }
   }
+
+  /** Independent plain-Scala mirror of the operator's gram rules:
+    * normalize → single-space split → windows `1..max(len-n+1, 1)` where a
+    * short document yields one partial gram (concat_ws skips the missing
+    * positions) → distinct per document.
+    */
+  private def scalaGrams(text: String, n: Int): Set[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val toks = norm.split(" ", -1)
+    (0 until math.max(toks.length - (n - 1), 1)).map { i =>
+      toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+    }.toSet
+  }
+
+  test("property: n-gram Jaccard pairs match an independent set computation exactly") {
+    // small vocabulary + repeated phrases force heavy gram sharing, so the
+    // in-place per-bucket pair generation (sorted suffix pairing + map-side
+    // partial counts) is exercised on buckets of many documents
+    val wordGen = Gen.listOfN(8, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))
+    val docs = sample(wordGen, 30, seed = 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val expected = (for {
+      (ai, at) <- docs; (bi, bt) <- docs if ai < bi
+      ga = scalaGrams(at, 3); gb = scalaGrams(bt, 3)
+      inter = (ga & gb).size if inter > 0
+    } yield (ai, bi) -> (inter.toLong, (ga.size + gb.size - inter).toLong)).toMap
+    val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", n = 3, thNum = 0, thDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("property: full-probe IVF equals brute force on random vectors") {
+    import graft.ext.Similarity
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+      .suchThat(v => v.exists(_ != 0.0f))
+    val emb = sample(vecGen, 50, seed = 11L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        k = 3, maxExactRows = 1000)
+      .collect().map(_.toSeq).toSet
+    // nprobe == nCells searches every cell — must recover the exact result
+    val ivf = Similarity.ivfTopKProbed(emb, "vec_id", "embedding",
+        k = 3, nCells = 7, nprobe = 7)
+      .collect().map(_.toSeq).toSet
+    assert(ivf === brute)
+  }
 }
