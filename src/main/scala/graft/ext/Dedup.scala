@@ -171,6 +171,55 @@ object Dedup {
       sig, cands)
   }
 
+  /** Incremental near-dup detection: near-duplicates of a NEW document
+    * batch AGAINST an existing corpus — the shape a production ingest runs
+    * per delta instead of re-running the corpus self-join. Returns
+    * (doc_a = new id, doc_b = corpus id, inter, uni) for pairs with
+    * Jaccard ≥ thNum/thDen; id spaces must be disjoint (a document is
+    * either new or existing).
+    *
+    * Scale shape: the candidate join is new-side buckets × corpus-side
+    * buckets, so per-batch work is proportional to the DELTA's bucket
+    * collisions, never corpus². At 100 TB the corpus signatures/buckets are
+    * a maintained table (computed once per document by the same
+    * map-only [[minhashSignatures]] pass, appended on ingest) and the tiny
+    * new-side bucket list broadcasts; exact-Jaccard verification touches
+    * only the documents that appear in candidate pairs — on both sides.
+    */
+  def minhashNearDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int = 8, bands: Int = 4,
+      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): DataFrame = {
+    val bn = lshBuckets(minhashSignatures(newDocs, textCol, idCol, k, shingleLen),
+        idCol, k, bands)
+      .select(col("bucket"), col(idCol).as("doc_a"))
+    val bc = lshBuckets(minhashSignatures(corpus, textCol, idCol, k, shingleLen),
+        idCol, k, bands)
+      .select(col("bucket").as("_bucket2"), col(idCol).as("doc_b"))
+    // the two bucket sides are different subtrees (no self-join reuse), so
+    // nothing is persisted above the candidate list; each side is one
+    // map-only signature pass into the bucket exchange
+    val cands = bn.join(bc, col("bucket") === col("_bucket2"))
+      .select(col("doc_a"), col("doc_b")).distinct().persist()
+    val setsA = shingleSets(
+      newDocs.join(cands.select(col("doc_a").as(idCol)), Seq(idCol), "left_semi"),
+      textCol, idCol, shingleLen)
+    val setsB = shingleSets(
+      corpus.join(cands.select(col("doc_b").as(idCol)), Seq(idCol), "left_semi"),
+      textCol, idCol, shingleLen)
+    Caching.materializeAndRelease(
+      cands
+        .join(setsA.as("sa"), col("doc_a") === col("sa._id"))
+        .join(setsB.as("sb"), col("doc_b") === col("sb._id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa._set"), col("sb._set"))).cast("long").as("inter"),
+          size(col("sa._set")).cast("long").as("_na"),
+          size(col("sb._set")).cast("long").as("_nb"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("_na") + col("_nb") - col("inter")).as("uni"))
+        .filter(col("inter") * thDen >= col("uni") * thNum),
+      cands)
+  }
+
   /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a
     * token's hash is the top bit of hex nibble i of `md5(t) ++ md5("1|"+t)`
     * (two digests give 64 nibbles — 48 bits keeps the packed long positive,

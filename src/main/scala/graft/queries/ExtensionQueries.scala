@@ -38,6 +38,17 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // incremental near-dup: new batch (doc_id % 7 == 0) vs existing corpus
+    // — per-delta bucket join against the corpus-side signature table, the
+    // daily-ingest shape (work ∝ delta collisions, never corpus²)
+    "x36_neardup_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.minhashNearDupsAgainst(
+        d.filter(col("doc_id") % 7 === 0), d.filter(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SimHash fingerprint (48-bit, md5-nibble votes over token occurrences)
     "x4_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 48)
@@ -284,7 +295,11 @@ object ExtensionQueries {
        |SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashLshSql: String = {
+  /** MinHash-LSH pair detection, parameterized by the candidate predicate:
+    * `a.doc_id < b.doc_id` is the corpus self-join (x3); the disjoint
+    * new-vs-existing split is the incremental variant (x36).
+    */
+  private def minhashLshCoreSql(candPred: String): String = {
     val (k, nBands, shLen) = (16, 4, 7)
     val r = k / nBands
     val mins = (0 until k).map(j => mhSlice(j, "s")).mkString(", ")
@@ -299,7 +314,7 @@ object ExtensionQueries {
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.bucket = b.bucket AND $candPred),
        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -313,6 +328,11 @@ object ExtensionQueries {
        |WHERE i.inter * 5 >= (na.n + nb.n - i.inter) * 4
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  private def minhashLshSql: String = minhashLshCoreSql("a.doc_id < b.doc_id")
+
+  private def neardupIncrementalSql: String =
+    minhashLshCoreSql("a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0")
 
   /** Shared CTE body computing (doc_id, simhash) — used by x4 and x21. */
   private def simhashCore: String = {
@@ -614,6 +634,7 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin,
     "x2_minhash_sig" -> minhashSigSql,
     "x3_minhash_lsh_neardup" -> minhashLshSql,
+    "x36_neardup_incremental" -> neardupIncrementalSql,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
     "x29_dedup_clusters" -> dedupClustersSql,

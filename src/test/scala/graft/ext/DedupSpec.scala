@@ -61,6 +61,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("minhashNearDupsAgainst: cross-side pairs only, same-side dups invisible") {
+    val existing = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (11L, "large language models are trained on vast corpora of text data from the net"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, "large language models are trained on vast corpora of text data from the web"),
+      (21L, "another totally distinct new document about streaming watermark semantics")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(fresh, existing, "text", "doc_id",
+      k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the new exact copy matches BOTH near-identical existing docs; the
+    // existing-side (10, 11) pair is same-side and must not appear
+    assert(pairs.contains((20L, 10L)) && pairs.contains((20L, 11L)))
+    assert(pairs.forall { case (a, b) => a >= 20L && b < 20L })
+    assert(!pairs.exists(p => p._1 == 21L))
+  }
+
   test("jaccardVerify: inter/uni counts are exact set arithmetic") {
     val corpus = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("doc_id", "text")
     val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
