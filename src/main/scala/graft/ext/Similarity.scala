@@ -416,28 +416,64 @@ object Similarity {
       threshold: Double, nPlanes: Int = 8, bands: Int = 2,
       dims: Int = 64): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val r = nPlanes / bands
-    val pv = planes(nPlanes, dims)
-    val base = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        lshBucket(col("_v"), pv.slice(b * r, (b + 1) * r)).as("bucket"))
-    }
-    val banded = base
-      .select(col("_id"), col("_v"), col("_n"),
-        explode(array(bandStructs: _*)).as("_b"))
-      .select(col("_id"), col("_v"), col("_n"),
-        col("_b.band").as("_band"), col("_b.bucket").as("_bucket"))
+    val banded = bandedSigns(emb, idCol, vecCol, nPlanes, bands, dims)
     val a = banded.select(col("_id").as("doc_a"), col("_v").as("_va"),
       col("_n").as("_na"), col("_band"), col("_bucket"))
     val b = banded.select(col("_id").as("doc_b"), col("_v").as("_vb"),
       col("_n").as("_nb"), col("_band").as("_band2"), col("_bucket").as("_bucket2"))
+    verifiedBandPairs(a, b, col("doc_a") < col("doc_b"), threshold)
+  }
+
+  /** Incremental embedding near-dup: pairs of a NEW vector batch against an
+    * existing corpus, cosine ≥ threshold — the embedding-side sibling of
+    * [[graft.ext.Dedup.minhashNearDupsAgainst]]. Id spaces must be
+    * disjoint. Both sides hash with the SAME deterministic hyperplanes, so
+    * at scale the corpus side's (band, bucket) table is maintained
+    * incrementally (each ingest appends its own banded signs) and the
+    * candidate join is new-batch buckets × corpus buckets — per-batch work
+    * proportional to the delta's collisions, never corpus².
+    */
+  def cosineNearDupsBlockedAgainst(newEmb: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, nPlanes: Int = 8,
+      bands: Int = 2, dims: Int = 64): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val a = bandedSigns(newEmb, idCol, vecCol, nPlanes, bands, dims)
+      .select(col("_id").as("doc_a"), col("_v").as("_va"),
+        col("_n").as("_na"), col("_band"), col("_bucket"))
+    val b = bandedSigns(corpus, idCol, vecCol, nPlanes, bands, dims)
+      .select(col("_id").as("doc_b"), col("_v").as("_vb"),
+        col("_n").as("_nb"), col("_band").as("_band2"), col("_bucket").as("_bucket2"))
+    verifiedBandPairs(a, b, lit(true), threshold)
+  }
+
+  /** (id, vec, norm, band, bucket) rows: `bands` sign-bit buckets per
+    * vector over the deterministic hyperplane set.
+    */
+  private def bandedSigns(emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, bands: Int, dims: Int): DataFrame = {
+    val r = nPlanes / bands
+    val pv = planes(nPlanes, dims)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(col("_v"), pv.slice(b * r, (b + 1) * r)).as("bucket"))
+    }
+    spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+      .select(col("_id"), col("_v"), col("_n"),
+        explode(array(bandStructs: _*)).as("_b"))
+      .select(col("_id"), col("_v"), col("_n"),
+        col("_b.band").as("_band"), col("_b.bucket").as("_bucket"))
+  }
+
+  /** Equi-join on (band, bucket) + `extra`, exact cosine verify, multi-band
+    * collisions deduplicated after the deterministic projection.
+    */
+  private def verifiedBandPairs(a: DataFrame, b: DataFrame,
+      extra: Column, threshold: Double): DataFrame =
     a.join(b, col("_band") === col("_band2") &&
-        col("_bucket") === col("_bucket2") && col("doc_a") < col("doc_b"))
+        col("_bucket") === col("_bucket2") && extra)
       .select(col("doc_a"), col("doc_b"),
         (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
       .filter(col("_cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
       .distinct()
-  }
 }

@@ -156,6 +156,17 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // incremental embedding near-dup: new batch (vec_id % 2 == 0) vs
+    // existing corpus — same hyperplanes on both sides, candidate join is
+    // delta buckets × corpus buckets (the embedding sibling of x36)
+    "x37_embed_neardup_incremental" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.cosineNearDupsBlockedAgainst(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", 0.45, nPlanes = 8, bands = 2, dims = 64)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // the consuming end of near-dup detection: blocked-cosine pairs →
     // connected-component clusters → corpus with only canonical survivors
     "x34_neardup_dedup" -> ((s, dir) => {
@@ -440,7 +451,12 @@ object ExtensionQueries {
     * hyperplane sign bits, distinct same-band-bucket candidate pairs,
     * exact cosine verify ≥ 0.45 into `vp(doc_a, doc_b, cosine)`.
     */
-  private def embedPairCtes: String = {
+  /** Banded hyperplane-LSH candidate + exact-verify CTEs, parameterized by
+    * the candidate predicate: `x.vec_id < y.vec_id` is the corpus self-join
+    * (x27/x34); the disjoint even-vs-odd split is the incremental variant
+    * (x37).
+    */
+  private def embedPairCtes(candPred: String = "x.vec_id < y.vec_id"): String = {
     val pv = Similarity.planes(8, 64)
     def bucket(planeIdx: Range): String = planeIdx.map { p =>
       val lits = pv(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -452,7 +468,7 @@ object ExtensionQueries {
        |           UNION ALL SELECT vec_id, 1, bucket1 FROM bk),
        |cand AS (SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
        |         FROM banded x JOIN banded y
-       |           ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |           ON x.band = y.band AND x.bucket = y.bucket AND $candPred),
        |vp AS (SELECT c.doc_a, c.doc_b, round($cosSql, 9) AS cosine
        |       FROM cand c JOIN embeddings a ON a.vec_id = c.doc_a
        |                   JOIN embeddings b ON b.vec_id = c.doc_b
@@ -460,14 +476,18 @@ object ExtensionQueries {
   }
 
   private def embedNearDupBlockedSql: String =
-    s"""WITH $embedPairCtes
+    s"""WITH ${embedPairCtes()}
+       |SELECT doc_a, doc_b, cosine FROM vp ORDER BY doc_a, doc_b""".stripMargin
+
+  private def embedNearDupIncrementalSql: String =
+    s"""WITH ${embedPairCtes("x.vec_id % 2 = 0 AND y.vec_id % 2 <> 0")}
        |SELECT doc_a, doc_b, cosine FROM vp ORDER BY doc_a, doc_b""".stripMargin
 
   /** x34: blocked-cosine pairs → recursive-closure clusters → drop every
     * member except its canonical (min-id) survivor.
     */
   private def embedDedupSql: String =
-    s"""WITH RECURSIVE $embedPairCtes,
+    s"""WITH RECURSIVE ${embedPairCtes()},
        |e AS (SELECT doc_a AS s, doc_b AS d FROM vp
        |      UNION ALL SELECT doc_b, doc_a FROM vp),
        |reach AS (SELECT s AS id, s AS r FROM e
@@ -690,6 +710,7 @@ object ExtensionQueries {
          |WHERE $cosSql >= 0.45
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x27_embed_neardup_blocked" -> embedNearDupBlockedSql,
+    "x37_embed_neardup_incremental" -> embedNearDupIncrementalSql,
     "x34_neardup_dedup" -> embedDedupSql,
     "x9_lang_id" -> langIdSql,
     "x10_quality_score" -> qualitySql,

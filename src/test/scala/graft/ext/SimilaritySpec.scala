@@ -81,6 +81,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
 
+  test("cosineNearDupsBlockedAgainst: cross-side pairs only, parallel " +
+    "vectors recalled, same-side dups invisible") {
+    // new side: 3 (parallel to corpus 1) and 2 (orthogonal to 1, parallel
+    // to corpus 20); corpus near-pair (1, 10) is same-side and must not show
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (10L, Seq(1.0f, 0.01f, 0.0f)), // near-dup of 1, same side
+      (20L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (3L, Seq(2.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupsBlockedAgainst(fresh, corpus,
+        "vec_id", "embedding", 0.9, nPlanes = 4, bands = 2, dims = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((3L, 1L)) === 1.0 && got((3L, 10L)) > 0.9)
+    assert(got((2L, 20L)) === 1.0)
+    assert(got.keySet.forall { case (a, b) => Set(2L, 3L)(a) && !Set(2L, 3L)(b) })
+  }
+
   test("ivfTopKRefined: refinement keeps dense per-query ranks and is partitioning-invariant") {
     val run1 = Similarity.ivfTopKRefined(vecs.repartition(1), "vec_id", "embedding",
       k = 3, nCells = 2).collect().map(_.toSeq).toSet
