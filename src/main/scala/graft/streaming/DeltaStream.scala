@@ -128,6 +128,36 @@ object DeltaStream {
       }
       .start()
 
+  /** Streaming incremental near-dup flagging: each arriving JSON-lines
+    * document file is one micro-batch scored against the (static) corpus by
+    * [[graft.ext.Dedup.minhashNearDupsAgainst]] — x36's per-ingest shape
+    * mounted on Structured Streaming, so the "daily delta" cadence becomes
+    * continuous. Flagged (doc_a = new id, doc_b = corpus id, inter, uni)
+    * pairs land in `outDir/batch-<id>` — overwrite-per-batch, so a
+    * foreachBatch retry after a mid-batch crash is idempotent and the
+    * checkpoint gives exactly-once per input file. Per-batch cost is the
+    * batch's bucket collisions against the corpus, never corpus².
+    */
+  def startNearDupFlagging(spark: SparkSession, docsDir: String,
+      corpus: DataFrame, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8, bands: Int = 4, shingleLen: Int = 5,
+      thNum: Int = 4, thDen: Int = 5): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Dedup.minhashNearDupsAgainst(
+              graft.util.Par.spread(batch), corpus,
+              textCol, idCol, k, bands, shingleLen, thNum, thDen)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+      }
+      .start()
+  }
+
   /** Watermarked windowed aggregation over an ODS-shaped stream: events per
     * (event-time window × magnitude category). Late data beyond the
     * watermark is dropped and closed windows emit finalized counts — the

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import graft.ingest.Staging
 import graft.ods.OdsTransform
@@ -233,5 +235,45 @@ class DeltaStreamSpec extends SparkSpec {
     q.stop()
     assert(last("us") === ((3L, 5.0)))
     assert(last("ak")._1 === 2L && last("ak")._2 === 2.0)
+  }
+
+  test("startNearDupFlagging: per-file batches flag cross-corpus near-dups; " +
+    "checkpoint restart reprocesses nothing") {
+    import spark.implicits._
+    val root = tmpDir("neardup")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+
+    // batch 1: one near-dup of corpus doc 10, one novel doc
+    jsonl(s"$docsDir/b1.json",
+      20L -> "large language models are trained on vast corpora of text data from the net",
+      21L -> "fresh document about streaming watermark semantics and state stores")
+    val q1 = DeltaStream.startNearDupFlagging(spark, docsDir, corpus,
+      s"$root/out", s"$root/ckpt", k = 16, bands = 4, shingleLen = 7,
+      thNum = 3, thDen = 5)
+    q1.processAllAvailable(); q1.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(b1 === Set((20L, 10L)))
+
+    // stream down; a second file lands; restart on the SAME checkpoint →
+    // only the new file is scored (batch-0 output untouched)
+    jsonl(s"$docsDir/b2.json",
+      30L -> "completely unrelated content about volcanoes and earthquake magnitudes there")
+    val q2 = DeltaStream.startNearDupFlagging(spark, docsDir, corpus,
+      s"$root/out", s"$root/ckpt", k = 16, bands = 4, shingleLen = 7,
+      thNum = 3, thDen = 5)
+    q2.processAllAvailable(); q2.stop()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(b2 === Set((30L, 12L)))
   }
 }
