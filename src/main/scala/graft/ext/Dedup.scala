@@ -220,6 +220,29 @@ object Dedup {
       cands)
   }
 
+  /** Benchmark-contamination scan: corpus documents sharing at least one
+    * word `n`-gram with any document of a (small) evaluation set. Returns
+    * (doc_id, eval_id, shared_grams) — the pre-training hygiene check that
+    * catches eval examples leaked into the corpus.
+    *
+    * Scale shape: the eval side's hashed grams BROADCAST, so the corpus
+    * side is one map-only pass over its gram stream — the corpus is never
+    * shuffled at all; only the (tiny) matched (doc, eval) hits exchange for
+    * the final count. Grams travel as xxhash64 longs (collision argument as
+    * in [[ngramJaccardPairs]]: a 64-bit collision could add one phantom
+    * shared gram at odds ~10⁻¹¹ — flag-worthy overlaps are not 1 gram).
+    */
+  def ngramOverlapAgainst(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col(idAs), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col(idAs), xxhash64(col("_gs")).as("_g"))
+    grams(Par.spread(docs), "_doc").join(broadcast(grams(evalDocs, "eval_id")), Seq("_g"))
+      .groupBy(col("_doc").as(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a
     * token's hash is the top bit of hex nibble i of `md5(t) ++ md5("1|"+t)`
     * (two digests give 64 nibbles — 48 bits keeps the packed long positive,

@@ -50,6 +50,24 @@ object TextAnalysis {
   val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
   def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
+  /** Context-window chunking: overlapping token windows of `chunkTokens`
+    * tokens starting every `chunkTokens - overlap` tokens — the
+    * training/RAG window splitter. The final window clamps to the document
+    * tail and a document shorter than one window yields itself whole. Pure
+    * per-row expression (one array pass, no explode needed until the caller
+    * chooses to), so chunking composes with any partitioning and scales
+    * linearly with corpus bytes.
+    */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int = 0): Column = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "need 0 <= overlap < chunkTokens")
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - overlap, lit(1)),
+        lit(chunkTokens - overlap)),
+      st => concat_ws(" ", slice(toks, st, lit(chunkTokens))))
+  }
+
   /** Count of tokens contained in `set`. */
   def stopwordHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isin(set: _*)))

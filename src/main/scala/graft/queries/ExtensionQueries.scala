@@ -214,6 +214,26 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: 64-token windows every 48 tokens (16 overlap)
+    "x38_chunk_windows" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), 64, 16)).as(Seq("_pos", "chunk")))
+        .select(col("doc_id"), (col("_pos") + 1).cast("int").as("chunk_idx"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // benchmark-contamination scan: corpus docs (doc_id % 3 != 0) sharing
+    // any 8-gram with the eval slice (doc_id % 3 == 0); eval grams broadcast
+    "x39_contamination_scan" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.ngramOverlapAgainst(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", n = 8)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // canonical-form document fingerprint
     "x12_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -417,6 +437,31 @@ object ExtensionQueries {
        |             JOIN sizes nb ON nb.doc_id = i.doc_b
        |WHERE i.inter * 5 >= (na.n + nb.n - i.inter) * 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of x38: list-sliced 64-token windows every 48 tokens;
+    * out-of-range slicing clamps to the tail on both engines.
+    */
+  private def chunkWindowsSql: String =
+    s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |c AS (SELECT doc_id, CAST((i - 1) / 48 + 1 AS INT) AS chunk_idx,
+       |        array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 63], ' ') AS chunk
+       |      FROM norm, unnest(generate_series(1, greatest(len(l) - 16, 1), 48)) AS u(i))
+       |SELECT doc_id, chunk_idx, chunk FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** DuckDB mirror of x39: distinct word 8-grams per doc (partial tail gram
+    * for short docs, as in x5), corpus × eval slice equi-join on the raw
+    * gram string.
+    */
+  private def contaminationSql: String = {
+    val gram = (0 until 8).map(o => s"l[CAST(i AS INT) + $o]").mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |ng AS (SELECT DISTINCT doc_id, concat_ws(' ', $gram) AS g
+       |       FROM norm, unnest(generate_series(1, greatest(len(l) - 7, 1))) AS u(i))
+       |SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, count(*) AS shared_grams
+       |FROM ng a JOIN ng b ON a.g = b.g
+       |WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+       |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin
+  }
 
   private val cosSql =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
@@ -655,6 +700,8 @@ object ExtensionQueries {
     "x2_minhash_sig" -> minhashSigSql,
     "x3_minhash_lsh_neardup" -> minhashLshSql,
     "x36_neardup_incremental" -> neardupIncrementalSql,
+    "x38_chunk_windows" -> chunkWindowsSql,
+    "x39_contamination_scan" -> contaminationSql,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
     "x29_dedup_clusters" -> dedupClustersSql,

@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 21L))
   }
 
+  test("ngramOverlapAgainst: flags shared long grams across sides only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "witnesses said the quick brown fox jumps over the lazy dog tonight again"),
+      (101L, "nothing in common with anything in this corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramOverlapAgainst(corpus, eval, "text", "doc_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // corpus doc 1's 10 tokens contain 3 distinct 8-grams; all 3 appear in
+    // eval doc 100's longer text
+    assert(got === Map((1L, 100L) -> 3L))
+  }
+
   test("jaccardVerify: inter/uni counts are exact set arithmetic") {
     val corpus = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("doc_id", "text")
     val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")

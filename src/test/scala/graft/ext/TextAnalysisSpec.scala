@@ -27,6 +27,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Int](TextAnalysis.bpeishTokenCount(col("text")), "ab12,c") === 5)
   }
 
+  test("chunks: overlapping windows, clamped tail, short doc whole") {
+    val df = Seq(
+      "a b c d e f g h i j", // 10 tokens
+      "a b"                  // shorter than one window
+    ).toDF("t")
+    val got = df.select(TextAnalysis.chunks(col("t"), 4, 1).as("c"))
+      .as[Seq[String]].collect()
+    // stride 3, starts bounded by size - overlap = 9: windows at 1, 4, 7 —
+    // the last covers the tail exactly, no degenerate overlap-only window
+    assert(got(0) === Seq("a b c d", "d e f g", "g h i j"))
+    assert(got(1) === Seq("a b"))
+  }
+
   test("langId: obvious languages and unknown") {
     assert(one[String](TextAnalysis.langId(col("text")),
       "the cat sat on the mat and it is happy") === "en")
