@@ -107,6 +107,15 @@ object TextAnalysis {
     "n_phones" -> regexp_count(text, lit(PhonePattern)),
     "n_ipv4" -> regexp_count(text, lit(Ipv4Pattern)))
 
+  /** PII redaction: every match of the scan patterns replaced with a typed
+    * placeholder, applied in a fixed order (emails, then phone-ish numbers,
+    * then IPv4) so the output is deterministic. Same codegen'd
+    * `regexp_replace` chain shape as the scan — map-only at any scale.
+    */
+  def redactPii(text: Column): Column =
+    Seq(EmailPattern -> "[EMAIL]", PhonePattern -> "[PHONE]", Ipv4Pattern -> "[IP]")
+      .foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Token-repetition signal: distinct tokens / total tokens (1.0 = no
     * repetition; low values flag boilerplate/spam).
     */

@@ -248,6 +248,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction: the scan's matches replaced with typed placeholders
+    "x40_pii_redact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // PII pattern scan + repetition signal per document
     "x18_pii_scan" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -773,6 +780,12 @@ object ExtensionQueries {
     "x14_frame_sample" -> frameSampleSql,
     "x15_decode_resize" -> decodeResizeSql,
     "x18_pii_scan" -> piiScanSql,
+    "x40_pii_redact" ->
+      s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+         |  '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+         |  '${TextAnalysis.PhonePattern}', '[PHONE]', 'g'),
+         |  '${TextAnalysis.Ipv4Pattern}', '[IP]', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x22_rolling_hash" -> {
       val (b, m) = (131L, (1L << 31) - 1)
       s"""WITH RECURSIVE pw(k, p) AS (

@@ -40,6 +40,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) === Seq("a b"))
   }
 
+  test("redactPii: typed placeholders, non-PII text untouched") {
+    val df = Seq(
+      "mail bob@example.com or call +1 (555) 123-4567 from 10.0.0.1 now",
+      "no sensitive content here").toDF("t")
+    val got = df.select(TextAnalysis.redactPii(col("t"))).as[String].collect()
+    assert(got(0) === "mail [EMAIL] or call [PHONE] from [IP] now")
+    assert(got(1) === "no sensitive content here")
+  }
+
   test("langId: obvious languages and unknown") {
     assert(one[String](TextAnalysis.langId(col("text")),
       "the cat sat on the mat and it is happy") === "en")
