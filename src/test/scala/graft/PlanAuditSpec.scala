@@ -56,6 +56,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one normalization, plan:\n$plan")
   }
 
+  test("contamination scan broadcasts the eval side") {
+    // x39's scale claim is that the corpus gram stream is map-only: the
+    // eval grams must arrive as a broadcast, never as a shuffled join side
+    val plan = SparkEntry.queries("x39_contamination_scan")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("IVF assignment is map-only: no per-id ranking window beyond top-k") {
     // the round-6 shape scores all centroids per row inside one higher-order
     // transform; reintroducing the old per-(vector, centroid) row stream
