@@ -32,6 +32,7 @@ object Bench {
     // recycles the same young regions and most of the heap stays untouched
     val hold = new Array[Array[Byte]](n)
     var i = 0
+    var oome = false
     try {
       while (i < n) {
         val a = new Array[Byte](chunk)
@@ -40,9 +41,16 @@ object Bench {
         hold(i) = a
         i += 1
       }
-    } catch { case _: OutOfMemoryError => () /* touched what fit; proceed */ }
+    } catch { case _: OutOfMemoryError => oome = true }
     java.util.Arrays.fill(hold.asInstanceOf[Array[AnyRef]], null)
     System.gc()
+    // an OOME here means the 0.7×maxMemory sizing collided with live state —
+    // driver/Spark internals may be in a degraded post-OOME condition and any
+    // timings taken now would be silently corrupted. Fail the run loudly; the
+    // caller reruns with SPARK_GRAFT_PRETOUCH=0 or a bigger heap.
+    if (oome) sys.error(
+      "[bench] heap pre-touch hit OutOfMemoryError — aborting: timings after " +
+        "an OOME are unreliable. Rerun with SPARK_GRAFT_PRETOUCH=0 or raise -Xmx.")
     System.err.println(f"[bench] heap pre-touch: ${i.toLong * chunk / (1L << 20)} MiB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 

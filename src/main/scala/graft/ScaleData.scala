@@ -31,7 +31,9 @@ object ScaleData {
     * reached it).
     */
   private def stride(df: DataFrame, idCol: String): Long = {
-    val m = df.agg(max(col(idCol))).head()
+    // cast to long in the agg: a user-supplied source table may carry an
+    // integer id column, and getLong on an IntegerType row value throws
+    val m = df.agg(max(col(idCol).cast("long"))).head()
     if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
   }
 

@@ -188,23 +188,51 @@ object Dedup {
     */
   def minhashNearDupsAgainst(newDocs: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, k: Int = 8, bands: Int = 4,
-      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): DataFrame = {
+      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): DataFrame =
+    incrementalNearDups(newDocs, corpus,
+      lshBuckets(minhashSignatures(corpus, textCol, idCol, k, shingleLen),
+        idCol, k, bands),
+      textCol, idCol, k, bands, shingleLen, thNum, thDen)
+
+  /** [[minhashNearDupsAgainst]] with the corpus side read from a MAINTAINED
+    * signature table — `corpusSigs` is [[minhashSignatures]] output
+    * (idCol, m0..m{k-1}), computed once per document at ingest and appended,
+    * exactly what the scaladoc above describes production keeping. Per-batch
+    * cost is then genuinely delta-only: the corpus contributes a scan of its
+    * (k-longs-per-doc) signature table into the bucket join plus shingle
+    * sets for the few documents that appear in candidate pairs; its TEXT is
+    * never re-signatured. `corpusDocs` supplies those verify-side texts.
+    */
+  def minhashNearDupsAgainstSigs(newDocs: DataFrame, corpusSigs: DataFrame,
+      corpusDocs: DataFrame, textCol: String, idCol: String, k: Int = 8,
+      bands: Int = 4, shingleLen: Int = 5, thNum: Int = 4,
+      thDen: Int = 5): DataFrame =
+    incrementalNearDups(newDocs, corpusDocs, lshBuckets(corpusSigs, idCol, k, bands),
+      textCol, idCol, k, bands, shingleLen, thNum, thDen)
+
+  /** Shared incremental-near-dup core: new-side signatures are always
+    * computed fresh (they ARE the delta); the corpus side arrives as an
+    * already-banded bucket frame — from a fresh signature pass
+    * ([[minhashNearDupsAgainst]]) or from the maintained signature table
+    * ([[minhashNearDupsAgainstSigs]]).
+    */
+  private def incrementalNearDups(newDocs: DataFrame, corpusDocs: DataFrame,
+      corpusBuckets: DataFrame, textCol: String, idCol: String, k: Int,
+      bands: Int, shingleLen: Int, thNum: Int, thDen: Int): DataFrame = {
     val bn = lshBuckets(minhashSignatures(newDocs, textCol, idCol, k, shingleLen),
         idCol, k, bands)
       .select(col("bucket"), col(idCol).as("doc_a"))
-    val bc = lshBuckets(minhashSignatures(corpus, textCol, idCol, k, shingleLen),
-        idCol, k, bands)
-      .select(col("bucket").as("_bucket2"), col(idCol).as("doc_b"))
+    val bc = corpusBuckets.select(col("bucket").as("_bucket2"), col(idCol).as("doc_b"))
     // the two bucket sides are different subtrees (no self-join reuse), so
     // nothing is persisted above the candidate list; each side is one
-    // map-only signature pass into the bucket exchange
+    // map-only pass into the bucket exchange
     val cands = bn.join(bc, col("bucket") === col("_bucket2"))
       .select(col("doc_a"), col("doc_b")).distinct().persist()
     val setsA = shingleSets(
       newDocs.join(cands.select(col("doc_a").as(idCol)), Seq(idCol), "left_semi"),
       textCol, idCol, shingleLen)
     val setsB = shingleSets(
-      corpus.join(cands.select(col("doc_b").as(idCol)), Seq(idCol), "left_semi"),
+      corpusDocs.join(cands.select(col("doc_b").as(idCol)), Seq(idCol), "left_semi"),
       textCol, idCol, shingleLen)
     Caching.materializeAndRelease(
       cands

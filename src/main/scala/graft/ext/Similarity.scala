@@ -446,6 +446,52 @@ object Similarity {
     verifiedBandPairs(a, b, lit(true), threshold)
   }
 
+  /** The MAINTAINED corpus-side bucket table for
+    * [[cosineNearDupsBlockedAgainstBuckets]]: compact (idCol, band, bucket)
+    * rows — `bands` rows per vector, no payload. The hyperplanes are
+    * deterministic ([[planeSign]]), so each ingest batch computes its own
+    * rows with the same parameters and APPENDS them; the table never needs
+    * a corpus-wide rebuild.
+    */
+  def bandedSignTable(emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, bands: Int = 2, dims: Int = 64): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    bandedSigns(emb, idCol, vecCol, nPlanes, bands, dims)
+      .select(col("_id").as(idCol), col("_band").as("band"),
+        col("_bucket").as("bucket"))
+  }
+
+  /** [[cosineNearDupsBlockedAgainst]] with the corpus side read from a
+    * MAINTAINED bucket table ([[bandedSignTable]] output) — per-batch cost
+    * is genuinely delta-only: the corpus contributes a scan of its compact
+    * (id, band, bucket) table into the candidate join plus vector fetches
+    * for the few ids that appear in candidate pairs; its embeddings are
+    * never re-hashed. `corpusEmb` supplies those verify-side vectors.
+    * Candidate (doc_a, doc_b) pairs are deduplicated BEFORE the exact
+    * verify, so multi-band collisions are scored once — same output as the
+    * recompute path (cosine is deterministic per pair).
+    */
+  def cosineNearDupsBlockedAgainstBuckets(newEmb: DataFrame,
+      corpusBuckets: DataFrame, corpusEmb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nPlanes: Int = 8, bands: Int = 2,
+      dims: Int = 64): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val bn = bandedSigns(newEmb, idCol, vecCol, nPlanes, bands, dims)
+      .select(col("_id").as("doc_a"), col("_band"), col("_bucket"))
+    val bc = corpusBuckets.select(col(idCol).as("doc_b"),
+      col("band").as("_band2"), col("bucket").as("_bucket2"))
+    val cands = bn.join(bc, col("_band") === col("_band2") &&
+        col("_bucket") === col("_bucket2"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val va = withNorm(newEmb, idCol, vecCol, "doc_a", "_va", "_na")
+    val vb = withNorm(corpusEmb, idCol, vecCol, "doc_b", "_vb", "_nb")
+    cands.join(va, Seq("doc_a")).join(vb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
+  }
+
   /** (id, vec, norm, band, bucket) rows: `bands` sign-bit buckets per
     * vector over the deterministic hyperplane set.
     */

@@ -169,12 +169,19 @@ object DeltaLoad {
     val stgMetrics = Staging.run(spark, rawPattern, wh.stg,
       s"${wh.rejected}/${insertionTs.getTime}", jobId, insertionTs.toString)
     // metadata-sized metrics append with no reader in this chain: overlap
-    // the warehouse stages, await before the archive closes the run
+    // the warehouse stages, but REQUIRE it durable before warehouseStages'
+    // own closing 'delta_load' append — two concurrent parquet appends to
+    // the same run-log directory share (and delete on commit) the same
+    // <path>/_temporary, so an overlap could lose rows or fail the run
+    // after the warehouse tables committed. The preRunLog barrier keeps the
+    // overlap with the heavy stages and closes only the append-vs-append
+    // window (FullLoad gets the same ordering from its Future.sequence).
     implicit val ec: ExecutionContext = ExecutionContext.global
     val stgLog = Future(RunLog.append(spark, wh.runLog, jobId, "staging",
       stgMetrics.counters, insertionTs))
 
-    warehouseStages(spark, states, wh, jobId, insertionTs)
+    warehouseStages(spark, states, wh, jobId, insertionTs,
+      preRunLog = () => Await.result(stgLog, Duration.Inf))
     Await.result(stgLog, Duration.Inf)
 
     // stage 5 — archive
@@ -218,9 +225,14 @@ object DeltaLoad {
     * to overlap. `failpoint` is a test hook injecting crashes at the
     * commit boundaries; production callers leave the default no-op.
     */
+  /** `preRunLog` runs immediately before this batch's closing RunLog
+    * append — the batch caller parks its concurrent 'staging' log append
+    * behind it so two appends never target the run-log dir at once.
+    */
   def warehouseStages(spark: SparkSession, states: DataFrame, wh: Warehouse,
       jobId: String, insertionTs: Timestamp,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      preRunLog: () => Unit = () => ()): Unit = {
     // The fresh ODS frame feeds both appends and is cached. The T_ODS-shaped
     // delta slice (parsed + key-deduped against the table) feeds every
     // stage-4 build AND the final T_ODS append. Its dedup side is the T_ODS
@@ -331,6 +343,7 @@ object DeltaLoad {
         Await.result(tOdsStage, Duration.Inf)
         Merge.commitAppend(spark, pendingTOds, wh.tOds)
         Await.result(odsAppend, Duration.Inf)
+        preRunLog()
         // A5 — all three observed writes are durable; persist the run record
         RunLog.append(spark, wh.runLog, jobId, "delta_load", Map(
           "rows_ods_appended" -> obsOds.get("n").asInstanceOf[Long],
@@ -338,6 +351,7 @@ object DeltaLoad {
           insertionTs)
       } else {
         Await.result(odsAppend, Duration.Inf)
+        preRunLog()
         RunLog.append(spark, wh.runLog, jobId, "delta_load", Map(
           "rows_ods_appended" -> obsOds.get("n").asInstanceOf[Long],
           "rows_tods_appended" -> 0L), insertionTs)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.util.Tables
+import graft.util.{Maintained, Tables}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline extension operators (SURVEY §7.5), each exercising
@@ -45,6 +45,23 @@ object ExtensionQueries {
       val d = Tables(s, dir, "documents")
       Dedup.minhashNearDupsAgainst(
         d.filter(col("doc_id") % 7 === 0), d.filter(col("doc_id") % 7 =!= 0),
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // x36's production contract: the corpus side read from a MAINTAINED
+    // signature table (built once, appended at ingest — here disk-memoized
+    // per sf dir) instead of re-signaturing the corpus text per batch.
+    // Result set identical to x36; timed cost is delta-only.
+    "x41_neardup_incr_sigtable" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val sigs = Maintained.table(s, s"$dir/documents.parquet",
+        "minhash_sigs_mod7_k16_s7") {
+        Dedup.minhashSignatures(corpus, "text", "doc_id", k = 16, shingleLen = 7)
+      }
+      Dedup.minhashNearDupsAgainstSigs(
+        d.filter(col("doc_id") % 7 === 0), sigs, corpus,
         "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
         .orderBy("doc_a", "doc_b")
     }),
@@ -163,6 +180,24 @@ object ExtensionQueries {
       val e = Tables(s, dir, "embeddings")
       Similarity.cosineNearDupsBlockedAgainst(
         e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", 0.45, nPlanes = 8, bands = 2, dims = 64)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // x37's production contract: the corpus side read from a MAINTAINED
+    // (vec_id, band, bucket) table (x42's sibling of x41) — corpus
+    // embeddings are never re-hashed per batch, only candidate ids fetch
+    // their vectors for the exact verify. Result set identical to x37.
+    "x42_embed_neardup_incr_buckets" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 2 =!= 0)
+      val buckets = Maintained.table(s, s"$dir/embeddings.parquet",
+        "embed_buckets_mod2_p8_b2") {
+        Similarity.bandedSignTable(corpus, "vec_id", "embedding",
+          nPlanes = 8, bands = 2, dims = 64)
+      }
+      Similarity.cosineNearDupsBlockedAgainstBuckets(
+        e.filter(col("vec_id") % 2 === 0), buckets, corpus,
         "vec_id", "embedding", 0.45, nPlanes = 8, bands = 2, dims = 64)
         .orderBy("doc_a", "doc_b")
     }),
@@ -707,6 +742,9 @@ object ExtensionQueries {
     "x2_minhash_sig" -> minhashSigSql,
     "x3_minhash_lsh_neardup" -> minhashLshSql,
     "x36_neardup_incremental" -> neardupIncrementalSql,
+    // same oracle as x36: the sig-table entry point must produce the
+    // identical pair set — only where the corpus signatures COME FROM differs
+    "x41_neardup_incr_sigtable" -> neardupIncrementalSql,
     "x38_chunk_windows" -> chunkWindowsSql,
     "x39_contamination_scan" -> contaminationSql,
     "x4_simhash" -> simhashSql,
@@ -765,6 +803,8 @@ object ExtensionQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x27_embed_neardup_blocked" -> embedNearDupBlockedSql,
     "x37_embed_neardup_incremental" -> embedNearDupIncrementalSql,
+    // same oracle as x37 (see x41's note)
+    "x42_embed_neardup_incr_buckets" -> embedNearDupIncrementalSql,
     "x34_neardup_dedup" -> embedDedupSql,
     "x9_lang_id" -> langIdSql,
     "x10_quality_score" -> qualitySql,

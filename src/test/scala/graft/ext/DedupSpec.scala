@@ -81,6 +81,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 21L))
   }
 
+  test("minhashNearDupsAgainstSigs: maintained signature table reproduces " +
+    "the recompute path exactly") {
+    val existing = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (11L, "large language models are trained on vast corpora of text data from the net"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, "large language models are trained on vast corpora of text data from the web"),
+      (21L, "another totally distinct new document about streaming watermark semantics")
+    ).toDF("doc_id", "text")
+    // the maintained table is exactly what ingest would have appended:
+    // minhashSignatures over the corpus, materialized once
+    val sigs = Dedup.minhashSignatures(existing, "text", "doc_id",
+      k = 16, shingleLen = 7)
+    val viaSigs = Dedup.minhashNearDupsAgainstSigs(fresh, sigs, existing,
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .collect().map(_.toSeq).toSet
+    val recompute = Dedup.minhashNearDupsAgainst(fresh, existing,
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaSigs === recompute)
+    assert(viaSigs.nonEmpty)
+  }
+
   test("ngramOverlapAgainst: flags shared long grams across sides only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

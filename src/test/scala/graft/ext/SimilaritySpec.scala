@@ -102,6 +102,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.keySet.forall { case (a, b) => Set(2L, 3L)(a) && !Set(2L, 3L)(b) })
   }
 
+  test("cosineNearDupsBlockedAgainstBuckets: maintained bucket table " +
+    "reproduces the recompute path exactly") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (10L, Seq(1.0f, 0.01f, 0.0f)),
+      (20L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (3L, Seq(2.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = Similarity.bandedSignTable(corpus, "vec_id", "embedding",
+      nPlanes = 4, bands = 2, dims = 3)
+    val viaTable = Similarity.cosineNearDupsBlockedAgainstBuckets(fresh,
+        buckets, corpus, "vec_id", "embedding", 0.9, nPlanes = 4, bands = 2,
+        dims = 3)
+      .collect().map(_.toSeq).toSet
+    val recompute = Similarity.cosineNearDupsBlockedAgainst(fresh, corpus,
+        "vec_id", "embedding", 0.9, nPlanes = 4, bands = 2, dims = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaTable === recompute)
+    assert(viaTable.nonEmpty)
+  }
+
   test("ivfTopKRefined: refinement keeps dense per-query ranks and is partitioning-invariant") {
     val run1 = Similarity.ivfTopKRefined(vecs.repartition(1), "vec_id", "embedding",
       k = 3, nCells = 2).collect().map(_.toSeq).toSet
