@@ -23,17 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object DimBuilder {
 
-  /** Distinct `keyCols` tuples of `src` numbered 1..n in sort order. */
+  /** Distinct `keyCols` tuples of `src` numbered 1..n in sort order.
+    *
+    * `maxDimRows` makes the bounded-cardinality contract of the
+    * single-partition window mechanical: the guard is fused into the id
+    * projection (zero extra passes or actions), so a caller pointing this
+    * at an unbounded key — where the global sort WOULD be the scaling
+    * cliff — fails with a named error instead of silently funneling the
+    * world through one partition.
+    */
   def build(src: DataFrame, keyCols: Seq[Column], outCols: Seq[String],
-      idCol: String, startId: Long = 1L): DataFrame = {
+      idCol: String, startId: Long = 1L,
+      maxDimRows: Long = DefaultMaxDimRows): DataFrame = {
     val distinct = src
       .select(keyCols.zip(outCols).map { case (c, n) => c.as(n) }: _*)
       .distinct()
     val w = Window.orderBy(outCols.map(c => col(c).asc_nulls_first): _*)
     distinct
-      .withColumn(idCol, (row_number().over(w).cast("long") + lit(startId - 1L)))
+      .withColumn("_rn", row_number().over(w).cast("long") + lit(startId - 1L))
+      .withColumn(idCol, when(col("_rn") <= startId - 1L + maxDimRows, col("_rn"))
+        .otherwise(raise_error(lit(
+          s"DimBuilder.build: dimension exceeds maxDimRows=$maxDimRows" +
+            " distinct values — this surrogate-id window is single-partition" +
+            " by design for BOUNDED dims; raise maxDimRows only if that" +
+            " cardinality is intended")).cast("long")))
       .select((idCol +: outCols).map(col): _*)
   }
+
+  /** Default [[build]] cardinality bound — far above any real dimension
+    * (the reference's dims are networks/categories/countries, ≤10⁴), low
+    * enough to catch a fact-keyed mistake before it becomes a one-partition
+    * sort of the corpus.
+    */
+  val DefaultMaxDimRows: Long = 10000000L
 
   /** Null-safe multi-column anti join (J4): Python's `value not in dict`
     * treats None as an ordinary key, so NULL dimension values must compare

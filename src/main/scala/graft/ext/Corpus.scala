@@ -62,4 +62,60 @@ object Corpus {
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Exact linear-interpolation quantiles (SQL `quantile_cont` semantics:
+    * rank `h = (n-1)·p`, value `v⌊h⌋ + (h-⌊h⌋)·(v⌈h⌉ - v⌊h⌋)` over the
+    * sorted group) computed in TWO distributed passes instead of an
+    * in-memory buffer.
+    *
+    * This is the continuous-column companion to the `percentile` aggregate
+    * (x19): `percentile` buffers a value→count map per group — bounded and
+    * fine for integer-valued metrics like char lengths, but O(group) state
+    * on a continuous column (every double distinct) and therefore the wrong
+    * shape at corpus scale. Here state per row is O(1): one window sort per
+    * group (a single shuffle on `groupCol`, the sort Spark would run for
+    * any ranked statistic) assigns ranks and group sizes, then each
+    * requested `p` reduces to the weighted sum of at most two rows per
+    * group. Memory never depends on group size or value cardinality.
+    *
+    * Output: (`groupCol`, `p<p·100>` per requested quantile), one row per
+    * group. Interpolation multiplies exactly as written above — the same
+    * association DuckDB's `quantile_cont` uses — so integer-valued inputs
+    * reproduce bit-identically.
+    */
+  def quantileCont(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "need quantiles in [0, 1]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+    val ranked = df
+      .select(col(groupCol), col(valCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // h, lo and frac are group-constants (functions of _n alone), so the
+    // aggregate just picks the ≤2 ranked rows each p needs; interpolation
+    // happens outside the agg, as (1−frac)·v_lo + frac·v_hi — verified
+    // empirically to be DuckDB quantile_cont's association (the
+    // v_lo + frac·(v_hi−v_lo) form differs by 1 ulp on adversarial
+    // doubles), so double-valued metrics reproduce bit-identically too.
+    // The lo+1 row may not exist at the group tail (frac = 0 there):
+    // coalesce keeps the well-defined v_lo result instead of
+    // NULL-poisoning the product.
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val h = (col("_n") - 1) * lit(p)
+      val lo = floor(h) + 1 // 1-based rank of v⌊h⌋
+      Seq(
+        sum(when(col("_rn") === lo, col("_v"))).as(s"_lo$i"),
+        sum(when(col("_rn") === lo + 1, col("_v"))).as(s"_hi$i"),
+        first(h - floor(h)).as(s"_fr$i"))
+    }
+    val named = ps.zipWithIndex.map { case (p, i) =>
+      ((lit(1.0) - col(s"_fr$i")) * col(s"_lo$i") +
+        col(s"_fr$i") * coalesce(col(s"_hi$i"), col(s"_lo$i")))
+        .as("p" + math.round(p * 100))
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: named: _*)
+  }
 }

@@ -259,9 +259,23 @@ object Dedup {
     * the final count. Grams travel as xxhash64 longs (collision argument as
     * in [[ngramJaccardPairs]]: a 64-bit collision could add one phantom
     * shared gram at odds ~10⁻¹¹ — flag-worthy overlaps are not 1 gram).
+    *
+    * The "small evaluation set" precondition is mechanical, not advisory:
+    * `maxEvalDocs` bounds the broadcast side, so an eval frame too big to
+    * broadcast fails fast with the bound named instead of blowing up the
+    * driver mid-build. Eval suites are thousands of documents; a caller
+    * with a genuinely huge one should raise the cap only alongside
+    * `spark.sql.autoBroadcastJoinThreshold`/driver memory, or shuffle-join
+    * a gram table instead.
     */
   def ngramOverlapAgainst(docs: DataFrame, evalDocs: DataFrame,
-      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+      textCol: String, idCol: String, n: Int = 8,
+      maxEvalDocs: Long = 100000L): DataFrame = {
+    val nEval = evalDocs.count()
+    require(nEval <= maxEvalDocs,
+      s"ngramOverlapAgainst broadcasts the eval side's grams: eval set has" +
+        s" $nEval docs > maxEvalDocs=$maxEvalDocs. Raise the cap only with" +
+        " driver memory to match, or join a materialized gram table.")
     def grams(df: DataFrame, idAs: String) = df
       .select(col(idCol).as(idAs), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col(idAs), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))

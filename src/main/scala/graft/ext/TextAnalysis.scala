@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.functions.Md5Slices
+import graft.functions.{Md5Slices, QualityScores}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.shim
@@ -57,15 +57,26 @@ object TextAnalysis {
     * per-row expression (one array pass, no explode needed until the caller
     * chooses to), so chunking composes with any partitioning and scales
     * linearly with corpus bytes.
+    *
+    * An empty/whitespace-only document tokenizes to `[""]`, so by the
+    * yields-itself-whole rule it produces one empty-string chunk;
+    * `dropEmpty = true` yields zero chunks for it instead — the right
+    * setting when the chunks feed training directly and an empty window is
+    * noise rather than a record of the document's existence.
     */
-  def chunks(text: Column, chunkTokens: Int, overlap: Int = 0): Column = {
+  def chunks(text: Column, chunkTokens: Int, overlap: Int = 0,
+      dropEmpty: Boolean = false): Column = {
     require(overlap >= 0 && chunkTokens > overlap,
       "need 0 <= overlap < chunkTokens")
     val toks = tokens(text)
-    transform(
+    val windows = transform(
       sequence(lit(1), greatest(size(toks) - overlap, lit(1)),
         lit(chunkTokens - overlap)),
       st => concat_ws(" ", slice(toks, st, lit(chunkTokens))))
+    if (dropEmpty)
+      when(size(toks) === 1 && element_at(toks, 1) === "",
+        array().cast("array<string>")).otherwise(windows)
+    else windows
   }
 
   /** Count of tokens contained in `set`. */
@@ -115,6 +126,18 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     Seq(EmailPattern -> "[EMAIL]", PhonePattern -> "[PHONE]", Ipv4Pattern -> "[IP]")
       .foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** The full quality-signal bundle — `struct(n_chars_norm, n_tokens,
+    * punct_ratio, stopword_ratio, avg_token_len)` — as ONE fused codegen'd
+    * pass over the raw text ([[graft.functions.QualityScores]]).
+    * Field-by-field identical to composing [[normalize]]/[[tokens]]/
+    * [[punctRatioOfNorm]]/[[stopwordHits]]/[[avgTokenLenOfToks]], but with
+    * none of the interpreted higher-order lambdas and no materialized token
+    * array: the hot path of a corpus-wide quality filter should use this.
+    */
+  def qualityScores(text: Column,
+      stopwords: Seq[String] = StopwordSets.head._2): Column =
+    shim.column(QualityScores(shim.expression(text), stopwords))
 
   /** Token-repetition signal: distinct tokens / total tokens (1.0 = no
     * repetition; low values flag boilerplate/spam).

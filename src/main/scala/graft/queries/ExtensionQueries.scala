@@ -225,18 +225,12 @@ object ExtensionQueries {
     // multiply referenced) because the HOF-based signals evaluate
     // interpreted — without this each ratio re-runs the regex normalization
     // and split per row (measured 0.95 s vs 0.37 s oracle at sf0.1)
+    // one fused codegen'd pass (functions.QualityScores) — the composed-
+    // column formulation paid interpreted higher-order lambdas per signal
     "x10_quality_score" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val toks = col("_toks")
-      d.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("_norm"))
-        .withColumn("_toks", split(col("_norm"), " "))
-        .select(col("doc_id"),
-          length(col("_norm")).as("n_chars_norm"),
-          size(toks).as("n_tokens"),
-          TextAnalysis.punctRatioOfNorm(col("_norm")).as("punct_ratio"),
-          (TextAnalysis.stopwordHits(toks, TextAnalysis.StopwordSets.head._2) / size(toks))
-            .as("stopword_ratio"),
-          TextAnalysis.avgTokenLenOfToks(toks).as("avg_token_len"))
+      d.select(col("doc_id"), TextAnalysis.qualityScores(col("text")).as("_q"))
+        .select(col("doc_id"), col("_q.*"))
         .orderBy("doc_id")
     }),
 
@@ -310,8 +304,25 @@ object ExtensionQueries {
         min(col("n_toks")).as("min_toks"),
         max(col("n_toks")).as("max_toks"),
         // exact percentile (linear interpolation) — same index formula as
-        // DuckDB's quantile_cont, unlike the approx sketch
+        // DuckDB's quantile_cont, unlike the approx sketch. NOTE the
+        // `percentile` aggregate buffers a value→count map per group:
+        // bounded for integer char-lengths (this column), but O(group)
+        // state on a continuous metric — x43 (Corpus.quantileCont) is the
+        // O(1)-state two-pass shape for those
         expr("percentile(n_chars, 0.5)").as("p50_chars"))
+        .orderBy("lang")
+    }),
+
+    // exact quantiles on a CONTINUOUS (double) metric — chars per token —
+    // via the two-pass rank-pick (Corpus.quantileCont): O(1) state per row
+    // where x19's `percentile` would buffer every distinct double
+    "x43_quantile_cont" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"),
+          (length(col("text")) /
+            greatest(TextAnalysis.whitespaceTokenCount(col("text")), lit(1)))
+            .as("chars_per_tok"))
+      Corpus.quantileCont(d, "lang", "chars_per_tok", Seq(0.25, 0.5, 0.9))
         .orderBy("lang")
     }),
 
@@ -840,6 +851,14 @@ object ExtensionQueries {
          |FROM tv JOIN pw ON pw.k = tv.n - tv.i
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "x43_quantile_cont" ->
+      """WITH t AS (SELECT lang,
+        |  length(text) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS r
+        |  FROM documents)
+        |SELECT lang, quantile_cont(r, 0.25) AS p25, quantile_cont(r, 0.5) AS p50,
+        |  quantile_cont(r, 0.9) AS p90
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "x19_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,

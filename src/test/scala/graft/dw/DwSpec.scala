@@ -26,6 +26,18 @@ class DwSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, None), (2L, Some("a")), (3L, Some("b"))))
   }
 
+  test("W1: maxDimRows guard fails an over-cardinality dim with a named error") {
+    val src = (1 to 50).map(i => s"v$i").toDF("v")
+    // under the bound: fine
+    assert(DimBuilder.build(src, Seq($"v"), Seq("LB_v"), "ID_v", maxDimRows = 50)
+      .count() === 50)
+    val e = intercept[Exception] {
+      DimBuilder.build(src, Seq($"v"), Seq("LB_v"), "ID_v", maxDimRows = 10).count()
+    }
+    assert(e.getMessage.contains("maxDimRows") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxDimRows")))
+  }
+
   test("J4/W1 delta: extend continues ids from max, null-safe new-value detection") {
     val existing = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("ID_v", "LB_v")
     val src = Seq(Some("a"), None, Some("c"), Some("b")).toDF("v")

@@ -57,4 +57,32 @@ class CorpusSpec extends SparkSpec {
       ("en", "apple", 3L, 1), ("en", "banana", 2L, 2),
       ("fr", "chat", 1L, 1), ("fr", "chien", 1L, 2)))
   }
+
+  test("quantileCont: linear-interpolation quantiles match the by-hand formula") {
+    // odd group (exact middle), even group (interpolated), singleton group
+    val df = Seq(
+      ("a", 10.0), ("a", 30.0), ("a", 20.0), ("a", 50.0), ("a", 40.0),
+      ("b", 1.0), ("b", 2.0), ("b", 4.0), ("b", 8.0),
+      ("c", 7.5)
+    ).toDF("g", "v")
+    val got = Corpus.quantileCont(df, "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    def q(s: Seq[Double], p: Double): Double = {
+      val h = (s.size - 1) * p
+      val lo = math.floor(h).toInt
+      val fr = h - lo
+      (1.0 - fr) * s(lo) + fr * s(math.min(lo + 1, s.size - 1))
+    }
+    val a = Seq(10.0, 20.0, 30.0, 40.0, 50.0)
+    val b = Seq(1.0, 2.0, 4.0, 8.0)
+    assert(got("a") === ((q(a, 0.25), q(a, 0.5), q(a, 0.9))))
+    assert(got("b") === ((q(b, 0.25), q(b, 0.5), q(b, 0.9))))
+    assert(got("c") === ((7.5, 7.5, 7.5)))
+    // partitioning-invariant: repartitioned input → identical bits
+    val again = Corpus.quantileCont(df.repartition(7), "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(again === got)
+  }
 }

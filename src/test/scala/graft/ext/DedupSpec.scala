@@ -120,6 +120,12 @@ class DedupSpec extends SparkSpec {
     // corpus doc 1's 10 tokens contain 3 distinct 8-grams; all 3 appear in
     // eval doc 100's longer text
     assert(got === Map((1L, 100L) -> 3L))
+    // the broadcast-side bound is mechanical: a too-big eval set names it
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramOverlapAgainst(corpus, eval, "text", "doc_id", n = 8,
+        maxEvalDocs = 1L)
+    }
+    assert(e.getMessage.contains("maxEvalDocs"))
   }
 
   test("jaccardVerify: inter/uni counts are exact set arithmetic") {

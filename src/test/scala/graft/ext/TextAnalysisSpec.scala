@@ -40,6 +40,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) === Seq("a b"))
   }
 
+  test("chunks: dropEmpty yields zero windows for empty/whitespace docs only") {
+    val kept = one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
+      "one two three four")
+    assert(kept === Seq("one two three", "three four"))
+    assert(one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
+      "") === Seq.empty)
+    assert(one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
+      " \t \n ") === Seq.empty)
+    // default keeps the one-empty-chunk behavior (the x38 oracle's contract)
+    assert(one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1), "") === Seq(""))
+  }
+
   test("redactPii: typed placeholders, non-PII text untouched") {
     val df = Seq(
       "mail bob@example.com or call +1 (555) 123-4567 from 10.0.0.1 now",
@@ -67,6 +79,38 @@ class TextAnalysisSpec extends SparkSpec {
   test("punctRatio: punctuation fraction of canonical form; empty → 0") {
     assert(one[Double](TextAnalysis.punctRatio(col("text")), "") === 0.0)
     assert(one[Double](TextAnalysis.punctRatio(col("text")), "ab,!") === 0.5)
+  }
+
+  test("qualityScores: fused expression equals the composed columns on edge cases") {
+    val texts = Seq(
+      "The quick brown fox JUMPS over the lazy dog",
+      "",                       // empty → one empty token
+      "   \t \n  ",             // all-whitespace → same as empty
+      "a",                      // single 1-char token
+      "the the the",            // pure stopwords, repetition
+      "!!! ??? ...",            // pure punctuation tokens
+      "  padded\t\twith   runs\nof whitespace  ",
+      "Üñïçødé tøkens ánd ASCII mixed 42 times!",
+      "a@b.c 1.2.3.4 +12 345 6789",
+      "你好 世界 the end") // CJK + stopword
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val en = TextAnalysis.StopwordSets.head._2
+    val toks = col("_toks")
+    val composed = df
+      .select(col("id"), TextAnalysis.normalize(col("text")).as("_norm"))
+      .withColumn("_toks", split(col("_norm"), " "))
+      .select(col("id"),
+        length(col("_norm")).as("n_chars_norm"),
+        size(toks).as("n_tokens"),
+        TextAnalysis.punctRatioOfNorm(col("_norm")).as("punct_ratio"),
+        (TextAnalysis.stopwordHits(toks, en) / size(toks)).as("stopword_ratio"),
+        TextAnalysis.avgTokenLenOfToks(toks).as("avg_token_len"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val fused = df
+      .select(col("id"), TextAnalysis.qualityScores(col("text")).as("_q"))
+      .select(col("id"), col("_q.*"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused === composed)
   }
 
   test("rollingHash: matches manual fold, order-sensitive, canonical-form stable") {
