@@ -4,6 +4,36 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Write each query's result under `outDir/<name>`; return the failures.
+    *
+    * A query that fails to BUILD must not silently vanish from the round's
+    * correctness file (round 7 lost three regressed queries exactly that
+    * way: no parquet → no row → the regression read as "not registered").
+    * Every failure leaves an `_ERROR` marker inside the query's output dir —
+    * the driver's parquet read then fails visibly as `err` — plus a row in
+    * the returned map (main writes it as errors.json).
+    */
+  def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed(name) = msg
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg)
+      }
+    }
+    failed.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,14 +54,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val failed = dumpQueries(spark, sfDir, outDir, SparkEntry.queries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +70,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    // deliberately exit 0 even on per-query failures: round 7's bench showed
+    // the driver discards the ENTIRE artifact on rc≠0 (parsed=null) — the
+    // _ERROR markers already make each failed query surface as `err` in the
+    // driver's correctness compare, which is the visibility we want without
+    // risking the whole round's file.
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed to build: ${failed.keys.mkString(", ")}")
   }
 }

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Epoch micros robust to the input's timestamp flavor. `unix_micros`
+    * rejects `TIMESTAMP_NTZ` outright (DATATYPE_MISMATCH at analysis — the
+    * driver's parquet testdata switched `events.ts` to NTZ and silently
+    * dropped sessionize/rangeJoin from a whole verification round). The
+    * cast is a no-op on `TIMESTAMP` and maps NTZ wall-clock through the
+    * session TZ; with the session pinned to UTC (GraftSession/Verify/Bench)
+    * that is the same instant a naive `epoch_us` computes, so gap and grain
+    * arithmetic is unchanged either way.
+    */
+  private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same entity exceeds `gapSeconds`. Returns
     * one row per session: (entity, session_id ordinal, n_events,
@@ -33,7 +44,7 @@ object EventOps {
     val gapUs = gapSeconds * 1000000L
     val prevTs = lag(col(tsCol), 1).over(w)
     val boundary = when(prevTs.isNull ||
-      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L)
+      epochUs(col(tsCol)) - epochUs(prevTs) > gapUs, 1L).otherwise(0L)
     events
       .withColumn("_new", boundary)
       .withColumn("session_id", sum(col("_new"))
@@ -60,11 +71,11 @@ object EventOps {
       tsCol: String, startCol: String, endCol: String,
       grainSeconds: Long): DataFrame = {
     val gUs = grainSeconds * 1000000L
-    val p = points.withColumn("_grain", unix_micros(col(tsCol)).divide(gUs).cast("long"))
+    val p = points.withColumn("_grain", epochUs(col(tsCol)).divide(gUs).cast("long"))
     val iv = intervals
       .withColumn("_grain", explode(sequence(
-        (unix_micros(col(startCol)) / gUs).cast("long"),
-        (unix_micros(col(endCol)) / gUs).cast("long"))))
+        (epochUs(col(startCol)) / gUs).cast("long"),
+        (epochUs(col(endCol)) / gUs).cast("long"))))
       .withColumnRenamed(entityCol, "_ent")
     p.join(iv, col(entityCol) === col("_ent") && p("_grain") === iv("_grain"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))

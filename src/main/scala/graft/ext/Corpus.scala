@@ -87,7 +87,10 @@ object Corpus {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "need quantiles in [0, 1]")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+    // rank over `_v`, not `valCol` — the select below renames the value
+    // column before the window applies, so a window keyed on the original
+    // name never resolves (UNRESOLVED_COLUMN for every caller)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
     val ranked = df
       .select(col(groupCol), col(valCol).cast("double").as("_v"))
       .withColumn("_rn", row_number().over(w))

@@ -43,17 +43,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
-  test("x10 materializes normalization and tokens exactly once") {
-    // the quality signals evaluate interpreted (higher-order functions), so
-    // the staged _norm/_toks projections are the whole optimization — if a
-    // future CollapseProject change (or a careless refactor) re-inlines
-    // them, every signal re-runs the regex normalization and split per row.
+  test("x10 computes every quality signal in one fused expression pass") {
+    // the signals are computed by the single codegen'd `quality_scores`
+    // struct expression — a regression back to the staged split/HOF shape
+    // (or a refactor that evaluates the expression once per extracted
+    // field) shows up as extra split/regexp passes or repeated
+    // quality_scores calls in the optimized plan.
     val plan = SparkEntry.queries("x10_quality_score")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
     def count(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
-    assert(count(plan, "split(") === 1, s"expected one split, plan:\n$plan")
-    assert(count(plan, "regexp_replace(lower(") === 1,
-      s"expected one normalization, plan:\n$plan")
+    assert(count(plan, "quality_scores(") === 1,
+      s"expected exactly one quality_scores, plan:\n$plan")
+    assert(count(plan, "split(") === 0, s"expected no split, plan:\n$plan")
   }
 
   test("contamination scan broadcasts the eval side") {

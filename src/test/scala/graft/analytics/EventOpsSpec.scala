@@ -108,6 +108,47 @@ class EventOpsSpec extends SparkSpec {
     assert(out(102L) === None)      // left join: no view for user 8
   }
 
+  test("NTZ robustness: sessionize/rangeJoin/asofJoin run unchanged on " +
+    "TIMESTAMP_NTZ parquet input") {
+    // The driver regenerates testdata between rounds; round 7's regen
+    // switched events.ts to no-TZ parquet timestamps, which Spark 4 infers
+    // as TIMESTAMP_NTZ — and `unix_micros` rejects NTZ at ANALYSIS time, so
+    // sessionize and rangeJoin silently vanished from a whole correctness
+    // round. This pins the contract: every EventOps operator must accept
+    // both flavors and (session TZ = UTC) produce identical results.
+    val dir = java.nio.file.Files.createTempDirectory("ntz_events").toString
+    val events = Seq(
+      (1L, ts("2026-08-12 10:00:00"), 7L, 1.5),
+      (2L, ts("2026-08-12 10:10:00"), 7L, 2.5),
+      (3L, ts("2026-08-12 11:00:00"), 7L, 4.0),
+      (4L, ts("2026-08-12 09:00:00"), 8L, 1.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    events.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events")
+    val ntz = spark.read.parquet(s"$dir/events")
+    assert(ntz.schema("ts").dataType.typeName === "timestamp_ntz")
+
+    val sess = EventOps.sessionize(ntz, "user_id", "ts", "event_id", "value", 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sess === Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
+
+    val intervals = Seq((7L, 100L, ts("2026-08-12 09:55:00"), ts("2026-08-12 10:15:00")))
+      .toDF("user_id", "iv_id", "start", "end")
+      .select(col("user_id"), col("iv_id"),
+        col("start").cast("timestamp_ntz").as("start"),
+        col("end").cast("timestamp_ntz").as("end"))
+    val ranged = EventOps.rangeJoin(ntz.select("event_id", "user_id", "ts"),
+      intervals, "user_id", "ts", "start", "end", grainSeconds = 60)
+      .select("event_id").as[Long].collect().toSet
+    assert(ranged === Set(1L, 2L))
+
+    val asof = EventOps.asofJoin(
+      ntz.filter(col("user_id") === 7L).select("event_id", "user_id", "ts"),
+      ntz.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      "user_id", "ts", "event_id", Seq("value"), "prev_")
+    assert(asof.count() === 3)
+  }
+
   test("asofJoin: NULL payload fields stay NULL and all payload columns " +
     "come from the single matched row") {
     val left = Seq((100L, 7L, ts("2026-08-12 12:00:00"))).toDF("event_id", "user_id", "ts")

@@ -31,8 +31,12 @@ class DwSpec extends SparkSpec {
     // under the bound: fine
     assert(DimBuilder.build(src, Seq($"v"), Seq("LB_v"), "ID_v", maxDimRows = 50)
       .count() === 50)
+    // collect() the guarded id column, NOT count(): count lets Catalyst's
+    // ColumnPruning delete the guarded projection, so raise_error would
+    // never evaluate (the same pruning pitfall Bench.force documents)
     val e = intercept[Exception] {
-      DimBuilder.build(src, Seq($"v"), Seq("LB_v"), "ID_v", maxDimRows = 10).count()
+      DimBuilder.build(src, Seq($"v"), Seq("LB_v"), "ID_v", maxDimRows = 10)
+        .select("ID_v").collect()
     }
     assert(e.getMessage.contains("maxDimRows") ||
       Option(e.getCause).exists(_.getMessage.contains("maxDimRows")))

@@ -106,6 +106,46 @@ class DedupSpec extends SparkSpec {
     assert(viaSigs.nonEmpty)
   }
 
+  test("minhashNearDupsAgainstSigs: signature table APPENDED across corpus " +
+    "growth still equals the recompute path") {
+    // The production claim behind x41: the corpus-side signature table is
+    // computed once per document at ingest and APPENDED — never rebuilt.
+    // Simulate two ingest generations into one parquet table and check a
+    // later delta batch sees near-dups from BOTH generations, identically
+    // to re-signaturing the whole grown corpus.
+    val gen0 = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    val gen1 = Seq(
+      (13L, "streaming watermark semantics govern state cleanup in windowed aggregations"),
+      (14L, "large language models are trained on vast corpora of text data from the net")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sig_append").toString
+    val sigTable = s"$dir/minhash_sigs"
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "text", "doc_id", k = 16, shingleLen = 7)
+    sigs(gen0).write.mode("overwrite").parquet(sigTable)
+    sigs(gen1).write.mode("append").parquet(sigTable) // gen0 never re-hashed
+    val grown = gen0.unionByName(gen1)
+    val batch = Seq(
+      (20L, "large language models are trained on vast corpora of text data from the web"),
+      (21L, "another totally distinct new document about graph label propagation")
+    ).toDF("doc_id", "text")
+    val viaSigs = Dedup.minhashNearDupsAgainstSigs(batch,
+        spark.read.parquet(sigTable), grown,
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .collect().map(_.toSeq).toSet
+    val recompute = Dedup.minhashNearDupsAgainst(batch, grown,
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaSigs === recompute)
+    // matches must span both ingest generations, proving appended rows and
+    // original rows participate equally
+    val matched = viaSigs.map(r => r(1).asInstanceOf[Long])
+    assert(matched.contains(10L) && matched.contains(14L))
+  }
+
   test("ngramOverlapAgainst: flags shared long grams across sides only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

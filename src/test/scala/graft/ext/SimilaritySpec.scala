@@ -126,6 +126,44 @@ class SimilaritySpec extends SparkSpec {
     assert(viaTable.nonEmpty)
   }
 
+  test("cosineNearDupsBlockedAgainstBuckets: bucket table APPENDED across " +
+    "corpus growth still equals the recompute path") {
+    // the x42 production claim: each ingest batch computes its own
+    // (id, band, bucket) rows with the same deterministic hyperplanes and
+    // APPENDS them; the corpus is never re-hashed. Two generations into one
+    // parquet table, then a delta batch must match vectors from both.
+    val gen0 = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (20L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val gen1 = Seq(
+      (30L, Seq(1.0f, 0.01f, 0.0f)), // near-dup of gen0's 1
+      (31L, Seq(0.0f, 0.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("bucket_append").toString
+    val table = s"$dir/embed_buckets"
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bandedSignTable(df, "vec_id", "embedding",
+        nPlanes = 4, bands = 2, dims = 3)
+    buckets(gen0).write.mode("overwrite").parquet(table)
+    buckets(gen1).write.mode("append").parquet(table)
+    val grown = gen0.unionByName(gen1)
+    val batch = Seq(
+      (3L, Seq(2.0f, 0.0f, 0.0f)),  // parallel to 1 (gen0) and ~30 (gen1)
+      (2L, Seq(0.0f, 3.0f, 0.0f))   // parallel to 20 (gen0)
+    ).toDF("vec_id", "embedding")
+    val viaTable = Similarity.cosineNearDupsBlockedAgainstBuckets(batch,
+        spark.read.parquet(table), grown, "vec_id", "embedding", 0.9,
+        nPlanes = 4, bands = 2, dims = 3)
+      .collect().map(_.toSeq).toSet
+    val recompute = Similarity.cosineNearDupsBlockedAgainst(batch, grown,
+        "vec_id", "embedding", 0.9, nPlanes = 4, bands = 2, dims = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaTable === recompute)
+    val matched = viaTable.map(r => r(1).asInstanceOf[Long])
+    assert(matched.contains(1L) && matched.contains(30L))
+  }
+
   test("ivfTopKRefined: refinement keeps dense per-query ranks and is partitioning-invariant") {
     val run1 = Similarity.ivfTopKRefined(vecs.repartition(1), "vec_id", "embedding",
       k = 3, nCells = 2).collect().map(_.toSeq).toSet

@@ -11,6 +11,11 @@ class TextAnalysisSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("text").select(c.as("v")).head().getAs[T]("v")
 
+  // array columns collect as mutable.ArraySeq — a getAs[Seq[...]] cast to
+  // immutable.Seq throws ClassCastException on use; read via getSeq + toSeq
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("text").select(c.as("v")).head().getSeq[String](0).toSeq
+
   test("normalize: lowercase, collapse whitespace, trim") {
     assert(one[String](TextAnalysis.normalize(col("text")), "  Hello\t\n  WORLD  ")
       === "hello world")
@@ -41,15 +46,15 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("chunks: dropEmpty yields zero windows for empty/whitespace docs only") {
-    val kept = one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
+    val kept = oneSeq(TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
       "one two three four")
     assert(kept === Seq("one two three", "three four"))
-    assert(one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
+    assert(oneSeq(TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
       "") === Seq.empty)
-    assert(one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
+    assert(oneSeq(TextAnalysis.chunks(col("text"), 3, 1, dropEmpty = true),
       " \t \n ") === Seq.empty)
     // default keeps the one-empty-chunk behavior (the x38 oracle's contract)
-    assert(one[Seq[String]](TextAnalysis.chunks(col("text"), 3, 1), "") === Seq(""))
+    assert(oneSeq(TextAnalysis.chunks(col("text"), 3, 1), "") === Seq(""))
   }
 
   test("redactPii: typed placeholders, non-PII text untouched") {
