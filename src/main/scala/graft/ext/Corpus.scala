@@ -63,6 +63,92 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Discrete quantiles (SQL `quantile_disc` semantics: the ACTUAL group
+    * element at rank `max(1, ⌈p·n⌉)` of the sorted group — never an
+    * interpolated value, so the result is always a member of the input).
+    * Same two-pass O(1)-state shape as [[quantileCont]]: one rank window
+    * per group, then each requested `p` picks exactly one ranked row.
+    * The companion for metrics where an interpolated value is meaningless
+    * (ids, code points, bucketed sizes).
+    */
+  def quantileDisc(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "need quantiles in [0, 1]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
+    val ranked = df
+      .select(col(groupCol), col(valCol).as("_v"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      val rank = greatest(ceil(col("_n") * lit(p)), lit(1L))
+      // ties on _v rank arbitrarily, but tied rows are EQUAL values, so the
+      // picked value is deterministic regardless of row_number's choice
+      first(when(col("_rn") === rank, col("_v")), ignoreNulls = true)
+        .as("p" + math.round(p * 100))
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Most-repeated-bigram statistics per document — the classic
+    * boilerplate/spam repetition signal (Gopher-style "fraction of the
+    * document inside the top n-gram"): for each document with ≥ 2 tokens,
+    * (n_bigrams, top_bigram_n, top_bigram_ratio) over canonical word
+    * bigrams, plus the distinct-token ratio.
+    *
+    * Scale shape: the bigram stream is generated per row (one array
+    * transform, no corpus-wide state), then ONE partial-aggregated shuffle
+    * on (doc, bigram) and one on doc — both keys contain the document id,
+    * so the corpus never concentrates; memory per reducer is one counter.
+    * An all-expression formulation (array_distinct over the bigram array +
+    * per-element frequency probing) would be O(tokens²) interpreted work
+    * per row; the two-stage aggregate is O(tokens) and stays codegen'd.
+    */
+  def bigramRepetition(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = docs
+      .select(col(idCol), toks.as("_t"),
+        TextAnalysis.distinctTokenRatio(col(textCol)).as("_dtr"))
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), col("_dtr"), explode(transform(
+        sequence(lit(1), size(col("_t")) - 1),
+        i => concat_ws(" ", element_at(col("_t"), i),
+          element_at(col("_t"), i + 1)))).as("_bg"))
+    bigrams
+      .groupBy(col(idCol), col("_dtr"), col("_bg"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol), col("_dtr"))
+      .agg(sum(col("_n")).as("n_bigrams"), max(col("_n")).as("top_bigram_n"))
+      .select(col(idCol),
+        col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_ratio"),
+        col("_dtr").as("distinct_token_ratio"))
+  }
+
+  /** Token-budget mixture sampling: per stratum, take documents in the
+    * stable md5-over-id order until the cumulative token count reaches
+    * `budgetTokens` — the deterministic greedy fill used to assemble a
+    * training mix against per-source token budgets (the token-weighted
+    * sibling of [[stratifiedSample]]'s per-class row cap). Returns the kept
+    * rows with their running `cum_tokens`.
+    *
+    * One window = one shuffle on the stratum key; per-stratum state during
+    * the scan is a single running sum, so the shape survives any corpus
+    * size. Documents are kept while their INCLUSIVE cumulative count stays
+    * ≤ budget (no overshoot row).
+    */
+  def tokenBudgetSample(docs: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Exact linear-interpolation quantiles (SQL `quantile_cont` semantics:
     * rank `h = (n-1)·p`, value `v⌊h⌋ + (h-⌊h⌋)·(v⌈h⌉ - v⌊h⌋)` over the
     * sorted group) computed in TWO distributed passes instead of an

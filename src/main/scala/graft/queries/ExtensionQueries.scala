@@ -326,6 +326,33 @@ object ExtensionQueries {
         .orderBy("lang")
     }),
 
+    // discrete quantiles — actual group members at rank ⌈p·n⌉, same
+    // two-pass O(1)-state shape as x43 where interpolation is meaningless
+    "x44_quantile_disc" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("n_chars"))
+      Corpus.quantileDisc(d, "lang", "n_chars", Seq(0.25, 0.5, 0.9))
+        .orderBy("lang")
+    }),
+
+    // boilerplate/spam repetition signal: top word-bigram concentration +
+    // distinct-token ratio per document (docs with ≥2 tokens)
+    "x45_bigram_repetition" -> ((s, dir) => {
+      Corpus.bigramRepetition(Tables(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // token-budget mixture sampling: greedy md5-ordered fill to 5k
+    // whitespace tokens per language (binding at sf0.01's ~12k tokens/lang,
+    // so the correctness run exercises the cutoff, not just the window)
+    "x46_token_budget_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      Corpus.tokenBudgetSample(d, "lang", "doc_id", "n_toks", 5000L)
+        .orderBy("doc_id")
+    }),
+
     // multimodal ingestion: binary payload + md5-derived typed metadata
     "x13_media_meta" -> ((s, dir) => {
       Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")
@@ -859,6 +886,39 @@ object ExtensionQueries {
         |SELECT lang, quantile_cont(r, 0.25) AS p25, quantile_cont(r, 0.5) AS p50,
         |  quantile_cont(r, 0.9) AS p90
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "x44_quantile_disc" ->
+      """SELECT lang,
+        |  quantile_disc(CAST(length(text) AS BIGINT), 0.25) AS p25,
+        |  quantile_disc(CAST(length(text) AS BIGINT), 0.5) AS p50,
+        |  quantile_disc(CAST(length(text) AS BIGINT), 0.9) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x45_bigram_repetition" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l FROM documents),
+         |b AS (SELECT doc_id, len(l) AS nt,
+         |        CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS dtr,
+         |        l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS bg
+         |      FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)
+         |      WHERE len(l) >= 2),
+         |c AS (SELECT doc_id, dtr, bg, count(*) AS n FROM b GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+         |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS top_bigram_ratio,
+         |  dtr AS distinct_token_ratio
+         |FROM c GROUP BY doc_id, dtr ORDER BY doc_id""".stripMargin
+    },
+    "x46_token_budget_sample" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_toks,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      OVER (PARTITION BY lang
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
     "x19_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,

@@ -58,6 +58,60 @@ class CorpusSpec extends SparkSpec {
       ("fr", "chat", 1L, 1), ("fr", "chien", 1L, 2)))
   }
 
+  test("quantileDisc: picks the group element at rank ⌈p·n⌉, never interpolates") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),           // n=4
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L) // n=5
+    ).toDF("g", "v")
+    val got = Corpus.quantileDisc(df, "g", "v", Seq(0.25, 0.5, 0.75, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // DuckDB quantile_disc probe: n=4 → (1,2,3,4); n=5 → (2,3,4,5)
+    assert(got("a") === ((1L, 2L, 3L, 4L)))
+    assert(got("b") === ((2L, 3L, 4L, 5L)))
+    val again = Corpus.quantileDisc(df.repartition(7), "g", "v",
+      Seq(0.25, 0.5, 0.75, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again === got)
+  }
+
+  test("bigramRepetition: top-bigram concentration and distinct-token ratio") {
+    val docs = Seq(
+      // bigrams: [ab, ba, ab, bc] → top "a b" ×2 of 4; distinct 3/5 tokens
+      (1L, "a b a b c"),
+      (2L, "x y z"),   // all bigrams unique → ratio 1/2, dtr 1.0
+      (3L, "solo"),    // < 2 tokens → excluded
+      (4L, "")         // tokenizes to [""] → excluded
+    ).toDF("doc_id", "text")
+    val got = Corpus.bigramRepetition(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((4L, 2L, 0.5, 0.6)))
+    assert(got(2L) === ((2L, 1L, 0.5, 1.0)))
+  }
+
+  test("tokenBudgetSample: greedy md5-ordered fill, inclusive-≤ budget, " +
+    "per-stratum isolation") {
+    val docs = (1L to 10L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", 10)).toDF("doc_id", "lang", "n_toks")
+    val out = Corpus.tokenBudgetSample(docs, "lang", "doc_id", "n_toks", 30L)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3)))
+    // 10 tokens per doc, budget 30 → exactly 3 docs per stratum
+    assert(rows.count(_._2 == "en") === 3 && rows.count(_._2 == "fr") === 3)
+    assert(rows.forall(_._3 <= 30L))
+    // the kept set is the md5-order prefix — same order stratifiedSample pins
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val expectEn = (1L to 10L).filter(_ % 2 == 0).sortBy(i => (key(i), i)).take(3).toSet
+    assert(rows.filter(_._2 == "en").map(_._1).toSet === expectEn)
+    // a budget smaller than the first doc keeps nothing
+    assert(Corpus.tokenBudgetSample(docs, "lang", "doc_id", "n_toks", 5L).count() === 0)
+  }
+
   test("quantileCont: linear-interpolation quantiles match the by-hand formula") {
     // odd group (exact middle), even group (interpolated), singleton group
     val df = Seq(
