@@ -158,6 +158,70 @@ object DeltaStream {
       .start()
   }
 
+  /** [[startNearDupFlagging]] with the corpus side kept as a MAINTAINED
+    * signature table that GROWS with the stream — the production
+    * continuous-dedup loop (the streaming mount of the x41 batch contract):
+    *
+    *  1. If `sigsDir` does not exist yet it is seeded once with the static
+    *     corpus's signatures ([[graft.ext.Dedup.minhashSignatures]]).
+    *  2. Each micro-batch is scored against the CURRENT table with
+    *     [[graft.ext.Dedup.minhashNearDupsAgainstSigs]] — so a document is
+    *     flagged against the original corpus AND every earlier streamed
+    *     batch, and nothing is ever re-signatured; per-batch compute is the
+    *     batch's own signatures plus one column-pruned scan of the table.
+    *  3. The batch then APPENDS its own signatures, becoming corpus for
+    *     every later batch.
+    *
+    * Verify-side texts come from `corpusDocs` ∪ the arrived stream files
+    * (candidate partners are always in the signature table, which the
+    * current batch is excluded from, so the exact-Jaccard join finds each
+    * partner's text in that union). Replay safety under foreachBatch
+    * retry: scoring EXCLUDES the current batch's ids from the table read
+    * (a retry after a crash between the signature append and the
+    * checkpoint commit would otherwise match the batch against itself),
+    * and the append EXCLUDES ids already present (no duplicate signature
+    * rows from a double-run) — both windows close with one broadcast-sized
+    * anti-join, keeping the whole loop idempotent per input file. Id
+    * spaces must be disjoint across the corpus and every stream file.
+    */
+  def startNearDupFlaggingMaintained(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, sigsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 8, bands: Int = 4,
+      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(sigsDir).exists())
+      graft.ext.Dedup.minhashSignatures(
+          graft.util.Par.spread(corpusDocs), textCol, idCol, k, shingleLen)
+        .write.mode("overwrite").parquet(sigsDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            val sigs = s.read.parquet(sigsDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val texts = corpusDocs.select(col(idCol), col(textCol)).unionByName(
+              s.read.schema(schema).json(docsDir)
+                .select(col(idCol), col(textCol)))
+            graft.ext.Dedup.minhashNearDupsAgainstSigs(b, sigs, texts,
+                textCol, idCol, k, bands, shingleLen, thNum, thDen)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            val present = s.read.parquet(sigsDir).select(col(idCol))
+            graft.ext.Dedup.minhashSignatures(b, textCol, idCol, k, shingleLen)
+              .join(present, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(sigsDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Watermarked windowed aggregation over an ODS-shaped stream: events per
     * (event-time window × magnitude category). Late data beyond the
     * watermark is dropped and closed windows emit finalized counts — the

@@ -276,4 +276,70 @@ class DeltaStreamSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(b2 === Set((30L, 12L)))
   }
+
+  test("startNearDupFlaggingMaintained: signature table seeds from the " +
+    "corpus, grows with each batch, and later batches match earlier ones") {
+    import spark.implicits._
+    val root = tmpDir("neardup-maintained")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq(
+      (10L, "large language models are trained on vast corpora of text data from the web"),
+      (12L, "completely unrelated content about volcanoes and earthquake magnitudes here")
+    ).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startNearDupFlaggingMaintained(spark, docsDir,
+        corpus, s"$root/sigs", s"$root/out", s"$root/ckpt",
+        k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: near-dup of corpus doc 10 + a novel doc
+    jsonl(s"$docsDir/b1.json",
+      20L -> "large language models are trained on vast corpora of text data from the net",
+      21L -> "fresh document about streaming watermark semantics and state stores")
+    run()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(b1 === Set((20L, 10L)))
+    // the table now holds corpus + batch-1 signatures, exactly once each
+    val sigIds = spark.read.parquet(s"$root/sigs").select("doc_id")
+      .as[Long].collect().sorted
+    assert(sigIds === Array(10L, 12L, 20L, 21L))
+
+    // batch 2: near-dup of batch 1's doc 21 — a pair the static-corpus path
+    // can never produce — plus a near-dup of corpus doc 12
+    jsonl(s"$docsDir/b2.json",
+      30L -> "fresh document about streaming watermark semantics and state machines",
+      31L -> "completely unrelated content about volcanoes and earthquake magnitudes there")
+    run()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(b2 === Set((30L, 21L), (31L, 12L)))
+    val sigIds2 = spark.read.parquet(s"$root/sigs").select("doc_id")
+      .as[Long].collect().sorted
+    assert(sigIds2 === Array(10L, 12L, 20L, 21L, 30L, 31L))
+
+    // replay idempotence: re-running the SAME batch against a table that
+    // already holds its signatures (the crash-between-append-and-commit
+    // window) reproduces the same pairs — no self-matches, no dup sig rows
+    val replayed = graft.ext.Dedup.minhashNearDupsAgainstSigs(
+        Seq(30L -> "fresh document about streaming watermark semantics and state machines",
+          31L -> "completely unrelated content about volcanoes and earthquake magnitudes there")
+          .toDF("doc_id", "text"),
+        spark.read.parquet(s"$root/sigs")
+          .join(Seq(30L, 31L).toDF("doc_id"), Seq("doc_id"), "left_anti"),
+        corpus.unionByName(spark.read.schema(
+            new org.apache.spark.sql.types.StructType()
+              .add("doc_id", org.apache.spark.sql.types.LongType)
+              .add("text", org.apache.spark.sql.types.StringType))
+          .json(docsDir)),
+        "text", "doc_id", k = 16, bands = 4, shingleLen = 7, thNum = 3, thDen = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(replayed === b2)
+  }
 }
