@@ -222,6 +222,59 @@ object DeltaStream {
       .start()
   }
 
+  /** Embedding-side sibling of [[startNearDupFlaggingMaintained]] — the
+    * streaming mount of the x42 batch contract. The (id, band, bucket)
+    * table seeds once from the static corpus
+    * ([[graft.ext.Similarity.bandedSignTable]]); each arriving vector file
+    * is scored against the CURRENT table with
+    * [[graft.ext.Similarity.cosineNearDupsBlockedAgainstBuckets]] (flagged
+    * against the corpus and every earlier batch; the corpus is never
+    * re-hashed — the hyperplanes are deterministic, so every batch's rows
+    * compose), then appends its own bucket rows. Verify-side vectors come
+    * from `corpusEmb` ∪ the arrived stream files. Retry idempotence
+    * mirrors the text path: the table read excludes the current batch's
+    * ids, the append excludes ids already present.
+    */
+  def startEmbedNearDupFlaggingMaintained(spark: SparkSession,
+      vecsDir: String, corpusEmb: DataFrame, bucketsDir: String,
+      outDir: String, checkpointDir: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 8, bands: Int = 2, dims: Int = 64): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(vecCol, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    if (!new java.io.File(bucketsDir).exists())
+      graft.ext.Similarity.bandedSignTable(
+          graft.util.Par.spread(corpusEmb), idCol, vecCol, nPlanes, bands, dims)
+        .write.mode("overwrite").parquet(bucketsDir)
+    spark.readStream.schema(schema).json(vecsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            val buckets = s.read.parquet(bucketsDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val vecs = corpusEmb.select(col(idCol), col(vecCol)).unionByName(
+              s.read.schema(schema).json(vecsDir)
+                .select(col(idCol), col(vecCol)))
+            graft.ext.Similarity.cosineNearDupsBlockedAgainstBuckets(b,
+                buckets, vecs, idCol, vecCol, threshold, nPlanes, bands, dims)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            val present = s.read.parquet(bucketsDir).select(col(idCol)).distinct()
+            graft.ext.Similarity.bandedSignTable(b, idCol, vecCol,
+                nPlanes, bands, dims)
+              .join(present, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(bucketsDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Watermarked windowed aggregation over an ODS-shaped stream: events per
     * (event-time window × magnitude category). Late data beyond the
     * watermark is dropped and closed windows emit finalized counts — the

@@ -342,4 +342,49 @@ class DeltaStreamSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(replayed === b2)
   }
+
+  test("startEmbedNearDupFlaggingMaintained: bucket table grows with the " +
+    "stream and later batches match earlier vectors") {
+    import spark.implicits._
+    val root = tmpDir("embed-neardup-maintained")
+    val vecsDir = s"$root/vecs"
+    Files.createDirectories(Paths.get(vecsDir))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def jsonl(path: String, vecs: (Long, Seq[Float])*): Unit =
+      Files.write(Paths.get(path), vecs.map { case (id, v) =>
+        s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startEmbedNearDupFlaggingMaintained(spark, vecsDir,
+        corpus, s"$root/buckets", s"$root/out", s"$root/ckpt",
+        threshold = 0.9, nPlanes = 4, bands = 2, dims = 3)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: parallel to corpus vector 1 + a novel direction
+    jsonl(s"$vecsDir/b1.json",
+      10L -> Seq(2.0f, 0.0f, 0.0f),
+      11L -> Seq(0.0f, 0.0f, 5.0f))
+    run()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(b1 === Set((10L, 1L)))
+    assert(spark.read.parquet(s"$root/buckets").select("vec_id").distinct()
+      .as[Long].collect().sorted === Array(1L, 2L, 10L, 11L))
+
+    // batch 2: parallel to batch 1's novel vector 11 — a pair the
+    // static-corpus path can never produce — plus one parallel to corpus 2
+    jsonl(s"$vecsDir/b2.json",
+      20L -> Seq(0.0f, 0.0f, 1.0f),
+      21L -> Seq(0.0f, 3.0f, 0.0f))
+    run()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(b2 === Set((20L, 11L), (21L, 2L)))
+    assert(spark.read.parquet(s"$root/buckets").select("vec_id").distinct()
+      .as[Long].collect().sorted === Array(1L, 2L, 10L, 11L, 20L, 21L))
+  }
 }
