@@ -212,6 +212,31 @@ object ExtensionQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // FLAGSHIP composition — the full training-data curation flow as ONE
+    // hash-verified query: language filter (x9) → exact dedup (x1) →
+    // simhash near-dup cluster dedup (x21→x29→x34) → per-source token-budget
+    // sampling (x46) → context-window chunking (x38). Every stage is the
+    // same library call its standalone query uses; the oracle mirrors the
+    // whole chain, so the COMPOSITION is bit-verified, not just the parts.
+    "x47_curation_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val en = d.filter(TextAnalysis.langId(col("text")) === "en")
+      val exact = Dedup.exact(en, "text", "doc_id")
+      val pairs = Dedup.simhashNearDups(exact, "text", "doc_id",
+        bits = 48, bands = 4, maxHam = 3)
+      val curated = Dedup.dedupByClusters(exact, "doc_id", pairs)
+      val sampled = Corpus.tokenBudgetSample(
+        curated.select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("_nt")),
+        "lang", "doc_id", "_nt", 1500L)
+      sampled
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), 64, 16)).as(Seq("_pos", "chunk")))
+        .select(col("doc_id"), (col("_pos") + 1).cast("int").as("chunk_idx"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // stopword-heuristic language ID
     "x9_lang_id" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -446,7 +471,12 @@ object ExtensionQueries {
     minhashLshCoreSql("a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0")
 
   /** Shared CTE body computing (doc_id, simhash) — used by x4 and x21. */
-  private def simhashCore: String = {
+  private def simhashCore: String = simhashCoreOver("documents")
+
+  /** [[simhashCore]] parameterized over its source relation so composed
+    * oracles (x47) can simhash a CTE subset instead of the whole table.
+    */
+  private def simhashCoreOver(src: String): String = {
     val bits = 48
     val votes = (1 to bits).map(i =>
       s"sum(CASE WHEN substr(h, $i, 1) IN $highNibbles THEN 1 ELSE -1 END) AS v$i")
@@ -455,7 +485,7 @@ object ExtensionQueries {
       s"CASE WHEN v$i >= 0 THEN CAST(${1L << (bits - i)} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""toks AS (SELECT doc_id, md5(t) || md5('1|' || t) AS h FROM
-       |  (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t FROM documents)),
+       |  (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t FROM $src)),
        |v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
        |fp AS (SELECT doc_id, $pack AS simhash FROM v)""".stripMargin
   }
@@ -742,7 +772,10 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  private def langIdSql: String = {
+  /** CTE chain ending in `lp` = (doc_id, lang_pred) — the langId mirror
+    * over `src`, shared by x9 and the x47 composition.
+    */
+  private def langPredCtes(src: String): String = {
     val scores = TextAnalysis.StopwordSets.map { case (lang, set) =>
       val arr = set.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(l, x -> list_contains($arr, x))) AS s_$lang"
@@ -750,12 +783,18 @@ object ExtensionQueries {
     val langs = TextAnalysis.StopwordSets.map(_._1)
     val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-    s"""WITH t AS (SELECT doc_id, lang, string_split(${normSql("text")}, ' ') AS l FROM documents),
-       |s AS (SELECT doc_id, lang, $scores FROM t)
-       |SELECT doc_id, lang,
+    s"""lt AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM $src),
+       |ls AS (SELECT doc_id, $scores FROM lt),
+       |lp AS (SELECT doc_id,
        |  CASE WHEN $best = 0 THEN 'unknown' $chain ELSE 'unknown' END AS lang_pred
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  FROM ls)""".stripMargin
   }
+
+  private def langIdSql: String =
+    s"""WITH ${langPredCtes("documents")}
+       |SELECT d.doc_id, d.lang, lp.lang_pred
+       |FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private def qualitySql: String = {
     val en = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -845,6 +884,7 @@ object ExtensionQueries {
     "x42_embed_neardup_incr_buckets" -> embedNearDupIncrementalSql,
     "x34_neardup_dedup" -> embedDedupSql,
     "x9_lang_id" -> langIdSql,
+    "x47_curation_e2e" -> curationE2eSql,
     "x10_quality_score" -> qualitySql,
     "x11_token_count" ->
       """SELECT doc_id,
@@ -928,6 +968,49 @@ object ExtensionQueries {
         |               ELSE len(string_split_regex(trim(text), '\s+')) END) AS INT) AS max_toks,
         |  quantile_cont(length(text), 0.5) AS p50_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** x47: the whole curation chain — lang filter, exact dedup, simhash
+    * cluster dedup, token-budget sampling, chunking — mirrored as one
+    * composed query over CTE subsets (each stage is the same SQL its
+    * standalone oracle uses, re-sourced via [[langPredCtes]]/
+    * [[simhashCoreOver]]).
+    */
+  private def curationE2eSql: String =
+    s"""WITH RECURSIVE
+       |${langPredCtes("documents")},
+       |enbase AS (SELECT d.* FROM documents d
+       |           JOIN lp ON lp.doc_id = d.doc_id WHERE lp.lang_pred = 'en'),
+       |ex AS (SELECT * FROM enbase WHERE doc_id IN
+       |         (SELECT min(doc_id) FROM enbase GROUP BY md5(text))),
+       |${simhashCoreOver("ex")},
+       |$simhashBandCtes,
+       |p AS (SELECT c.doc_a, c.doc_b
+       |      FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+       |                  JOIN fp fb ON fb.doc_id = c.doc_b
+       |      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT s AS id, s AS r FROM e
+       |          UNION
+       |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+       |dropped AS (SELECT id FROM
+       |              (SELECT id, min(r) AS canon FROM reach GROUP BY id)
+       |            WHERE canon <> id),
+       |curated AS (SELECT * FROM ex
+       |            WHERE doc_id NOT IN (SELECT id FROM dropped)),
+       |samp AS (SELECT doc_id, text FROM (
+       |    SELECT *, sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE len(string_split_regex(trim(text), '\\s+')) END)
+       |      OVER (PARTITION BY lang
+       |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM curated)
+       |  WHERE cum <= 1500),
+       |nrm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM samp),
+       |ch AS (SELECT doc_id, CAST((i - 1) / 48 + 1 AS INT) AS chunk_idx,
+       |         array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 63], ' ') AS chunk
+       |       FROM nrm, unnest(generate_series(1, greatest(len(l) - 16, 1), 48)) AS u(i))
+       |SELECT doc_id, chunk_idx, chunk FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
   private def piiScanSql: String = {
     // DuckDB (RE2) and Java regex agree on these patterns;
