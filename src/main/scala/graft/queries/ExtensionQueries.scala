@@ -220,8 +220,14 @@ object ExtensionQueries {
     // whole chain, so the COMPOSITION is bit-verified, not just the parts.
     "x47_curation_e2e" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val en = d.filter(TextAnalysis.langId(col("text")) === "en")
-      val exact = Dedup.exact(en, "text", "doc_id")
+      // persist the filter+dedup head: langId evaluates interpreted HOFs
+      // per row and the exact-dedup shuffles — four downstream consumers
+      // (simhash signatures, candidate shingle sets, cluster anti-join,
+      // budget sampling) would each replay both. The cached set is the
+      // curated corpus slice — compact by construction.
+      val exact = Dedup.exact(
+        d.filter(TextAnalysis.langId(col("text")) === "en"),
+        "text", "doc_id").persist()
       val pairs = Dedup.simhashNearDups(exact, "text", "doc_id",
         bits = 48, bands = 4, maxHam = 3)
       val curated = Dedup.dedupByClusters(exact, "doc_id", pairs)
