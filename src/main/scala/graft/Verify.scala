@@ -27,6 +27,16 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: $msg")
         failed(name) = msg
         val dir = Paths.get(s"$outDir/$name")
+        // clear the dir first (recursively — an aborted write can leave a
+        // _temporary/ subtree): parquet readers skip underscore-prefixed
+        // files, so stale parquet from a prior successful dump would read
+        // back as passing results instead of err
+        if (Files.isDirectory(dir)) {
+          val s = Files.walk(dir)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .filter(p => p != dir).forEach(p => Files.deleteIfExists(p))
+          finally s.close()
+        }
         Files.createDirectories(dir)
         Files.writeString(dir.resolve("_ERROR"), msg)
       }
@@ -54,7 +64,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failed = dumpQueries(spark, sfDir, outDir, SparkEntry.queries)
+    // SPARK_GRAFT_ONLY=a,b,c dumps a subset — local iteration on one query
+    // without paying the full suite (driver runs without it → full dump)
+    val queries = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .map(names => SparkEntry.queries.filter { case (n, _) => names(n) })
+      .getOrElse(SparkEntry.queries)
+    val failed = dumpQueries(spark, sfDir, outDir, queries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -66,20 +66,22 @@ object Corpus {
   /** Discrete quantiles (SQL `quantile_disc` semantics: the ACTUAL group
     * element at rank `max(1, ⌈p·n⌉)` of the sorted group — never an
     * interpolated value, so the result is always a member of the input).
-    * Same two-pass O(1)-state shape as [[quantileCont]]: one rank window
-    * per group, then each requested `p` picks exactly one ranked row.
+    * Same two-pass rank shape as [[quantileCont]] ([[Ranks.byValue]] —
+    * range-partitioned, parallelism bounded by shuffle partitions, not by
+    * group count), then each requested `p` picks exactly one ranked row.
     * The companion for metrics where an interpolated value is meaningless
     * (ids, code points, bucketed sizes).
+    *
+    * NULL values are ignored (SQL aggregate semantics: they neither rank
+    * nor count toward `n`); a group whose values are ALL null keeps its
+    * output row with null quantiles, as `quantile_disc` would produce.
     */
   def quantileDisc(df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "need quantiles in [0, 1]")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
-    val ranked = df
-      .select(col(groupCol), col(valCol).as("_v"))
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val vals = df.select(col(groupCol), col(valCol).as("_v"))
+    val ranked = Ranks.byValue(vals.filter(col("_v").isNotNull), groupCol)
     val aggs = ps.zipWithIndex.map { case (p, i) =>
       val rank = greatest(ceil(col("_n") * lit(p)), lit(1L))
       // ties on _v rank arbitrarily, but tied rows are EQUAL values, so the
@@ -87,8 +89,26 @@ object Corpus {
       first(when(col("_rn") === rank, col("_v")), ignoreNulls = true)
         .as("p" + math.round(p * 100))
     }
-    ranked.groupBy(col(groupCol))
-      .agg(aggs.head, aggs.tail: _*)
+    completeGroups(vals,
+      ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*),
+      groupCol, ps)
+  }
+
+  /** Restore groups the null-filter removed entirely: every group of the
+    * source reappears with null quantile columns (what SQL's null-ignoring
+    * quantile aggregates produce for an all-null group). Null-safe join so
+    * a NULL grouping key round-trips. The distinct side is one map-side
+    * combined aggregate over the grouping column only, broadcast into the
+    * (one-row-per-group) quantile result.
+    */
+  private def completeGroups(vals: DataFrame, quantiles: DataFrame,
+      groupCol: String, ps: Seq[Double]): DataFrame = {
+    val groups = vals.select(col(groupCol)).distinct()
+    groups.as("_g")
+      .join(broadcast(quantiles.as("_q")),
+        col(s"_g.$groupCol") <=> col(s"_q.$groupCol"), "left")
+      .select(col(s"_g.$groupCol").as(groupCol) +:
+        ps.map(p => col("_q.p" + math.round(p * 100))): _*)
   }
 
   /** Most-repeated-bigram statistics per document — the classic
@@ -158,29 +178,29 @@ object Corpus {
     * (x19): `percentile` buffers a value→count map per group — bounded and
     * fine for integer-valued metrics like char lengths, but O(group) state
     * on a continuous column (every double distinct) and therefore the wrong
-    * shape at corpus scale. Here state per row is O(1): one window sort per
-    * group (a single shuffle on `groupCol`, the sort Spark would run for
-    * any ranked statistic) assigns ranks and group sizes, then each
-    * requested `p` reduces to the weighted sum of at most two rows per
-    * group. Memory never depends on group size or value cardinality.
+    * shape at corpus scale. Ranks come from [[Ranks.byValue]] — the
+    * range-partitioned two-pass rank whose parallelism is bounded by
+    * shuffle partitions rather than group count (a per-group window would
+    * hand each stratum to ONE reducer) — then each requested `p` reduces
+    * to the weighted sum of at most two rows per group. Memory never
+    * depends on group size or value cardinality.
     *
     * Output: (`groupCol`, `p<p·100>` per requested quantile), one row per
     * group. Interpolation multiplies exactly as written above — the same
     * association DuckDB's `quantile_cont` uses — so integer-valued inputs
-    * reproduce bit-identically.
+    * reproduce bit-identically. NULL values are ignored (neither ranked
+    * nor counted in `n`); an all-null group keeps its row with null
+    * quantiles.
     */
   def quantileCont(df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "need quantiles in [0, 1]")
     // rank over `_v`, not `valCol` — the select below renames the value
-    // column before the window applies, so a window keyed on the original
-    // name never resolves (UNRESOLVED_COLUMN for every caller)
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
-    val ranked = df
-      .select(col(groupCol), col(valCol).cast("double").as("_v"))
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // column before the rank applies, so ranking the original name would
+    // never resolve (UNRESOLVED_COLUMN for every caller)
+    val vals = df.select(col(groupCol), col(valCol).cast("double").as("_v"))
+    val ranked = Ranks.byValue(vals.filter(col("_v").isNotNull), groupCol)
     // h, lo and frac are group-constants (functions of _n alone), so the
     // aggregate just picks the ≤2 ranked rows each p needs; interpolation
     // happens outside the agg, as (1−frac)·v_lo + frac·v_hi — verified
@@ -203,8 +223,10 @@ object Corpus {
         col(s"_fr$i") * coalesce(col(s"_hi$i"), col(s"_lo$i")))
         .as("p" + math.round(p * 100))
     }
-    ranked.groupBy(col(groupCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(groupCol) +: named: _*)
+    completeGroups(vals,
+      ranked.groupBy(col(groupCol))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col(groupCol) +: named: _*),
+      groupCol, ps)
   }
 }

@@ -139,4 +139,46 @@ class CorpusSpec extends SparkSpec {
       .toMap
     assert(again === got)
   }
+
+  test("quantiles ignore NULL values; an all-null group keeps a null row") {
+    val df = Seq(
+      ("a", Some(2.0)), ("a", None), ("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None)
+    ).toDF("g", "v")
+    // nulls neither rank nor count: group a is (1,2,3), n=3
+    val cont = Corpus.quantileCont(df, "g", "v", Seq(0.5)).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(cont === Map("a" -> Some(2.0), "b" -> None))
+    val disc = Corpus.quantileDisc(df, "g", "v", Seq(0.5)).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(disc === Map("a" -> Some(2.0), "b" -> None))
+  }
+
+  test("Ranks.byValue: a single group spans >1 range partition, ranks global") {
+    // 2 groups × 10k rows — the 100×-scale hazard the two-pass rank removes
+    // is one-reducer-per-group; assert each group's rows actually spread
+    // over multiple range partitions, and that ranks still form the exact
+    // global 1..n sequence per group with value order preserved
+    val df = spark.range(0, 20000)
+      .select((col("id") % 2).cast("string").as("g"),
+        ((col("id") * 2654435761L) % 99991).cast("double").as("_v"))
+    val ranked = Ranks.byValue(df, "g")
+    val spread = ranked.groupBy("g")
+      .agg(countDistinct(col("_pid")).as("np"), count(lit(1)).as("n"),
+        max(col("_rn")).as("maxrn"), min(col("_rn")).as("minrn"),
+        countDistinct(col("_rn")).as("nrn"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    spread.foreach { case (np, n, maxrn, minrn, nrn) =>
+      assert(np > 1, "group confined to one range partition")
+      assert(minrn === 1L && maxrn === n && nrn === n,
+        "ranks must be the exact 1..n permutation per group")
+    }
+    // rank order must agree with value order: sort by rank == sort by value
+    val byRank = ranked.filter(col("g") === "0").orderBy("_rn")
+      .select("_v").collect().map(_.getDouble(0))
+    assert(byRank.toSeq === byRank.sorted.toSeq)
+  }
 }
