@@ -1,9 +1,11 @@
 package graft.ext
 
 import graft.util.Par
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
 
 /** Corpus-level training-data operators: per-stratum caps and vocabulary
   * statistics — the mixing/inspection passes a large-scale dataset build
@@ -14,18 +16,57 @@ object Corpus {
   /** Deterministic stratified head sample: at most `k` rows per stratum,
     * chosen by a stable md5 order over the id (reproducible anywhere,
     * uncorrelated with ingestion order — a plain `limit` would bias toward
-    * whatever happened to be written first). One window = one shuffle on
-    * the stratum key; this is the standard per-class cap when assembling a
-    * training mix, and the shape survives any corpus size because state
-    * per stratum is the k retained rows.
+    * whatever happened to be written first). This is the standard per-class
+    * cap when assembling a training mix.
+    *
+    * Classic distributed top-k, two stages. Stage 1 prunes each INPUT
+    * partition to its k smallest-keyed rows per stratum with a bounded
+    * per-partition buffer — no shuffle, no sort: a row in the global top-k
+    * is necessarily in its own partition's top-k, so the prune never drops
+    * a survivor. Stage 2 runs the exact rank window over the ≤ partitions×k
+    * survivors per stratum — its per-stratum task now sorts a k-bounded
+    * remnant instead of the corpus, so the old shape's real hazard (ONE
+    * reducer ordering a whole stratum of a 100 TB corpus) is gone and the
+    * only corpus-wide pass is the map-side prune.
+    *
+    * Stage 1 evicts whole key-groups (every row tied on the md5 key goes
+    * together), so it needs no tie-break on the id — stage 2's window
+    * applies the exact `(md5, id)` order to everything the prune kept.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val keyed = df.withColumn("_sk", md5(concat_ws("|", col(idCol))))
+    val schema = keyed.schema
+    val sIdx = schema.fieldIndex(strataCol)
+    val kIdx = schema.fieldIndex("_sk")
+    val pruned = keyed.mapPartitions { it =>
+      // per stratum: md5-key → buffered rows, total buffered; evict the
+      // LARGEST key-group whenever the strictly-smaller groups already
+      // hold ≥ k rows — memory stays O(k + one tie-group) per stratum
+      class TopK {
+        val m = mutable.TreeMap.empty[String, mutable.ArrayBuffer[Row]]
+        var total = 0
+      }
+      val strata = mutable.HashMap.empty[Any, TopK]
+      it.foreach { r =>
+        val t = strata.getOrElseUpdate(r.get(sIdx), new TopK)
+        t.m.getOrElseUpdate(r.getString(kIdx), mutable.ArrayBuffer.empty) += r
+        t.total += 1
+        var go = true
+        while (go) {
+          val (lk, lrows) = t.m.last
+          if (t.total - lrows.size >= k) { t.m.remove(lk); t.total -= lrows.size }
+          else go = false
+        }
+      }
+      strata.valuesIterator.flatMap(_.m.valuesIterator.flatten)
+    }(Encoders.row(schema))
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(concat_ws("|", col(idCol))), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
+      .orderBy(col("_sk"), col(idCol))
+    pruned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .drop("_rn")
+      .drop("_rn", "_sk")
   }
 
   /** Per-stratum embedding centroid: the element-wise mean vector of each
@@ -153,20 +194,48 @@ object Corpus {
     * `budgetTokens` — the deterministic greedy fill used to assemble a
     * training mix against per-source token budgets (the token-weighted
     * sibling of [[stratifiedSample]]'s per-class row cap). Returns the kept
-    * rows with their running `cum_tokens`.
+    * rows with their running `cum_tokens`. Documents are kept while their
+    * INCLUSIVE cumulative count stays ≤ budget (no overshoot row);
+    * `tokenCol` must be non-negative (it is a count) — the prune below
+    * relies on prefix sums being monotone.
     *
-    * One window = one shuffle on the stratum key; per-stratum state during
-    * the scan is a single running sum, so the shape survives any corpus
-    * size. Documents are kept while their INCLUSIVE cumulative count stays
-    * ≤ budget (no overshoot row).
+    * The greedy fill is inherently sequential per stratum, so the exact
+    * pass cannot parallelize inside a stratum — instead the corpus-sized
+    * work is cut BEFORE it: each input partition locally sorts by the same
+    * md5 order (no shuffle) and drops every row whose partition-local
+    * running count already exceeds the budget. A row's local prefix is a
+    * subset of its global prefix, so local-over-budget ⇒ global-over-budget
+    * and the prune never drops a keeper. The exact window then runs over
+    * ≤ partitions × (budget worth of documents) survivors per stratum —
+    * bounded by the budget, not the corpus (plus any zero-token rows inside
+    * the budget prefix, which never advance the sum).
     */
   def tokenBudgetSample(docs: DataFrame, strataCol: String, idCol: String,
       tokenCol: String, budgetTokens: Long): DataFrame = {
+    val keyed = docs
+      .withColumn("_sk", md5(col(idCol).cast("string")))
+      .withColumn("_tk", coalesce(col(tokenCol).cast("long"), lit(0L)))
+    val schema = keyed.schema
+    val sIdx = schema.fieldIndex(strataCol)
+    val tIdx = schema.fieldIndex("_tk")
+    val pruned = keyed.sortWithinPartitions(col("_sk"), col(idCol))
+      .mapPartitions { it =>
+        // partition is (_sk, id)-sorted, so each stratum's subsequence
+        // arrives in md5 order: one running sum per stratum suffices
+        val sums = mutable.HashMap.empty[Any, Long]
+        it.filter { r =>
+          val s = r.get(sIdx)
+          val cur = sums.getOrElse(s, 0L) + r.getLong(tIdx)
+          sums(s) = cur
+          cur <= budgetTokens
+        }
+      }(Encoders.row(schema))
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(col("_sk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+    pruned.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
+      .drop("_sk", "_tk")
   }
 
   /** Exact linear-interpolation quantiles (SQL `quantile_cont` semantics:

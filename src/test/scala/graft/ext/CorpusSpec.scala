@@ -27,6 +27,11 @@ class CorpusSpec extends SparkSpec {
       .map(b => f"${b & 0xff}%02x").mkString
     val expectEn = (1L to 20L).filter(_ % 2 == 0).sortBy(i => (key(i), i)).take(3).toSet
     assert(byLang("en") === expectEn)
+    // partition-layout-invariant: the per-partition prune must keep every
+    // global survivor whatever partition its rows land in
+    val spread = Corpus.stratifiedSample(docs.repartition(7), "lang", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(spread === out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
   test("strataCentroids: exact elementwise means, partitioning-invariant") {
@@ -110,6 +115,12 @@ class CorpusSpec extends SparkSpec {
     assert(rows.filter(_._2 == "en").map(_._1).toSet === expectEn)
     // a budget smaller than the first doc keeps nothing
     assert(Corpus.tokenBudgetSample(docs, "lang", "doc_id", "n_toks", 5L).count() === 0)
+    // partition-layout-invariant: the local-prefix prune must never drop a
+    // global keeper regardless of which partition each row lands in
+    val spread = Corpus.tokenBudgetSample(docs.repartition(5), "lang",
+      "doc_id", "n_toks", 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(spread === rows.map(r => (r._1, r._3)).toSet)
   }
 
   test("quantileCont: linear-interpolation quantiles match the by-hand formula") {
