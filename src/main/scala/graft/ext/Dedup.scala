@@ -285,6 +285,48 @@ object Dedup {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Multi-benchmark contamination scan: [[ngramOverlapAgainst]] against N
+    * evaluation sets in ONE corpus pass. Real pipelines decontaminate
+    * against dozens of benchmarks — re-scanning 100 TB once per benchmark
+    * is the wrong shape, so here every eval set's hashed grams ride the
+    * same broadcast (tagged with their `setCol`) and the corpus gram
+    * stream probes them all at once.
+    *
+    * Returns (`idCol`, eval_set, shared_grams, eval_docs_hit) per corpus
+    * document × eval set it overlaps: `shared_grams` counts the document's
+    * DISTINCT grams found anywhere in that set (a gram shared with three
+    * eval documents counts once — the signal is "how much of this document
+    * is benchmark material"), `eval_docs_hit` the distinct eval documents
+    * reached. Same scale shape as the single-set scan: eval grams
+    * broadcast under the same `maxEvalDocs` guard (now the TOTAL across
+    * sets, which is what bounds the broadcast), corpus never shuffled,
+    * only matched hits exchange for the final count.
+    */
+  def ngramOverlapAgainstEvalSets(docs: DataFrame, evalDocs: DataFrame,
+      setCol: String, textCol: String, idCol: String, n: Int = 8,
+      maxEvalDocs: Long = 100000L): DataFrame = {
+    val nEval = evalDocs.count()
+    require(nEval <= maxEvalDocs,
+      s"ngramOverlapAgainstEvalSets broadcasts every eval set's grams: the" +
+        s" sets total $nEval docs > maxEvalDocs=$maxEvalDocs. Raise the cap" +
+        " only with driver memory to match, or join a materialized gram" +
+        " table.")
+    val corpusGrams = Par.spread(docs)
+      .select(col(idCol).as("_doc"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_doc"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_doc"), xxhash64(col("_gs")).as("_g"))
+    val evalGrams = evalDocs
+      .select(col(setCol).as("eval_set"), col(idCol).as("_eid"),
+        TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("eval_set"), col("_eid"),
+        explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("eval_set"), col("_eid"), xxhash64(col("_gs")).as("_g"))
+    corpusGrams.join(broadcast(evalGrams), Seq("_g"))
+      .groupBy(col("_doc").as(idCol), col("eval_set"))
+      .agg(count_distinct(col("_g")).as("shared_grams"),
+        count_distinct(col("_eid")).as("eval_docs_hit"))
+  }
+
   /** SimHash fingerprint, `bits ≤ 48`, oracle-mirrorable form: bit i of a
     * token's hash is the top bit of hex nibble i of `md5(t) ++ md5("1|"+t)`
     * (two digests give 64 nibbles — 48 bits keeps the packed long positive,

@@ -294,6 +294,20 @@ object ExtensionQueries {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // multi-benchmark decontamination: the eval slice split into two tagged
+    // sets, scored against the corpus in ONE scan — per (doc, set) distinct
+    // shared grams + eval docs reached; all sets ride one broadcast
+    "x48_multi_eval_decontam" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val evals = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("eval_set",
+          when(col("doc_id") % 2 === 0, "benchA").otherwise("benchB"))
+      Dedup.ngramOverlapAgainstEvalSets(
+        d.filter(col("doc_id") % 3 =!= 0), evals, "eval_set",
+        "text", "doc_id", n = 8)
+        .orderBy("doc_id", "eval_set")
+    }),
+
     // canonical-form document fingerprint
     "x12_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -579,6 +593,25 @@ object ExtensionQueries {
        |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin
   }
 
+  /** DuckDB mirror of x48: the x39 gram CTE, eval slice tagged into two
+    * sets; per (corpus doc, set) distinct shared grams + eval docs reached.
+    */
+  private def multiEvalDecontamSql: String = {
+    val gram = (0 until 8).map(o => s"l[CAST(i AS INT) + $o]").mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |ng AS (SELECT DISTINCT doc_id, concat_ws(' ', $gram) AS g
+       |       FROM norm, unnest(generate_series(1, greatest(len(l) - 7, 1))) AS u(i)),
+       |ev AS (SELECT doc_id AS eid,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'benchA' ELSE 'benchB' END AS eval_set, g
+       |       FROM ng WHERE doc_id % 3 = 0)
+       |SELECT a.doc_id AS doc_id, e.eval_set,
+       |  count(DISTINCT a.g) AS shared_grams,
+       |  count(DISTINCT e.eid) AS eval_docs_hit
+       |FROM ng a JOIN ev e ON a.g = e.g
+       |WHERE a.doc_id % 3 <> 0
+       |GROUP BY 1, 2 ORDER BY doc_id, eval_set""".stripMargin
+  }
+
   private val cosSql =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
       |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
@@ -830,6 +863,7 @@ object ExtensionQueries {
     "x41_neardup_incr_sigtable" -> neardupIncrementalSql,
     "x38_chunk_windows" -> chunkWindowsSql,
     "x39_contamination_scan" -> contaminationSql,
+    "x48_multi_eval_decontam" -> multiEvalDecontamSql,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
     "x29_dedup_clusters" -> dedupClustersSql,

@@ -168,6 +168,35 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEvalDocs"))
   }
 
+  test("ngramOverlapAgainstEvalSets: one pass scores N tagged sets, " +
+    "distinct grams and eval docs per set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      // both benchA docs contain doc 1's full 10-token text → the same 3
+      // distinct 8-grams hit twice, must still count 3 (not 6)
+      (100L, "A", "witnesses said the quick brown fox jumps over the lazy dog tonight again"),
+      (102L, "A", "so the quick brown fox jumps over the lazy dog tonight yes"),
+      (101L, "B", "the quick brown fox jumps over the lazy dog tonight"),
+      (103L, "B", "nothing in common with anything in this corpus at all whatsoever")
+    ).toDF("doc_id", "bench", "text")
+    val got = Dedup.ngramOverlapAgainstEvalSets(corpus, evals, "bench",
+      "text", "doc_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      (1L, "A") -> ((3L, 2L)),   // 3 distinct grams, both A docs reached
+      (1L, "B") -> ((3L, 1L))))  // same grams, only doc 101 in B
+    // the broadcast bound counts ALL sets' docs together
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramOverlapAgainstEvalSets(corpus, evals, "bench",
+        "text", "doc_id", n = 8, maxEvalDocs = 3L)
+    }
+    assert(e.getMessage.contains("maxEvalDocs"))
+  }
+
   test("jaccardVerify: inter/uni counts are exact set arithmetic") {
     val corpus = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("doc_id", "text")
     val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
