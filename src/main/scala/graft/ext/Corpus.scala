@@ -238,6 +238,60 @@ object Corpus {
       .drop("_sk", "_tk")
   }
 
+  /** Model-free heuristic quality filter in the style of Gopher's rules
+    * (Rae et al. 2021, "Scaling Language Models" §A1.1): per document the
+    * signal bundle and a single `keep` verdict —
+    *
+    *  - `n_tokens` within `[minTokens, maxTokens]` (word count rule),
+    *  - `avg_token_len` within `[minAvgTokenLen, maxAvgTokenLen]`,
+    *  - `punct_ratio ≤ maxPunctRatio` (symbol-to-char proxy of the
+    *    symbol-to-word rule),
+    *  - `stop_hits ≥ minStopwordHits` (Gopher's "≥ 2 stop words"),
+    *  - `distinct_token_ratio ≥ minDistinctTokenRatio` and
+    *    `top_bigram_ratio ≤ maxTopBigramRatio` — count-based adaptations
+    *    of the duplicate-line / most-frequent-2-gram repetition rules.
+    *
+    * Emits every signal alongside `keep` so a pipeline can audit WHY a
+    * document dropped, not just that it did.
+    *
+    * Scale shape: the scalar signals are one fused codegen'd pass
+    * ([[TextAnalysis.qualityScores]]); the repetition signal reuses
+    * [[bigramRepetition]] (doc-keyed two-stage aggregate) and joins back
+    * on the id — every key contains the document id, so nothing
+    * concentrates. `stop_hits` is recovered as `round(ratio · n)` from the
+    * fused bundle rather than re-tokenizing: both factors are exact in
+    * double, so the product rounds back to the exact integer count.
+    */
+  def gopherQualityFilter(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      maxPunctRatio: Double = 0.1, minStopwordHits: Int = 2,
+      minDistinctTokenRatio: Double = 0.3,
+      maxTopBigramRatio: Double = 0.18): DataFrame = {
+    val q = docs
+      .select(col(idCol), TextAnalysis.qualityScores(col(textCol)).as("_q"),
+        TextAnalysis.distinctTokenRatio(col(textCol)).as("distinct_token_ratio"))
+      .select(col(idCol),
+        col("_q.n_tokens").as("n_tokens"),
+        col("_q.avg_token_len").as("avg_token_len"),
+        col("_q.punct_ratio").as("punct_ratio"),
+        round(col("_q.stopword_ratio") * col("_q.n_tokens"))
+          .cast("int").as("stop_hits"),
+        col("distinct_token_ratio"))
+    val rep = bigramRepetition(docs, textCol, idCol)
+      .select(col(idCol), col("top_bigram_ratio"))
+    q.join(rep, Seq(idCol), "left")
+      // a <2-token document has no bigram to repeat: ratio 0, not null
+      .withColumn("top_bigram_ratio", coalesce(col("top_bigram_ratio"), lit(0.0)))
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
+          col("punct_ratio") <= maxPunctRatio &&
+          col("stop_hits") >= minStopwordHits &&
+          col("distinct_token_ratio") >= minDistinctTokenRatio &&
+          col("top_bigram_ratio") <= maxTopBigramRatio)
+  }
+
   /** Exact linear-interpolation quantiles (SQL `quantile_cont` semantics:
     * rank `h = (n-1)·p`, value `v⌊h⌋ + (h-⌊h⌋)·(v⌈h⌉ - v⌊h⌋)` over the
     * sorted group) computed in TWO distributed passes instead of an

@@ -214,23 +214,32 @@ object ExtensionQueries {
 
     // FLAGSHIP composition — the full training-data curation flow as ONE
     // hash-verified query: language filter (x9) → exact dedup (x1) →
-    // simhash near-dup cluster dedup (x21→x29→x34) → per-source token-budget
-    // sampling (x46) → context-window chunking (x38). Every stage is the
-    // same library call its standalone query uses; the oracle mirrors the
-    // whole chain, so the COMPOSITION is bit-verified, not just the parts.
+    // Gopher-rules quality filter (x49) → simhash near-dup cluster dedup
+    // (x21→x29→x34) → per-source token-budget sampling (x46) →
+    // context-window chunking (x38). Every stage is the same library call
+    // its standalone query uses; the oracle mirrors the whole chain, so
+    // the COMPOSITION is bit-verified, not just the parts.
     "x47_curation_e2e" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       // persist the filter+dedup head: langId evaluates interpreted HOFs
-      // per row and the exact-dedup shuffles — four downstream consumers
-      // (simhash signatures, candidate shingle sets, cluster anti-join,
-      // budget sampling) would each replay both. The cached set is the
-      // curated corpus slice — compact by construction.
+      // per row and the exact-dedup shuffles — every downstream consumer
+      // (quality signals, simhash signatures, cluster anti-join, budget
+      // sampling) would each replay both. The cached set is the curated
+      // corpus slice — compact by construction. Quality-filtering AFTER
+      // exact dedup is result-identical to before it (identical texts have
+      // identical signals, and exact-dedup's min-id survivor doesn't
+      // depend on quality), but scores each distinct text once and lets
+      // the scoring read the persisted head.
       val exact = Dedup.exact(
         d.filter(TextAnalysis.langId(col("text")) === "en"),
         "text", "doc_id").persist()
-      val pairs = Dedup.simhashNearDups(exact, "text", "doc_id",
+      val kept = exact.join(
+        Corpus.gopherQualityFilter(exact, "text", "doc_id")
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "leftsemi")
+      val pairs = Dedup.simhashNearDups(kept, "text", "doc_id",
         bits = 48, bands = 4, maxHam = 3)
-      val curated = Dedup.dedupByClusters(exact, "doc_id", pairs)
+      val curated = Dedup.dedupByClusters(kept, "doc_id", pairs)
       val sampled = Corpus.tokenBudgetSample(
         curated.select(col("doc_id"), col("lang"), col("text"),
           TextAnalysis.whitespaceTokenCount(col("text")).as("_nt")),
@@ -395,6 +404,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
       Corpus.tokenBudgetSample(d, "lang", "doc_id", "n_toks", 5000L)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-rules quality filter: the scalar signal bundle + count-based
+    // repetition signals + one auditable keep verdict per document
+    "x49_gopher_quality" -> ((s, dir) => {
+      Corpus.gopherQualityFilter(Tables(s, dir, "documents"), "text", "doc_id",
+        minTokens = 50)
         .orderBy("doc_id")
     }),
 
@@ -592,6 +609,49 @@ object ExtensionQueries {
        |WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
        |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin
   }
+
+  /** DuckDB mirror of x49 over `src`: the x10 signal CTEs + the x45
+    * bigram-repetition CTEs + the Gopher keep predicate (thresholds match
+    * [[graft.ext.Corpus.gopherQualityFilter]]'s defaults). `stop_hits`
+    * mirrors Spark's `round(ratio · n)` recovery — same double ops, same
+    * bits. Parameterized over the source relation so the x47 composition
+    * can quality-score a CTE subset.
+    */
+  private def gopherQualitySqlOver(src: String): String = {
+    val en = TextAnalysis.StopwordSets.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""gt AS (SELECT doc_id, ${normSql("text")} AS n,
+       |         string_split(${normSql("text")}, ' ') AS l FROM $src),
+       |gq AS (SELECT doc_id,
+       |  CAST(len(l) AS INT) AS n_tokens,
+       |  list_sum(list_transform(l, x -> length(x))) / len(l) AS avg_token_len,
+       |  CASE WHEN length(n) = 0 THEN 0.0
+       |       ELSE (length(n) - length(regexp_replace(n, '[^a-z0-9 ]', '', 'g'))) / length(n)
+       |  END AS punct_ratio,
+       |  CAST(round(len(list_filter(l, x -> list_contains($en, x))) / len(l) * len(l)) AS INT) AS stop_hits,
+       |  CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS distinct_token_ratio
+       |  FROM gt),
+       |gb AS (SELECT doc_id, l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS bg
+       |       FROM gt, unnest(generate_series(1, len(l) - 1)) AS u(i)
+       |       WHERE len(l) >= 2),
+       |gc AS (SELECT doc_id, bg, count(*) AS nn FROM gb GROUP BY 1, 2),
+       |gr AS (SELECT doc_id, CAST(max(nn) AS DOUBLE) / CAST(sum(nn) AS BIGINT) AS tbr
+       |       FROM gc GROUP BY doc_id),
+       |gkeep AS (SELECT gq.doc_id, gq.n_tokens, gq.avg_token_len,
+       |    gq.punct_ratio, gq.stop_hits, gq.distinct_token_ratio,
+       |    coalesce(gr.tbr, 0.0) AS top_bigram_ratio,
+       |    (gq.n_tokens BETWEEN 50 AND 100000
+       |     AND gq.avg_token_len BETWEEN 3.0 AND 10.0
+       |     AND gq.punct_ratio <= 0.1 AND gq.stop_hits >= 2
+       |     AND gq.distinct_token_ratio >= 0.3
+       |     AND coalesce(gr.tbr, 0.0) <= 0.18) AS keep
+       |  FROM gq LEFT JOIN gr ON gr.doc_id = gq.doc_id)""".stripMargin
+  }
+
+  private def gopherQualitySql: String =
+    s"""WITH ${gopherQualitySqlOver("documents")}
+       |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stop_hits,
+       |  distinct_token_ratio, top_bigram_ratio, keep
+       |FROM gkeep ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of x48: the x39 gram CTE, eval slice tagged into two
     * sets; per (corpus doc, set) distinct shared grams + eval docs reached.
@@ -864,6 +924,7 @@ object ExtensionQueries {
     "x38_chunk_windows" -> chunkWindowsSql,
     "x39_contamination_scan" -> contaminationSql,
     "x48_multi_eval_decontam" -> multiEvalDecontamSql,
+    "x49_gopher_quality" -> gopherQualitySql,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
     "x29_dedup_clusters" -> dedupClustersSql,
@@ -1009,11 +1070,11 @@ object ExtensionQueries {
         |  quantile_cont(length(text), 0.5) AS p50_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 
-  /** x47: the whole curation chain — lang filter, exact dedup, simhash
-    * cluster dedup, token-budget sampling, chunking — mirrored as one
-    * composed query over CTE subsets (each stage is the same SQL its
-    * standalone oracle uses, re-sourced via [[langPredCtes]]/
-    * [[simhashCoreOver]]).
+  /** x47: the whole curation chain — lang filter, exact dedup, Gopher
+    * quality filter, simhash cluster dedup, token-budget sampling,
+    * chunking — mirrored as one composed query over CTE subsets (each
+    * stage is the same SQL its standalone oracle uses, re-sourced via
+    * [[langPredCtes]]/[[gopherQualitySqlOver]]/[[simhashCoreOver]]).
     */
   private def curationE2eSql: String =
     s"""WITH RECURSIVE
@@ -1022,7 +1083,10 @@ object ExtensionQueries {
        |           JOIN lp ON lp.doc_id = d.doc_id WHERE lp.lang_pred = 'en'),
        |ex AS (SELECT * FROM enbase WHERE doc_id IN
        |         (SELECT min(doc_id) FROM enbase GROUP BY md5(text))),
-       |${simhashCoreOver("ex")},
+       |${gopherQualitySqlOver("ex")},
+       |qk AS (SELECT e.* FROM ex e
+       |       JOIN gkeep g ON g.doc_id = e.doc_id WHERE g.keep),
+       |${simhashCoreOver("qk")},
        |$simhashBandCtes,
        |p AS (SELECT c.doc_a, c.doc_b
        |      FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
@@ -1036,7 +1100,7 @@ object ExtensionQueries {
        |dropped AS (SELECT id FROM
        |              (SELECT id, min(r) AS canon FROM reach GROUP BY id)
        |            WHERE canon <> id),
-       |curated AS (SELECT * FROM ex
+       |curated AS (SELECT * FROM qk
        |            WHERE doc_id NOT IN (SELECT id FROM dropped)),
        |samp AS (SELECT doc_id, text FROM (
        |    SELECT *, sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -123,6 +123,27 @@ class CorpusSpec extends SparkSpec {
     assert(spread === rows.map(r => (r._1, r._3)).toSet)
   }
 
+  test("gopherQualityFilter: each rule drops its planted offender, " +
+    "clean doc keeps") {
+    val longEnough = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the of $longEnough"),               // clean: 62 tokens, 2 stop hits
+      (2L, "the of too short"),                  // min-tokens rule
+      (3L, ((1 to 60).map(i => s"word$i") :+ "the" :+ "of").mkString(" ")),
+      (4L, s"$longEnough $longEnough"),          // no stopwords → stop_hits 0
+      (5L, "the of " + "spam " * 60)             // repetition: dtr + top bigram
+    ).toDF("doc_id", "text")
+    val got = Corpus.gopherQualityFilter(docs, "text", "doc_id", minTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+    // signals are emitted for the audit trail, not just the verdict
+    val sig = Corpus.gopherQualityFilter(docs, "text", "doc_id", minTokens = 20)
+      .filter(col("doc_id") === 5L).collect().head
+    assert(sig.getInt(4) === 2)                  // stop_hits exact integer
+    assert(sig.getDouble(6) > 0.18)              // top_bigram_ratio flags spam
+  }
+
   test("quantileCont: linear-interpolation quantiles match the by-hand formula") {
     // odd group (exact middle), even group (interpolated), singleton group
     val df = Seq(
