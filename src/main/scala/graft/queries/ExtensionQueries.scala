@@ -230,6 +230,12 @@ object ExtensionQueries {
       // identical signals, and exact-dedup's min-id survivor doesn't
       // depend on quality), but scores each distinct text once and lets
       // the scoring read the persisted head.
+      // CALLER CONTRACT: the head stays persisted after the query runs —
+      // queries return lazy DataFrames, so there is no in-plan point to
+      // unpersist without recomputing the four consumers. Verify/Bench
+      // release it via spark.catalog.clearCache() between queries; a
+      // library caller composing this chain should do the same (or call
+      // .unpersist() on its own head) once the result is materialized.
       val exact = Dedup.exact(
         d.filter(TextAnalysis.langId(col("text")) === "en"),
         "text", "doc_id").persist()
