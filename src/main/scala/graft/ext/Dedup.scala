@@ -309,19 +309,48 @@ object Dedup {
     require(nEval <= maxEvalDocs,
       s"ngramOverlapAgainstEvalSets broadcasts every eval set's grams: the" +
         s" sets total $nEval docs > maxEvalDocs=$maxEvalDocs. Raise the cap" +
-        " only with driver memory to match, or join a materialized gram" +
-        " table.")
+        " only with driver memory to match, or join a maintained gram table" +
+        " via ngramOverlapAgainstGramTable.")
+    overlapAgainstGrams(docs, textCol, idCol, n,
+      broadcast(evalSetGramTable(evalDocs, setCol, textCol, idCol, n)))
+  }
+
+  /** The tagged eval-set gram table `(eval_set, _eid, _g)` that
+    * [[ngramOverlapAgainstEvalSets]] broadcasts and
+    * [[ngramOverlapAgainstGramTable]] joins: per eval document, its
+    * DISTINCT hashed word `n`-grams with the owning set's tag. In
+    * production this is the MAINTAINED side — computed once when a
+    * benchmark is registered, appended when one is added, never
+    * re-signatured per corpus scan (the decontamination sibling of the
+    * minhash signature table, `Dedup.scala` x41).
+    */
+  def evalSetGramTable(evalDocs: DataFrame, setCol: String, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = evalDocs
+    .select(col(setCol).as("eval_set"), col(idCol).as("_eid"),
+      TextAnalysis.tokens(col(textCol)).as("_t"))
+    .select(col("eval_set"), col("_eid"),
+      explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+    .select(col("eval_set"), col("_eid"), xxhash64(col("_gs")).as("_g"))
+
+  /** [[ngramOverlapAgainstEvalSets]]'s result from a maintained gram TABLE
+    * — the beyond-broadcast scale path its guard names. The corpus gram
+    * stream shuffle-equi-joins the table on the 64-bit gram hash, so
+    * neither side is collected anywhere: eval suites of any size work, at
+    * the price of one corpus-gram exchange (the broadcast variant keeps
+    * the corpus map-only and stays preferable whenever the grams fit).
+    * `evalGrams` must have [[evalSetGramTable]]'s schema.
+    */
+  def ngramOverlapAgainstGramTable(docs: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame =
+    overlapAgainstGrams(docs, textCol, idCol, n, evalGrams)
+
+  private def overlapAgainstGrams(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, evalGrams: DataFrame): DataFrame = {
     val corpusGrams = Par.spread(docs)
       .select(col(idCol).as("_doc"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("_doc"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
       .select(col("_doc"), xxhash64(col("_gs")).as("_g"))
-    val evalGrams = evalDocs
-      .select(col(setCol).as("eval_set"), col(idCol).as("_eid"),
-        TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("eval_set"), col("_eid"),
-        explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("eval_set"), col("_eid"), xxhash64(col("_gs")).as("_g"))
-    corpusGrams.join(broadcast(evalGrams), Seq("_g"))
+    corpusGrams.join(evalGrams, Seq("_g"))
       .groupBy(col("_doc").as(idCol), col("eval_set"))
       .agg(count_distinct(col("_g")).as("shared_grams"),
         count_distinct(col("_eid")).as("eval_docs_hit"))

@@ -413,6 +413,26 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // x48's production contract: the eval-set grams read from a MAINTAINED
+    // (eval_set, eval doc, gram-hash) table — benchmarks are signatured
+    // once at registration, the corpus shuffle-joins the table instead of
+    // broadcasting (the beyond-broadcast path for eval suites of any
+    // size). Result set identical to x48.
+    "x50_decontam_gram_table" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val grams = Maintained.table(s, s"$dir/documents.parquet",
+        "eval_grams_mod3_n8") {
+        Dedup.evalSetGramTable(
+          d.filter(col("doc_id") % 3 === 0)
+            .withColumn("eval_set",
+              when(col("doc_id") % 2 === 0, "benchA").otherwise("benchB")),
+          "eval_set", "text", "doc_id", n = 8)
+      }
+      Dedup.ngramOverlapAgainstGramTable(
+        d.filter(col("doc_id") % 3 =!= 0), grams, "text", "doc_id", n = 8)
+        .orderBy("doc_id", "eval_set")
+    }),
+
     // Gopher-rules quality filter: the scalar signal bundle + count-based
     // repetition signals + one auditable keep verdict per document
     "x49_gopher_quality" -> ((s, dir) => {
@@ -930,6 +950,10 @@ object ExtensionQueries {
     "x38_chunk_windows" -> chunkWindowsSql,
     "x39_contamination_scan" -> contaminationSql,
     "x48_multi_eval_decontam" -> multiEvalDecontamSql,
+    // same oracle as x48 (the x41/x42 precedent): the gram-table entry
+    // point must produce the identical overlap set — only where the eval
+    // grams COME FROM differs
+    "x50_decontam_gram_table" -> multiEvalDecontamSql,
     "x49_gopher_quality" -> gopherQualitySql,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,

@@ -197,6 +197,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEvalDocs"))
   }
 
+  test("ngramOverlapAgainstGramTable: maintained gram table reproduces " +
+    "the broadcast path, including after an appended benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      (100L, "A", "witnesses said the quick brown fox jumps over the lazy dog tonight again"),
+      (101L, "B", "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "bench", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaBroadcast = canon(Dedup.ngramOverlapAgainstEvalSets(
+      corpus, evals, "bench", "text", "doc_id", n = 8))
+    val table = Dedup.evalSetGramTable(evals, "bench", "text", "doc_id", n = 8)
+    assert(canon(Dedup.ngramOverlapAgainstGramTable(
+      corpus, table, "text", "doc_id", n = 8)) === viaBroadcast)
+    // registering a new benchmark appends its grams; the next scan sees it
+    val more = Seq((102L, "C", "the quick brown fox jumps over the lazy dog tonight too"))
+      .toDF("doc_id", "bench", "text")
+    val appended = table.unionByName(
+      Dedup.evalSetGramTable(more, "bench", "text", "doc_id", n = 8))
+    val got = canon(Dedup.ngramOverlapAgainstGramTable(
+      corpus, appended, "text", "doc_id", n = 8))
+    assert(got === viaBroadcast + ((1L, "C", 3L, 1L)))
+  }
+
   test("jaccardVerify: inter/uni counts are exact set arithmetic") {
     val corpus = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("doc_id", "text")
     val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
