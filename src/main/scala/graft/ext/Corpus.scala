@@ -238,6 +238,61 @@ object Corpus {
       .drop("_sk", "_tk")
   }
 
+  /** Sequence-packing offsets: concatenate each stratum's documents in the
+    * stable md5-over-id order and cut the stream into fixed `seqLen`-token
+    * training sequences — the concat-then-chunk layout pretraining data
+    * loaders use (documents straddle sequence boundaries; no padding).
+    * For every document this emits its exclusive token offset within the
+    * stratum's stream (`tok_offset`), the sequence its first token lands
+    * in (`seq_idx`) and the position inside it (`seq_pos`) — all a loader
+    * needs to materialize any sequence shard independently.
+    *
+    * Unlike the greedy budget fill ([[tokenBudgetSample]]), the packing
+    * offset is a pure prefix sum, so it parallelizes with the same
+    * two-pass range-partition shape as [[Ranks.byValue]] — per-slice local
+    * prefix sums plus broadcast per-slice totals — instead of one
+    * sequential scan per stratum: parallelism is bounded by shuffle
+    * partitions, not stratum count, and no reducer ever sees more than its
+    * range slice. `tokenCol` must be non-negative.
+    */
+  def packSequences(docs: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "need seqLen > 0")
+    val keyed = docs
+      .withColumn("_sk", md5(col(idCol).cast("string")))
+      .withColumn("_tk", coalesce(col(tokenCol).cast("long"), lit(0L)))
+    val nParts =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = keyed
+      .repartitionByRange(nParts, col(strataCol).asc, col("_sk").asc,
+        col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+    // per-slice token totals → exclusive per-slice offsets (tiny:
+    // ≤ partitions × strata rows; the prefix window runs over partition
+    // ids, not documents); the range exchange is shared with the main
+    // branch via AQE exchange reuse
+    val offsets = parted
+      .groupBy(col("_pid"), col(strataCol))
+      .agg(sum(col("_tk")).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col(strataCol))
+          .orderBy(col("_pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col(strataCol), col("_off"))
+    val wLocal = Window.partitionBy(col("_pid"), col(strataCol))
+      .orderBy(col("_sk").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("_lcum", coalesce(sum(col("_tk")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("_pid", strataCol))
+      .withColumn("tok_offset", col("_lcum") + col("_off"))
+      // offsets stay < 2^53, so the double division floors exactly
+      .withColumn("seq_idx",
+        floor(col("tok_offset") / lit(seqLen)).cast("long"))
+      .withColumn("seq_pos", (col("tok_offset") % lit(seqLen)).cast("long"))
+      .drop("_sk", "_tk", "_pid", "_lcum", "_off")
+  }
+
   /** Model-free heuristic quality filter in the style of Gopher's rules
     * (Rae et al. 2021, "Scaling Language Models" §A1.1): per document the
     * signal bundle and a single `keep` verdict —

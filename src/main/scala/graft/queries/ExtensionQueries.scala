@@ -441,6 +441,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // sequence packing: concat-then-chunk offsets — per language, each
+    // doc's exclusive token offset in the md5-ordered stream and the
+    // 1024-token training sequence (+ position) its first token lands in
+    "x51_pack_sequences" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      Corpus.packSequences(d, "lang", "doc_id", "n_toks", 1024L)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("tok_offset"),
+          col("seq_idx"), col("seq_pos"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal ingestion: binary payload + md5-derived typed metadata
     "x13_media_meta" -> ((s, dir) => {
       Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")
@@ -955,6 +968,19 @@ object ExtensionQueries {
     // grams COME FROM differs
     "x50_decontam_gram_table" -> multiEvalDecontamSql,
     "x49_gopher_quality" -> gopherQualitySql,
+    "x51_pack_sequences" ->
+      """SELECT doc_id, lang, n_toks, tok_offset,
+        |  tok_offset // 1024 AS seq_idx, tok_offset % 1024 AS seq_pos
+        |FROM (
+        |  SELECT doc_id, lang, n_toks,
+        |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM (SELECT doc_id, lang,
+        |          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
     "x29_dedup_clusters" -> dedupClustersSql,

@@ -123,6 +123,42 @@ class CorpusSpec extends SparkSpec {
     assert(spread === rows.map(r => (r._1, r._3)).toSet)
   }
 
+  test("packSequences: md5-ordered exclusive prefix offsets, exact " +
+    "sequence/position assignment, partition-layout-invariant") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", (i % 7 + 1).toInt))
+      .toDF("doc_id", "lang", "n_toks")
+    val got = Corpus.packSequences(docs, "lang", "doc_id", "n_toks", 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_offset"), r.getAs[Long]("seq_idx"),
+          r.getAs[Long]("seq_pos"))).toMap
+    // by-hand reference: md5-order concat per stratum, exclusive cum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val expect = (1L to 40L).groupBy(i => i % 2).flatMap { case (_, ids) =>
+      ids.sortBy(i => (key(i), i))
+        .scanLeft((0L, 0L)) { case ((cum, _), i) => (cum + (i % 7 + 1), i) }
+        // sliding pairs (cum through previous doc, this id): the exclusive
+        // offset of each id
+        .sliding(2).collect { case Seq((cum, _), (_, i)) => i -> cum }
+    }.toMap
+    assert(got.view.mapValues(_._1).toMap === expect)
+    got.foreach { case (_, (off, idx, pos)) =>
+      assert(idx === off / 10 && pos === off % 10)
+    }
+    // layout-invariant: same offsets from any input partitioning
+    val again = Corpus.packSequences(docs.repartition(7), "lang", "doc_id",
+      "n_toks", 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("tok_offset")).toMap
+    assert(again === expect)
+    // offsets are a gapless concatenation: per stratum, sorted offsets
+    // equal the exclusive prefix sums of the sorted-order token counts
+    val en = got.filter(_._1 % 2 == 0).values.map(_._1).toSeq.sorted
+    assert(en.head === 0L && en.size === 20)
+  }
+
   test("gopherQualityFilter: each rule drops its planted offender, " +
     "clean doc keeps") {
     val longEnough = (1 to 60).map(i => s"word$i").mkString(" ")
