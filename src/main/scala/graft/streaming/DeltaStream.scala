@@ -275,6 +275,62 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming curation gate — x49 + x50 mounted at ingest: each arriving
+    * document micro-batch is Gopher-quality-scored
+    * ([[graft.ext.Corpus.gopherQualityFilter]]) and decontaminated against
+    * a MAINTAINED eval gram table
+    * ([[graft.ext.Dedup.ngramOverlapAgainstGramTable]]) in one pass, then
+    * written with its audit columns: `keep_quality`, `contaminated`
+    * (shared grams with ANY eval set ≥ `minSharedGrams`), and the final
+    * `kept` verdict. Production filters documents when they ARRIVE, not in
+    * a later corpus-wide sweep — by the time a corpus is assembled, the
+    * rejects were never stored.
+    *
+    * The gram table seeds once from `evalDocs` (x50's registration-time
+    * contract — benchmarks are never re-signatured) and is only READ per
+    * batch, so the loop needs no append-idempotence machinery; the
+    * overwrite-per-batch output makes foreachBatch retries idempotent.
+    */
+  def startCurationFilter(spark: SparkSession, docsDir: String,
+      evalDocs: DataFrame, setCol: String, gramsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 8,
+      minSharedGrams: Long = 1L): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(gramsDir).exists())
+      graft.ext.Dedup.evalSetGramTable(evalDocs, setCol, textCol, idCol, n)
+        .write.mode("overwrite").parquet(gramsDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val quality = graft.ext.Corpus
+              .gopherQualityFilter(b, textCol, idCol)
+              .select(col(idCol), col("keep").as("keep_quality"))
+            val contaminated = graft.ext.Dedup
+              .ngramOverlapAgainstGramTable(
+                b, s.read.parquet(gramsDir), textCol, idCol, n)
+              .groupBy(col(idCol))
+              .agg(max(col("shared_grams")).as("_sg"))
+              .filter(col("_sg") >= minSharedGrams)
+              .select(col(idCol), lit(true).as("contaminated"))
+            b.join(quality, Seq(idCol), "left")
+              .join(contaminated, Seq(idCol), "left")
+              .withColumn("contaminated",
+                coalesce(col("contaminated"), lit(false)))
+              .withColumn("kept", col("keep_quality") && !col("contaminated"))
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Watermarked windowed aggregation over an ODS-shaped stream: events per
     * (event-time window × magnitude category). Late data beyond the
     * watermark is dropped and closed windows emit finalized counts — the

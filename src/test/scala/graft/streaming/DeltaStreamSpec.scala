@@ -237,6 +237,51 @@ class DeltaStreamSpec extends SparkSpec {
     assert(last("ak")._1 === 2L && last("ak")._2 === 2.0)
   }
 
+  test("startCurationFilter: arriving docs are quality-gated and " +
+    "decontaminated against the seeded gram table; restart skips batch 0") {
+    import spark.implicits._
+    val root = tmpDir("curation")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val evalText = "the canonical held out benchmark passage that must never " +
+      "appear inside the training corpus at all"
+    val evalDocs = Seq((900L, "benchA", evalText)).toDF("doc_id", "bench", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    val clean = "the of " +
+      (1 to 58).map(i => s"document$i").mkString(" ")   // 60 tokens, 2 stop hits
+    // batch 1: a clean keeper, a too-short reject, a contaminated doc
+    // (quality-passing text that embeds the benchmark passage)
+    jsonl(s"$docsDir/b1.json",
+      1L -> clean,
+      2L -> "the of way too short",
+      3L -> (clean + " " + evalText))
+    val q1 = DeltaStream.startCurationFilter(spark, docsDir, evalDocs,
+      "bench", s"$root/grams", s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_id", "keep_quality", "contaminated", "kept")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b1 === Map(
+      1L -> ((true, false, true)),
+      2L -> ((false, false, false)),
+      3L -> ((true, true, false))))
+    // restart on the same checkpoint: only the new file is scored, and the
+    // gram table is NOT re-seeded (read-only per batch)
+    val gramsMtime = Files.getLastModifiedTime(Paths.get(s"$root/grams"))
+    jsonl(s"$docsDir/b2.json", 4L -> clean)
+    val q2 = DeltaStream.startCurationFilter(spark, docsDir, evalDocs,
+      "bench", s"$root/grams", s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(b2 === Map(4L -> true))
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/grams")) === gramsMtime)
+  }
+
   test("startNearDupFlagging: per-file batches flag cross-corpus near-dups; " +
     "checkpoint restart reprocesses nothing") {
     import spark.implicits._
