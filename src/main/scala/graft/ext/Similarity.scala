@@ -381,6 +381,100 @@ object Similarity {
         round(col("_cos"), 9).as("cosine"), col("rank"))
   }
 
+  /** The `ksub` deterministic codebook seeds collected into one row
+    * (`_seeds: array<struct<_sid, _svec>>`) — the smallest-id vectors,
+    * the same seeding device as [[centroidRow]]. Sub-space slicing
+    * happens at use sites (a slice of a float array is free relative to
+    * the dot products it feeds).
+    */
+  private def seedsRow(emb: DataFrame, idCol: String, vecCol: String,
+      ksub: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("_sid"), col(vecCol).as("_svec"))
+      .agg(collect_list(struct(col("_sid"), col("_svec"))).as("_seeds"))
+
+  /** IVF + Product Quantization with asymmetric-distance (ADC) candidate
+    * scoring — the bandwidth shape large-scale ANN serving actually uses:
+    * corpus vectors live in their nearest coarse cell (as in [[ivfTopK]])
+    * and travel as `m` codebook CODES (per sub-space, argmin squared-L2
+    * against `ksub` deterministic seed sub-vectors), 8 bytes of codes here
+    * versus 256 bytes of floats. A query ranks its cell's members by the
+    * asymmetric distance `Σ_j ‖q_j − c_{code_j}‖²` — computed from the
+    * query's own sub-vectors and the broadcast codebook alone, the
+    * candidate's floats never move — then the top `candK` are rescored
+    * with the exact float cosine ([[ivfQuantizedRescoreTopK]]'s stage) and
+    * cut to `k`.
+    *
+    * Determinism mirrors the rest of the IVF family: seeds and coarse
+    * centroids are the smallest-id vectors, sub-space argmin ties break
+    * toward the smaller seed id, the ADC sum folds sub-spaces in index
+    * order (the oracle's `list_sum(list(... ORDER BY j))` reproduces the
+    * same left-to-right double additions), candidate ties toward the
+    * smaller neighbor id. `‖q_j‖²` is a per-pair constant that never
+    * changes the ranking but is kept so the recorded distance IS the
+    * textbook ADC quantity.
+    *
+    * Scale shape: code assignment is one map-only pass under a broadcast
+    * single-row codebook (O(n·ksub·dims) work, zero intermediate rows);
+    * the candidate join is the same cell equi-join as every IVF path; only
+    * the guarded candK rescore touches float vectors again.
+    */
+  def ivfPqAdcTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, m: Int, ksub: Int, candK: Int,
+      dims: Int = 64): DataFrame = {
+    require(candK >= k, "candK must be >= k")
+    require(m > 0 && dims % m == 0, "m must divide dims")
+    val sub = dims / m
+    def sv(v: Column, j: Column): Column = slice(v, j * sub + 1, lit(sub))
+    val base = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val cents = centroidRow(emb, idCol, vecCol, nCells)
+    val seeds = seedsRow(emb, idCol, vecCol, ksub)
+    def assigned = base.join(broadcast(cents)).join(broadcast(seeds))
+      .select(col("_id"), col("_n"),
+        assignedCell(col("_v"), col("_n")).as("_cell"),
+        col("_v"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          element_at(array_sort(transform(col("_seeds"), s => struct(
+            (dot(sv(s.getField("_svec"), j), sv(s.getField("_svec"), j)) -
+              lit(2.0) * dot(sv(col("_v"), j), sv(s.getField("_svec"), j)))
+              .as("_d"),
+            s.getField("_sid").as("_sid")))), 1).getField("_sid"))
+          .as("_codes"))
+    val a = assigned.select(col("_id").as("query_id"), col("_v").as("_qv"),
+      col("_cell"))
+    val b = assigned.select(col("_id").as("neighbor_id"), col("_codes"),
+      col("_cell").as("_cell2"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id").asc)
+    val cands = a.join(b,
+        col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(seeds))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
+          val cj = sv(element_at(filter(col("_seeds"), s =>
+            s.getField("_sid") === element_at(col("_codes"), j + 1)), 1)
+            .getField("_svec"), j)
+          val qj = sv(col("_qv"), j)
+          acc + (dot(qj, qj) + dot(cj, cj) - lit(2.0) * dot(qj, cj))
+        }).as("_adc"))
+      .withColumn("_crn", row_number().over(cw))
+      .filter(col("_crn") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val va = base.select(col("_id").as("query_id"), col("_v").as("_va"),
+      col("_n").as("_na"))
+    val vb = base.select(col("_id").as("neighbor_id"), col("_v").as("_vb"),
+      col("_n").as("_nb"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    cands.join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_cos"), 9).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold (a < b).
     *
     * All-pairs by construction — the EXACT baseline, quadratic in corpus

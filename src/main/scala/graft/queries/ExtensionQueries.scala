@@ -152,6 +152,15 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF + Product Quantization with asymmetric-distance scoring: corpus
+    // vectors travel as 8 codebook codes, queries rank cell members from
+    // the codebook alone, exact float rescore of the top-20 cut to top-5
+    "x52_ann_pq_adc" -> ((s, dir) => {
+      Similarity.ivfPqAdcTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCells = 16, m = 8, ksub = 16, candK = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // int8 symmetric quantization of the embedding column
     "x17_embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
@@ -876,6 +885,64 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, round(c2, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB mirror of x52 (IVF + PQ-ADC): coarse cells as in annIvfSql;
+    * per (vector, sub-space) the argmin-L2 codebook code against the 16
+    * smallest-id seed sub-vectors; candidate ADC distances as an
+    * ORDER BY j list_sum so the double additions fold in the same
+    * sub-space order as Spark's aggregate(); exact rescore of the top-20.
+    */
+  private def annPqAdcSql: String = {
+    def sl(v: String) = s"$v[CAST(j.j * 8 + 1 AS INT):CAST(j.j * 8 + 8 AS INT)]"
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |              FROM embeddings ORDER BY vec_id LIMIT 16),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+       |       FROM embeddings),
+       |sc0 AS (SELECT e.vec_id, c.cid,
+       |          list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |            (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |             sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |        FROM embeddings e CROSS JOIN cent c),
+       |asn AS (SELECT vec_id, cid AS cell FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |           FROM sc0) WHERE rn = 1),
+       |seeds AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS svec
+       |          FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cd AS (SELECT vec_id, jj, sid AS code FROM (
+       |         SELECT e.vec_id, j.j AS jj, s.sid,
+       |           row_number() OVER (PARTITION BY e.vec_id, j.j ORDER BY
+       |             list_dot_product(${sl("s.svec")}, ${sl("s.svec")}) -
+       |               2.0 * list_dot_product(${sl("e.v")}, ${sl("s.svec")}),
+       |             s.sid) AS rn
+       |         FROM ev e
+       |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+       |         CROSS JOIN seeds s) WHERE rn = 1),
+       |pq AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         list_sum(list(
+       |           list_dot_product(${sl("qa.v")}, ${sl("qa.v")}) +
+       |             list_dot_product(${sl("s.svec")}, ${sl("s.svec")}) -
+       |             2.0 * list_dot_product(${sl("qa.v")}, ${sl("s.svec")})
+       |           ORDER BY j.j)) AS adc
+       |       FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |       JOIN ev qa ON qa.vec_id = a.vec_id
+       |       JOIN (SELECT vec_id AS bid, jj AS j, code FROM cd) j
+       |         ON j.bid = b.vec_id
+       |       JOIN seeds s ON s.sid = j.code
+       |       GROUP BY 1, 2),
+       |cand AS (SELECT query_id, neighbor_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+       |            FROM pq) WHERE rn <= 20),
+       |re AS (SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(pa.v, pb.v) / (pa.n * pb.n) AS c2
+       |       FROM cand c JOIN ev pa ON pa.vec_id = c.query_id
+       |                   JOIN ev pb ON pb.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, c2,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c2 DESC, neighbor_id) AS INT) AS rank
+       |      FROM re)
+       |SELECT query_id, neighbor_id, round(c2, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private def annIvfKmeansSql: String =
     s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
        |               FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -1017,6 +1084,7 @@ object ExtensionQueries {
     "x16_ann_ivf" -> annIvfSql,
     "x28_ann_ivf_nprobe" -> annIvfProbedSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,
+    "x52_ann_pq_adc" -> annPqAdcSql,
     "x20_ann_ivf_kmeans" -> annIvfKmeansSql,
     "x17_embed_quantize" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

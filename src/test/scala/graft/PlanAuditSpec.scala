@@ -15,12 +15,15 @@ class PlanAuditSpec extends SparkSpec {
     *  - x6/x8: documented exact all-pairs baselines (the scale paths are
     *    x7/x16/x20/x27/x28);
     *  - x16/x20/x28/x33: the O(n·nCells) broadcast centroid compare of IVF
-    *    assignment (bounded by the tiny centroid side, never pairwise).
+    *    assignment (bounded by the tiny centroid side, never pairwise);
+    *  - x52: the same device twice over — the single-row coarse-centroid
+    *    AND single-row codebook attaches of PQ assignment/ADC scoring
+    *    (both build sides are one collected row).
     */
   private val nestedLoopAllowed = Set(
     "x6_cosine_topk", "x8_embed_neardup",
     "x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe",
-    "x33_ann_quantized_rescore")
+    "x33_ann_quantized_rescore", "x52_ann_pq_adc")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -223,6 +223,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rescored === ivf)
   }
 
+  test("ivfPqAdcTopK: candK covering the cell recovers the exact IVF " +
+    "result; codes beat cells at pruning parallel matches") {
+    // the rescore is exact, so with every in-cell candidate surviving the
+    // ADC cut the result must equal plain IVF top-k — same invariant as
+    // the int8 path, now through the codebook distance
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 2)
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.ivfPqAdcTopK(vecs, "vec_id", "embedding",
+      k = 3, nCells = 2, m = 3, ksub = 4, candK = 4, dims = 3)
+      .collect().map(_.toSeq).toSet
+    assert(pq === ivf)
+    // with ksub = n every per-dim codebook contains each exact coordinate,
+    // so the ADC distance of the parallel pair (1,3) through codes must
+    // rank 3 first for query 1 even at candK = 1
+    val tight = Similarity.ivfPqAdcTopK(vecs, "vec_id", "embedding",
+      k = 1, nCells = 2, m = 3, ksub = 4, candK = 1, dims = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight(1L) === 3L)
+  }
+
   test("ivfTopK: co-located parallel vectors rank exactly within their cell") {
     val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, nCells = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
