@@ -887,12 +887,15 @@ object ExtensionQueries {
 
   /** DuckDB mirror of x52 (IVF + PQ-ADC): coarse cells as in annIvfSql;
     * per (vector, sub-space) the argmin-L2 codebook code against the 16
-    * smallest-id seed sub-vectors; candidate ADC distances as an
-    * ORDER BY j list_sum so the double additions fold in the same
-    * sub-space order as Spark's aggregate(); exact rescore of the top-20.
+    * smallest-id seed sub-vectors; per candidate the reconstruction
+    * (flattened chosen sub-vectors, ORDER BY j) and its norm term
+    * (ORDER BY j list_sum — same left-to-right double folds as Spark's
+    * aggregate()); per pair the decomposed ADC
+    * `‖q‖² + cn2 − 2·q·recon`; exact rescore of the top-20.
     */
   private def annPqAdcSql: String = {
     def sl(v: String) = s"$v[CAST(j.j * 8 + 1 AS INT):CAST(j.j * 8 + 8 AS INT)]"
+    def slc(v: String) = s"$v[CAST(c.jj * 8 + 1 AS INT):CAST(c.jj * 8 + 8 AS INT)]"
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
        |              FROM embeddings ORDER BY vec_id LIMIT 16),
        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -917,18 +920,19 @@ object ExtensionQueries {
        |         FROM ev e
        |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
        |         CROSS JOIN seeds s) WHERE rn = 1),
+       |rec AS (SELECT c.vec_id,
+       |          flatten(list(${slc("s.svec")} ORDER BY c.jj)) AS recon,
+       |          list_sum(list(
+       |            list_dot_product(${slc("s.svec")}, ${slc("s.svec")})
+       |            ORDER BY c.jj)) AS cn2
+       |        FROM cd c JOIN seeds s ON s.sid = c.code
+       |        GROUP BY c.vec_id),
        |pq AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |         list_sum(list(
-       |           list_dot_product(${sl("qa.v")}, ${sl("qa.v")}) +
-       |             list_dot_product(${sl("s.svec")}, ${sl("s.svec")}) -
-       |             2.0 * list_dot_product(${sl("qa.v")}, ${sl("s.svec")})
-       |           ORDER BY j.j)) AS adc
+       |         list_dot_product(qa.v, qa.v) + r.cn2 -
+       |           2.0 * list_dot_product(qa.v, r.recon) AS adc
        |       FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |       JOIN ev qa ON qa.vec_id = a.vec_id
-       |       JOIN (SELECT vec_id AS bid, jj AS j, code FROM cd) j
-       |         ON j.bid = b.vec_id
-       |       JOIN seeds s ON s.sid = j.code
-       |       GROUP BY 1, 2),
+       |       JOIN rec r ON r.vec_id = b.vec_id),
        |cand AS (SELECT query_id, neighbor_id FROM
        |           (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
        |            FROM pq) WHERE rn <= 20),
