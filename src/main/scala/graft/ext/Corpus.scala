@@ -121,6 +121,7 @@ object Corpus {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "need quantiles in [0, 1]")
+    requireDistinctLabels(ps)
     val vals = df.select(col(groupCol), col(valCol).as("_v"))
     val ranked = Ranks.byValue(vals.filter(col("_v").isNotNull), groupCol)
     val aggs = ps.zipWithIndex.map { case (p, i) =>
@@ -142,6 +143,19 @@ object Corpus {
     * combined aggregate over the grouping column only, broadcast into the
     * (one-row-per-group) quantile result.
     */
+  /** Output columns are named `p<round(p·100)>`; two requested quantiles
+    * rounding to the same percent (0.251 and 0.254 → both `p25`) would be
+    * an ambiguous-column analysis failure downstream — fail fast with the
+    * colliding values instead.
+    */
+  private def requireDistinctLabels(ps: Seq[Double]): Unit = {
+    val collisions = ps.groupBy(p => math.round(p * 100))
+      .filter(_._2.size > 1).values
+    require(collisions.isEmpty,
+      "quantile labels collide (columns are named p<round(p*100)>): " +
+        collisions.map(_.mkString("=")).mkString(", "))
+  }
+
   private def completeGroups(vals: DataFrame, quantiles: DataFrame,
       groupCol: String, ps: Seq[Double]): DataFrame = {
     val groups = vals.select(col(groupCol)).distinct()
@@ -370,10 +384,146 @@ object Corpus {
     * nor counted in `n`); an all-null group keeps its row with null
     * quantiles.
     */
+  /** Per-document token-frequency statistics against the corpus unigram
+    * table — the model-free analogue of CCNet's LM-perplexity signal: a
+    * document whose tokens are all corpus-common scores a high `mean_tf`
+    * (boilerplate-ish/low-information), one dominated by corpus-rare tokens
+    * scores high `rare_ratio` (noise/garble-ish). Emitted per doc:
+    * `n_toks`, `sum_tf` (Σ corpus count of each token occurrence, exact),
+    * `mean_tf`, `n_rare` (tokens with corpus count ≤ `rareMax`) and
+    * `rare_ratio`. All counts are exact integers and each ratio is ONE
+    * IEEE division of exact integers, so results are bit-stable across
+    * engines and partitionings — deliberately not a floating log-prob sum,
+    * whose accumulation order would make the hash nondeterministic.
+    *
+    * Scale shape: token explode → one `groupBy(term)` count (map-side
+    * combine, shuffle O(vocabulary)) → equi-join of the token stream back
+    * on term (AQE broadcasts the count table when the vocabulary is small)
+    * → doc-keyed re-aggregation. Every shuffle key is the term or the doc
+    * id; nothing concentrates.
+    */
+  def tokenRarity(docs: DataFrame, textCol: String, idCol: String,
+      rareMax: Long = 2): DataFrame = {
+    val tok = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_term"))
+    val counts = tok.groupBy(col("_term")).agg(count(lit(1)).as("_c"))
+    tok.join(counts, Seq("_term"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("_c")).as("sum_tf"),
+        sum(when(col("_c") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("_id").as(idCol), col("n_toks"), col("sum_tf"),
+        (col("sum_tf").cast("double") / col("n_toks")).as("mean_tf"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_toks")).as("rare_ratio"))
+  }
+
+  /** Top-`k` TF-IDF keywords per document. IDF is the RAW inverse document
+    * frequency `n_docs / df` (no logarithm): the log variant reweights but
+    * the machinery is identical, and the rational form keeps the score ONE
+    * IEEE division of exact integers (`tf·n_docs` is an exact long), so
+    * ranking and hashes are bit-stable across engines. Ties break on the
+    * term string, so the top-k set is deterministic.
+    *
+    * Scale shape: `(doc, term)` term frequencies in one map-side-combined
+    * aggregate; document frequencies in a second (O(vocabulary)); the
+    * doc count joins in as a one-row broadcast. The final rank window
+    * partitions BY DOCUMENT — millions of tiny groups, the opposite of the
+    * per-stratum bottleneck [[Ranks]] exists to avoid.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "need k > 0")
+    val base = Par.spread(docs).filter(col(textCol).isNotNull)
+    val tf = base
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val nDocs = base.agg(count(lit(1)).as("_nd"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("_nd")).cast("double") / col("df_docs"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_id").as(idCol), col("term"), col("tf"), col("df_docs"),
+        col("score"))
+  }
+
+  /** Deterministic balanced shard assignment for training-data export:
+    * rows order globally by `(weight desc, md5(id), id)` and fill `nShards`
+    * output shards in a serpentine (boustrophedon) pattern — pass `r` of
+    * the order assigns shards `0..n-1` on even passes and `n-1..0` on odd
+    * ones — so each shard's total weight tracks the global mean to within
+    * one heaviest-row bound (classic LPT-ish balance without any stateful
+    * packing). Output adds `shard` and `shard_pos` (the pass index = the
+    * row's position within its shard).
+    *
+    * Scale shape: the global order comes from [[Ranks.byValue]]'s
+    * range-partitioned two-pass rank under a constant group — parallelism
+    * bounded by shuffle partitions, no single global-sort reducer — and the
+    * shard arithmetic is per-row integer math on the rank. The md5 term
+    * decorrelates equal-weight rows from ingestion order. (Spark logs a
+    * `WindowExec: No Partition Defined` warning here: the constant group
+    * folds out of Ranks' OFFSETS window's partition spec — that window runs
+    * over one row per shuffle partition, never over data, so the single
+    * task it warns about is a ≤`spark.sql.shuffle.partitions`-row
+    * bookkeeping step.)
+    */
+  def shardAssign(docs: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "need nShards > 0")
+    val keyed = docs
+      .select(col(idCol), coalesce(col(weightCol).cast("long"), lit(0L)).as("_w"))
+      .withColumn("_v", struct((-col("_w")).as("_nw"),
+        md5(col(idCol).cast("string")).as("_sk"), col(idCol).as("_tid")))
+      .withColumn("_g", lit(1))
+    val p = col("_rn") - 1
+    // rank < 2^53, so the double division truncates exactly
+    val pass = (p / nShards).cast("long")
+    val idx = pmod(p, lit(nShards))
+    Ranks.byValue(keyed, "_g")
+      .select(col(idCol), col("_w").as(weightCol),
+        when(pass % 2 === 0, idx).otherwise(lit(nShards) - 1 - idx)
+          .cast("int").as("shard"),
+        pass.as("shard_pos"))
+  }
+
+  /** Keep the top `q` fraction of each stratum by `metricCol` (highest
+    * values win; ties break on the id so the kept COUNT is exact:
+    * `ceil(q·n)` rows per stratum). The quantile-threshold quality gate —
+    * "keep the best 40% per language by signal X" — without ever
+    * materializing the threshold value. Rows with a NULL metric are
+    * dropped (they can't rank). Output: (`strataCol`, `idCol`,
+    * `metricCol`, `pct_rank`), `pct_rank` = ascending-rank/n in (0, 1].
+    *
+    * Scale shape: ranking is [[Ranks.byValue]] — range-partitioned
+    * two-pass, parallelism bounded by shuffle partitions, not stratum
+    * count; the keep decision is per-row arithmetic on `(_rn, _n)`.
+    */
+  def topFractionByMetric(df: DataFrame, strataCol: String, idCol: String,
+      metricCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "need q in (0, 1]")
+    val vals = df
+      .select(col(strataCol), col(idCol), col(metricCol))
+      .filter(col(metricCol).isNotNull)
+      .withColumn("_v", struct(col(metricCol).cast("double").as("_m"),
+        col(idCol).as("_tid")))
+    Ranks.byValue(vals, strataCol)
+      .filter(col("_rn") > col("_n") - ceil(col("_n") * lit(q)))
+      .select(col(strataCol), col(idCol), col(metricCol),
+        (col("_rn").cast("double") / col("_n")).as("pct_rank"))
+  }
+
   def quantileCont(df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "need quantiles in [0, 1]")
+    requireDistinctLabels(ps)
     // rank over `_v`, not `valCol` — the select below renames the value
     // column before the rank applies, so ranking the original name would
     // never resolve (UNRESOLVED_COLUMN for every caller)

@@ -36,6 +36,64 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Segment-level exact dedup (the CCNet/RefinedWeb "line dedup" stage,
+    * over token tiles since the corpus text has no line structure): each
+    * document splits into non-overlapping `segTokens`-token segments, and
+    * only the corpus-wide FIRST occurrence of each distinct segment —
+    * smallest `(doc id, segment index)` — survives; every document is then
+    * reassembled from its surviving segments in original order. This
+    * removes boilerplate repeated ACROSS documents (headers, navigation,
+    * license blocks) that whole-document dedup can't see, without dropping
+    * whole documents.
+    *
+    * Output: one row per input document — (`idCol`, `n_segs`, `n_kept`,
+    * `text_kept`), `text_kept` NULL when every segment was claimed by an
+    * earlier document (the caller's drop signal; distinct from a document
+    * whose text was genuinely empty, which keeps its one empty segment or
+    * loses it to an earlier empty segment).
+    *
+    * Scale shape, three compact-key shuffles and nothing corpus-wide:
+    * the segment stream (keyed by doc) groups on the 128-bit segment
+    * digest to pick winners (map-side partial min), winners join back on
+    * `(doc, segment index)`, and reassembly aggregates on doc id — every
+    * key contains either the digest or the doc id, so no reducer ever sees
+    * more than one document's (or one segment-value's) rows. Reassembly
+    * buffers one document's surviving segments (`array_sort` over a
+    * per-doc `collect_list`) — bounded by document size, same contract as
+    * chunking.
+    */
+  def segmentDedup(docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    val toks = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+    // non-overlapping tiles; a doc shorter than one tile yields itself
+    // whole (greatest(...,1) keeps the empty doc's single "" token)
+    val segs = toks.select(col("_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("_t")), lit(1)), lit(segTokens)),
+        st => concat_ws(" ", slice(col("_t"), st, lit(segTokens)))))
+        .as(Seq("_si", "_seg")))
+    // first corpus-wide occurrence per distinct segment value: min struct
+    // is ordered (doc, idx) lexicographically, aggregated map-side
+    val winners = segs
+      .groupBy(md5(col("_seg")).as("_h"))
+      .agg(min(struct(col("_id"), col("_si"))).as("_w"))
+      .select(col("_w._id").as("_id"), col("_w._si").as("_si"),
+        lit(true).as("_keep"))
+    segs.join(winners, Seq("_id", "_si"), "left")
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("_keep"),
+          struct(col("_si"), col("_seg"))))).as("_kept"))
+      .select(col("_id").as(idCol), col("n_segs"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(col("_kept"), k => k("_seg")))).as("text_kept"))
+  }
+
   /** Character n-shingle array over an already-materialized canonical-text
     * column (short texts yield one whole-text shingle). `canon` must be a
     * plain attribute, not a computed expression — see the class doc.

@@ -463,6 +463,55 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // segment-level exact dedup (CCNet-style line dedup over 8-token
+    // tiles): only the corpus-wide first occurrence of each segment
+    // survives; docs reassemble from their surviving segments
+    "x53_segment_dedup" -> ((s, dir) => {
+      Dedup.segmentDedup(Tables(s, dir, "documents"), "text", "doc_id",
+        segTokens = 8)
+        .orderBy("doc_id")
+    }),
+
+    // token rarity vs the corpus unigram table — the exact-integer
+    // perplexity-proxy quality signal (common-token mass + rare-token rate)
+    "x54_token_rarity" -> ((s, dir) => {
+      Corpus.tokenRarity(Tables(s, dir, "documents"), "text", "doc_id",
+        rareMax = 2)
+        .orderBy("doc_id")
+    }),
+
+    // top-3 TF-IDF keywords per document (raw-idf rational scoring,
+    // term-tiebroken)
+    "x55_tfidf_terms" -> ((s, dir) => {
+      Corpus.tfidfTopTerms(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 3)
+        .orderBy("doc_id", "term")
+    }),
+
+    // balanced training-shard assignment: serpentine fill of 8 shards over
+    // the (tokens desc, md5) global order — rank via the range-partitioned
+    // two-pass shape, no global-sort reducer
+    "x56_shard_assign" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      Corpus.shardAssign(d, "doc_id", "n_toks", nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    // quantile-threshold quality gate: keep the top 40% of each language
+    // by distinct-token ratio (rank via Ranks.byValue, exact kept-count)
+    "x57_quality_topfrac" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val metric = d.select(col("lang"), col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("distinct_token_ratio"))
+      Corpus.topFractionByMetric(metric, "lang", "doc_id",
+        "distinct_token_ratio", q = 0.4)
+        .orderBy("lang", "doc_id")
+    }),
+
     // multimodal ingestion: binary payload + md5-derived typed metadata
     "x13_media_meta" -> ((s, dir) => {
       Multimodal.deriveMediaTable(Tables(s, dir, "documents"), "doc_id", "text")
@@ -1052,6 +1101,83 @@ object ExtensionQueries {
         |               ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "x53_segment_dedup" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, CAST((i - 1) // 8 AS INT) AS si,
+         |        array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS seg
+         |      FROM t, unnest(generate_series(1, greatest(len(l), 1), 8)) AS u(i)),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY seg
+         |        ORDER BY doc_id, si) AS rn FROM s)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+         |       ELSE string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY si)
+         |  END AS text_kept
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x54_token_rarity" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         |uc AS (SELECT term, count(*) AS c FROM tok GROUP BY term)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(c) AS BIGINT) AS sum_tf,
+         |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS mean_tf,
+         |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / count(*) AS rare_ratio
+         |FROM tok JOIN uc USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x55_tfidf_terms" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+         |nd AS (SELECT count(*) AS n FROM t),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df_docs,
+         |        CAST(tf.tf * nd.n AS DOUBLE) / dfx.df_docs AS score,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY CAST(tf.tf * nd.n AS DOUBLE) / dfx.df_docs DESC,
+         |            tf.term) AS rn
+         |      FROM tf JOIN dfx USING (term) CROSS JOIN nd)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df_docs AS BIGINT) AS df_docs, score
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+    },
+    "x56_shard_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_toks,
+        |        row_number() OVER (ORDER BY n_toks DESC,
+        |          md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p
+        |      FROM b)
+        |SELECT doc_id, n_toks,
+        |  CAST(CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS INT) AS shard,
+        |  CAST(p // 8 AS BIGINT) AS shard_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "x57_quality_topfrac" -> {
+      val norm = normSql("text")
+      s"""WITH m AS (SELECT lang, doc_id,
+         |    CAST(len(list_distinct(string_split($norm, ' '))) AS DOUBLE) /
+         |      len(string_split($norm, ' ')) AS distinct_token_ratio
+         |  FROM documents),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY distinct_token_ratio, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM m)
+         |SELECT lang, doc_id, distinct_token_ratio,
+         |  CAST(rn AS DOUBLE) / n AS pct_rank
+         |FROM r WHERE rn > n - ceil(n * 0.4) ORDER BY lang, doc_id""".stripMargin
+    },
     "x4_simhash" -> simhashSql,
     "x21_simhash_neardup" -> simhashNearDupSql,
     "x29_dedup_clusters" -> dedupClustersSql,

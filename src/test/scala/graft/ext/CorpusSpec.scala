@@ -249,4 +249,66 @@ class CorpusSpec extends SparkSpec {
       .select("_v").collect().map(_.getDouble(0))
     assert(byRank.toSeq === byRank.sorted.toSeq)
   }
+
+  test("tokenRarity: exact corpus-frequency stats per doc") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.tokenRarity(docs, "text", "doc_id", rareMax = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    // counts: a→2, b→2, c→1
+    assert(out.toSeq === Seq(
+      (1L, 3L, 6L, 2.0, 0L, 0.0),      // a(2)+a(2)+b(2)
+      (2L, 2L, 3L, 1.5, 1L, 0.5)))     // b(2)+c(1); c is rare
+  }
+
+  test("tfidfTopTerms: raw-idf scoring, term tie-break, k cap") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, "text", "doc_id", k = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // N=2; doc1: a 2·2/1=4 beats b 1·2/2=1; doc2: c 1·2/1=2 beats b 1
+    assert(out.toSeq === Seq((1L, "a", 2L, 1L, 4.0), (2L, "c", 1L, 1L, 2.0)))
+    // k=2 returns both terms for doc 2, score-desc then term order
+    val k2 = Corpus.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .filter(col("doc_id") === 2L).orderBy(col("score").desc)
+      .collect().map(_.getString(1))
+    assert(k2.toSeq === Seq("c", "b"))
+  }
+
+  test("shardAssign: serpentine fill balances weight, deterministic, " +
+    "partition-invariant") {
+    val docs = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5))
+      .toDF("doc_id", "n_toks")
+    val out = Corpus.shardAssign(docs, "doc_id", "n_toks", nShards = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    // weight-desc order 5,4,3,2,1 → p=0..4 → serpentine 0,1,1,0,0
+    assert(out === Map(5L -> (0, 0L), 4L -> (1, 0L), 3L -> (1, 1L),
+      2L -> (0, 1L), 1L -> (0, 2L)))
+    val spread = Corpus.shardAssign(docs.repartition(5), "doc_id", "n_toks", 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(spread === out)
+  }
+
+  test("topFractionByMetric: exact ceil(q·n) kept per stratum, ties by id, " +
+    "nulls dropped") {
+    val df = Seq(
+      ("en", 1L, 0.1), ("en", 2L, 0.2), ("en", 3L, 0.3), ("en", 4L, 0.4),
+      ("fr", 5L, 0.5), ("fr", 6L, 0.5), ("fr", 7L, 0.5)
+    ).toDF("lang", "doc_id", "m")
+    val out = Corpus.topFractionByMetric(df, "lang", "doc_id", "m", q = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // en: n=4, keep 2 best → docs 3,4; fr: n=3 all tied at 0.5, keep
+    // ceil(1.5)=2 — the id tie-break keeps the LAST two ids (6,7)
+    assert(out.toSeq === Seq(("en", 3L, 0.75), ("en", 4L, 1.0),
+      ("fr", 6L, 2.0 / 3.0), ("fr", 7L, 1.0)))
+    val withNull = df.withColumn("m",
+      when(col("doc_id") === 4L, lit(null)).otherwise(col("m")))
+    val kept = Corpus.topFractionByMetric(withNull, "lang", "doc_id", "m", 0.5)
+      .filter(col("lang") === "en").collect().map(_.getLong(1)).toSet
+    // doc 4's null metric drops BEFORE ranking: n=3, keep ceil(1.5)=2
+    assert(kept === Set(2L, 3L))
+  }
 }

@@ -277,4 +277,25 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 5L)) // 2,3 collapse into 1; 6 into 5; 4 untouched
   }
+
+  test("segmentDedup: first occurrence wins corpus-wide AND within a doc; " +
+    "fully-claimed docs surface as NULL; partition-invariant") {
+    val docs = Seq(
+      (1L, "a b c d"),   // both segments novel
+      (2L, "a b x y"),   // "a b" claimed by doc 1, "x y" novel
+      (3L, "c d"),       // whole doc claimed by doc 1's second segment
+      (4L, "z z z z")    // within-doc repeat: second "z z" claimed by first
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.segmentDedup(d, "text", "doc_id", segTokens = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    val out = run(docs)
+    assert(out === Map(
+      1L -> (2L, 2L, Some("a b c d")),
+      2L -> (2L, 1L, Some("x y")),
+      3L -> (1L, 0L, None),
+      4L -> (2L, 1L, Some("z z"))))
+    assert(run(docs.repartition(7)) === out)
+  }
 }
