@@ -272,6 +272,21 @@ object Corpus {
   def packSequences(docs: DataFrame, strataCol: String, idCol: String,
       tokenCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, "need seqLen > 0")
+    exclusivePrefix(docs, strataCol, idCol, tokenCol)
+      .withColumnRenamed("_excl", "tok_offset")
+      // offsets stay < 2^53, so the double division floors exactly
+      .withColumn("seq_idx",
+        floor(col("tok_offset") / lit(seqLen)).cast("long"))
+      .withColumn("seq_pos", (col("tok_offset") % lit(seqLen)).cast("long"))
+  }
+
+  /** Exclusive per-stratum token prefix sum in the stable `(md5(id), id)`
+    * order, via the two-pass range-partition shape (see [[packSequences]]
+    * and [[Ranks.byValue]]): per-slice local prefixes + a broadcast
+    * per-slice offset table. Adds `_excl`; drops the working columns.
+    */
+  private def exclusivePrefix(docs: DataFrame, strataCol: String,
+      idCol: String, tokenCol: String): DataFrame = {
     val keyed = docs
       .withColumn("_sk", md5(col(idCol).cast("string")))
       .withColumn("_tk", coalesce(col(tokenCol).cast("long"), lit(0L)))
@@ -299,12 +314,58 @@ object Corpus {
     parted
       .withColumn("_lcum", coalesce(sum(col("_tk")).over(wLocal), lit(0L)))
       .join(broadcast(offsets), Seq("_pid", strataCol))
-      .withColumn("tok_offset", col("_lcum") + col("_off"))
-      // offsets stay < 2^53, so the double division floors exactly
-      .withColumn("seq_idx",
-        floor(col("tok_offset") / lit(seqLen)).cast("long"))
-      .withColumn("seq_pos", (col("tok_offset") % lit(seqLen)).cast("long"))
+      .withColumn("_excl", col("_lcum") + col("_off"))
       .drop("_sk", "_tk", "_pid", "_lcum", "_off")
+  }
+
+  /** Mixture sampling to TARGET PROPORTIONS: given per-stratum target
+    * shares `w_s` (e.g. en 0.5, fr 0.2, de 0.3), find the largest total
+    * token budget every stratum can supply — `B = min_s ⌊T_s / w_s⌋` over
+    * the strata's token totals `T_s` — and greedily fill each stratum to
+    * its quota `⌊w_s·B⌋` in the stable md5-over-id order. The result is
+    * the largest deterministic sub-corpus whose strata hit the requested
+    * mixture (up to one document's overshoot at each quota boundary, the
+    * same no-overshoot rule as [[tokenBudgetSample]]). Strata absent from
+    * `shares` are excluded; shares need not sum to 1 (only ratios
+    * matter... up to the ⌊·⌋ quantization). A target stratum with NO rows
+    * contributes no `T_s` row and so doesn't constrain `B` — callers
+    * wanting a strict mixture should validate supply first. The scaling
+    * arithmetic is one
+    * division, one multiply and two floors on exact longs — bit-stable
+    * across engines.
+    *
+    * Output: the kept rows with their inclusive `cum_tokens`. Scale
+    * shape: token totals are a tiny per-stratum aggregate; quotas derive
+    * from a strata-count-sized broadcast; the prefix sum is the two-pass
+    * range-partition shape ([[packSequences]]) — no per-stratum sequential
+    * scan, parallelism bounded by shuffle partitions.
+    */
+  def mixtureSample(docs: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, shares: Seq[(String, Double)]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0.0),
+      "need positive target shares")
+    require(shares.map(_._1).distinct.size == shares.size,
+      "duplicate stratum in shares")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toDF(strataCol, "_w")
+    val inTarget = docs.join(broadcast(sharesDf), Seq(strataCol))
+    val totals = inTarget
+      .groupBy(col(strataCol))
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_T"),
+        first(col("_w")).as("_w"))
+    val b = totals
+      .agg(min(floor(col("_T") / col("_w")).cast("long")).as("_B"))
+    val budgets = totals.crossJoin(broadcast(b))
+      .select(col(strataCol),
+        floor(col("_w") * col("_B")).cast("long").as("_budget"))
+    exclusivePrefix(inTarget.drop("_w"), strataCol, idCol, tokenCol)
+      .withColumn("cum_tokens",
+        col("_excl") + coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .drop("_excl")
+      .join(broadcast(budgets), Seq(strataCol))
+      .filter(col("cum_tokens") <= col("_budget"))
+      .drop("_budget")
   }
 
   /** Model-free heuristic quality filter in the style of Gopher's rules

@@ -499,6 +499,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // mixture sampling to target proportions: largest budget every target
+    // language can supply (B = min ⌊T_s/w_s⌋), each stratum greedy-fills
+    // its ⌊w_s·B⌋ quota in md5 order; es/zh excluded by omission
+    "x58_mixture_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      Corpus.mixtureSample(d, "lang", "doc_id", "n_toks",
+        Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // quantile-threshold quality gate: keep the top 40% of each language
     // by distinct-token ratio (rank via Ranks.byValue, exact kept-count)
     "x57_quality_topfrac" -> ((s, dir) => {
@@ -1163,6 +1176,25 @@ object ExtensionQueries {
         |  CAST(CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS INT) AS shard,
         |  CAST(p // 8 AS BIGINT) AS shard_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    "x58_mixture_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_toks
+        |  FROM documents),
+        |sh(lang, w) AS (VALUES ('en', 0.5), ('fr', 0.2), ('de', 0.3)),
+        |tot AS (SELECT b.lang, CAST(sum(n_toks) AS BIGINT) AS t, min(w) AS w
+        |        FROM b JOIN sh USING (lang) GROUP BY b.lang),
+        |bb AS (SELECT min(CAST(floor(t / w) AS BIGINT)) AS bmax FROM tot),
+        |bud AS (SELECT lang, CAST(floor(w * bmax) AS BIGINT) AS budget
+        |        FROM tot CROSS JOIN bb),
+        |c AS (SELECT b.doc_id, b.lang, b.n_toks,
+        |        CAST(sum(b.n_toks) OVER (PARTITION BY b.lang
+        |          ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM b JOIN sh USING (lang))
+        |SELECT c.doc_id, c.lang, c.n_toks, c.cum_tokens
+        |FROM c JOIN bud USING (lang) WHERE c.cum_tokens <= bud.budget
+        |ORDER BY doc_id""".stripMargin,
     "x57_quality_topfrac" -> {
       val norm = normSql("text")
       s"""WITH m AS (SELECT lang, doc_id,

@@ -250,6 +250,31 @@ class CorpusSpec extends SparkSpec {
     assert(byRank.toSeq === byRank.sorted.toSeq)
   }
 
+  test("mixtureSample: B = min ⌊T/w⌋, per-stratum ⌊w·B⌋ quotas, md5-order " +
+    "fill, non-target strata excluded") {
+    val docs = Seq(
+      (1L, "en", 10), (2L, "en", 10), (3L, "en", 10),  // T=30, w=.5 → 60
+      (4L, "fr", 10), (5L, "fr", 10),                  // T=20, w=.2 → 100
+      (6L, "de", 12),                                  // T=12, w=.3 → 40 = B
+      (7L, "zh", 99)                                   // not in shares
+    ).toDF("doc_id", "lang", "n_toks")
+    val out = Corpus.mixtureSample(docs, "lang", "doc_id", "n_toks",
+      Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(3)))
+      .sortBy(_._1)
+    // quotas: en ⌊.5·40⌋=20 → first 2 en docs by md5 order; fr ⌊.2·40⌋=8
+    // < 10 → none fit; de ⌊.3·40⌋=12 → doc 6 exactly; zh excluded
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val enOrder = Seq(1L, 2L, 3L).sortBy(i => (key(i), i))
+    assert(out.map(_._1).toSet === Set(enOrder(0), enOrder(1), 6L))
+    assert(out.find(_._1 == 6L).get._3 === 12L)
+    // cum_tokens follows the md5 order within en
+    val enRows = out.filter(_._2 == "en").sortBy(_._3).map(_._1)
+    assert(enRows.toSeq === enOrder.take(2))
+  }
+
   test("tokenRarity: exact corpus-frequency stats per doc") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Corpus.tokenRarity(docs, "text", "doc_id", rareMax = 1)
