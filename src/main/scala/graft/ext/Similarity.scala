@@ -502,6 +502,50 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
   }
 
+  /** Within-cell near-duplicate pairs under an IVF coarse partition:
+    * every vector assigns to its nearest of `nCells` deterministic coarse
+    * cells ([[centroidRow]] seeds, map-only [[scoredCells]] assignment),
+    * then pairs with cosine ≥ `minCos` are found by an equi-join ON THE
+    * CELL (a < b). This is the candidate structure of SemDeDup (Abbas et
+    * al. 2023, arXiv:2303.09540): semantically-close vectors share a cell
+    * with high probability, so the compare cost is Σ cell² ≈ n²/nCells —
+    * with the nCells ∝ √n rule, O(n^1.5) instead of O(n²), and never a
+    * cross join. Pairs in different cells are missed by design (the
+    * SemDeDup recall trade); raise nCells' probe via [[cosineNearDupsBlocked]]
+    * when band-LSH recall semantics fit better.
+    */
+  def cellNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minCos: Double): DataFrame = {
+    val cents = centroidRow(emb, idCol, vecCol, nCells)
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    val a = vectors.join(broadcast(cents))
+      .select(col("_id").as("doc_a"), col("_v").as("_va"),
+        col("_n").as("_na"), assignedCell(col("_v"), col("_n")).as("_cell"))
+    val b = vectors.join(broadcast(cents))
+      .select(col("_id").as("doc_b"), col("_v").as("_vb"),
+        col("_n").as("_nb"), assignedCell(col("_v"), col("_n")).as("_cell2"))
+    // the two join inputs are the same subtree modulo aliases, so
+    // ReuseExchange materializes the assignment once (the ivfTopK shape)
+    a.join(b, col("_cell") === col("_cell2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+      .filter(col("_cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"), round(col("_cos"), 9).as("cosine"))
+  }
+
+  /** SemDeDup-style semantic dedup: [[cellNearDupPairs]] within-cell
+    * near-dup pairs → connected components ([[Dedup.dupClusters]],
+    * O(diameter) label propagation) → keep each component's min-id
+    * canonical plus every untouched row ([[Dedup.dedupByClusters]] —
+    * the corpus anti-joins a compact drop list and never concentrates).
+    * The embedding-space sibling of simhash cluster dedup (x34): same
+    * consuming end, semantic rather than lexical evidence.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minCos: Double): DataFrame =
+    Dedup.dedupByClusters(emb, idCol,
+      cellNearDupPairs(emb, idCol, vecCol, nCells, minCos))
+
   /** Scale-safe embedding near-dup: banded hyperplane-LSH candidate
     * generation + exact cosine verification on candidates only — the same
     * candidate-then-verify shape every other dedup path here uses, replacing

@@ -221,6 +221,15 @@ object ExtensionQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // SemDeDup-style semantic dedup: IVF-cell candidate pairs (cos ≥ .45
+    // within a cell) → connected components → min-id canonical survives;
+    // compare cost Σ cell², never all-pairs
+    "x59_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 16, minCos = 0.45)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // FLAGSHIP composition — the full training-data curation flow as ONE
     // hash-verified query: language filter (x9) → exact dedup (x1) →
     // Gopher-rules quality filter (x49) → simhash near-dup cluster dedup
@@ -863,6 +872,34 @@ object ExtensionQueries {
        |WHERE vec_id NOT IN (SELECT id FROM dropped)
        |ORDER BY vec_id""".stripMargin
 
+  /** x59: x16's IVF cell assignment → within-cell cosine ≥ .45 pairs →
+    * x34's recursive-closure collapse to min-id canonicals.
+    */
+  private def semanticDedupSql: String =
+    s"""WITH RECURSIVE cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |              FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |           FROM embeddings e CROSS JOIN cent c),
+       |asn AS (SELECT vec_id, embedding, cid AS cell FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |           FROM scored) WHERE rn = 1),
+       |vp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |       FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE $cosSql >= 0.45),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM vp
+       |      UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (SELECT s AS id, s AS r FROM e
+       |          UNION
+       |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+       |dropped AS (SELECT id FROM (SELECT id, min(r) AS canon FROM reach GROUP BY id)
+       |            WHERE canon <> id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
   private def annIvfSql: String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
        |              FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -1270,6 +1307,7 @@ object ExtensionQueries {
     // same oracle as x37 (see x41's note)
     "x42_embed_neardup_incr_buckets" -> embedNearDupIncrementalSql,
     "x34_neardup_dedup" -> embedDedupSql,
+    "x59_semantic_dedup" -> semanticDedupSql,
     "x9_lang_id" -> langIdSql,
     "x47_curation_e2e" -> curationE2eSql,
     "x10_quality_score" -> qualitySql,

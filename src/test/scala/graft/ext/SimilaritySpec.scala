@@ -267,4 +267,30 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
     }
   }
+
+  test("semanticDedup: within-cell clusters collapse to min-id canonical; " +
+    "below-threshold and lone members survive; partition-invariant") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // centroid A
+      (2L, Seq(0.0f, 1.0f)),    // centroid B
+      (3L, Seq(2.0f, 0.0f)),    // cell A, cos(1,3)=1 → drops into {1}
+      (4L, Seq(0.0f, 3.0f)),    // cell B, cos(2,4)=1 → drops into {2}
+      (5L, Seq(0.9f, 1.0f)),    // cell B, cos to 2 and 4 ≈ .743 < .9 → kept
+      (6L, Seq(1.0f, 0.1f))     // cell A, cos to 1,3 ≈ .995 → joins {1,3}
+    ).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(d, "vec_id", "embedding",
+        nCells = 2, minCos = 0.9)
+        .select("vec_id").as[Long].collect().toSet
+    val out = run(emb)
+    assert(out === Set(1L, 2L, 5L))
+    assert(run(emb.repartition(5)) === out)
+    // pair evidence is cell-local: the pair list never crosses cells
+    val cellOf = Map(1L -> "A", 3L -> "A", 6L -> "A",
+      2L -> "B", 4L -> "B", 5L -> "B")
+    Similarity.cellNearDupPairs(emb, "vec_id", "embedding", 2, 0.0)
+      .collect().foreach { r =>
+        assert(cellOf(r.getLong(0)) === cellOf(r.getLong(1)))
+      }
+  }
 }
