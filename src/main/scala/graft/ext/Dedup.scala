@@ -65,15 +65,7 @@ object Dedup {
   def segmentDedup(docs: DataFrame, textCol: String, idCol: String,
       segTokens: Int): DataFrame = {
     require(segTokens > 0, "need segTokens > 0")
-    val toks = Par.spread(docs).filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-    // non-overlapping tiles; a doc shorter than one tile yields itself
-    // whole (greatest(...,1) keeps the empty doc's single "" token)
-    val segs = toks.select(col("_id"),
-      posexplode(transform(
-        sequence(lit(1), greatest(size(col("_t")), lit(1)), lit(segTokens)),
-        st => concat_ws(" ", slice(col("_t"), st, lit(segTokens)))))
-        .as(Seq("_si", "_seg")))
+    val segs = segments(docs, textCol, idCol, segTokens)
     // first corpus-wide occurrence per distinct segment value: min struct
     // is ordered (doc, idx) lexicographically, aggregated map-side
     val winners = segs
@@ -81,6 +73,29 @@ object Dedup {
       .agg(min(struct(col("_id"), col("_si"))).as("_w"))
       .select(col("_w._id").as("_id"), col("_w._si").as("_si"),
         lit(true).as("_keep"))
+    reassemble(segs, winners, idCol)
+  }
+
+  /** Non-overlapping `segTokens`-token tiles of each document, one row per
+    * (`_id`, `_si`, `_seg`); a doc shorter than one tile yields itself
+    * whole (`greatest(...,1)` keeps the empty doc's single "" token).
+    */
+  private def segments(docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int): DataFrame = {
+    val toks = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+    toks.select(col("_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("_t")), lit(1)), lit(segTokens)),
+        st => concat_ws(" ", slice(col("_t"), st, lit(segTokens)))))
+        .as(Seq("_si", "_seg")))
+  }
+
+  /** Rebuild each document from its winning segments in original order;
+    * shared epilogue of [[segmentDedup]]/[[segmentDedupAgainst]].
+    */
+  private def reassemble(segs: DataFrame, winners: DataFrame,
+      idCol: String): DataFrame =
     segs.join(winners, Seq("_id", "_si"), "left")
       .groupBy(col("_id"))
       .agg(
@@ -92,6 +107,43 @@ object Dedup {
         when(col("n_kept") === 0, lit(null).cast("string"))
           .otherwise(concat_ws(" ",
             transform(col("_kept"), k => k("_seg")))).as("text_kept"))
+
+  /** First-owner table for [[segmentDedupAgainst]]: one row per distinct
+    * segment value — (`_h` 128-bit digest, `idCol` the smallest owning doc
+    * id). Seeded once from the corpus and APPENDED per ingest batch (each
+    * batch appends only hashes not yet present), so the corpus text is
+    * never re-segmented — the segment sibling of the maintained minhash
+    * signature table (x41).
+    */
+  def segmentHashTable(docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int): DataFrame =
+    segments(docs, textCol, idCol, segTokens)
+      .groupBy(md5(col("_seg")).as("_h"))
+      .agg(min(col("_id")).as(idCol))
+
+  /** Incremental segment-level dedup: a NEW batch against the maintained
+    * segment table — a batch segment survives iff its value is absent from
+    * `segTable` AND this occurrence is the batch-first (smallest
+    * `(doc id, segment index)` within the batch). Same output contract as
+    * [[segmentDedup]]. Id spaces must be disjoint (batch ids never appear
+    * in `segTable`; the streaming mount closes the replay window by
+    * excluding its own batch's table rows before scoring).
+    *
+    * Scale shape: per-batch work is the batch's own segment stream (two
+    * batch-keyed shuffles) plus ONE column-pruned anti-join against the
+    * table on the 16-byte digest — work ∝ batch, never corpus.
+    */
+  def segmentDedupAgainst(newDocs: DataFrame, segTable: DataFrame,
+      textCol: String, idCol: String, segTokens: Int): DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    val segs = segments(newDocs, textCol, idCol, segTokens)
+    val winners = segs
+      .groupBy(md5(col("_seg")).as("_h"))
+      .agg(min(struct(col("_id"), col("_si"))).as("_w"))
+      .join(segTable.select(col("_h")), Seq("_h"), "left_anti")
+      .select(col("_w._id").as("_id"), col("_w._si").as("_si"),
+        lit(true).as("_keep"))
+    reassemble(segs, winners, idCol)
   }
 
   /** Character n-shingle array over an already-materialized canonical-text

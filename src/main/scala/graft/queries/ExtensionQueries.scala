@@ -481,6 +481,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // x53's production contract: batch segments dedup against a MAINTAINED
+    // first-owner segment-hash table (corpus segmented once at
+    // registration; per-batch work ∝ batch) — the segment sibling of x41
+    "x60_segment_dedup_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val segTable = Maintained.table(s, s"$dir/documents.parquet",
+        "seg_hashes_mod3_t8") {
+        Dedup.segmentHashTable(d.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", segTokens = 8)
+      }
+      Dedup.segmentDedupAgainst(d.filter(col("doc_id") % 3 === 0), segTable,
+        "text", "doc_id", segTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // token rarity vs the corpus unigram table — the exact-integer
     // perplexity-proxy quality signal (common-token mass + rare-token rate)
     "x54_token_rarity" -> ((s, dir) => {
@@ -1166,6 +1181,27 @@ object ExtensionQueries {
          |       ELSE string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY si)
          |  END AS text_kept
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x60_segment_dedup_incr" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, CAST((i - 1) // 8 AS INT) AS si,
+         |        array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS seg
+         |      FROM t, unnest(generate_series(1, greatest(len(l), 1), 8)) AS u(i)),
+         |corp AS (SELECT DISTINCT seg FROM s WHERE doc_id % 3 <> 0),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY seg
+         |        ORDER BY doc_id, si) AS rn
+         |      FROM s WHERE doc_id % 3 = 0),
+         |kk AS (SELECT k.*, CASE WHEN rn = 1 AND
+         |         seg NOT IN (SELECT seg FROM corp) THEN 1 ELSE 0 END AS keep
+         |       FROM k)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  CASE WHEN sum(keep) = 0 THEN NULL
+         |       ELSE string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY si)
+         |  END AS text_kept
+         |FROM kk GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x54_token_rarity" -> {
       val norm = normSql("text")

@@ -275,6 +275,59 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming segment-level dedup against a MAINTAINED first-owner
+    * segment-hash table — the streaming mount of the x60 batch contract
+    * (and the segment sibling of [[startNearDupFlaggingMaintained]]):
+    *
+    *  1. The table seeds once from the static corpus
+    *     ([[graft.ext.Dedup.segmentHashTable]]).
+    *  2. Each arriving document batch dedups against the CURRENT table
+    *     with [[graft.ext.Dedup.segmentDedupAgainst]] — a segment survives
+    *     only if no earlier corpus/batch document (or earlier position in
+    *     this batch) already owns its value; nothing is ever re-segmented.
+    *  3. The batch appends its OWN surviving-value hashes, becoming corpus
+    *     for every later batch.
+    *
+    * Retry idempotence mirrors the x41 loop: scoring excludes the current
+    * batch's table rows (a retry after the append would otherwise claim
+    * the batch's segments against itself), and the append excludes hashes
+    * already present. Id spaces must be disjoint across the corpus and
+    * every stream file.
+    */
+  def startSegmentDedupMaintained(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, segsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", segTokens: Int = 8): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(segsDir).exists())
+      graft.ext.Dedup.segmentHashTable(
+          graft.util.Par.spread(corpusDocs), textCol, idCol, segTokens)
+        .write.mode("overwrite").parquet(segsDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            val segTable = s.read.parquet(segsDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            graft.ext.Dedup.segmentDedupAgainst(b, segTable,
+                textCol, idCol, segTokens)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            val present = s.read.parquet(segsDir).select(col("_h"))
+            graft.ext.Dedup.segmentHashTable(b, textCol, idCol, segTokens)
+              .join(present, Seq("_h"), "left_anti")
+              .write.mode("append").parquet(segsDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming curation gate — x49 + x50 mounted at ingest: each arriving
     * document micro-batch is Gopher-quality-scored
     * ([[graft.ext.Corpus.gopherQualityFilter]]) and decontaminated against

@@ -388,6 +388,61 @@ class DeltaStreamSpec extends SparkSpec {
     assert(replayed === b2)
   }
 
+  test("startSegmentDedupMaintained: segment table seeds from the corpus, " +
+    "grows with each batch, and claims span corpus + earlier batches") {
+    import spark.implicits._
+    val root = tmpDir("segdedup-maintained")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startSegmentDedupMaintained(spark, docsDir,
+        corpus, s"$root/segs", s"$root/out", s"$root/ckpt", segTokens = 2)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: doc 20 loses "a b" to the corpus; doc 21 loses "x y" to
+    // doc 20's batch-first occurrence
+    jsonl(s"$docsDir/b1.json", 20L -> "a b x y", 21L -> "x y")
+    run()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(b1 === Map(20L -> (2L, 1L, Some("x y")), 21L -> (1L, 0L, None)))
+    // table: corpus segments (owner 10) + the batch's one NEW value
+    // (owner 20 — the batch-first); no duplicate hash rows
+    val t1 = spark.read.parquet(s"$root/segs")
+      .select("doc_id").as[Long].collect().sorted
+    assert(t1 === Array(10L, 10L, 20L))
+
+    // batch 2: "x y" now claimed by batch 1, "e f" novel
+    jsonl(s"$docsDir/b2.json", 30L -> "x y e f")
+    run()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(b2 === Map(30L -> (2L, 1L, Some("e f"))))
+    val t2 = spark.read.parquet(s"$root/segs")
+      .select("doc_id").as[Long].collect().sorted
+    assert(t2 === Array(10L, 10L, 20L, 30L))
+
+    // replay idempotence: re-scoring batch 2 against a table that already
+    // holds its append (crash between append and checkpoint commit) —
+    // excluding the batch's own rows reproduces the same output
+    val replayed = graft.ext.Dedup.segmentDedupAgainst(
+        Seq(30L -> "x y e f").toDF("doc_id", "text"),
+        spark.read.parquet(s"$root/segs")
+          .join(Seq(30L).toDF("doc_id"), Seq("doc_id"), "left_anti"),
+        "text", "doc_id", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(replayed === b2)
+  }
+
   test("startEmbedNearDupFlaggingMaintained: bucket table grows with the " +
     "stream and later batches match earlier vectors") {
     import spark.implicits._
