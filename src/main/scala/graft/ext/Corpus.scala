@@ -554,6 +554,31 @@ object Corpus {
         pass.as("shard_pos"))
   }
 
+  /** Deterministic hash-based train/val/test split: `split` is decided by
+    * the first 32 bits of `md5(salt|id)` against exact integer thresholds
+    * (`⌊frac·2³²⌋`), so membership is a pure per-row expression — O(1),
+    * codegen'd, reproducible on any engine and any partitioning, stable
+    * under corpus growth (a document's split never changes when others
+    * arrive — the property rank-based splits lack), and re-saltable for
+    * fresh assignments. Fractions are expected proportions; realized
+    * counts are binomial around them (use [[topFractionByMetric]]-style
+    * ranking when EXACT counts matter more than stability).
+    */
+  def hashSplit(docs: DataFrame, idCol: String, valFrac: Double,
+      testFrac: Double, salt: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      "need valFrac, testFrac >= 0 with sum <= 1")
+    val slice = conv(
+      substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val tVal = math.floor(valFrac * 4294967296.0).toLong
+    val tTest = math.floor((valFrac + testFrac) * 4294967296.0).toLong
+    docs.withColumn("split",
+      when(slice < tVal, "val")
+        .when(slice < tTest, "test")
+        .otherwise("train"))
+  }
+
   /** Keep the top `q` fraction of each stratum by `metricCol` (highest
     * values win; ties break on the id so the kept COUNT is exact:
     * `ceil(q·n)` rows per stratum). The quantile-threshold quality gate —

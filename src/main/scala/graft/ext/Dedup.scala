@@ -121,6 +121,41 @@ object Dedup {
       .groupBy(md5(col("_seg")).as("_h"))
       .agg(min(col("_id")).as(idCol))
 
+  /** Cross-stratum duplication matrix over segment values: for every
+    * stratum pair `(a < b)`, the number of DISTINCT `segTokens`-token
+    * segment values appearing in both — the corpus-audit view of where
+    * boilerplate crosses sources/languages (which [[segmentDedup]] would
+    * then collapse). Segments travel as md5 digests from the moment they
+    * leave the document (16-byte shuffle keys, no segment text in any
+    * exchange).
+    *
+    * Scale shape: distinct (stratum, digest) pairs via one map-side
+    * combined aggregate; the pair generation is a self-equi-join ON THE
+    * DIGEST whose per-key fan-out is bounded by the stratum count (≤ k
+    * rows per digest → < k²/2 pairs), so the matrix costs one
+    * digest-keyed shuffle plus a strata²-sized result — never pairwise in
+    * the corpus.
+    */
+  def segmentOverlapMatrix(docs: DataFrame, textCol: String,
+      strataCol: String, idCol: String, segTokens: Int): DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    val toks = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(strataCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+    val segs = toks.select(col(strataCol),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("_t")), lit(1)), lit(segTokens)),
+        st => concat_ws(" ", slice(col("_t"), st, lit(segTokens)))))
+        .as("_seg"))
+      .select(col(strataCol), md5(col("_seg")).as("_h"))
+      .distinct()
+    val a = segs.select(col(strataCol).as("stratum_a"), col("_h"))
+    val b = segs.select(col(strataCol).as("stratum_b"), col("_h"))
+    a.join(b, Seq("_h"))
+      .filter(col("stratum_a") < col("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("shared_segments"))
+  }
+
   /** Incremental segment-level dedup: a NEW batch against the maintained
     * segment table — a batch segment survives iff its value is absent from
     * `segTable` AND this occurrence is the batch-first (smallest

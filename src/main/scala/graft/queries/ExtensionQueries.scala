@@ -221,6 +221,44 @@ object ExtensionQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // cross-lingual segment-duplication matrix: distinct 8-token segment
+    // values shared per language pair (digest-keyed, fan-out ≤ strata per
+    // digest) — the audit view of where boilerplate crosses languages
+    "x61_seg_overlap" -> ((s, dir) => {
+      Dedup.segmentOverlapMatrix(Tables(s, dir, "documents"), "text",
+        "lang", "doc_id", segTokens = 8)
+        .orderBy("stratum_a", "stratum_b")
+    }),
+
+    // FLAGSHIP layout composition — the export half of the pipeline as ONE
+    // chain: mixture-sample to target shares (x58) → sequence-packing
+    // offsets (x51) → balanced shard assignment (x56), each stage the
+    // standalone library call, all integer/md5 arithmetic
+    "x62_layout_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      val kept = Corpus.mixtureSample(d, "lang", "doc_id", "n_toks",
+        Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+      val packed = Corpus.packSequences(
+        kept.select(col("doc_id"), col("lang"), col("n_toks")),
+        "lang", "doc_id", "n_toks", 1024L)
+      val shards = Corpus.shardAssign(kept, "doc_id", "n_toks", nShards = 4)
+      packed.join(shards.select(col("doc_id"), col("shard"), col("shard_pos")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("tok_offset"),
+          col("seq_idx"), col("seq_pos"), col("shard"), col("shard_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic hash-based train/val/test split: 32-bit md5 slice vs
+    // exact integer thresholds — O(1)/row, stable under corpus growth
+    "x63_hash_split" -> ((s, dir) => {
+      Corpus.hashSplit(Tables(s, dir, "documents").select(col("doc_id")),
+        "doc_id", valFrac = 0.1, testFrac = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup-style semantic dedup: IVF-cell candidate pairs (cos ≥ .45
     // within a cell) → connected components → min-id canonical survives;
     // compare cost Σ cell², never all-pairs
@@ -1249,6 +1287,59 @@ object ExtensionQueries {
         |  CAST(CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS INT) AS shard,
         |  CAST(p // 8 AS BIGINT) AS shard_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    "x61_seg_overlap" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT lang, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT DISTINCT lang,
+         |        md5(array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS h
+         |      FROM t, unnest(generate_series(1, greatest(len(l), 1), 8)) AS u(i))
+         |SELECT a.lang AS stratum_a, b.lang AS stratum_b,
+         |  CAST(count(*) AS BIGINT) AS shared_segments
+         |FROM s a JOIN s b ON a.h = b.h AND a.lang < b.lang
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "x62_layout_e2e" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_toks
+        |  FROM documents),
+        |sh(lang, w) AS (VALUES ('en', 0.5), ('fr', 0.2), ('de', 0.3)),
+        |tot AS (SELECT b.lang, CAST(sum(n_toks) AS BIGINT) AS t, min(w) AS w
+        |        FROM b JOIN sh USING (lang) GROUP BY b.lang),
+        |bb AS (SELECT min(CAST(floor(t / w) AS BIGINT)) AS bmax FROM tot),
+        |bud AS (SELECT lang, CAST(floor(w * bmax) AS BIGINT) AS budget
+        |        FROM tot CROSS JOIN bb),
+        |c AS (SELECT b.doc_id, b.lang, b.n_toks,
+        |        CAST(sum(b.n_toks) OVER (PARTITION BY b.lang
+        |          ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM b JOIN sh USING (lang)),
+        |kept AS (SELECT c.doc_id, c.lang, c.n_toks FROM c
+        |         JOIN bud USING (lang) WHERE c.cum_tokens <= bud.budget),
+        |pk AS (SELECT doc_id, lang, n_toks,
+        |         CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |       FROM kept),
+        |sr AS (SELECT doc_id, row_number() OVER (ORDER BY n_toks DESC,
+        |         md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS p
+        |       FROM kept)
+        |SELECT pk.doc_id, pk.lang, pk.n_toks, pk.tok_offset,
+        |  tok_offset // 1024 AS seq_idx, tok_offset % 1024 AS seq_pos,
+        |  CAST(CASE WHEN (p // 4) % 2 = 0 THEN p % 4 ELSE 3 - (p % 4) END AS INT) AS shard,
+        |  CAST(p // 4 AS BIGINT) AS shard_pos
+        |FROM pk JOIN sr USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x63_hash_split" ->
+      // thresholds: floor(0.1·2^32) = 429496729, floor(0.2·2^32) = 858993459
+      """SELECT doc_id,
+        |  CASE WHEN sl < 429496729 THEN 'val'
+        |       WHEN sl < 858993459 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "x58_mixture_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

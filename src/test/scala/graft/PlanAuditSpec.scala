@@ -19,16 +19,17 @@ class PlanAuditSpec extends SparkSpec {
     *  - x52: the same device twice over — the single-row coarse-centroid
     *    AND single-row codebook attaches of PQ assignment/ADC scoring
     *    (both build sides are one collected row);
-    *  - x55/x58: ONE-ROW scalar attaches (the corpus doc count under every
-    *    tf row; the global budget B under every stratum total) — the build
-    *    side is a single aggregate row, so the "nested loop" is a constant
-    *    columnar append, never a pairwise compare.
+    *  - x55/x58 (and x62, which composes x58): ONE-ROW scalar attaches
+    *    (the corpus doc count under every tf row; the global budget B
+    *    under every stratum total) — the build side is a single aggregate
+    *    row, so the "nested loop" is a constant columnar append, never a
+    *    pairwise compare.
     */
   private val nestedLoopAllowed = Set(
     "x6_cosine_topk", "x8_embed_neardup",
     "x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe",
     "x33_ann_quantized_rescore", "x52_ann_pq_adc",
-    "x55_tfidf_terms", "x58_mixture_sample")
+    "x55_tfidf_terms", "x58_mixture_sample", "x62_layout_e2e")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

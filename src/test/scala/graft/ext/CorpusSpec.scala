@@ -275,6 +275,32 @@ class CorpusSpec extends SparkSpec {
     assert(enRows.toSeq === enOrder.take(2))
   }
 
+  test("hashSplit: matches the independent md5-slice computation, stable " +
+    "under corpus growth, exact thresholds") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val out = Corpus.hashSplit(docs, "doc_id", valFrac = 0.1, testFrac = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent reimplementation: first 32 bits of md5("split|<id>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def slice(i: Long): Long =
+      java.lang.Long.parseLong(
+        md.digest(s"split|$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val tVal = math.floor(0.1 * 4294967296.0).toLong
+    val tTest = math.floor(0.2 * 4294967296.0).toLong
+    (1L to 200L).foreach { i =>
+      val expect = if (slice(i) < tVal) "val"
+        else if (slice(i) < tTest) "test" else "train"
+      assert(out(i) === expect, s"doc $i")
+    }
+    assert(out.values.toSet === Set("train", "val", "test"))
+    // growth stability: the same doc keeps its split in a larger corpus
+    val grown = Corpus.hashSplit((1L to 400L).toDF("doc_id"), "doc_id", 0.1, 0.1)
+      .filter(col("doc_id") <= 200L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown === out)
+  }
+
   test("tokenRarity: exact corpus-frequency stats per doc") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Corpus.tokenRarity(docs, "text", "doc_id", rareMax = 1)

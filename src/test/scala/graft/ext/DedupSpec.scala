@@ -278,6 +278,22 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L)) // 2,3 collapse into 1; 6 into 5; 4 untouched
   }
 
+  test("segmentOverlapMatrix: distinct shared segment values per stratum " +
+    "pair, a < b only, empty intersections absent") {
+    val docs = Seq(
+      (1L, "en", "a b c d"),   // {ab, cd}
+      (2L, "fr", "a b"),       // {ab}
+      (3L, "fr", "c d x y"),   // {cd, xy}
+      (4L, "de", "x y")        // {xy}
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.segmentOverlapMatrix(docs, "text", "lang", "doc_id",
+      segTokens = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // en∩fr = {ab, cd}; de∩fr = {xy}; de∩en = ∅ (no row)
+    assert(out === Map(("en", "fr") -> 2L, ("de", "fr") -> 1L))
+  }
+
   test("segmentDedup: first occurrence wins corpus-wide AND within a doc; " +
     "fully-claimed docs surface as NULL; partition-invariant") {
     val docs = Seq(
