@@ -35,6 +35,17 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"ivf_quantized_rescore n=$n nCells=$c took=$dt%.2f s")
     }
+    // same parameter law for SemDeDup: pair cost is Σ cell², so the
+    // oracle-pinned nCells=16 grows quadratic-ish with the corpus while
+    // nCells ∝ √n holds it at n^1.5/√·
+    cells.foreach { c =>
+      val t0 = System.nanoTime()
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+          nCells = c, minCos = 0.45)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"semantic_dedup n=$n nCells=$c took=$dt%.2f s")
+    }
     spark.stop()
   }
 }
