@@ -91,6 +91,32 @@ object Dedup {
         .as(Seq("_si", "_seg")))
   }
 
+  /** Within-document segment repetition — the count-based analogue of
+    * Gopher's duplicate-line-fraction rule over token tiles: per document,
+    * total tiles, distinct tile values, the duplicated-tile fraction
+    * `1 − distinct/total`, and the most-repeated tile's count. High
+    * `dup_seg_ratio` marks internally-repetitive documents (boilerplate
+    * loops, generated spam) that whole-document and cross-document dedup
+    * both miss. Two doc-keyed aggregates (the [[graft.ext.Corpus
+    * .bigramRepetition]] shape) — every shuffle key contains the doc id,
+    * O(tiles) per row, nothing corpus-wide.
+    */
+  def withinDocRepetition(docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    segments(docs, textCol, idCol, segTokens)
+      .groupBy(col("_id"), col("_seg"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_n")).as("n_segs"),
+        count(lit(1)).as("n_distinct_segs"),
+        max(col("_n")).as("top_seg_n"))
+      .select(col("_id").as(idCol), col("n_segs"), col("n_distinct_segs"),
+        (lit(1.0) - col("n_distinct_segs").cast("double") / col("n_segs"))
+          .as("dup_seg_ratio"),
+        col("top_seg_n"))
+  }
+
   /** Rebuild each document from its winning segments in original order;
     * shared epilogue of [[segmentDedup]]/[[segmentDedupAgainst]].
     */
@@ -620,6 +646,35 @@ object Dedup {
   def dedupByClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val drop = dupClusters(pairs)
       .filter(col("member_id") =!= col("canonical_id"))
+      .select(col("member_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupByClusters]] with QUALITY-AWARE canonical selection: instead
+    * of the min-id member, each cluster keeps its highest-`scoreCol`
+    * member (ties → smallest id) — the production policy when dropping
+    * near-dups ("keep the longest / highest-quality copy"), which min-id
+    * cannot express. The keeper is picked with one `min(struct(−score,
+    * id))` aggregate per cluster — deterministic under ties, unlike a bare
+    * `max_by` — and the corpus still only anti-joins a compact drop list.
+    * Rows never named in `pairs` are untouched; a NULL score sorts last
+    * (every scored member beats it).
+    */
+  def dedupByClustersBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val members = dupClusters(pairs)
+      .join(docs.select(col(idCol).as("member_id"),
+        col(scoreCol).cast("double").as("_score")), Seq("member_id"))
+    val keepers = members
+      .groupBy(col("canonical_id"))
+      .agg(min(struct(
+        // a NULL score must sort LAST (min-struct ordering puts nulls
+        // first): +∞ makes every scored member beat it
+        coalesce(-col("_score"), lit(Double.PositiveInfinity)).as("_neg"),
+        col("member_id").as("_mid"))).as("_k"))
+      .select(col("canonical_id"), col("_k._mid").as("_keep_id"))
+    val drop = members.join(keepers, Seq("canonical_id"))
+      .filter(col("member_id") =!= col("_keep_id"))
       .select(col("member_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }

@@ -221,6 +221,26 @@ object ExtensionQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // quality-aware cluster dedup: each simhash near-dup cluster keeps its
+    // LONGEST member (ties → min id) instead of the min-id canonical —
+    // the production keep-the-best-copy policy
+    "x64_dedup_keep_best" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.simhashNearDups(d, "text", "doc_id",
+        bits = 48, bands = 4, maxHam = 3)
+      Dedup.dedupByClustersBest(d, "doc_id", pairs, "n_chars")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // within-document segment repetition (Gopher duplicate-line-fraction
+    // analogue over 4-token tiles): internally-repetitive docs that
+    // cross-document dedup misses
+    "x65_withindoc_repetition" -> ((s, dir) => {
+      Dedup.withinDocRepetition(Tables(s, dir, "documents"), "text",
+        "doc_id", segTokens = 4)
+        .orderBy("doc_id")
+    }),
+
     // cross-lingual segment-duplication matrix: distinct 8-token segment
     // values shared per language pair (digest-keyed, fan-out ≤ strata per
     // digest) — the audit view of where boilerplate crosses languages
@@ -1287,6 +1307,42 @@ object ExtensionQueries {
         |  CAST(CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS INT) AS shard,
         |  CAST(p // 8 AS BIGINT) AS shard_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    "x64_dedup_keep_best" ->
+      s"""WITH RECURSIVE $simhashCore,
+         |$simhashBandCtes,
+         |p AS (SELECT c.doc_a, c.doc_b
+         |      FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+         |                  JOIN fp fb ON fb.doc_id = c.doc_b
+         |      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT s AS id, s AS r FROM e
+         |          UNION
+         |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+         |cl AS (SELECT min(r) AS canon, id FROM reach GROUP BY id),
+         |scored AS (SELECT cl.canon, cl.id, d.n_chars
+         |           FROM cl JOIN documents d ON d.doc_id = cl.id),
+         |keep AS (SELECT id FROM (SELECT id, row_number() OVER
+         |           (PARTITION BY canon ORDER BY n_chars DESC, id) AS rn
+         |         FROM scored) WHERE rn = 1),
+         |dropped AS (SELECT id FROM cl WHERE id NOT IN (SELECT id FROM keep))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
+    "x65_withindoc_repetition" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |        array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS seg
+         |      FROM t, unnest(generate_series(1, greatest(len(l), 1), 4)) AS u(i)),
+         |c AS (SELECT doc_id, seg, count(*) AS n FROM s GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segs,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_segs,
+         |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS dup_seg_ratio,
+         |  CAST(max(n) AS BIGINT) AS top_seg_n
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "x61_seg_overlap" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT lang, string_split($norm, ' ') AS l

@@ -278,6 +278,35 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L)) // 2,3 collapse into 1; 6 into 5; 4 untouched
   }
 
+  test("dedupByClustersBest: highest score survives per cluster, ties by " +
+    "min id, null scores lose, untouched docs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some(10.0)), (2L, Some(30.0)), (3L, Some(30.0)),  // {1,2,3}: 2 wins (tie 2<3)
+      (4L, Some(5.0)),                                       // untouched
+      (5L, Some(7.0)), (6L, None)
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupByClustersBest(docs, "doc_id", pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L)) // 5 beats null-scored 6
+  }
+
+  test("withinDocRepetition: exact tile counts, dup fraction, top tile") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // tiles(2): ab, ab, ab → 3 segs, 1 distinct
+      (2L, "a b c d"),       // ab, cd → no repeats
+      (3L, "x y x y z w")    // xy, xy, zw → top 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.withinDocRepetition(docs, "text", "doc_id", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out === Map(
+      1L -> (3L, 1L, 1.0 - 1.0 / 3.0, 3L),
+      2L -> (2L, 2L, 0.0, 1L),
+      3L -> (3L, 2L, 1.0 - 2.0 / 3.0, 2L)))
+  }
+
   test("segmentOverlapMatrix: distinct shared segment values per stratum " +
     "pair, a < b only, empty intersections absent") {
     val docs = Seq(
