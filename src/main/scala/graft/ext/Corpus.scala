@@ -554,6 +554,28 @@ object Corpus {
         pass.as("shard_pos"))
   }
 
+  /** Corpus snapshot diff: which documents were added, removed or changed
+    * between two corpus versions, by content fingerprint — the audit pass
+    * a dataset release runs before shipping (diff the new cut against the
+    * last one, review what moved). One id-keyed full-outer join comparing
+    * 128-bit digests; `unchanged` rows are filtered out so the result is
+    * the (small) delta, never the corpus. Output: (`idCol`, `status` ∈
+    * added|removed|changed, `fp_before`, `fp_after`).
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol), md5(col(textCol)).as("fp_before"))
+    val b = after.select(col(idCol), md5(col(textCol)).as("fp_after"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_after").isNull, "removed")
+          .when(col("fp_before").isNull, "added")
+          .when(col("fp_before") =!= col("fp_after"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"), col("fp_before"), col("fp_after"))
+  }
+
   /** Deterministic hash-based train/val/test split: `split` is decided by
     * the first 32 bits of `md5(salt|id)` against exact integer thresholds
     * (`⌊frac·2³²⌋`), so membership is a pure per-row expression — O(1),

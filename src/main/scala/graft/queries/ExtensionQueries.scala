@@ -221,6 +221,21 @@ object ExtensionQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // corpus snapshot diff: added/removed/changed docs by content
+    // fingerprint between a synthetic "v2" cut and the base table —
+    // one id-keyed full-outer join, emits only the delta
+    "x66_corpus_diff" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val after = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Corpus.corpusDiff(d, after, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // quality-aware cluster dedup: each simhash near-dup cluster keeps its
     // LONGEST member (ties → min id) instead of the min-id canonical —
     // the production keep-the-best-copy policy
@@ -1307,6 +1322,24 @@ object ExtensionQueries {
         |  CAST(CASE WHEN (p // 8) % 2 = 0 THEN p % 8 ELSE 7 - (p % 8) END AS INT) AS shard,
         |  CAST(p // 8 AS BIGINT) AS shard_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    "x66_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS fp_before FROM documents),
+        |af AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+        |          ELSE text END AS text
+        |        FROM documents WHERE doc_id % 10 <> 7
+        |        UNION ALL
+        |        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 1),
+        |b AS (SELECT doc_id, md5(text) AS fp_after FROM af),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, fp_before, fp_after
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN fp_after IS NULL THEN 'removed'
+        |       WHEN fp_before IS NULL THEN 'added'
+        |       ELSE 'changed' END AS status,
+        |  fp_before, fp_after
+        |FROM j
+        |WHERE fp_after IS NULL OR fp_before IS NULL OR fp_before <> fp_after
+        |ORDER BY doc_id""".stripMargin,
     "x64_dedup_keep_best" ->
       s"""WITH RECURSIVE $simhashCore,
          |$simhashBandCtes,

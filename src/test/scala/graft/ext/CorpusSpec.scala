@@ -275,6 +275,14 @@ class CorpusSpec extends SparkSpec {
     assert(enRows.toSeq === enOrder.take(2))
   }
 
+  test("corpusDiff: added/removed/changed by fingerprint, unchanged absent") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val after = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.corpusDiff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("hashSplit: matches the independent md5-slice computation, stable " +
     "under corpus growth, exact thresholds") {
     val docs = (1L to 200L).toDF("doc_id")
