@@ -480,6 +480,49 @@ object Corpus {
         (col("n_rare").cast("double") / col("n_toks")).as("rare_ratio"))
   }
 
+  /** Corpus unigram count table — the maintained-table form of
+    * [[tokenRarity]]'s in-query aggregate: (term, c). Unlike the other
+    * maintained tables (signatures, buckets, gram sets — append-only row
+    * sets), counts MERGE ADDITIVELY: maintain with [[mergeTermCounts]],
+    * whose invariant `table(a) ⊕ table(b) = table(a ∪ b)` means the corpus
+    * is tokenized exactly once per ingest and never re-counted.
+    */
+  def termCountTable(docs: DataFrame, textCol: String): DataFrame =
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** Additive merge of two unigram count tables (one union + one map-side
+    * combined sum — commutative and associative, so batches fold in any
+    * order).
+    */
+  def mergeTermCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("term")).agg(sum(col("c")).as("c"))
+
+  /** [[tokenRarity]] scored against a MAINTAINED [[termCountTable]] — the
+    * ingest-time contract: a new batch's quality signals are computed
+    * against the CURRENT reference counts without re-tokenizing the
+    * corpus; per-batch work is the batch's own token stream plus one
+    * term-keyed join. Tokens absent from the table score `c = 0`
+    * (maximally rare — the right reading for an unseen token).
+    */
+  def tokenRarityAgainstTable(docs: DataFrame, counts: DataFrame,
+      textCol: String, idCol: String, rareMax: Long = 2): DataFrame = {
+    val tok = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    tok.join(counts, Seq("term"), "left")
+      .withColumn("_c", coalesce(col("c"), lit(0L)))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("_c")).as("sum_tf"),
+        sum(when(col("_c") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("_id").as(idCol), col("n_toks"), col("sum_tf"),
+        (col("sum_tf").cast("double") / col("n_toks")).as("mean_tf"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_toks")).as("rare_ratio"))
+  }
+
   /** Top-`k` TF-IDF keywords per document. IDF is the RAW inverse document
     * frequency `n_docs / df` (no logarithm): the log variant reweights but
     * the machinery is identical, and the rational form keeps the score ONE

@@ -577,6 +577,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // x54's production contract: batch token-rarity signals scored
+    // against a MAINTAINED unigram count table (corpus tokenized once at
+    // registration; counts merge additively on later ingests) — unseen
+    // tokens score c=0, maximally rare
+    "x67_token_rarity_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val counts = Maintained.table(s, s"$dir/documents.parquet",
+        "term_counts_mod3") {
+        Corpus.termCountTable(d.filter(col("doc_id") % 3 =!= 0), "text")
+      }
+      Corpus.tokenRarityAgainstTable(d.filter(col("doc_id") % 3 === 0),
+        counts, "text", "doc_id", rareMax = 2)
+        .orderBy("doc_id")
+    }),
+
     // top-3 TF-IDF keywords per document (raw-idf rational scoring,
     // term-tiebroken)
     "x55_tfidf_terms" -> ((s, dir) => {
@@ -1289,6 +1304,23 @@ object ExtensionQueries {
          |  CAST(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
          |    / count(*) AS rare_ratio
          |FROM tok JOIN uc USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x67_token_rarity_incr" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         |uc AS (SELECT term, count(*) AS c FROM tok
+         |       WHERE doc_id % 3 <> 0 GROUP BY term),
+         |bt AS (SELECT doc_id, term FROM tok WHERE doc_id % 3 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(coalesce(c, 0)) AS BIGINT) AS sum_tf,
+         |  CAST(CAST(sum(coalesce(c, 0)) AS BIGINT) AS DOUBLE) / count(*) AS mean_tf,
+         |  CAST(sum(CASE WHEN coalesce(c, 0) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(CAST(sum(CASE WHEN coalesce(c, 0) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / count(*) AS rare_ratio
+         |FROM bt LEFT JOIN uc USING (term)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x55_tfidf_terms" -> {

@@ -321,6 +321,25 @@ class CorpusSpec extends SparkSpec {
       (2L, 2L, 3L, 1.5, 1L, 0.5)))     // b(2)+c(1); c is rare
   }
 
+  test("termCountTable merges additively: table(a) ⊕ table(b) = table(a ∪ b); " +
+    "incremental scoring treats unseen tokens as maximally rare") {
+    val a = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val b = Seq((3L, "z z w")).toDF("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = toMap(Corpus.mergeTermCounts(
+      Corpus.termCountTable(a, "text"), Corpus.termCountTable(b, "text")))
+    assert(merged === toMap(Corpus.termCountTable(a.unionByName(b), "text")))
+    assert(merged === Map("x" -> 2L, "y" -> 2L, "z" -> 3L, "w" -> 1L))
+    // batch with a token the table has never seen: c = 0 → rare
+    val batch = Seq((9L, "x q")).toDF("doc_id", "text")
+    val out = Corpus.tokenRarityAgainstTable(batch,
+        Corpus.termCountTable(a, "text"), "text", "doc_id", rareMax = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).head
+    // x→2, q→0: n_toks 2, sum_tf 2, n_rare 1 (q only; x has c=2 > 1)
+    assert(out === ((2L, 2L, 1L)))
+  }
+
   test("tfidfTopTerms: raw-idf scoring, term tie-break, k cap") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Corpus.tfidfTopTerms(docs, "text", "doc_id", k = 1)
