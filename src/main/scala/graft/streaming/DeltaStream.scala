@@ -328,6 +328,59 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming token-rarity scoring against a MAINTAINED unigram count
+    * table — the streaming mount of the x67 batch contract, and the
+    * ADDITIVE sibling of the append-only signature/bucket/gram loops: the
+    * table stores per-ingest count ROWS tagged with their source
+    * (`_src`); the reference counts a batch scores against are the
+    * aggregate-on-read sum ([[graft.ext.Corpus.mergeTermCounts]]'
+    * invariant makes that equal to one table built from all prior text),
+    * so nothing is ever re-tokenized and appends never rewrite the table.
+    *
+    * Replay idempotence: counts are not id-keyed, so a naive retry would
+    * DOUBLE-COUNT the batch's tokens — both windows close on the `_src`
+    * tag: scoring excludes rows tagged with the current batch's source,
+    * and the append is skipped when the tag is already present.
+    */
+  def startTokenRarityMaintained(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, countsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", rareMax: Long = 2): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(countsDir).exists())
+      graft.ext.Corpus.termCountTable(corpusDocs, textCol)
+        .withColumn("_src", lit("corpus"))
+        .write.mode("overwrite").parquet(countsDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val src = s"batch-$batchId"
+            val counts = s.read.parquet(countsDir)
+              .filter(col("_src") =!= src)
+              .groupBy(col("term")).agg(sum(col("c")).as("c"))
+            graft.ext.Corpus.tokenRarityAgainstTable(b, counts,
+                textCol, idCol, rareMax)
+              .write.mode("overwrite").parquet(s"$outDir/$src")
+            // bounded existence probe (limit-1, not a data collect): skip
+            // the append when this batch's tag already landed
+            val already = !s.read.parquet(countsDir)
+              .filter(col("_src") === src).isEmpty
+            if (!already)
+              graft.ext.Corpus.termCountTable(b, textCol)
+                .withColumn("_src", lit(src))
+                .write.mode("append").parquet(countsDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming curation gate — x49 + x50 mounted at ingest: each arriving
     * document micro-batch is Gopher-quality-scored
     * ([[graft.ext.Corpus.gopherQualityFilter]]) and decontaminated against

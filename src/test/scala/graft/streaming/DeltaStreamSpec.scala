@@ -388,6 +388,50 @@ class DeltaStreamSpec extends SparkSpec {
     assert(replayed === b2)
   }
 
+  test("startTokenRarityMaintained: additive count table grows with the " +
+    "stream; later batches score against corpus + earlier batches") {
+    import spark.implicits._
+    val root = tmpDir("rarity-maintained")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq((10L, "x x y")).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startTokenRarityMaintained(spark, docsDir,
+        corpus, s"$root/counts", s"$root/out", s"$root/ckpt", rareMax = 1)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: x is common (corpus c=2), q unseen (c=0 → rare)
+    jsonl(s"$docsDir/b1.json", 20L -> "x q")
+    run()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).head
+    assert(b1 === ((20L, 2L, 2L, 1L))) // n_toks 2, sum_tf 2 (x only), 1 rare
+    // batch 2: q now counted from batch 1 (c=1 → still rare at rareMax=1),
+    // y from the corpus (c=1 → rare)
+    jsonl(s"$docsDir/b2.json", 30L -> "q y x")
+    run()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).head
+    // counts now: x 3, y 1, q 1 → sum_tf = 1 + 1 + 3 = 5, rare: q, y
+    assert(b2 === ((30L, 3L, 5L, 2L)))
+    // the aggregate-on-read view equals one table over all prior text
+    val view = spark.read.parquet(s"$root/counts")
+      .groupBy("term").agg(sum("c").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.ext.Corpus.termCountTable(
+        corpus.unionByName(Seq((20L, "x q"), (30L, "q y x"))
+          .toDF("doc_id", "text")), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view === full)
+  }
+
   test("startSegmentDedupMaintained: segment table seeds from the corpus, " +
     "grows with each batch, and claims span corpus + earlier batches") {
     import spark.implicits._
