@@ -597,6 +597,48 @@ object Corpus {
         pass.as("shard_pos"))
   }
 
+  /** Source/domain-level reputation gate — the curation stage that filters
+    * by PROVENANCE statistics rather than per-document content (the C4 /
+    * RefinedWeb "domain filtering" step): a source whose output is mostly
+    * junk condemns even its individually-plausible documents. Per source:
+    * `src_n_docs`, `src_short_frac` (fraction of docs under `shortToks`
+    * whitespace tokens — null/empty text counts as short), and the verdict
+    * `src_keep` = (`src_n_docs` ≥ `minDocs` ∧ `src_short_frac` ≤
+    * `maxShortFrac`). Every document comes back with its source's three
+    * columns attached; callers filter on `src_keep` (verdict-not-filter,
+    * the [[gopherQualityFilter]] contract, so audits can see WHY a source
+    * fell). `src_short_frac` is ONE IEEE division of exact longs —
+    * bit-stable across engines and partitionings.
+    *
+    * Scale shape: one source-keyed aggregate with map-side combine
+    * (output rows = #domains, a few million at web scale, KBs each) and
+    * one equi-join of the corpus against that stats table — AQE broadcasts
+    * it below threshold; above it the join shuffles on source, where a
+    * mega-domain key is exactly the skew AQE's skew-join splitting (or
+    * [[graft.util.Skew.saltedJoin]]) handles. The join is null-safe:
+    * documents with a NULL source form their own reputation group rather
+    * than silently losing their stats.
+    */
+  def sourceReputationFilter(docs: DataFrame, sourceCol: String,
+      textCol: String, idCol: String, minDocs: Long = 3L,
+      shortToks: Int = 32, maxShortFrac: Double = 0.5): DataFrame = {
+    require(shortToks > 0, "need shortToks > 0")
+    val toks = coalesce(
+      TextAnalysis.whitespaceTokenCount(col(textCol)), lit(0))
+    val stats = docs
+      .select(col(sourceCol).as("_src"), toks.as("_toks"))
+      .groupBy(col("_src"))
+      .agg(count(lit(1)).as("src_n_docs"),
+        sum(when(col("_toks") < shortToks, 1L).otherwise(0L)).as("_n_short"))
+      .withColumn("src_short_frac",
+        col("_n_short").cast("double") / col("src_n_docs"))
+      .withColumn("src_keep",
+        col("src_n_docs") >= minDocs &&
+          col("src_short_frac") <= maxShortFrac)
+      .drop("_n_short")
+    docs.join(stats, col(sourceCol) <=> col("_src"), "left").drop("_src")
+  }
+
   /** Corpus snapshot diff: which documents were added, removed or changed
     * between two corpus versions, by content fingerprint — the audit pass
     * a dataset release runs before shipping (diff the new cut against the

@@ -117,6 +117,53 @@ object Dedup {
         col("top_seg_n"))
   }
 
+  /** Cross-document duplicated-span detection — the exact-substring-dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at stride granularity: OVERLAPPING `spanTokens`-token
+    * windows (every `stride` tokens) instead of [[segmentDedup]]'s disjoint
+    * tiles, so a duplicated passage is caught at ANY alignment — tile
+    * dedup misses a copy shifted by half a tile; stride-`s` windows bound
+    * the miss to spans shorter than `spanTokens + s − 1`. A suffix array
+    * finds arbitrary-length repeats; this is its shuffle-native
+    * approximation with work O(tokens/stride), not O(corpus log corpus).
+    *
+    * Per document: `n_spans`, `n_shared` (spans whose exact token content
+    * also occurs in at least one OTHER document, at any position), and
+    * `shared_span_frac` (one IEEE division of exact longs). High fractions
+    * mark near-verbatim syndication; downstream, feed the flagged docs to
+    * [[segmentDedup]] or drop them.
+    *
+    * Scale shape: span stream → ONE digest-keyed aggregate where
+    * cross-doc sharing is decided by `min(_id) ≠ max(_id)` — no
+    * count-distinct state, plain min/max with map-side combine — then the
+    * span stream re-joins on the digest and re-aggregates per doc. Every
+    * shuffle key is the 128-bit digest or the doc id; a span value
+    * repeated across the whole corpus concentrates only its (digest →
+    * min,max) agg row, never the span text.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int, stride: Int): DataFrame = {
+    require(spanTokens > 0 && stride > 0, "need spanTokens, stride > 0")
+    val toks = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+    val spans = toks.select(col("_id"),
+      explode(transform(
+        sequence(lit(1),
+          greatest(size(col("_t")) - spanTokens + 1, lit(1)), lit(stride)),
+        st => concat_ws(" ", slice(col("_t"), st, lit(spanTokens)))))
+        .as("_seg"))
+      .select(col("_id"), md5(col("_seg")).as("_h"))
+    val owners = spans.groupBy(col("_h"))
+      .agg((min(col("_id")) =!= max(col("_id"))).as("_shared"))
+    spans.join(owners, Seq("_h"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_shared"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("_id").as(idCol), col("n_spans"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_spans"))
+          .as("shared_span_frac"))
+  }
+
   /** Rebuild each document from its winning segments in original order;
     * shared epilogue of [[segmentDedup]]/[[segmentDedupAgainst]].
     */

@@ -105,6 +105,32 @@ object TextAnalysis {
     }.otherwise("unknown")
   }
 
+  /** Hashing-trick linear classifier scoring (the fastText/linear-probe
+    * quality-model shape, Weinberger et al. 2009): each unigram hashes
+    * straight to its weight — no vocabulary table, no join, no explode —
+    * and the document's score is the mean token weight plus a bias. The
+    * weights here are a deterministic stand-in (token's 32-bit md5 slice,
+    * uniform on [-0.5, 0.5) after centering) for trained ones, the same
+    * contract as [[Multimodal]]'s stubbed codec: the SHAPE — per-row
+    * array fold, zero shuffles, codegen'd, O(tokens) — is the real,
+    * tested artifact, and a trained model drops in by replacing the
+    * weight expression.
+    *
+    * Bit-stability: the fold accumulates the raw integer slices (exact
+    * BIGINT sum, order-independent) and divides ONCE at the end —
+    * `score = bias + (Σslice/n)/2³² − 0.5` — deliberately not a
+    * per-token float sum, whose accumulation order would differ across
+    * engines.
+    */
+  def hashedLinearScore(text: Column, salt: String = "clf",
+      bias: Double = 0.0): Column = {
+    val toks = tokens(text)
+    val sumSlices = aggregate(toks, lit(0L), (acc, t) =>
+      acc + conv(substring(md5(concat(lit(salt + "|"), t)), 1, 8), 16, 10)
+        .cast("long"))
+    lit(bias) + (sumSlices.cast("double") / size(toks)) / 4294967296.0 - 0.5
+  }
+
   /** PII-pattern scan counts (emails, phone-ish numbers, IPv4) — the
     * filter/redaction signal of a training-data pipeline. Pure
     * `regexp_count`, so the scan is codegen'd and embarrassingly parallel.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Blocklist, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.util.{Maintained, Tables}
 import org.apache.spark.sql.functions._
 
@@ -589,6 +589,49 @@ object ExtensionQueries {
       }
       Corpus.tokenRarityAgainstTable(d.filter(col("doc_id") % 3 === 0),
         counts, "text", "doc_id", rareMax = 2)
+        .orderBy("doc_id")
+    }),
+
+    // takedown/blocklist filtering: remove documents whose id arrives on a
+    // removal feed (deterministic 15% md5 band stands in for the feed) via
+    // the Bloom-routed exact anti join — at scale the corpus branch is
+    // map-only, the exact join shuffles only the might-contain band
+    "x68_blocklist_filter" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      // floor(0.15 · 2^32) = 644245094
+      val blk = d.select("doc_id").filter(
+        conv(substring(md5(concat(lit("takedown|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          < 644245094L)
+      Blocklist.bloomAntiJoin(d, blk, "doc_id").orderBy("doc_id")
+    }),
+
+    // source/domain reputation gate: every doc annotated with its source's
+    // doc count, short-doc fraction and keep verdict — provenance-level
+    // curation (domain filtering), one tiny source-keyed aggregate
+    "x69_source_reputation" -> ((s, dir) => {
+      Corpus.sourceReputationFilter(Tables(s, dir, "documents"),
+        "source", "text", "doc_id", minDocs = 3L, shortToks = 40,
+        maxShortFrac = 0.4)
+        .orderBy("doc_id")
+    }),
+
+    // cross-doc duplicated spans: overlapping 8-token windows every 4
+    // tokens — exact-substring syndication signal at any alignment, which
+    // disjoint tiles (x53) miss for shifted copies
+    "x70_dup_spans" -> ((s, dir) => {
+      Dedup.dupSpans(Tables(s, dir, "documents"), "text", "doc_id",
+        spanTokens = 8, stride = 4)
+        .orderBy("doc_id")
+    }),
+
+    // hashing-trick linear classifier scoring (fastText shape): mean
+    // hashed-unigram weight per doc, map-only, no vocabulary join
+    "x71_hashed_classifier" -> ((s, dir) => {
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.hashedLinearScore(col("text")).as("clf_score"))
+        .withColumn("keep", col("clf_score") >= 0.0)
         .orderBy("doc_id")
     }),
 
@@ -1322,6 +1365,64 @@ object ExtensionQueries {
          |    / count(*) AS rare_ratio
          |FROM bt LEFT JOIN uc USING (term)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x68_blocklist_filter" ->
+      // the Bloom filter only routes rows; the result is the plain anti
+      // join of documents against the removal list (15% md5 band)
+      """SELECT d.* FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id = d.doc_id
+        |    AND CAST(concat('0x', substr(md5('takedown|' ||
+        |          CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 644245094)
+        |ORDER BY doc_id""".stripMargin,
+    "x69_source_reputation" ->
+      """WITH b AS (SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS src_n_docs,
+        |         CAST(sum(CASE WHEN n < 40 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |       FROM b GROUP BY source)
+        |SELECT d.*, st.src_n_docs,
+        |  CAST(st.ns AS DOUBLE) / st.src_n_docs AS src_short_frac,
+        |  (st.src_n_docs >= 3 AND
+        |   CAST(st.ns AS DOUBLE) / st.src_n_docs <= 0.4) AS src_keep
+        |FROM documents d
+        |JOIN st ON d.source IS NOT DISTINCT FROM st.source
+        |ORDER BY doc_id""".stripMargin,
+    "x70_dup_spans" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |        array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS seg
+         |      FROM t, unnest(generate_series(1,
+         |               greatest(len(l) - 8 + 1, 1), 4)) AS u(i)),
+         |o AS (SELECT seg, (min(doc_id) <> max(doc_id)) AS shared
+         |      FROM s GROUP BY seg)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN o.shared THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared,
+         |  CAST(CAST(sum(CASE WHEN o.shared THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE) / count(*) AS shared_span_frac
+         |FROM s JOIN o USING (seg)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x71_hashed_classifier" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(l) AS tk FROM t),
+         |s AS (SELECT doc_id,
+         |        CAST(sum(CAST(concat('0x', substr(md5('clf|' || tk), 1, 8))
+         |          AS BIGINT)) AS BIGINT) AS ss,
+         |        count(*) AS n
+         |      FROM tok GROUP BY doc_id)
+         |SELECT doc_id,
+         |  (CAST(ss AS DOUBLE) / n) / 4294967296.0 - 0.5 AS clf_score,
+         |  ((CAST(ss AS DOUBLE) / n) / 4294967296.0 - 0.5 >= 0) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "x55_tfidf_terms" -> {
       val norm = normSql("text")

@@ -389,4 +389,28 @@ class CorpusSpec extends SparkSpec {
     // doc 4's null metric drops BEFORE ranking: n=3, keep ceil(1.5)=2
     assert(kept === Set(2L, 3L))
   }
+
+  test("sourceReputationFilter: per-source stats attached, verdict on " +
+    "minDocs + short fraction, null source forms its own group") {
+    val docs = Seq(
+      (1L, "a b c d e", "good"), (2L, "f g h i j", "good"),
+      (3L, "k l m n o", "good"),                       // good: 0/3 short
+      (4L, "x", "spammy"), (5L, "y", "spammy"),
+      (6L, "long enough text here", "spammy"),         // spammy: 2/3 short
+      (7L, "solo doc with words", "tiny"),             // tiny: n=1 < minDocs
+      (8L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceReputationFilter(docs, "source", "text", "doc_id",
+      minDocs = 2L, shortToks = 3, maxShortFrac = 0.5)
+    assert(out.count() === 8L) // verdict, not filter: every doc comes back
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("src_n_docs"), r.getAs[Double]("src_short_frac"),
+          r.getAs[Boolean]("src_keep"))).toMap
+    assert(byId(1L) === ((3L, 0.0, true)))
+    assert(byId(4L) === ((3L, 2.0 / 3.0, false))) // too short too often
+    assert(byId(7L) === ((1L, 0.0, false)))       // below minDocs
+    // null source: its own group (null-safe join), null text counts short
+    assert(byId(8L) === ((1L, 1.0, false)))
+  }
 }

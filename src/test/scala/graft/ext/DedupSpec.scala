@@ -15,6 +15,26 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy cat")   // near-dup of 1
   ).toDF("doc_id", "text")
 
+  test("dupSpans: shifted copies caught at any alignment; within-doc " +
+    "repeats and short docs are not 'shared'") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // spans@k=4,s=2: "a b c d", "c d e f"
+      (2L, "z z a b c d"),   // "z z a b", "a b c d" ← shares with doc 1
+      (3L, "q r s t u v"),   // unique spans
+      (4L, "x y"),           // short doc: one whole-text span
+      (5L, "m n m n m n")    // internal repeat only — not cross-doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, "text", "doc_id", spanTokens = 4, stride = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("shared_span_frac"))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    assert(out(4L) === ((1L, 0L, 0.0)))
+    assert(out(5L) === ((2L, 0L, 0.0)))
+  }
+
   test("exact: one survivor per distinct text, min id wins") {
     val out = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().sorted

@@ -133,6 +133,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h1 !== h2) // order-sensitive, unlike the digest fingerprint
   }
 
+  test("hashedLinearScore: matches the independent md5-slice mean; " +
+    "bias shifts; normalization-invariant") {
+    def w(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"clf|$t".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val toks = Seq("hello", "scored", "world")
+    val a = (toks.map(w).sum.toDouble / 3) / 4294967296.0
+    val expect = 0.0 + a - 0.5 // same association as the Column expression
+    assert(one[Double](TextAnalysis.hashedLinearScore(col("text")),
+      "Hello  SCORED world") === expect)
+    assert(one[Double](TextAnalysis.hashedLinearScore(col("text"), bias = 1.0),
+      "Hello  SCORED world") === 1.0 + a - 0.5)
+    // scores live in [-0.5, 0.5) + bias
+    assert(math.abs(expect) <= 0.5)
+  }
+
   test("fingerprint: equal canonical forms collide, different texts do not") {
     val fps = Seq("Hello  World", "hello world", "other")
       .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
