@@ -546,6 +546,45 @@ object Similarity {
     Dedup.dedupByClusters(emb, idCol,
       cellNearDupPairs(emb, idCol, vecCol, nCells, minCos))
 
+  /** Prototypicality of every vector against its OWN label's centroid —
+    * the signal behind centroid-based example pruning (Sorscher et al.
+    * 2022, "Beyond neural scaling laws": distance-to-prototype decides
+    * which examples to keep; SemDeDup's outlier variant uses the same
+    * quantity). Output: (`labelCol`, `idCol`, `proto_cos` = cosine of the
+    * vector to its label centroid). Feed it to
+    * [[graft.ext.Corpus.topFractionByMetric]] to KEEP the most central
+    * fraction (drop noise/outliers) or rank ascending to drop the most
+    * prototypical (dedup-ish pruning) — both ends of the published recipe.
+    *
+    * Determinism: the centroid is the [[graft.ext.Corpus.strataCentroids]]
+    * arithmetic — per-dimension decimal(28,10) sums (exact, order-free)
+    * divided once and cast to double — and the cosine is the sequential
+    * [[graft.functions.FloatDot]] fold of the vector against that small
+    * double array, so scores are bit-identical across engines and
+    * partitionings.
+    *
+    * Scale shape: one (label, dim)-keyed aggregate with map-side combine
+    * (shuffle O(labels·dims)); centroid arrays assemble per label
+    * (collect_list bounded by dims) and broadcast back; scoring is a
+    * map-only fold per row. Nothing corpus-wide ever concentrates; a
+    * label-skewed corpus skews only the tiny agg, which partial
+    * aggregation already flattens.
+    */
+  def centroidPrototypicality(emb: DataFrame, labelCol: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = emb
+      .select(col(labelCol).as("_lb"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
+      .groupBy(col("_lb"), col("_pos"))
+      .agg((sum(col("_val").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("_m"))
+      .groupBy(col("_lb"))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_cs"))
+      .select(col("_lb"), transform(col("_cs"), s => s("_m")).as("_c"))
+    emb.join(broadcast(cents), col(labelCol) <=> col("_lb"))
+      .select(col(labelCol), col(idCol),
+        cosine(col(vecCol), col("_c")).as("proto_cos"))
+  }
+
   /** Scale-safe embedding near-dup: banded hyperplane-LSH candidate
     * generation + exact cosine verification on candidates only — the same
     * candidate-then-verify shape every other dedup path here uses, replacing

@@ -635,6 +635,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // centroid-based example pruning: keep each label's most prototypical
+    // 70% by cosine-to-centroid (Sorscher et al. 2022 signal); decimal-
+    // exact centroids, rank via the range-partitioned two-pass shape
+    "x72_embed_outlier_prune" -> ((s, dir) => {
+      val pro = Similarity.centroidPrototypicality(
+        Tables(s, dir, "embeddings"), "label", "vec_id", "embedding")
+      Corpus.topFractionByMetric(pro, "label", "vec_id", "proto_cos", q = 0.7)
+        .select(col("label"), col("vec_id"),
+          round(col("proto_cos"), 9).as("proto_cos"), col("pct_rank"))
+        .orderBy("label", "vec_id")
+    }),
+
     // top-3 TF-IDF keywords per document (raw-idf rational scoring,
     // term-tiebroken)
     "x55_tfidf_terms" -> ((s, dir) => {
@@ -1424,6 +1436,29 @@ object ExtensionQueries {
          |  ((CAST(ss AS DOUBLE) / n) / 4294967296.0 - 0.5 >= 0) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "x72_embed_outlier_prune" ->
+      """WITH j AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS val
+        |      FROM j, unnest(generate_series(1, len(v))) AS u(i)),
+        |c AS (SELECT label, pos,
+        |        CAST(sum(CAST(CAST(val AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+        |          / count(*) AS m
+        |      FROM x GROUP BY 1, 2),
+        |ca AS (SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label),
+        |s AS (SELECT j.label, j.vec_id,
+        |        list_dot_product(j.v, ca.cv) /
+        |          (sqrt(list_dot_product(j.v, j.v)) *
+        |           sqrt(list_dot_product(ca.cv, ca.cv))) AS pc
+        |      FROM j JOIN ca USING (label)),
+        |r AS (SELECT label, vec_id, pc,
+        |        row_number() OVER (PARTITION BY label ORDER BY pc, vec_id) AS rn,
+        |        count(*) OVER (PARTITION BY label) AS n
+        |      FROM s)
+        |SELECT label, vec_id, round(pc, 9) AS proto_cos,
+        |  CAST(rn AS DOUBLE) / n AS pct_rank
+        |FROM r WHERE rn > n - ceil(n * 0.7)
+        |ORDER BY label, vec_id""".stripMargin,
     "x55_tfidf_terms" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l

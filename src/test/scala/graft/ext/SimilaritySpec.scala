@@ -293,4 +293,31 @@ class SimilaritySpec extends SparkSpec {
         assert(cellOf(r.getLong(0)) === cellOf(r.getLong(1)))
       }
   }
+
+  test("centroidPrototypicality: cosine to the OWN label's centroid, " +
+    "partitioning-invariant; top fraction keeps the most central") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0), (3L, Array(1f, 1f), 0),
+      (4L, Array(-1f, 0f), 1), (5L, Array(-1f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidPrototypicality(emb, "label", "vec_id", "embedding")
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("proto_cos")).toMap
+    // label 0 centroid = (2/3, 2/3): vec 3 is perfectly aligned, 1 and 2 tie
+    assert(math.abs(byId(3L) - 1.0) < 1e-12)
+    assert(math.abs(byId(1L) - 1.0 / math.sqrt(2)) < 1e-9)
+    assert(byId(1L) === byId(2L))
+    assert(byId(4L) > 0.9 && byId(5L) > 0.9) // own-label centroid, not global
+    // invariant under repartitioning (decimal-exact centroid, fold cosine)
+    val again = Similarity
+      .centroidPrototypicality(emb.repartition(7), "label", "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("proto_cos")).toMap
+    assert(again === byId)
+    // composed prune: label 0 keeps ceil(3·0.34)=2 — the aligned vec 3
+    // plus tie-winner 2 (ties keep the larger id); label 1 keeps ceil(2·
+    // 0.34)=1 — vec 5, whose cosine to the (-1, 0.05) centroid is higher
+    val kept = Corpus.topFractionByMetric(out, "label", "vec_id", "proto_cos", 0.34)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L, 5L))
+  }
 }
