@@ -286,6 +286,28 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // FLAGSHIP provenance/privacy chain: source-reputation gate →
+    // Bloom-routed takedown anti-join → PII redaction → deterministic
+    // train/val/test split — every stage the standalone library call its
+    // own query uses (x69 → x68 → x40 → x63), composed and hash-verified
+    "x73_provenance_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val reputable = Corpus.sourceReputationFilter(d, "source", "text",
+        "doc_id", minDocs = 3L, shortToks = 40, maxShortFrac = 0.4)
+        .filter(col("src_keep"))
+        .select(d.columns.map(col): _*)
+      val takedown = d.select("doc_id").filter(
+        conv(substring(md5(concat(lit("takedown|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          < 644245094L)
+      val cleared = Blocklist.bloomAntiJoin(reputable, takedown, "doc_id")
+      Corpus.hashSplit(
+        cleared.select(col("doc_id"), col("source"),
+          TextAnalysis.redactPii(col("text")).as("redacted")),
+        "doc_id", valFrac = 0.1, testFrac = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash-based train/val/test split: 32-bit md5 slice vs
     // exact integer thresholds — O(1)/row, stable under corpus growth
     "x63_hash_split" -> ((s, dir) => {
@@ -1587,6 +1609,37 @@ object ExtensionQueries {
         |  CAST(CASE WHEN (p // 4) % 2 = 0 THEN p % 4 ELSE 3 - (p % 4) END AS INT) AS shard,
         |  CAST(p // 4 AS BIGINT) AS shard_pos
         |FROM pk JOIN sr USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x73_provenance_e2e" ->
+      s"""WITH b AS (SELECT source,
+         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+         |  FROM documents),
+         |st AS (SELECT source, count(*) AS nd,
+         |         sum(CASE WHEN n < 40 THEN 1 ELSE 0 END) AS ns
+         |       FROM b GROUP BY source),
+         |ks AS (SELECT source FROM st
+         |       WHERE nd >= 3 AND CAST(ns AS DOUBLE) / nd <= 0.4),
+         |k AS (SELECT d.* FROM documents d
+         |      JOIN ks ON d.source IS NOT DISTINCT FROM ks.source
+         |      WHERE NOT EXISTS (
+         |        SELECT 1 FROM documents t
+         |        WHERE t.doc_id = d.doc_id
+         |          AND CAST(concat('0x', substr(md5('takedown|' ||
+         |                CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              < 644245094))
+         |SELECT doc_id, source,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${TextAnalysis.PhonePattern}', '[PHONE]', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '[IP]', 'g') AS redacted,
+         |  CASE WHEN sl < 429496729 THEN 'val'
+         |       WHEN sl < 858993459 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT *,
+         |        CAST(concat('0x', substr(md5('split|' ||
+         |          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
+         |      FROM k)
+         |ORDER BY doc_id""".stripMargin,
     "x63_hash_split" ->
       // thresholds: floor(0.1·2^32) = 429496729, floor(0.2·2^32) = 858993459
       """SELECT doc_id,
