@@ -499,6 +499,38 @@ object Corpus {
   def mergeTermCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("term")).agg(sum(col("c")).as("c"))
 
+  /** Corpus accounting table — the "dataset card" numbers (docs, chars,
+    * whitespace tokens per (lang, source) cell), built so the table is
+    * ADDITIVE: `merge(table(a), table(b)) = table(a ∪ b)` for disjoint
+    * batches, because every column is a key-wise sum of per-row integers.
+    * Maintain it per ingest batch ([[graft.util.Maintained]] /
+    * `foreachBatch`) and release-time reporting is a table scan, never a
+    * corpus re-scan — the doc-level sibling of [[termCountTable]].
+    * NULL text contributes 0 chars/tokens (the doc still counts).
+    *
+    * Scale shape: one aggregate keyed by the (lang, source) cell with
+    * map-side combine; output rows = |lang|·|source| cells, KBs each.
+    */
+  def corpusStatsTable(docs: DataFrame, langCol: String, sourceCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(col(langCol), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col(textCol)).cast("long"), lit(0L)))
+          .as("sum_chars"),
+        sum(coalesce(TextAnalysis.whitespaceTokenCount(col(textCol))
+          .cast("long"), lit(0L))).as("sum_toks"))
+
+  /** Additive merge of two [[corpusStatsTable]]s (union + key-wise sums —
+    * commutative and associative, so batches fold in any order).
+    */
+  def mergeCorpusStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val Seq(lang, source) = a.columns.take(2).toSeq
+    a.unionByName(b).groupBy(col(lang), col(source))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        sum(col("sum_toks")).as("sum_toks"))
+  }
+
   /** [[tokenRarity]] scored against a MAINTAINED [[termCountTable]] — the
     * ingest-time contract: a new batch's quality signals are computed
     * against the CURRENT reference counts without re-tokenizing the

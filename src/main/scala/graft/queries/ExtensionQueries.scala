@@ -669,6 +669,19 @@ object ExtensionQueries {
         .orderBy("label", "vec_id")
     }),
 
+    // incremental corpus accounting: dataset-card stats per (lang, source)
+    // cell, built as the ADDITIVE merge of two disjoint batch tables —
+    // the oracle is the straight full-corpus GROUP BY, so the hash check
+    // itself proves merge(table(a), table(b)) = table(a ∪ b)
+    "x74_corpus_stats_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val a = Corpus.corpusStatsTable(
+        d.filter(col("doc_id") % 3 =!= 0), "lang", "source", "text")
+      val b = Corpus.corpusStatsTable(
+        d.filter(col("doc_id") % 3 === 0), "lang", "source", "text")
+      Corpus.mergeCorpusStats(a, b).orderBy("lang", "source")
+    }),
+
     // top-3 TF-IDF keywords per document (raw-idf rational scoring,
     // term-tiebroken)
     "x55_tfidf_terms" -> ((s, dir) => {
@@ -1481,6 +1494,14 @@ object ExtensionQueries {
         |  CAST(rn AS DOUBLE) / n AS pct_rank
         |FROM r WHERE rn > n - ceil(n * 0.7)
         |ORDER BY label, vec_id""".stripMargin,
+    "x74_corpus_stats_incr" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 0
+        |                ELSE length(text) END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+'))
+        |           END) AS BIGINT) AS sum_toks
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x55_tfidf_terms" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l

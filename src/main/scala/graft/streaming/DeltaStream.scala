@@ -437,6 +437,41 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming takedown scan — the right-to-be-forgotten mount of
+    * [[graft.ext.Blocklist]]: here the REMOVAL FEED is the stream
+    * (deletion requests arrive over time; the corpus is at rest). Each
+    * micro-batch of requested keys scans the corpus once and emits the
+    * TOMBSTONES — the keys that actually exist and must be purged — to
+    * `outDir/batch-<id>`, overwrite-per-batch so a crashed-and-retried
+    * batch reproduces the same files (retry-idempotent, the
+    * [[startNearDupFlagging]] contract). Downstream compaction applies the
+    * tombstones with one anti-join ([[graft.ext.Blocklist.bloomAntiJoin]]
+    * when the accumulated list outgrows a broadcast).
+    *
+    * Scale shape: the corpus read is pruned to the key column (parquet
+    * column pruning — the scan never touches text), and the batch's keys
+    * broadcast into a map-only semi-join: per-request work is one pruned
+    * corpus pass, zero shuffles.
+    */
+  def startTakedownScan(spark: SparkSession, feedDir: String,
+      corpusPath: String, outDir: String, checkpointDir: String,
+      keyCol: String = "doc_id"): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(keyCol, org.apache.spark.sql.types.LongType)
+    spark.readStream.schema(schema).json(feedDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          s.read.parquet(corpusPath).select(col(keyCol))
+            .join(broadcast(batch.select(col(keyCol)).distinct()),
+              Seq(keyCol), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Watermarked windowed aggregation over an ODS-shaped stream: events per
     * (event-time window × magnitude category). Late data beyond the
     * watermark is dropped and closed windows emit finalized counts — the

@@ -390,6 +390,25 @@ class CorpusSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("corpusStatsTable merges additively: merge(table(a), table(b)) = " +
+    "table(a ∪ b); null text counts the doc but 0 chars/tokens") {
+    val docs = Seq(
+      (1L, "en", "s1", "one two three"), (2L, "en", "s1", "four"),
+      (3L, "fr", "s2", null.asInstanceOf[String]),
+      (4L, "fr", "s2", ""), (5L, "en", "s2", "five six")
+    ).toDF("doc_id", "lang", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val whole = rows(Corpus.corpusStatsTable(docs, "lang", "source", "text"))
+    val a = Corpus.corpusStatsTable(docs.filter(col("doc_id") <= 2), "lang", "source", "text")
+    val b = Corpus.corpusStatsTable(docs.filter(col("doc_id") > 2), "lang", "source", "text")
+    assert(rows(Corpus.mergeCorpusStats(a, b)) === whole)
+    assert(rows(Corpus.mergeCorpusStats(b, a)) === whole) // commutative
+    assert(whole.contains(("fr", "s2", 2L, 0L, 0L)))      // null+empty text
+    assert(whole.contains(("en", "s1", 2L, 17L, 4L)))
+  }
+
   test("sourceReputationFilter: per-source stats attached, verdict on " +
     "minDocs + short fraction, null source forms its own group") {
     val docs = Seq(

@@ -531,4 +531,37 @@ class DeltaStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/buckets").select("vec_id").distinct()
       .as[Long].collect().sorted === Array(1L, 2L, 10L, 11L, 20L, 21L))
   }
+
+  test("takedown scan: each feed batch emits only the keys that exist in " +
+    "the corpus, per-batch outputs are isolated") {
+    import spark.implicits._
+    val root = tmpDir("takedown")
+    val corpus = s"$root/corpus"
+    (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.parquet(corpus)
+    val feed = s"$root/feed"
+    Files.createDirectories(Paths.get(feed))
+
+    def jsonl(path: String, ids: Long*): Unit =
+      Files.write(Paths.get(path),
+        ids.map(i => s"""{"doc_id": $i}""").asJava)
+
+    val q = DeltaStream.startTakedownScan(spark, feed, corpus,
+      s"$root/out", s"$root/ckpt")
+    try {
+      // batch 0: ids 3 and 7 exist, 999 doesn't — tombstones are the
+      // intersection, requests for absent keys vanish
+      jsonl(s"$feed/b0.json", 3L, 7L, 999L)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/out/batch-0")
+        .as[Long].collect().sorted === Array(3L, 7L))
+      // batch 1 lands in its own directory, batch 0 untouched
+      jsonl(s"$feed/b1.json", 7L, 8L)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/out/batch-1")
+        .as[Long].collect().sorted === Array(7L, 8L))
+      assert(spark.read.parquet(s"$root/out/batch-0")
+        .as[Long].collect().sorted === Array(3L, 7L))
+    } finally q.stop()
+  }
 }
