@@ -546,6 +546,21 @@ object Similarity {
     Dedup.dedupByClusters(emb, idCol,
       cellNearDupPairs(emb, idCol, vecCol, nCells, minCos))
 
+  /** Public IVF cell assignment: (`idCol`, `cell`) for every vector, the
+    * same deterministic map-only pass the whole IVF family uses
+    * ([[centroidRow]] seeds = `nCells` smallest-id vectors; ties toward
+    * the smaller centroid id). The semantic-partition primitive: feed the
+    * cells to [[graft.ext.Corpus.stratifiedSample]] (cap per cluster —
+    * diversity downsampling), [[graft.ext.Corpus.mixtureSample]]
+    * (cluster-balanced mixtures) or per-cell stats. One broadcast of a
+    * single centroid row, zero shuffles beyond the spread.
+    */
+  def cellAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    spread(withNorm(emb, idCol, vecCol, idCol, "_v", "_n"))
+      .join(broadcast(centroidRow(emb, idCol, vecCol, nCells)))
+      .select(col(idCol), assignedCell(col("_v"), col("_n")).as("cell"))
+
   /** Prototypicality of every vector against its OWN label's centroid —
     * the signal behind centroid-based example pruning (Sorscher et al.
     * 2022, "Beyond neural scaling laws": distance-to-prototype decides

@@ -657,6 +657,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // semantic-diversity downsampling: IVF cell assignment (x16's
+    // deterministic map-only pass) composed with the per-stratum cap —
+    // at most 20 vectors per semantic cluster, md5-order deterministic
+    "x75_cluster_cap_sample" -> ((s, dir) => {
+      val cells = Similarity.cellAssignments(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
+      Corpus.stratifiedSample(cells, "cell", "vec_id", k = 20)
+        .orderBy("cell", "vec_id")
+    }),
+
     // centroid-based example pruning: keep each label's most prototypical
     // 70% by cosine-to-centroid (Sorscher et al. 2022 signal); decimal-
     // exact centroids, rank via the range-partitioned two-pass shape
@@ -1471,6 +1481,26 @@ object ExtensionQueries {
          |  ((CAST(ss AS DOUBLE) / n) / 4294967296.0 - 0.5 >= 0) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "x75_cluster_cap_sample" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        |              FROM embeddings ORDER BY vec_id LIMIT 16),
+        |scored AS (SELECT e.vec_id, c.cid,
+        |             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(c.cvec AS DOUBLE[])) /
+        |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+        |                                      CAST(c.cvec AS DOUBLE[])))) AS s
+        |           FROM embeddings e CROSS JOIN cent c),
+        |asn AS (SELECT vec_id, cid AS cell FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cid) AS rn
+        |           FROM scored) WHERE rn = 1)
+        |SELECT vec_id, cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS _rn
+        |  FROM asn)
+        |WHERE _rn <= 20 ORDER BY cell, vec_id""".stripMargin,
     "x72_embed_outlier_prune" ->
       """WITH j AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

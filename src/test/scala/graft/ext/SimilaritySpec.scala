@@ -294,6 +294,27 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("cellAssignments: deterministic, total (every vector gets a cell), " +
+    "cells drawn from the seed ids; composes with the per-stratum cap") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(2f, 0.1f)), (4L, Array(0.1f, 3f)), (5L, Array(-1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cellAssignments(emb, "vec_id", "embedding", nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.values.toSet.subsetOf(Set(1L, 2L))) // seeds = 2 smallest ids
+    assert(out(3L) === 1L && out(4L) === 2L)       // nearest centroid wins
+    val again = Similarity
+      .cellAssignments(emb.repartition(4), "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+    val capped = Corpus.stratifiedSample(
+      Similarity.cellAssignments(emb, "vec_id", "embedding", 2),
+      "cell", "vec_id", k = 1)
+    assert(capped.count() === 2L) // one survivor per semantic cell
+  }
+
   test("centroidPrototypicality: cosine to the OWN label's centroid, " +
     "partitioning-invariant; top fraction keeps the most central") {
     val emb = Seq(
