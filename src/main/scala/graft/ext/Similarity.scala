@@ -561,6 +561,35 @@ object Similarity {
       .join(broadcast(centroidRow(emb, idCol, vecCol, nCells)))
       .select(col(idCol), assignedCell(col("_v"), col("_n")).as("cell"))
 
+  /** Materializable centroid table — (`_cid`, `_cvec`, `_cn`) rows, the
+    * storage form of [[centroidRow]]'s single collected row (seeds =
+    * `nCells` smallest-id vectors, same determinism). Register it once
+    * with [[graft.util.Maintained]] and route every later batch with
+    * [[cellAssignmentsAgainst]]: the corpus is never re-read to assign a
+    * batch, the maintained-table contract of the signature/bucket/gram
+    * tables (x41/x42/x50).
+    */
+  def centroidTable(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_cn"))
+
+  /** [[cellAssignments]] against a MAINTAINED [[centroidTable]] — per-batch
+    * work is the batch's own map-only scoring pass against one broadcast
+    * centroid row; the row order of the stored table is irrelevant because
+    * the assignment sort breaks ties on centroid id, not array position.
+    */
+  def cellAssignmentsAgainst(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val centRow = cents
+      .agg(collect_list(struct(col("_cid"), col("_cvec"), col("_cn")))
+        .as("_cents"))
+    spread(withNorm(emb, idCol, vecCol, idCol, "_v", "_n"))
+      .join(broadcast(centRow))
+      .select(col(idCol), assignedCell(col("_v"), col("_n")).as("cell"))
+  }
+
   /** Prototypicality of every vector against its OWN label's centroid —
     * the signal behind centroid-based example pruning (Sorscher et al.
     * 2022, "Beyond neural scaling laws": distance-to-prototype decides

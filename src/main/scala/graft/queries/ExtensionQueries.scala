@@ -667,6 +667,21 @@ object ExtensionQueries {
         .orderBy("cell", "vec_id")
     }),
 
+    // incremental semantic routing: new vectors assigned to cells against
+    // a MAINTAINED centroid table (corpus seeds computed once at
+    // registration; per-batch work = the batch's own scoring pass)
+    "x76_cell_assign_incr" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = Maintained.table(s, s"$dir/embeddings.parquet",
+        "cell_centroids_mod3_c16") {
+        Similarity.centroidTable(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", nCells = 16)
+      }
+      Similarity.cellAssignmentsAgainst(e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    }),
+
     // centroid-based example pruning: keep each label's most prototypical
     // 70% by cosine-to-centroid (Sorscher et al. 2022 signal); decimal-
     // exact centroids, rank via the range-partitioned two-pass shape
@@ -1481,6 +1496,24 @@ object ExtensionQueries {
          |  ((CAST(ss AS DOUBLE) / n) / 4294967296.0 - 0.5 >= 0) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "x76_cell_assign_incr" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        |              FROM embeddings WHERE vec_id % 3 <> 0
+        |              ORDER BY vec_id LIMIT 16),
+        |scored AS (SELECT e.vec_id, c.cid,
+        |             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(c.cvec AS DOUBLE[])) /
+        |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+        |                                      CAST(c.cvec AS DOUBLE[])))) AS s
+        |           FROM embeddings e CROSS JOIN cent c
+        |           WHERE e.vec_id % 3 = 0)
+        |SELECT vec_id, cid AS cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY s DESC, cid) AS rn
+        |   FROM scored) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "x75_cluster_cap_sample" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings ORDER BY vec_id LIMIT 16),

@@ -315,6 +315,28 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.count() === 2L) // one survivor per semantic cell
   }
 
+  test("cellAssignmentsAgainst: equals the direct assignment when the " +
+    "table comes from the same corpus; stored row order is irrelevant") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(2f, 0.1f)), (4L, Array(0.1f, 3f)), (5L, Array(-1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val direct = Similarity.cellAssignments(emb, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val table = Similarity.centroidTable(emb, "vec_id", "embedding", 2)
+    val viaTable = Similarity
+      .cellAssignmentsAgainst(emb, "vec_id", "embedding", table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTable === direct)
+    // a shuffled/reversed table yields the same assignment — ties break on
+    // centroid id inside the sort, not on array position
+    val reversed = table.orderBy(col("_cid").desc).repartition(3)
+    val viaReversed = Similarity
+      .cellAssignmentsAgainst(emb, "vec_id", "embedding", reversed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReversed === direct)
+  }
+
   test("centroidPrototypicality: cosine to the OWN label's centroid, " +
     "partitioning-invariant; top fraction keeps the most central") {
     val emb = Seq(
