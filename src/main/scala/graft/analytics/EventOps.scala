@@ -119,4 +119,69 @@ object EventOps {
       .select(leftCols.map(col) ++ payloadCols.map(c =>
         col("_asof_row").getField(s"_p_$c").as(s"$outPrefix$c")): _*)
   }
+
+  /** Ordered funnel: for each entity that performed `steps.head`, the
+    * EARLIEST completion chain — `t1` = first occurrence of step 1,
+    * `t(i)` = first occurrence of step i STRICTLY after `t(i-1)` (the
+    * standard earliest-conversion semantics; a broken chain leaves the
+    * remaining steps null, and `steps_completed` counts the prefix that
+    * matched). One row per entity with `t1..tN` timestamps.
+    *
+    * Deliberately the min-chain formulation, not a per-entity sorted
+    * replay: each step is one filtered `(entity → min ts)` aggregate with
+    * map-side combine joined back on the entity key — |steps| compact
+    * hash exchanges, no per-entity buffering, no window sort, and a step
+    * whose events are skewed onto one entity still partial-aggregates
+    * flat. A null `t(i-1)` nulls the join condition, so breaks propagate
+    * without special-casing.
+    */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val s0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(s0) {
+      case (acc, (step, i)) =>
+        val prevC = s"t${i + 1}"
+        val curC = s"t${i + 2}"
+        val nxt = events.filter(col(typeCol) === step)
+          .select(col(entityCol).as("_e"), col(tsCol).as("_ts"))
+        val keep = acc.columns
+        acc.join(nxt,
+            acc(entityCol) === nxt("_e") && nxt("_ts") > acc(prevC), "left")
+          .groupBy(keep.map(acc(_)): _*)
+          .agg(min(col("_ts")).as(curC))
+    }
+    val completed = (2 to steps.size).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(s"t$i").isNotNull, 1).otherwise(0)
+    }
+    chained.withColumn("steps_completed", completed.cast("int"))
+  }
+
+  /** Retention cohorts: users bucketed by the `bucketDays`-day index of
+    * their FIRST event (cohort), counted once per (cohort, age) cell where
+    * age = activity bucket − cohort bucket. Bucket indices are exact
+    * integer day arithmetic from `anchorDate` — engine-agnostic, unlike
+    * week truncation whose anchor varies. Output: (`cohort_bucket`,
+    * `bucket_age`, `n_active`), the classic retention triangle.
+    *
+    * Scale shape: distinct (entity, bucket) activity + per-entity min —
+    * both entity-keyed aggregates with map-side combine — joined on the
+    * entity, then one tiny (cohort, age) count. Nothing corpus-wide.
+    */
+  def retentionCohorts(events: DataFrame, entityCol: String, tsCol: String,
+      anchorDate: String, bucketDays: Int = 7): DataFrame = {
+    require(bucketDays > 0, "need bucketDays > 0")
+    val bucket = floor(
+      datediff(col(tsCol).cast("date"), to_date(lit(anchorDate)))
+        / bucketDays).cast("long")
+    val activity = events
+      .select(col(entityCol).as("_e"), bucket.as("_b")).distinct()
+    val cohorts = activity.groupBy(col("_e")).agg(min(col("_b")).as("_c"))
+    activity.join(cohorts, Seq("_e"))
+      .groupBy(col("_c").as("cohort_bucket"),
+        (col("_b") - col("_c")).as("bucket_age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

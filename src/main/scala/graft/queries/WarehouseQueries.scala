@@ -252,6 +252,22 @@ object WarehouseQueries {
         .orderBy("event_id", "session_id")
     }),
 
+    // ordered funnel view→click→purchase: earliest-conversion min-chain,
+    // one filtered entity-keyed aggregate per step, no per-user replay
+    "x77_funnel" -> ((s, dir) => {
+      graft.analytics.EventOps.funnel(Tables(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
+    // retention triangle: 7-day buckets from an anchor date, exact integer
+    // day arithmetic (engine-agnostic, unlike week truncation)
+    "x78_retention" -> ((s, dir) => {
+      graft.analytics.EventOps.retentionCohorts(Tables(s, dir, "events"),
+        "user_id", "ts", anchorDate = "2024-01-01", bucketDays = 7)
+        .orderBy("cohort_bucket", "bucket_age")
+    }),
+
     // schema-driven JSON column extraction + typed aggregation
     "x26_json_extract" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -487,6 +503,34 @@ object WarehouseQueries {
         |SELECT p.event_id, p.user_id, p.ts, p.value, v.value AS view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "x77_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |       FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |       FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS steps_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "x78_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7)
+        |      AS BIGINT) AS b
+        |  FROM events),
+        |c AS (SELECT user_id, min(b) AS cb FROM a GROUP BY 1)
+        |SELECT c.cb AS cohort_bucket, a.b - c.cb AS bucket_age,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x26_json_extract" ->
       """SELECT event_type,

@@ -165,4 +165,50 @@ class EventOpsSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("r_a")))
     assert(row.getString(row.fieldIndex("r_b")) === "new")
   }
+
+  test("funnel: earliest ordered chain, strict ordering, broken chains " +
+    "leave null tails, entry step required") {
+    val events = Seq(
+      // user 1: full conversion, but the earliest click precedes the view
+      // and must NOT count — t2 is the 10:20 click, t3 the 10:30 purchase
+      (1L, "click", ts("2026-08-12 09:00:00")),
+      (2L, "view", ts("2026-08-12 10:00:00")),
+      (3L, "click", ts("2026-08-12 10:20:00")),
+      (4L, "purchase", ts("2026-08-12 10:30:00")),
+      // user 2: view then purchase with NO intervening click — chain
+      // breaks at step 2 even though a purchase exists
+      (5L, "view", ts("2026-08-12 10:00:00")),
+      (6L, "purchase", ts("2026-08-12 11:00:00")),
+      // user 3: never viewed → not in the funnel at all
+      (7L, "click", ts("2026-08-12 10:00:00"))
+    ).map { case (id, t, w) => (id, t, w, 9L) }
+      .toDF("event_id", "event_type", "ts", "user_id")
+      .withColumn("user_id",
+        when(col("event_id") <= 4, 1L).when(col("event_id") <= 6, 2L)
+          .otherwise(3L))
+    val out = EventOps.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getInt(4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((Some(ts("2026-08-12 10:00:00")),
+      Some(ts("2026-08-12 10:20:00")), Some(ts("2026-08-12 10:30:00")), 3)))
+    assert(out(2L) === ((Some(ts("2026-08-12 10:00:00")), None, None, 1)))
+  }
+
+  test("retentionCohorts: integer day buckets from the anchor, users " +
+    "counted once per (cohort, age) cell") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-02 10:00:00")), // user 10: cohort bucket 0
+      (2L, 10L, ts("2024-01-09 10:00:00")), // active again in bucket 1
+      (3L, 10L, ts("2024-01-10 10:00:00")), // same bucket — counted once
+      (4L, 20L, ts("2024-01-09 10:00:00")), // user 20: cohort bucket 1
+      (5L, 30L, ts("2024-01-02 10:00:00"))  // user 30: cohort 0, one visit
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventOps.retentionCohorts(events, "user_id", "ts",
+      "2024-01-01", bucketDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
 }
