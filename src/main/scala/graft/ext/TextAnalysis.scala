@@ -121,14 +121,20 @@ object TextAnalysis {
     * `score = bias + (Σslice/n)/2³² − 0.5` — deliberately not a
     * per-token float sum, whose accumulation order would differ across
     * engines.
+    *
+    * The accumulator is the fused native
+    * [[graft.functions.HashedLinearSum]] — one straight-line codegen'd
+    * pass over the canonical bytes, no token array, no interpreted
+    * higher-order lambdas (the `aggregate(transform(split(...)))`
+    * formulation it replaced evaluates per-element lambdas outside
+    * whole-stage codegen).
     */
   def hashedLinearScore(text: Column, salt: String = "clf",
       bias: Double = 0.0): Column = {
-    val toks = tokens(text)
-    val sumSlices = aggregate(toks, lit(0L), (acc, t) =>
-      acc + conv(substring(md5(concat(lit(salt + "|"), t)), 1, 8), 16, 10)
-        .cast("long"))
-    lit(bias) + (sumSlices.cast("double") / size(toks)) / 4294967296.0 - 0.5
+    val acc = shim.column(graft.functions.HashedLinearSum(
+      shim.expression(normalize(text)), salt))
+    lit(bias) +
+      (acc.getItem(0).cast("double") / acc.getItem(1)) / 4294967296.0 - 0.5
   }
 
   /** PII-pattern scan counts (emails, phone-ish numbers, IPv4) — the

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** `SparkSessionExtensions` installer for graft's native expressions, so
   * they are callable from SQL text as well as the DataFrame API:
@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.IntegerType
   *  - `minhash_sigs(string, groups int literal, shingleLen int literal)
   *    -> array<bigint>` — whole-document MinHash signature
   *    ([[MinhashSigs]]).
+  *  - `hashed_linear_sum(string, salt string literal) -> array<bigint>`
+  *    — `[Σ hashed-weight slices, token count]` accumulator of the
+  *    hashing-trick linear scorer ([[HashedLinearSum]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -73,6 +76,20 @@ object GraftExtensions {
           "minhash_sigs(s, groups, shingleLen) takes three arguments")
         MinhashSigs(args.head, intLit(args(1), "minhash_sigs groups"),
           intLit(args(2), "minhash_sigs shingleLen"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_linear_sum"),
+      new ExpressionInfo(classOf[HashedLinearSum].getName, "hashed_linear_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "hashed_linear_sum(s, salt) takes two arguments")
+        val salt = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"hashed_linear_sum salt must be a string literal, got $other")
+        }
+        HashedLinearSum(args.head, salt)
       }))
   }
 

@@ -170,6 +170,36 @@ class ExpressionsSpec extends SparkSpec {
       .toLongArray().toSeq)
   }
 
+  test("HashedLinearSum: matches the independent md5-slice oracle, " +
+    "empty input is one empty token, multibyte tokens hash whole") {
+    import spark.implicits._
+    def w(salt: String, t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$t".getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def oracle(salt: String, s: String): Seq[Long] = {
+      val toks = s.split(" ", -1).toSeq
+      Seq(toks.map(w(salt, _)).sum, toks.size.toLong)
+    }
+    for (s <- Seq("one two three", "", "solo", "héllo wörld", "a  b")) {
+      assert(HashedLinearSum.sumAndCount(UTF8String.fromString(s), "clf")
+        .toLongArray().toSeq === oracle("clf", s), s"s=[$s]")
+    }
+    // codegen path via DataFrame + the SQL registration
+    val viaDf = Seq("one two three").toDF("s")
+      .select(shim.column(HashedLinearSum(shim.expression(col("s")), "clf")).as("a"))
+      .head().getSeq[Long](0)
+    assert(viaDf === oracle("clf", "one two three"))
+    val viaSql = spark.sql("SELECT hashed_linear_sum('one two three', 'clf') AS a")
+      .head().getSeq[Long](0)
+    assert(viaSql === oracle("clf", "one two three"))
+    // salt changes the weights
+    assert(HashedLinearSum.sumAndCount(UTF8String.fromString("x"), "other")
+      .toLongArray()(0) !== w("clf", "x"))
+  }
+
   test("SimhashBits: matches the hex-nibble oracle formula, eval and codegen") {
     import spark.implicits._
     val inputs = Seq("token", "", "héllo", "x" * 64)
