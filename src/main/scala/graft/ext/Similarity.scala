@@ -590,6 +590,59 @@ object Similarity {
       .select(col(idCol), assignedCell(col("_v"), col("_n")).as("cell"))
   }
 
+  /** Full Lloyd k-means over the embedding corpus: `iters` rounds of
+    * (assign to nearest centroid by cosine, recompute element-wise decimal
+    * means), generalizing [[ivfTopKRefined]]'s single refine step into the
+    * standalone clustering operator (topic discovery, cluster-balanced
+    * mixtures, IVF codebook training). Returns the refined centroid table
+    * in [[centroidTable]]'s row form — feed it to
+    * [[cellAssignmentsAgainst]] for the final assignments, or persist it
+    * as the maintained routing table (x76).
+    *
+    * Determinism and cross-engine exactness: seeds are the `k` smallest-id
+    * vectors; assignment ties break toward the smaller centroid id; means
+    * are exact decimal(28,10) sums with ONE double division per element —
+    * the [[graft.ext.Corpus.strataCentroids]] arithmetic — so every round
+    * is bit-reproducible on any engine and partitioning. A cell that loses
+    * all members simply vanishes (standard Lloyd without re-seeding;
+    * cluster count can only shrink).
+    *
+    * Scale shape per round: one map-only assignment pass (broadcast of a
+    * single k×dims centroid row) + one (cell, dim)-keyed decimal-sum
+    * aggregate with map-side combine (shuffle O(k·dims)) — the canonical
+    * distributed k-means round, nothing corpus-wide ever concentrates.
+    * Each round's centroid table is a few KB; at production iteration
+    * counts materialize it between rounds (parquet/[[graft.util
+    * .Maintained]]) instead of nesting `iters` plans, exactly like the
+    * x76 routing-table contract.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "need k > 0, iters >= 0")
+    val vectors = spread(withNorm(emb, idCol, vecCol, "_id", "_v", "_n"))
+    var cents = centroidTable(emb, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val centRow = cents
+        .agg(collect_list(struct(col("_cid"), col("_cvec"), col("_cn")))
+          .as("_cents"))
+      val asn = vectors.join(broadcast(centRow))
+        .select(assignedCell(col("_v"), col("_n")).as("_cell"), col("_v"))
+      cents = asn
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg(sum(col("_val").cast("decimal(28,10)")).as("_sum"),
+          count(lit(1)).as("_cnt"))
+        .groupBy(col("_cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"),
+            (col("_sum").cast("double") / col("_cnt")).as("_avg")))),
+          s => s.getField("_avg")).as("_cvec"))
+        .select(col("_cell").as("_cid"), col("_cvec"),
+          sqrt(dot(col("_cvec"), col("_cvec"))).as("_cn"))
+    }
+    cents
+  }
+
   /** Prototypicality of every vector against its OWN label's centroid —
     * the signal behind centroid-based example pruning (Sorscher et al.
     * 2022, "Beyond neural scaling laws": distance-to-prototype decides

@@ -682,6 +682,17 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // full Lloyd k-means (2 rounds, k=8) + final assignment — the
+    // standalone clustering operator; decimal-exact means, deterministic
+    // seeds/ties, one broadcast + one (cell,dim) agg per round
+    "x79_kmeans_assign" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.cellAssignmentsAgainst(e, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    }),
+
     // centroid-based example pruning: keep each label's most prototypical
     // 70% by cosine-to-centroid (Sorscher et al. 2022 signal); decimal-
     // exact centroids, rank via the range-partitioned two-pass shape
@@ -1013,6 +1024,39 @@ object ExtensionQueries {
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
       |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
       |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+
+  /** DuckDB mirror of x79: 2 unrolled Lloyd rounds (assign → decimal-exact
+    * means) + the final assignment, sharing x35's VARCHAR-routed decimal
+    * cast and the IVF family's assignment ordering.
+    */
+  private def kmeansAssignSql: String = {
+    def asn(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, cell FROM (
+         |  SELECT t.vec_id, t.v, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |      list_dot_product(t.v, c.cvec) /
+         |        (sqrt(list_dot_product(t.v, t.v)) *
+         |         sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid) AS rn
+         |  FROM $src t CROSS JOIN $cents c) WHERE rn = 1)"""
+    def means(src: String, out: String) =
+      s"""${out}m AS (SELECT cell, CAST(i AS INT) - 1 AS pos,
+         |    CAST(sum(CAST(CAST(v[CAST(i AS INT)] AS VARCHAR)
+         |      AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+         |  FROM $src, unnest(generate_series(1, len(v))) AS u(i)
+         |  GROUP BY 1, 2),
+         |$out AS (SELECT cell AS cid, list(m ORDER BY pos) AS cvec
+         |         FROM ${out}m GROUP BY cell)"""
+    s"""WITH t0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+       |       FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${asn("t0", "c0", "a0")},
+       |${means("a0", "c1")},
+       |${asn("t0", "c1", "a1")},
+       |${means("a1", "c2")},
+       |${asn("t0", "c2", "af")}
+       |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin
+  }
 
   private def topkSql: String =
     s"""WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
@@ -1496,6 +1540,7 @@ object ExtensionQueries {
          |  ((CAST(ss AS DOUBLE) / n) / 4294967296.0 - 0.5 >= 0) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "x79_kmeans_assign" -> kmeansAssignSql,
     "x76_cell_assign_incr" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings WHERE vec_id % 3 <> 0

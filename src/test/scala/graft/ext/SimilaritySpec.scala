@@ -337,6 +337,33 @@ class SimilaritySpec extends SparkSpec {
     assert(viaReversed === direct)
   }
 
+  test("kmeansCentroids: Lloyd rounds move centroids to cluster means, " +
+    "iters=0 returns the seeds, empty cells vanish") {
+    // two tight cosine clusters; seeds (ids 1, 2) both sit in cluster A,
+    // so round 1 must migrate one centroid toward cluster B
+    val emb = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(1f, -0.1f)), (3L, Array(1f, 0f)),
+      (4L, Array(0.1f, 1f)), (5L, Array(-0.1f, 1f)), (6L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 2, iters = 0)
+    assert(seeds.select("_cid").as[Long].collect().sorted === Array(1L, 2L))
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val asn = Similarity
+      .cellAssignmentsAgainst(emb, "vec_id", "embedding", c2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after two rounds the x-cluster and y-cluster separate cleanly
+    assert(Set(asn(1L), asn(2L), asn(3L)).size === 1)
+    assert(Set(asn(4L), asn(5L), asn(6L)).size === 1)
+    assert(asn(1L) !== asn(4L))
+    // k = corpus size: every vector is its own seed; a later round keeps
+    // at most that many cells (none can split)
+    val cAll = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 6, iters = 1)
+    assert(cAll.count() <= 6L)
+  }
+
   test("centroidPrototypicality: cosine to the OWN label's centroid, " +
     "partitioning-invariant; top fraction keeps the most central") {
     val emb = Seq(
