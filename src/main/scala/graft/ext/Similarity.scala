@@ -546,6 +546,35 @@ object Similarity {
     Dedup.dedupByClusters(emb, idCol,
       cellNearDupPairs(emb, idCol, vecCol, nCells, minCos))
 
+  /** Recall report for the banded-LSH near-dup path: every EXACT pair at
+    * `threshold` (the [[cosineNearDups]] baseline, `maxExactRows`-guarded)
+    * checked for presence in [[cosineNearDupsBlocked]]'s candidate+verify
+    * output, aggregated per cosine band (width 0.05) — the measured form
+    * of the recall claim in the blocked path's docstring, and the tuning
+    * harness for `nPlanes`/`bands`: run it on a guarded sample, read
+    * where recall dips, adjust the banding. Output: (`band` =
+    * ⌊cosine·20⌋, `n_exact`, `n_found`, `recall`), ascending.
+    *
+    * The exact side is deliberately the all-pairs oracle — this REPORT is
+    * a sampled tuning pass (the guard makes that explicit), not a corpus
+    * operator; production near-dup stays on the blocked path whose recall
+    * this measures.
+    */
+  def nearDupRecallReport(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, bands: Int = 2, dims: Int = 64,
+      maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    val exact = cosineNearDups(emb, idCol, vecCol, threshold, maxExactRows)
+    val found = cosineNearDupsBlocked(emb, idCol, vecCol, threshold,
+        nPlanes, bands, dims)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("_found"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("cosine") * 20).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("_found"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_exact"))
+  }
+
   /** Public IVF cell assignment: (`idCol`, `cell`) for every vector, the
     * same deterministic map-only pass the whole IVF family uses
     * ([[centroidRow]] seeds = `nCells` smallest-id vectors; ties toward

@@ -682,6 +682,15 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // LSH recall report: exact near-dup pairs vs the blocked path's
+    // output, per 0.05 cosine band — the measured tuning harness for
+    // nPlanes/bands (sampled pass; the guard names the contract)
+    "x80_lsh_recall_report" -> ((s, dir) => {
+      Similarity.nearDupRecallReport(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+        .orderBy("band")
+    }),
+
     // full Lloyd k-means (2 rounds, k=8) + final assignment — the
     // standalone clustering operator; decimal-exact means, deterministic
     // seeds/ties, one broadcast + one (cell,dim) agg per round
@@ -1541,6 +1550,20 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x80_lsh_recall_report" ->
+      s"""WITH ${embedPairCtes()},
+         |ex AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |         round($cosSql, 9) AS cosine
+         |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |       WHERE $cosSql >= 0.45)
+         |SELECT CAST(floor(ex.cosine * 20) AS INT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN vp.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_found,
+         |  CAST(CAST(sum(CASE WHEN vp.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS DOUBLE) / count(*) AS recall
+         |FROM ex LEFT JOIN vp USING (doc_a, doc_b)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x76_cell_assign_incr" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings WHERE vec_id % 3 <> 0
