@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Blocklist, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Blocklist, Corpus, Dedup, Multimodal, Privacy, Similarity, TextAnalysis}
 import graft.util.{Maintained, Tables}
 import org.apache.spark.sql.functions._
 
@@ -689,6 +689,17 @@ object ExtensionQueries {
       Similarity.nearDupRecallReport(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)
         .orderBy("band")
+    }),
+
+    // k-anonymity suppression on (lang, source, size-band) quasi-
+    // identifiers: rows whose QI equivalence class has < 5 members come
+    // back with the QIs nulled — release-gate for corpus metadata
+    "x82_k_anonymity" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / lit(200.0)).cast("int").as("size_bucket"))
+      Privacy.kAnonymitySuppress(d, Seq("lang", "source", "size_bucket"),
+        k = 5).orderBy("doc_id")
     }),
 
     // full Lloyd k-means (2 rounds, k=8) + final assignment — the
@@ -1550,6 +1561,21 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x82_k_anonymity" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |             CAST(floor(n_chars / 200.0) AS INT) AS size_bucket
+        |           FROM documents),
+        |c AS (SELECT lang, source, size_bucket,
+        |        CAST(count(*) AS BIGINT) AS class_size
+        |      FROM d GROUP BY 1, 2, 3)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.class_size < 5 THEN NULL ELSE d.lang END AS lang,
+        |  CASE WHEN c.class_size < 5 THEN NULL ELSE d.source END AS source,
+        |  CASE WHEN c.class_size < 5 THEN NULL ELSE d.size_bucket END
+        |    AS size_bucket,
+        |  c.class_size, (c.class_size < 5) AS suppressed
+        |FROM d JOIN c USING (lang, source, size_bucket)
+        |ORDER BY doc_id""".stripMargin,
     "x80_lsh_recall_report" ->
       s"""WITH ${embedPairCtes()},
          |ex AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

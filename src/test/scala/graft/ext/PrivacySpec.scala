@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** k-anonymity report + suppression: class sizes, the k threshold boundary,
+  * null-QI classes, and the suppressed release being k-anonymous.
+  */
+class PrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // classes: (en,a)×4, (en,b)×2, (de,a)×1, (null,a)×2
+  private def rows = Seq(
+    (1L, Some("en"), "a"), (2L, Some("en"), "a"), (3L, Some("en"), "a"),
+    (4L, Some("en"), "a"), (5L, Some("en"), "b"), (6L, Some("en"), "b"),
+    (7L, Some("de"), "a"), (8L, None, "a"), (9L, None, "a")
+  ).toDF("id", "lang", "src")
+
+  test("report: class sizes and at_risk at the k boundary") {
+    val got = Privacy.kAnonymityReport(rows, Seq("lang", "src"), k = 2)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("src"),
+        r.getAs[Long]("class_size"), r.getAs[Boolean]("at_risk"))).toSet
+    assert(got === Set(
+      ("en", "a", 4L, false), ("en", "b", 2L, false),
+      ("de", "a", 1L, true), (null, "a", 2L, false)))
+  }
+
+  test("suppress: at-risk rows lose their QIs, others keep them") {
+    val got = Privacy.kAnonymitySuppress(rows, Seq("lang", "src"), k = 3)
+      .orderBy("id").collect()
+    // only (en,a)×4 reaches k=3; all other classes suppress
+    val kept = got.filter(!_.getAs[Boolean]("suppressed"))
+    assert(kept.map(_.getAs[Long]("id")).toSet === Set(1L, 2L, 3L, 4L))
+    assert(kept.forall(r => r.getAs[String]("lang") == "en" &&
+      r.getAs[String]("src") == "a" && r.getAs[Long]("class_size") == 4L))
+    val supp = got.filter(_.getAs[Boolean]("suppressed"))
+    assert(supp.length === 5)
+    assert(supp.forall(r => r.getAs[String]("lang") == null &&
+      r.getAs[String]("src") == null))
+    // class sizes survive suppression (verdict-not-filter: audits see why)
+    assert(supp.map(r => (r.getAs[Long]("id"), r.getAs[Long]("class_size")))
+      .toSet === Set((5L, 2L), (6L, 2L), (7L, 1L), (8L, 2L), (9L, 2L)))
+  }
+
+  test("null QI values form their own audited class and rejoin null-safely") {
+    val got = Privacy.kAnonymitySuppress(rows, Seq("lang", "src"), k = 2)
+      .filter(col("id") >= 8).collect()
+    // the (null, a) class has 2 members — not suppressed at k=2, which
+    // requires the null-safe join to carry its count back
+    assert(got.forall(r => !r.getAs[Boolean]("suppressed") &&
+      r.getAs[Long]("class_size") == 2L && r.getAs[String]("src") == "a"))
+  }
+
+  test("every surviving QI combination is k-anonymous") {
+    val released = Privacy.kAnonymitySuppress(rows, Seq("lang", "src"), k = 2)
+    val classSizes = released.filter(!col("suppressed"))
+      .groupBy("lang", "src").count()
+      .select(col("count")).as[Long].collect()
+    assert(classSizes.nonEmpty && classSizes.forall(_ >= 2L))
+  }
+}
