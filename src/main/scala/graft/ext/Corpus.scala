@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.util.Par
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -781,5 +781,94 @@ object Corpus {
         .agg(aggs.head, aggs.tail: _*)
         .select(col(groupCol) +: named: _*),
       groupCol, ps)
+  }
+
+  /** md5-bucket of one token: first 8 hex chars of `md5("dsir|" + token)`
+    * read as uint32, mod `buckets` — the hashing-trick feature map, salted
+    * apart from the classifier ([[TextAnalysis.hashedLinearScore]]) and
+    * takedown hashes, and mirrored verbatim by the DuckDB oracle.
+    */
+  private def tokenBucket(t: Column, buckets: Int): Column =
+    conv(substring(md5(concat(lit("dsir|"), t)), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Hashed-unigram bucket counts over a corpus: (`bucket`, `n`), one row
+    * per occupied bucket (≤ `buckets` rows total). The multinomial the
+    * importance weighting reads; counts are ADDITIVE across disjoint
+    * batches (merge = sum per bucket), so the table can be MAINTAINED
+    * under ingest exactly like [[termCountTable]] — the corpus is never
+    * re-tokenized to score a new batch.
+    *
+    * Scale shape: one token-explode pass with map-side combine into ≤
+    * `buckets` partial rows per task; the shuffle moves O(`buckets` ×
+    * partitions) tiny rows, never the token stream.
+    */
+  def hashedBucketTable(docs: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_tk"))
+      .groupBy(tokenBucket(col("_tk"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * distribution (the docs matching `targetPred` — a trusted high-quality
+    * slice) than under the RAW corpus. Downstream, sampling ∝ weight
+    * shifts the mix toward target-like text without a trained classifier.
+    *
+    * This is the rational-arithmetic form of DSIR's log-likelihood-ratio:
+    * per document, `target_mass` = Σ_tokens (target_count[bucket]+1) and
+    * `raw_mass` = Σ_tokens (raw_count[bucket]+1) are EXACT integer sums
+    * (add-one smoothing over the `buckets`-cell multinomial), and
+    * `affinity` = (target_mass/targetTotal) / (raw_mass/rawTotal) is two
+    * IEEE divisions of exact integers — bit-stable across engines and
+    * partitionings, where a Σ log p float fold would not be. Affinity is a
+    * monotone proxy for the mean (not summed) per-token ratio: > 1 means
+    * target-like, < 1 raw-typical; consumers rank or threshold on it.
+    *
+    * Scale shape: TWO bucket-table passes ([[hashedBucketTable]] — the
+    * target pass only over the `targetPred` slice), each collapsing to ≤
+    * `buckets` rows COLLECTED to the driver (bounded by construction, like
+    * the IVF centroid tables) and re-broadcast as literal maps; then ONE
+    * map-only scoring pass — per row a fold over its own token buckets, no
+    * explode, no join, no shuffle. For a maintained-table deployment,
+    * build the two tables once, keep them additively updated, and call
+    * [[importanceAffinityAgainst]] per batch.
+    */
+  def importanceAffinity(docs: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame =
+    importanceAffinityAgainst(docs, textCol, idCol,
+      hashedBucketTable(docs.filter(targetPred), textCol, buckets),
+      hashedBucketTable(docs, textCol, buckets), buckets)
+
+  /** [[importanceAffinity]] against prebuilt (maintained) bucket tables —
+    * the per-batch entry point: work ∝ batch, the corpus behind the tables
+    * is never touched. Output: (`idCol`, `n_toks`, `target_mass`,
+    * `raw_mass`, `affinity`), docs with NULL `textCol` dropped.
+    */
+  def importanceAffinityAgainst(docs: DataFrame, textCol: String,
+      idCol: String, targetTable: DataFrame, rawTable: DataFrame,
+      buckets: Int): DataFrame = {
+    def toMap(t: DataFrame): Map[Long, Long] =
+      t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (tMap, rMap) = (toMap(targetTable), toMap(rawTable))
+    // smoothed totals: every one of the `buckets` cells contributes +1
+    val (tN, rN) = (tMap.values.sum + buckets, rMap.values.sum + buckets)
+    def mass(m: Map[Long, Long]) = (acc: Column, b: Column) =>
+      acc + (if (m.isEmpty) lit(0L)
+             else coalesce(element_at(typedLit(m), b), lit(0L))) + lit(1L)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("_b",
+        transform(TextAnalysis.tokens(col(textCol)),
+          t => tokenBucket(t, buckets)))
+      .select(col(idCol), size(col("_b")).cast("long").as("n_toks"),
+        aggregate(col("_b"), lit(0L), mass(tMap)).as("target_mass"),
+        aggregate(col("_b"), lit(0L), mass(rMap)).as("raw_mass"))
+      .withColumn("affinity",
+        (col("target_mass").cast("double") / lit(tN.toDouble)) /
+          (col("raw_mass").cast("double") / lit(rN.toDouble)))
   }
 }

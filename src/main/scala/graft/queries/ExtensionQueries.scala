@@ -691,6 +691,15 @@ object ExtensionQueries {
         .orderBy("band")
     }),
 
+    // DSIR-style importance weighting: hashed-unigram affinity of every
+    // doc to the lang='en' target slice vs the raw corpus — exact integer
+    // masses, two bounded bucket tables, map-only scoring pass
+    "x81_importance_weight" -> ((s, dir) => {
+      Corpus.importanceAffinity(Tables(s, dir, "documents"), "text",
+        "doc_id", targetPred = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
+
     // k-anonymity suppression on (lang, source, size-band) quasi-
     // identifiers: rows whose QI equivalence class has < 5 members come
     // back with the QIs nulled — release-gate for corpus metadata
@@ -1561,6 +1570,31 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x81_importance_weight" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5('dsir|' || tk), 1, 8))
+         |            AS BIGINT) % 256 AS b
+         |        FROM (SELECT doc_id, unnest(l) AS tk FROM t)),
+         |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |ttab AS (SELECT b, count(*) AS n FROM tok
+         |         JOIN tgt USING (doc_id) GROUP BY b),
+         |rtab AS (SELECT b, count(*) AS n FROM tok GROUP BY b),
+         |tots AS (SELECT (SELECT COALESCE(sum(n), 0) FROM ttab) + 256 AS tn,
+         |                (SELECT COALESCE(sum(n), 0) FROM rtab) + 256 AS rn),
+         |m AS (SELECT tok.doc_id,
+         |        CAST(sum(COALESCE(ttab.n, 0) + 1) AS BIGINT) AS target_mass,
+         |        CAST(sum(COALESCE(rtab.n, 0) + 1) AS BIGINT) AS raw_mass,
+         |        CAST(count(*) AS BIGINT) AS n_toks
+         |      FROM tok LEFT JOIN ttab USING (b) LEFT JOIN rtab USING (b)
+         |      GROUP BY tok.doc_id)
+         |SELECT doc_id, n_toks, target_mass, raw_mass,
+         |  (CAST(target_mass AS DOUBLE) / tn) /
+         |    (CAST(raw_mass AS DOUBLE) / rn) AS affinity
+         |FROM m, tots ORDER BY doc_id""".stripMargin
+    },
     "x82_k_anonymity" ->
       """WITH d AS (SELECT doc_id, lang, source,
         |             CAST(floor(n_chars / 200.0) AS INT) AS size_bucket
