@@ -76,19 +76,67 @@ object Dedup {
     reassemble(segs, winners, idCol)
   }
 
+  /** Per-source boilerplate strip — the C4/CCNet frequent-line rule over
+    * token tiles: a tile value occurring in MORE than `maxDocFrac` of a
+    * source's documents (and in ≥ 2 of them) is boilerplate for that
+    * source — navigation, headers, license blocks stamped on everything a
+    * domain emits — and EVERY occurrence is removed, including the first
+    * ([[segmentDedup]] keeps first occurrences; this is the complementary
+    * rule for text that shouldn't survive anywhere). Scoping to the source
+    * is the CCNet insight: "click here to subscribe" is boilerplate on one
+    * domain, content in a corpus-wide count.
+    *
+    * Output: one row per input document — (`idCol`, `n_segs`, `n_kept`,
+    * `text_kept`), `text_kept` NULL when everything was boilerplate (the
+    * same contract as [[segmentDedup]]).
+    *
+    * Scale shape: tile stream → (source, digest)-keyed doc-frequency agg
+    * (distinct-doc count, map-side partial) joined against the per-source
+    * doc counts (≤ #sources rows, AQE-broadcast); the resulting
+    * boilerplate set is SMALL (only above-threshold tiles) and joins back
+    * against the tile stream — broadcast under the threshold, else a
+    * (source, digest)-keyed shuffle where the digest spreads any
+    * mega-source; reassembly aggregates on doc id. No per-group windows,
+    * no corpus-wide key.
+    */
+  def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, segTokens: Int, maxDocFrac: Double): DataFrame = {
+    require(segTokens > 0, "need segTokens > 0")
+    require(maxDocFrac > 0 && maxDocFrac < 1,
+      s"need maxDocFrac in (0, 1), got $maxDocFrac")
+    val segs = segments(docs, textCol, idCol, segTokens, Seq(sourceCol))
+      .withColumnRenamed(s"_x_$sourceCol", "_bsrc")
+      .withColumn("_h", md5(col("_seg")))
+    val srcDocs = docs.filter(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("_bsrc"))
+      .agg(countDistinct(col(idCol)).as("_ndocs"))
+    val bp = segs.groupBy(col("_bsrc"), col("_h"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .join(srcDocs, Seq("_bsrc"))
+      .filter(col("_df") >= 2 &&
+        col("_df").cast("double") / col("_ndocs") > maxDocFrac)
+      .select(col("_bsrc"), col("_h"), lit(true).as("_bp"))
+    val winners = segs.join(bp, Seq("_bsrc", "_h"), "left")
+      .filter(col("_bp").isNull)
+      .select(col("_id"), col("_si"), lit(true).as("_keep"))
+    reassemble(segs.select(col("_id"), col("_si"), col("_seg")),
+      winners, idCol)
+  }
+
   /** Non-overlapping `segTokens`-token tiles of each document, one row per
     * (`_id`, `_si`, `_seg`); a doc shorter than one tile yields itself
     * whole (`greatest(...,1)` keeps the empty doc's single "" token).
     */
   private def segments(docs: DataFrame, textCol: String, idCol: String,
-      segTokens: Int): DataFrame = {
+      segTokens: Int, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(idCol).as("_id") +: carry.map(c => col(c).as(s"_x_$c"))
     val toks = Par.spread(docs).filter(col(textCol).isNotNull)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-    toks.select(col("_id"),
+      .select(keep :+ TextAnalysis.tokens(col(textCol)).as("_t"): _*)
+    toks.select(col("_id") +: carry.map(c => col(s"_x_$c")) :+
       posexplode(transform(
         sequence(lit(1), greatest(size(col("_t")), lit(1)), lit(segTokens)),
         st => concat_ws(" ", slice(col("_t"), st, lit(segTokens)))))
-        .as(Seq("_si", "_seg")))
+        .as(Seq("_si", "_seg")): _*)
   }
 
   /** Within-document segment repetition — the count-based analogue of

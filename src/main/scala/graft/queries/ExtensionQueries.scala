@@ -691,6 +691,15 @@ object ExtensionQueries {
         .orderBy("band")
     }),
 
+    // per-source boilerplate strip (C4/CCNet frequent-line rule over token
+    // tiles): a tile in >15% of a source's docs is removed EVERYWHERE —
+    // the complementary rule to x53's first-occurrence-wins
+    "x84_boilerplate_strip" -> ((s, dir) => {
+      Dedup.boilerplateStrip(Tables(s, dir, "documents"), "text", "doc_id",
+        "source", segTokens = 2, maxDocFrac = 0.15)
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style importance weighting: hashed-unigram affinity of every
     // doc to the lang='en' target slice vs the raw corpus — exact integer
     // masses, two bounded bucket tables, map-only scoring pass
@@ -1570,6 +1579,35 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x84_boilerplate_strip" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, source, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, source, CAST((i - 1) // 2 AS INT) AS si,
+         |        array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 1], ' ')
+         |          AS seg
+         |      FROM t, unnest(generate_series(1, greatest(len(l), 1), 2))
+         |        AS u(i)),
+         |nd AS (SELECT source, count(DISTINCT doc_id) AS ndocs
+         |       FROM t GROUP BY 1),
+         |bp AS (SELECT s.source, s.seg
+         |       FROM s JOIN nd USING (source)
+         |       GROUP BY s.source, s.seg, nd.ndocs
+         |       HAVING count(DISTINCT s.doc_id) >= 2
+         |          AND CAST(count(DISTINCT s.doc_id) AS DOUBLE) / nd.ndocs
+         |              > 0.15),
+         |k AS (SELECT s.*, (bp.seg IS NOT NULL) AS is_bp
+         |      FROM s LEFT JOIN bp
+         |        ON s.source = bp.source AND s.seg = bp.seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CASE WHEN sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) = 0
+         |       THEN NULL
+         |       ELSE string_agg(CASE WHEN NOT is_bp THEN seg END, ' '
+         |              ORDER BY si) END AS text_kept
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "x81_importance_weight" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l

@@ -363,4 +363,42 @@ class DedupSpec extends SparkSpec {
       4L -> (2L, 1L, Some("z z"))))
     assert(run(docs.repartition(7)) === out)
   }
+
+  test("boilerplateStrip: high-DF tiles removed EVERYWHERE within their " +
+    "source only; below-threshold and single-doc tiles survive") {
+    // src A (4 docs): "nav bar" in 3/4 docs (0.75 > 0.5) → boilerplate;
+    // "a b" in 2/4 (0.5, not > 0.5) → stays; src B has "nav bar" in 1/2
+    // docs — same tile, different source, stays
+    val d = Seq(
+      (1L, "nav bar a b", "A"), (2L, "nav bar c d", "A"),
+      (3L, "nav bar e f", "A"), (4L, "a b g h", "A"),
+      (5L, "nav bar p q", "B"), (6L, "r s t u", "B")
+    ).toDF("doc_id", "text", "source")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Dedup.boilerplateStrip(x, "text", "doc_id", "source",
+        segTokens = 2, maxDocFrac = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    val out = run(d)
+    assert(out === Map(
+      1L -> (2L, 1L, Some("a b")),
+      2L -> (2L, 1L, Some("c d")),
+      3L -> (2L, 1L, Some("e f")),
+      4L -> (2L, 2L, Some("a b g h")),
+      5L -> (2L, 2L, Some("nav bar p q")),
+      6L -> (2L, 2L, Some("r s t u"))))
+    assert(run(d.repartition(5)) === out)
+  }
+
+  test("boilerplateStrip: a doc that is all boilerplate surfaces as NULL") {
+    val d = Seq(
+      (1L, "nav bar", "A"), (2L, "nav bar", "A"), (3L, "nav bar", "A"),
+      (4L, "real content here now", "A")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.boilerplateStrip(d, "text", "doc_id", "source",
+      segTokens = 2, maxDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out === Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some("real content here now")))
+  }
 }
