@@ -812,6 +812,36 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** One distributed BPE-statistics round (Sennrich et al. 2016): corpus
+    * counts of adjacent character pairs within tokens, top `topK` by count
+    * — the argmax-pair statistic a byte-pair-encoding tokenizer build
+    * computes per merge round. Real vocab induction iterates rounds with
+    * re-segmentation; the COUNTING round is the distributed-scale part
+    * (the merge itself is a driver-side table update), so this is the
+    * operator a Spark-backed tokenizer trainer calls in its loop.
+    *
+    * Ties order deterministically by (count desc, pair asc). Tokens
+    * shorter than 2 chars contribute nothing.
+    *
+    * Scale shape: pair explode is map-only; the aggregate's key space is
+    * bounded by charset² (map-side combine collapses each task to that
+    * bound); the final top-K plans as TakeOrderedAndProject — per-partition
+    * heaps merged on the driver, never a global sort.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_tk"))
+      // filter BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+      .filter(length(col("_tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("_tk")) - 1),
+        i => col("_tk").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed-unigram features are under a TARGET

@@ -691,6 +691,13 @@ object ExtensionQueries {
         .orderBy("band")
     }),
 
+    // distributed BPE-statistics round: top adjacent character-pair counts
+    // (the per-merge-round argmax statistic of a tokenizer build);
+    // map-only explode, charset²-bounded agg, TakeOrdered top-K
+    "x85_bpe_pair_counts" -> ((s, dir) => {
+      Corpus.bpePairCounts(Tables(s, dir, "documents"), "text", topK = 40)
+    }),
+
     // per-source boilerplate strip (C4/CCNet frequent-line rule over token
     // tiles): a tile in >15% of a source's docs is removed EVERYWHERE —
     // the complementary rule to x53's first-occurrence-wins
@@ -1579,6 +1586,17 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x85_bpe_pair_counts" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT unnest(l) AS tk FROM t),
+         |p AS (SELECT substr(tk, CAST(i AS INT), 2) AS pair
+         |      FROM tok, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+         |      WHERE len(tk) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 40""".stripMargin
+    },
     "x84_boilerplate_strip" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT doc_id, source, string_split($norm, ' ') AS l

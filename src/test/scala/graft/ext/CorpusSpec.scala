@@ -432,4 +432,24 @@ class CorpusSpec extends SparkSpec {
     // null source: its own group (null-safe join), null text counts short
     assert(byId(8L) === ((1L, 1.0, false)))
   }
+
+  test("bpePairCounts: exact adjacent-pair counts, deterministic tie " +
+    "order, short tokens ignored, TakeOrdered plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "abab cd a"),   // abab → ab, ba, ab; cd → cd; "a" too short
+      (2L, "abc X")        // abc → ab, bc; X too short
+    ).toDF("doc_id", "text")
+    val top = Corpus.bpePairCounts(docs, "text", topK = 3)
+    // counts: ab=3, ba=1, cd=1, bc=1 — top3 ties break ascending by pair
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
+    // the top-K must plan as a per-partition heap merge, not a global sort
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // partition-invariant
+    assert(Corpus.bpePairCounts(docs.repartition(5), "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
+  }
 }
