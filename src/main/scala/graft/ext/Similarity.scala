@@ -575,6 +575,62 @@ object Similarity {
         col("n_found").cast("double") / col("n_exact"))
   }
 
+  /** Margin-based cross-set neighbor mining (Artetxe & Schwenk 2019's
+    * margin criterion, difference form): for every QUERY vector, its best
+    * and second-best INDEX-set neighbors by cosine, and the margin
+    * `cos1 − cos2` — a high margin means the best match stands clear of
+    * the field, the standard acceptance signal when mining aligned pairs
+    * (bitext, near-duplicate captions, cross-corpus citation linking)
+    * where absolute cosine alone over-accepts hubs. A query whose cell
+    * holds only one candidate scores its margin against 0 (an orthogonal
+    * runner-up), documented in the output by `cos2` = NULL.
+    *
+    * Candidates come from IVF cell routing seeded on the INDEX set (the
+    * [[centroidTable]]/[[cellAssignmentsAgainst]] pair), so the pairing is
+    * an equi-join on cell — never queries × index. Queries landing in a
+    * cell with no index member (impossible with shared centroids here, as
+    * every centroid is an index vector) would simply emit nothing.
+    *
+    * Output: (`idCol`, `nn_id`, `cos1`, `cos2`, `margin`,
+    * `accept` = margin > `minMargin`), cosines rounded to 9 dp like every
+    * cosine surface in this module.
+    *
+    * Scale shape: two map-only assignment passes against one broadcast
+    * k×dims centroid row; the candidate join shuffles both sides on the
+    * cell id (compare work Σ |q-cell|·|i-cell|, bounded by routing, never
+    * all-pairs); the per-query top-2 window partitions on the QUERY id —
+    * parallelism ∝ #queries, the many-group window shape, not the
+    * bounded-strata hazard. Pair rows carry (qid, iid, cosine) only.
+    */
+  def marginMine(queries: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, minMargin: Double): DataFrame = {
+    val cents = centroidTable(index, idCol, vecCol, nCells)
+    val q = queries.join(cellAssignmentsAgainst(queries, idCol, vecCol,
+        cents), Seq(idCol))
+      .select(col(idCol).as("_qid"), col("cell"),
+        col(vecCol).as("_qv"), sqrt(dot(col(vecCol), col(vecCol))).as("_qn"))
+    val i = index.join(cellAssignmentsAgainst(index, idCol, vecCol,
+        cents), Seq(idCol))
+      .select(col(idCol).as("_iid"), col("cell"),
+        col(vecCol).as("_iv"), sqrt(dot(col(vecCol), col(vecCol))).as("_in"))
+    val cand = q.join(i, Seq("cell"))
+      .select(col("_qid"), col("_iid"),
+        (dot(col("_qv"), col("_iv")) / (col("_qn") * col("_in"))).as("_c"))
+    val top2 = cand
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_qid")).orderBy(col("_c").desc, col("_iid"))))
+      .filter(col("_rn") <= 2)
+      .groupBy(col("_qid"))
+      .agg(max(when(col("_rn") === 1,
+          struct(col("_c"), col("_iid")))).as("_t1"),
+        max(when(col("_rn") === 2, col("_c"))).as("_c2"))
+    top2.select(col("_qid").as(idCol), col("_t1._iid").as("nn_id"),
+        round(col("_t1._c"), 9).as("cos1"), round(col("_c2"), 9).as("cos2"),
+        round(col("_t1._c") - coalesce(col("_c2"), lit(0.0)), 9)
+          .as("margin"))
+      .withColumn("accept", col("margin") > minMargin)
+  }
+
   /** Public IVF cell assignment: (`idCol`, `cell`) for every vector, the
     * same deterministic map-only pass the whole IVF family uses
     * ([[centroidRow]] seeds = `nCells` smallest-id vectors; ties toward

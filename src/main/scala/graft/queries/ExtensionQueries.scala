@@ -691,6 +691,17 @@ object ExtensionQueries {
         .orderBy("band")
     }),
 
+    // margin-based cross-set neighbor mining: label-0 vectors as queries
+    // vs the rest as index, IVF-cell-routed candidates, top-2 cosines,
+    // accept on the cos1−cos2 margin (Artetxe & Schwenk criterion)
+    "x83_margin_mine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.marginMine(e.filter(col("label") === 0),
+        e.filter(col("label") =!= 0), "vec_id", "embedding",
+        nCells = 16, minMargin = 0.05)
+        .orderBy("vec_id")
+    }),
+
     // distributed BPE-statistics round: top adjacent character-pair counts
     // (the per-merge-round argmax statistic of a tokenizer build);
     // map-only explode, charset²-bounded agg, TakeOrdered top-K
@@ -1586,6 +1597,41 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x83_margin_mine" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+        |              FROM embeddings WHERE label <> 0
+        |              ORDER BY vec_id LIMIT 16),
+        |scored AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+        |             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(c.cvec AS DOUBLE[])) /
+        |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+        |                                      CAST(c.cvec AS DOUBLE[])))) AS s
+        |           FROM embeddings e CROSS JOIN cent c),
+        |asn AS (SELECT vec_id, label, embedding, cid AS cell FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cid) AS rn
+        |           FROM scored) WHERE rn = 1),
+        |cand AS (SELECT q.vec_id AS qid, i.vec_id AS iid,
+        |           list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                            CAST(i.embedding AS DOUBLE[])) /
+        |             (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[]))) *
+        |              sqrt(list_dot_product(CAST(i.embedding AS DOUBLE[]),
+        |                                    CAST(i.embedding AS DOUBLE[]))))
+        |             AS c
+        |         FROM asn q JOIN asn i ON q.cell = i.cell
+        |         WHERE q.label = 0 AND i.label <> 0),
+        |r AS (SELECT qid, iid, c, row_number() OVER (PARTITION BY qid
+        |        ORDER BY c DESC, iid) AS rn FROM cand)
+        |SELECT r1.qid AS vec_id, r1.iid AS nn_id, round(r1.c, 9) AS cos1,
+        |  round(r2.c, 9) AS cos2,
+        |  round(r1.c - COALESCE(r2.c, 0.0), 9) AS margin,
+        |  (round(r1.c - COALESCE(r2.c, 0.0), 9) > 0.05) AS accept
+        |FROM (SELECT * FROM r WHERE rn = 1) r1
+        |LEFT JOIN (SELECT * FROM r WHERE rn = 2) r2 USING (qid)
+        |ORDER BY vec_id""".stripMargin,
     "x85_bpe_pair_counts" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT string_split($norm, ' ') AS l

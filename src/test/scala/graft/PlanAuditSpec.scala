@@ -33,10 +33,13 @@ class PlanAuditSpec extends SparkSpec {
     "x16_ann_ivf", "x20_ann_ivf_kmeans", "x28_ann_ivf_nprobe",
     "x33_ann_quantized_rescore", "x52_ann_pq_adc",
     "x55_tfidf_terms", "x58_mixture_sample", "x62_layout_e2e",
-    // x75/x76/x79: the same single-row broadcast centroid attach as the
-    // IVF family (x76 reads the centroids from its maintained table; x79
-    // repeats the attach once per Lloyd round)
-    "x75_cluster_cap_sample", "x76_cell_assign_incr", "x79_kmeans_assign")
+    // x75/x76/x79/x83: the same single-row broadcast centroid attach as
+    // the IVF family (x76 reads the centroids from its maintained table;
+    // x79 repeats the attach once per Lloyd round; x83 routes both the
+    // query and index sets through it — the candidate pairing itself is a
+    // cell equi-join)
+    "x75_cluster_cap_sample", "x76_cell_assign_incr", "x79_kmeans_assign",
+    "x83_margin_mine")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

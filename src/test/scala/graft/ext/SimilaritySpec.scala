@@ -390,4 +390,39 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(2L, 3L, 5L))
   }
+
+  test("marginMine: top-2 cosines, difference margin, lone-candidate " +
+    "cos2 NULL, accept threshold") {
+    // index: 10 ≈ x-axis, 11 = 45°, 12 = y-axis; queries: 1 ≈ x-axis
+    // (clear winner 10 over 11), 2 = y-axis (nearest 12, runner-up 11)
+    val index = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(1.0f, 1.0f)), (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (1L, Seq(0.99f, 0.01f)), (2L, Seq(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    // nCells = 3: every index vector is its own cell → per-cell candidate
+    // sets are singletons, exercising the cos2-NULL path
+    val lone = Similarity.marginMine(queries, index, "vec_id", "embedding",
+      nCells = 3, minMargin = 0.05)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("nn_id"), Option(r.getAs[java.lang.Double]("cos2")),
+          r.getAs[Double]("margin"), r.getAs[Boolean]("accept"))).toMap
+    assert(lone(1L)._1 === 10L && lone(1L)._2.isEmpty)
+    assert(lone(1L)._4, "margin vs an orthogonal 0 runner-up accepts")
+    // nCells = 1: all candidates share the cell → true top-2 everywhere
+    val full = Similarity.marginMine(queries, index, "vec_id", "embedding",
+      nCells = 1, minMargin = 0.05)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("nn_id"), r.getAs[Double]("cos1"),
+          r.getAs[Double]("cos2"), r.getAs[Double]("margin"),
+          r.getAs[Boolean]("accept"))).toMap
+    val (nn1, c1a, c1b, m1, a1) = full(1L)
+    assert(nn1 === 10L && c1a > 0.999 && math.abs(c1b - math.cos(math.Pi / 4 - 0.0101)) < 0.01)
+    assert(math.abs(m1 - (c1a - c1b)) < 1e-9 && a1 === (m1 > 0.05))
+    val (nn2, c2a, c2b, m2, a2) = full(2L)
+    assert(nn2 === 12L && c2a === 1.0)
+    assert(math.abs(c2b - 1.0 / math.sqrt(2)) < 1e-9)
+    assert(m2 > 0.05 && a2)
+  }
 }
