@@ -35,6 +35,30 @@ object Privacy {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** l-diversity report (Machanavajjhala et al. 2007): k-anonymity alone
+    * fails when an equivalence class, however large, is homogeneous in the
+    * SENSITIVE attribute — every member shares it, so linkage to the class
+    * discloses the value. Per QI class: `class_size`, `n_sensitive`
+    * (distinct non-NULL sensitive values), and `at_risk` =
+    * (`n_sensitive` < `l`). Release gates require both reports.
+    *
+    * Scale shape: one aggregate keyed on the QI tuple; the distinct count
+    * is Spark's two-stage partial-distinct (keys spread over
+    * (QI, sensitive) first), so a dominant class doesn't concentrate its
+    * raw rows on one reducer.
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l > 0, s"need l > 0, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** Row-level suppression: every row joins its equivalence-class size;
     * rows in classes smaller than `k` come back with their QI columns
     * nulled (suppressed) and `suppressed` = true, all other columns

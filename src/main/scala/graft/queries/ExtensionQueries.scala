@@ -691,6 +691,17 @@ object ExtensionQueries {
         .orderBy("band")
     }),
 
+    // l-diversity audit: per (source, size-band) class, distinct langs as
+    // the sensitive attribute — homogeneous classes disclose it even when
+    // k-anonymous; the release gate pairs this with x82
+    "x86_l_diversity" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          floor(col("n_chars") / lit(200.0)).cast("int").as("size_bucket"))
+      Privacy.lDiversityReport(d, Seq("source", "size_bucket"), "lang",
+        l = 3).orderBy("source", "size_bucket")
+    }),
+
     // margin-based cross-set neighbor mining: label-0 vectors as queries
     // vs the rest as index, IVF-cell-routed candidates, top-2 cosines,
     // accept on the cos1−cos2 margin (Artetxe & Schwenk criterion)
@@ -1597,6 +1608,16 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x86_l_diversity" ->
+      """WITH d AS (SELECT lang, source,
+        |             CAST(floor(n_chars / 200.0) AS INT) AS size_bucket
+        |           FROM documents)
+        |SELECT source, size_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+        |  (count(DISTINCT lang) < 3) AS at_risk
+        |FROM d GROUP BY 1, 2
+        |ORDER BY source, size_bucket""".stripMargin,
     "x83_margin_mine" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings WHERE label <> 0

@@ -53,6 +53,30 @@ class PrivacySpec extends SparkSpec {
       r.getAs[Long]("class_size") == 2L && r.getAs[String]("src") == "a"))
   }
 
+  test("lDiversity: homogeneous classes flagged regardless of size; " +
+    "null sensitive values don't count toward diversity") {
+    val d = Seq(
+      // class (a): 4 rows but ALL lang=en → at risk at l=2
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"), (4L, "en", "a"),
+      // class (b): 2 rows, 2 langs → diverse
+      (5L, "en", "b"), (6L, "de", "b"),
+      // class (c): 3 rows, langs {en, null} → only 1 counted → at risk
+      (7L, "en", "c"), (8L, null, "c"), (9L, null, "c")
+    ).toDF("id", "lang", "src")
+    val got = Privacy.lDiversityReport(d, Seq("src"), "lang", l = 2)
+      .collect().map(r => r.getAs[String]("src") ->
+        (r.getAs[Long]("class_size"), r.getAs[Long]("n_sensitive"),
+          r.getAs[Boolean]("at_risk"))).toMap
+    assert(got === Map(
+      "a" -> (4L, 1L, true), "b" -> (2L, 2L, false), "c" -> (3L, 1L, true)))
+  }
+
+  test("lDiversity rejects a sensitive column that is also a QI") {
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityReport(rows, Seq("lang", "src"), "lang", l = 2)
+    }
+  }
+
   test("every surviving QI combination is k-anonymous") {
     val released = Privacy.kAnonymitySuppress(rows, Seq("lang", "src"), k = 2)
     val classSizes = released.filter(!col("suppressed"))
