@@ -691,6 +691,28 @@ object ExtensionQueries {
         .orderBy("band")
     }),
 
+    // FLAGSHIP target-mix release chain: DSIR importance weighting (x81)
+    // → keep each language's top 60% most target-like (x57's rank gate)
+    // → k-anonymity suppression of the released set (x82). Every stage is
+    // the standalone library call; hash-verified against the composed
+    // DuckDB oracle.
+    "x87_target_mix_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val aff = Corpus.importanceAffinity(d, "text", "doc_id",
+        targetPred = col("lang") === "en", buckets = 256)
+      val metric = aff.join(d.select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      val kept = Corpus.topFractionByMetric(metric, "lang", "doc_id",
+        "affinity", q = 0.6)
+      val released = kept.select(col("doc_id"), col("affinity"))
+        .join(d.select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / lit(200.0)).cast("int").as("size_bucket")),
+          Seq("doc_id"))
+      Privacy.kAnonymitySuppress(released,
+        Seq("lang", "source", "size_bucket"), k = 5)
+        .orderBy("doc_id")
+    }),
+
     // l-diversity audit: per (source, size-band) class, distinct langs as
     // the sensitive attribute — homogeneous classes disclose it even when
     // k-anonymous; the release gate pairs this with x82
@@ -1608,6 +1630,49 @@ object ExtensionQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "x79_kmeans_assign" -> kmeansAssignSql,
+    "x87_target_mix_e2e" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5('dsir|' || tk), 1, 8))
+         |            AS BIGINT) % 256 AS b
+         |        FROM (SELECT doc_id, unnest(l) AS tk FROM t)),
+         |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |ttab AS (SELECT b, count(*) AS n FROM tok
+         |         JOIN tgt USING (doc_id) GROUP BY b),
+         |rtab AS (SELECT b, count(*) AS n FROM tok GROUP BY b),
+         |tots AS (SELECT (SELECT COALESCE(sum(n), 0) FROM ttab) + 256 AS tn,
+         |                (SELECT COALESCE(sum(n), 0) FROM rtab) + 256 AS rn),
+         |m AS (SELECT tok.doc_id,
+         |        CAST(sum(COALESCE(ttab.n, 0) + 1) AS BIGINT) AS target_mass,
+         |        CAST(sum(COALESCE(rtab.n, 0) + 1) AS BIGINT) AS raw_mass
+         |      FROM tok LEFT JOIN ttab USING (b) LEFT JOIN rtab USING (b)
+         |      GROUP BY tok.doc_id),
+         |aff AS (SELECT m.doc_id,
+         |          (CAST(target_mass AS DOUBLE) / tn) /
+         |            (CAST(raw_mass AS DOUBLE) / rn) AS affinity
+         |        FROM m, tots),
+         |a2 AS (SELECT aff.doc_id, aff.affinity, d.lang, d.source,
+         |         CAST(floor(d.n_chars / 200.0) AS INT) AS size_bucket
+         |       FROM aff JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |          ORDER BY affinity, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n FROM a2),
+         |kept AS (SELECT doc_id, affinity, lang, source, size_bucket
+         |         FROM r WHERE rn > n - ceil(n * 0.6)),
+         |c AS (SELECT lang, source, size_bucket,
+         |        CAST(count(*) AS BIGINT) AS class_size
+         |      FROM kept GROUP BY 1, 2, 3)
+         |SELECT k.doc_id, k.affinity,
+         |  CASE WHEN c.class_size < 5 THEN NULL ELSE k.lang END AS lang,
+         |  CASE WHEN c.class_size < 5 THEN NULL ELSE k.source END AS source,
+         |  CASE WHEN c.class_size < 5 THEN NULL ELSE k.size_bucket END
+         |    AS size_bucket,
+         |  c.class_size, (c.class_size < 5) AS suppressed
+         |FROM kept k JOIN c USING (lang, source, size_bucket)
+         |ORDER BY doc_id""".stripMargin
+    },
     "x86_l_diversity" ->
       """WITH d AS (SELECT lang, source,
         |             CAST(floor(n_chars / 200.0) AS INT) AS size_bucket
