@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.ingest.Staging
 import graft.ods.OdsTransform
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 
@@ -432,6 +432,49 @@ object DeltaStream {
               .withColumn("kept", col("keep_quality") && !col("contaminated"))
               .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
           } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
+  /** Streaming importance gate — x81's DSIR weighting mounted at ingest:
+    * each arriving micro-batch is scored against FIXED target/raw
+    * hashed-bucket tables ([[graft.ext.Corpus.hashedBucketTable]]) seeded
+    * once from the corpus at first start, and released with its exact
+    * integer masses, affinity, and a `keep` verdict (affinity ≥
+    * `minAffinity`). The distributions deliberately do NOT grow with the
+    * stream: DSIR scores against a fixed raw/target estimate, so a doc's
+    * weight never depends on arrival order — re-seed explicitly when the
+    * corpus estimate should move. Tables are only READ per batch (no
+    * append-idempotence machinery needed); overwrite-per-batch output
+    * makes foreachBatch retries idempotent. Per-batch work: one bounded
+    * table read + the batch's own map-only scoring fold.
+    */
+  def startImportanceGate(spark: SparkSession, docsDir: String,
+      corpus: DataFrame, targetPred: Column, bucketsDir: String,
+      outDir: String, checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = 256,
+      minAffinity: Double = 1.0): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(bucketsDir).exists()) {
+      graft.ext.Corpus.hashedBucketTable(corpus.filter(targetPred),
+          textCol, buckets)
+        .write.mode("overwrite").parquet(s"$bucketsDir/target")
+      graft.ext.Corpus.hashedBucketTable(corpus, textCol, buckets)
+        .write.mode("overwrite").parquet(s"$bucketsDir/raw")
+    }
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.ext.Corpus.importanceAffinityAgainst(batch, textCol, idCol,
+              s.read.parquet(s"$bucketsDir/target"),
+              s.read.parquet(s"$bucketsDir/raw"), buckets)
+            .withColumn("keep", col("affinity") >= minAffinity)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
         }
       }
       .start()

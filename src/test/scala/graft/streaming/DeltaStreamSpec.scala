@@ -282,6 +282,52 @@ class DeltaStreamSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(s"$root/grams")) === gramsMtime)
   }
 
+  test("startImportanceGate: arriving docs score against FIXED seeded " +
+    "bucket tables; stream scores equal the batch operator; restart " +
+    "neither rescores nor reseeds") {
+    import spark.implicits._
+    val root = tmpDir("impgate")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq(
+      (100L, "alpha beta alpha beta", 1), (101L, "beta alpha beta", 1),
+      (102L, "zulu yankee zulu", 0), (103L, "yankee zulu yankee", 0)
+    ).toDF("doc_id", "text", "flag")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    jsonl(s"$docsDir/b1.json", 1L -> "alpha beta", 2L -> "zulu yankee")
+    val q1 = DeltaStream.startImportanceGate(spark, docsDir, corpus,
+      col("flag") === 1, s"$root/buckets", s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_id", "target_mass", "raw_mass", "affinity", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // the stream's scores must equal the batch operator's against the
+    // same fixed tables the stream seeded
+    val tTab = spark.read.parquet(s"$root/buckets/target")
+    val rTab = spark.read.parquet(s"$root/buckets/raw")
+    val direct = graft.ext.Corpus.importanceAffinityAgainst(
+        Seq((1L, "alpha beta"), (2L, "zulu yankee")).toDF("doc_id", "text"),
+        "text", "doc_id", tTab, rTab, buckets = 256)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap === direct)
+    // target-speak kept, raw-speak dropped at the affinity=1 boundary
+    assert(got(1L)._4 && !got(2L)._4)
+    // restart: batch 0 not rescored, tables not reseeded
+    val mtime = Files.getLastModifiedTime(Paths.get(s"$root/buckets"))
+    jsonl(s"$docsDir/b2.json", 3L -> "alpha zulu")
+    val q2 = DeltaStream.startImportanceGate(spark, docsDir, corpus,
+      col("flag") === 1, s"$root/buckets", s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_id").as[Long].collect().toSeq === Seq(3L))
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/buckets")) === mtime)
+  }
+
   test("startNearDupFlagging: per-file batches flag cross-corpus near-dups; " +
     "checkpoint restart reprocesses nothing") {
     import spark.implicits._
