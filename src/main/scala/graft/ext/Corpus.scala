@@ -555,6 +555,40 @@ object Corpus {
         (col("n_rare").cast("double") / col("n_toks")).as("rare_ratio"))
   }
 
+  /** Out-of-vocabulary rate against a MAINTAINED [[termCountTable]]: the
+    * vocabulary is the table's top `vocabSize` terms by (count desc, term
+    * asc — deterministic ties), and each document reports `n_toks`,
+    * `n_oov` (tokens outside that vocabulary) and `oov_rate` (one IEEE
+    * division of exact longs). High OOV marks text the tokenizer will
+    * shred into rare pieces — the standard cheap proxy for
+    * tokenizer/corpus mismatch when choosing what to train or re-train a
+    * vocabulary on. Unseen-by-the-table tokens are by definition OOV, so
+    * the ingest-time contract matches [[tokenRarityAgainstTable]]: score
+    * a batch against CURRENT reference counts, never re-tokenize the
+    * corpus.
+    *
+    * Scale shape: the vocabulary is a bounded `vocabSize`-row TakeOrdered
+    * over the count table (per-partition heaps, no global sort); the
+    * token stream left-joins it — AQE broadcasts a bounded build side —
+    * and re-aggregates per doc. Every shuffle key is the term or the doc
+    * id.
+    */
+  def oovRateAgainstTable(docs: DataFrame, counts: DataFrame,
+      textCol: String, idCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"need vocabSize > 0, got $vocabSize")
+    val vocab = counts.orderBy(col("c").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("_inv"))
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .join(vocab, Seq("term"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("_id").as(idCol), col("n_toks"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_toks")).as("oov_rate"))
+  }
+
   /** Top-`k` TF-IDF keywords per document. IDF is the RAW inverse document
     * frequency `n_docs / df` (no logarithm): the log variant reweights but
     * the machinery is identical, and the rational form keeps the score ONE

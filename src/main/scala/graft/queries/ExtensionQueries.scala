@@ -614,6 +614,20 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // OOV rate against the MAINTAINED unigram table: vocabulary = its top
+    // 20 terms (count desc, term asc); tokenizer/corpus-mismatch proxy,
+    // scored per batch without re-tokenizing the corpus
+    "x88_oov_rate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val counts = Maintained.table(s, s"$dir/documents.parquet",
+        "term_counts_mod3") {
+        Corpus.termCountTable(d.filter(col("doc_id") % 3 =!= 0), "text")
+      }
+      Corpus.oovRateAgainstTable(d.filter(col("doc_id") % 3 === 0),
+        counts, "text", "doc_id", vocabSize = 20)
+        .orderBy("doc_id")
+    }),
+
     // takedown/blocklist filtering: remove documents whose id arrives on a
     // removal feed (deterministic 15% md5 band stands in for the feed) via
     // the Bloom-routed exact anti join — at scale the corpus branch is
@@ -1569,6 +1583,24 @@ object ExtensionQueries {
          |  CAST(CAST(sum(CASE WHEN coalesce(c, 0) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
          |    / count(*) AS rare_ratio
          |FROM bt LEFT JOIN uc USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "x88_oov_rate" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, unnest(l) AS term FROM t),
+         |uc AS (SELECT term, count(*) AS c FROM tok
+         |       WHERE doc_id % 3 <> 0 GROUP BY term),
+         |v AS (SELECT term, TRUE AS inv FROM uc
+         |      ORDER BY c DESC, term LIMIT 20),
+         |bt AS (SELECT doc_id, term FROM tok WHERE doc_id % 3 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
+         |FROM bt LEFT JOIN v USING (term)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "x68_blocklist_filter" ->

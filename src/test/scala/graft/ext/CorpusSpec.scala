@@ -452,4 +452,28 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
   }
+
+  test("oovRateAgainstTable: vocab = top-V by (count desc, term asc); " +
+    "unseen tokens are OOV; exact rates") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "aa aa aa bb bb cc")    // counts: aa=3, bb=2, cc=1
+    ).toDF("doc_id", "text")
+    val counts = Corpus.termCountTable(corpus, "text")
+    // V=2 → vocab {aa, bb}; cc (in table, below cut) and dd (unseen) OOV
+    val got = Corpus.oovRateAgainstTable(
+      Seq((10L, "aa bb cc dd"), (11L, "aa aa")).toDF("doc_id", "text"),
+      counts, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(10L -> (4L, 2L, 0.5), 11L -> (2L, 0L, 0.0)))
+    // tie at the boundary: bb=2 vs bz=2 — term asc keeps bb, drops bz
+    val counts2 = Corpus.termCountTable(
+      Seq((1L, "aa aa aa bb bb bz bz")).toDF("doc_id", "text"), "text")
+    val tied = Corpus.oovRateAgainstTable(
+      Seq((10L, "bb bz")).toDF("doc_id", "text"),
+      counts2, "text", "doc_id", vocabSize = 2)
+      .collect().head
+    assert((tied.getLong(1), tied.getLong(2)) === ((2L, 1L)))
+  }
 }
