@@ -96,13 +96,43 @@ object TextAnalysis {
   /** N-gram/stopword language ID: argmax of per-language stopword hits,
     * ties broken in [[StopwordSets]] order, all-zero → "unknown".
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOfToks(tokens(text))
+
+  /** [[langId]] over an already-tokenized array — the shared core, and the
+    * entry point for scoring document SLICES ([[codeSwitchFlag]]).
+    */
+  def langIdOfToks(toks: Column): Column = {
     val scores = StopwordSets.map { case (lang, set) => lang -> stopwordHits(toks, set) }
     val best = greatest(scores.map(_._2): _*)
     scores.foldLeft(when(best === 0, "unknown")) { case (acc, (lang, s)) =>
       acc.when(s === best, lang)
     }.otherwise("unknown")
+  }
+
+  /** Code-switching / mixed-language detection: [[langId]] over each half
+    * of the token stream independently; `mixed` flags documents whose
+    * halves get CONFIDENT (non-"unknown") but DIFFERENT predictions — the
+    * cheap two-window form of the sliding-window language-consistency
+    * check corpus pipelines run after whole-document language ID, which
+    * averages away a concatenated bilingual page. Head half takes the
+    * extra token on odd lengths.
+    *
+    * Output: (`idCol`, `lang_head`, `lang_tail`, `mixed`); NULL text rows
+    * are dropped. Pure per-row column arithmetic — map-only, zero
+    * shuffles, same scale shape as [[langId]].
+    */
+  def codeSwitchFlag(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val headLen = ((size(col("_t")) + 1) / 2).cast("int")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol),
+        langIdOfToks(slice(col("_t"), lit(1), headLen)).as("lang_head"),
+        langIdOfToks(slice(col("_t"), headLen + 1,
+          size(col("_t")) - headLen)).as("lang_tail"))
+      .withColumn("mixed",
+        col("lang_head") =!= "unknown" && col("lang_tail") =!= "unknown" &&
+          col("lang_head") =!= col("lang_tail"))
   }
 
   /** Hashing-trick linear classifier scoring (the fastText/linear-probe

@@ -614,6 +614,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // code-switching detection: langId over each half of the token stream;
+    // mixed = confident-but-different halves — the check whole-document
+    // language ID averages away on concatenated bilingual pages
+    "x89_code_switch" -> ((s, dir) => {
+      TextAnalysis.codeSwitchFlag(Tables(s, dir, "documents"), "text",
+        "doc_id").orderBy("doc_id")
+    }),
+
     // OOV rate against the MAINTAINED unigram table: vocabulary = its top
     // 20 terms (count desc, term asc); tokenizer/corpus-mismatch proxy,
     // scored per batch without re-tokenizing the corpus
@@ -1463,6 +1471,33 @@ object ExtensionQueries {
        |  FROM ls)""".stripMargin
   }
 
+  /** x89 mirror: per-half stopword scores + the langId CASE chain twice. */
+  private def codeSwitchSql: String = {
+    def scoreCols(arr: String, sfx: String) =
+      TextAnalysis.StopwordSets.map { case (lang, set) =>
+        val a = set.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($arr, x -> list_contains($a, x))) AS s_${lang}_$sfx"
+      }.mkString(", ")
+    def pred(sfx: String) = {
+      val langs = TextAnalysis.StopwordSets.map(_._1)
+      val best = langs.map(l => s"s_${l}_$sfx").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN s_${l}_$sfx = $best THEN '$l'").mkString(" ")
+      s"CASE WHEN $best = 0 THEN 'unknown' $chain ELSE 'unknown' END"
+    }
+    s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l
+       |           FROM documents WHERE text IS NOT NULL),
+       |h AS (SELECT doc_id,
+       |        l[1:CAST((len(l) + 1) // 2 AS INT)] AS hl,
+       |        l[CAST((len(l) + 1) // 2 AS INT) + 1:len(l)] AS tl
+       |      FROM t),
+       |s AS (SELECT doc_id, ${scoreCols("hl", "h")},
+       |        ${scoreCols("tl", "t")} FROM h)
+       |SELECT doc_id, ${pred("h")} AS lang_head, ${pred("t")} AS lang_tail,
+       |  (${pred("h")} <> 'unknown' AND ${pred("t")} <> 'unknown'
+       |    AND ${pred("h")} <> ${pred("t")}) AS mixed
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private def langIdSql: String =
     s"""WITH ${langPredCtes("documents")}
        |SELECT d.doc_id, d.lang, lp.lang_pred
@@ -2178,6 +2213,7 @@ object ExtensionQueries {
     "x34_neardup_dedup" -> embedDedupSql,
     "x59_semantic_dedup" -> semanticDedupSql,
     "x9_lang_id" -> langIdSql,
+    "x89_code_switch" -> codeSwitchSql,
     "x47_curation_e2e" -> curationE2eSql,
     "x10_quality_score" -> qualitySql,
     "x11_token_count" ->

@@ -158,4 +158,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("codeSwitchFlag: bilingual halves flag mixed; monolingual, " +
+    "unknown-half, and odd-length docs do not mis-flag") {
+    val docs = Seq(
+      // en head, de tail → mixed
+      (1L, "the cat is in a the hat der hund ist ein und das zu"),
+      // monolingual en → not mixed
+      (2L, "the cat is in the hat and it is a cat"),
+      // head en, tail has no stopwords → unknown tail, not mixed
+      (3L, "the cat is in xxx yyy zzz www"),
+      // odd length: head takes the extra token (7 → 4+3)
+      (4L, "the the the the und und und"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitchFlag(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(got(1L) === (("en", "de", true)))
+    assert(got(2L) === (("en", "en", false)))
+    assert(got(3L)._1 === "en" && got(3L)._2 === "unknown" && !got(3L)._3)
+    // 4 'the' in the head, 3 'und' in the tail
+    assert(got(4L) === (("en", "de", true)))
+    assert(!got.contains(5L))
+  }
 }
