@@ -37,6 +37,51 @@ object TextAnalysis {
     aggregate(vals, lit(0L), (acc, v) => (acc * b + v) % m)
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003): hash every
+    * token `k`-gram (uint32 md5 slice), slide a window of `w` consecutive
+    * gram hashes, and in each window select the minimum (rightmost on
+    * ties — the paper's rule, which makes consecutive windows reuse the
+    * same pick and bounds the fingerprint density to ~2/(w+1)). The
+    * selected set is position-robust: any shared substring of at least
+    * `k + w − 1` tokens between two documents is GUARANTEED to share a
+    * fingerprint — the coverage guarantee MinHash sampling lacks — which
+    * is why winnowing is the standard local fingerprinting for
+    * plagiarism/overlap detection (MOSS). Docs shorter than one window
+    * winnow their whole gram list.
+    *
+    * Output: one row per distinct selected (position, hash) —
+    * (`idCol`, `pos` 1-based gram position, `fp`). Downstream, group on
+    * `fp` like any digest key ([[Dedup.dupSpans]]' shape) to find
+    * overlaps.
+    *
+    * Scale shape: pure per-row array arithmetic (one fused md5 pass per
+    * gram, window argmin via HOFs) — map-only until the caller's
+    * digest-keyed group; explode emits the selected ~2/(w+1) fraction of
+    * grams, never the full gram stream.
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, k: Int = 3, w: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, "need k, w > 0")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), graft.ext.Dedup.wordNgrams(col("_t"), k).as("_g"))
+      .select(col(idCol), transform(col("_g"), g =>
+        element_at(shim.column(Md5Slices(shim.expression(g), 1)), 1))
+        .as("_h"))
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("_h")) - (w - 1), lit(1))),
+          i => {
+            val sub = slice(col("_h"), i, lit(w))
+            val mn = array_min(sub)
+            // rightmost min: first position in the reversed window
+            val fromRight = array_position(reverse(sub), mn)
+            struct((i + size(sub) - fromRight.cast("int")).as("pos"),
+              mn.as("fp"))
+          }))).as("_p"))
+      .select(col(idCol), col("_p.pos").as("pos"), col("_p.fp").as("fp"))
+  }
+
   /** Canonical token array (single-space split of the normalized text). */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

@@ -614,6 +614,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
+    // per-window rightmost-min gram hash — guaranteed coverage of any
+    // shared k+w−1-token substring; map-only, ~2/(w+1) density
+    "x90_winnow_fingerprints" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(Tables(s, dir, "documents"), "text",
+        "doc_id", k = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
+
     // code-switching detection: langId over each half of the token stream;
     // mixed = confident-but-different halves — the check whole-document
     // language ID averages away on concatenated bilingual pages
@@ -2214,6 +2223,28 @@ object ExtensionQueries {
     "x59_semantic_dedup" -> semanticDedupSql,
     "x9_lang_id" -> langIdSql,
     "x89_code_switch" -> codeSwitchSql,
+    "x90_winnow_fingerprints" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id,
+         |        list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+         |          i -> CAST(concat('0x', substr(md5('0|' ||
+         |                 concat_ws(' ', l[CAST(i AS INT)],
+         |                   l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2])),
+         |                 1, 8)) AS BIGINT)) AS h
+         |      FROM t),
+         |win AS (SELECT doc_id, i,
+         |          h[CAST(i AS INT):CAST(i AS INT) + 3] AS sub
+         |        FROM g, unnest(generate_series(1, greatest(len(h) - 3, 1)))
+         |          AS u(i))
+         |SELECT DISTINCT doc_id,
+         |  CAST(i + len(sub)
+         |    - list_position(list_reverse(sub), list_min(sub)) AS INT)
+         |    AS pos,
+         |  list_min(sub) AS fp
+         |FROM win ORDER BY doc_id, pos""".stripMargin
+    },
     "x47_curation_e2e" -> curationE2eSql,
     "x10_quality_score" -> qualitySql,
     "x11_token_count" ->

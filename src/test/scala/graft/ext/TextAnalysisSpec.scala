@@ -159,6 +159,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("winnowFingerprints: coverage guarantee (shared k+w-1-token " +
+    "substring shares a fingerprint), window min selection, short docs") {
+    val shared = "alpha beta gamma delta epsilon zeta"   // 6 = k+w-1 tokens
+    val docs = Seq(
+      (1L, s"one two $shared three four five six"),
+      (2L, s"nine eight seven $shared ten eleven"),
+      (3L, "tiny doc"),                                  // < k tokens
+      (4L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "text", "doc_id",
+      k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the guarantee: docs 1 and 2 share at least one selected hash
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // no spurious sharing with the unrelated doc
+    assert((byDoc(1L) & byDoc(4L)).isEmpty)
+    // short doc: one whole-doc gram, one fingerprint at pos 1
+    assert(fps.filter(_._1 == 3L).toSeq.map(t => (t._2, t._3)).length === 1)
+    assert(fps.filter(_._1 == 3L).head._2 === 1)
+    // every selected fp is the min of SOME window: selected count is
+    // bounded by window count and ≥ 1 per w consecutive windows
+    val n1 = fps.count(_._1 == 1L)
+    assert(n1 >= 2 && n1 <= 10)   // 12 tokens → 10 grams → 7 windows
+    // deterministic under repartition
+    val again = TextAnalysis.winnowFingerprints(docs.repartition(5),
+      "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sorted.toSeq === fps.sorted.toSeq)
+  }
+
   test("codeSwitchFlag: bilingual halves flag mixed; monolingual, " +
     "unknown-half, and odd-length docs do not mis-flag") {
     val docs = Seq(
