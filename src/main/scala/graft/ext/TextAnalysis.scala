@@ -63,23 +63,17 @@ object TextAnalysis {
       textCol: String, idCol: String, k: Int = 3, w: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     require(k > 0 && w > 0, "need k, w > 0")
+    // the gram hashing + window scan is the fused native
+    // [[graft.functions.WinnowPicks]] (packed pos<<32|hash longs): the
+    // interpreted per-window HOF chain it replaced measured 1.79 s vs
+    // 0.51 s at sf0.1 (9.06 s vs 0.84 s at sf1), hash-identical output
+    val picks = shim.column(graft.functions.WinnowPicks(
+      shim.expression(normalize(col(textCol))), k, w))
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), tokens(col(textCol)).as("_t"))
-      .select(col(idCol), graft.ext.Dedup.wordNgrams(col("_t"), k).as("_g"))
-      .select(col(idCol), transform(col("_g"), g =>
-        element_at(shim.column(Md5Slices(shim.expression(g), 1)), 1))
-        .as("_h"))
-      .select(col(idCol), explode(array_distinct(
-        transform(sequence(lit(1), greatest(size(col("_h")) - (w - 1), lit(1))),
-          i => {
-            val sub = slice(col("_h"), i, lit(w))
-            val mn = array_min(sub)
-            // rightmost min: first position in the reversed window
-            val fromRight = array_position(reverse(sub), mn)
-            struct((i + size(sub) - fromRight.cast("int")).as("pos"),
-              mn.as("fp"))
-          }))).as("_p"))
-      .select(col(idCol), col("_p.pos").as("pos"), col("_p.fp").as("fp"))
+      .select(col(idCol), explode(picks).as("_p"))
+      .select(col(idCol),
+        shiftright(col("_p"), 32).cast("int").as("pos"),
+        col("_p").bitwiseAND(lit(0xffffffffL)).as("fp"))
   }
 
   /** Canonical token array (single-space split of the normalized text). */
