@@ -807,7 +807,42 @@ object Dedup {
     * threshold's sensitivity, so pairs are not rescored on raw strings.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, thNum: Int = 3, thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
+      n: Int = 3, thNum: Int = 3, thDen: Int = 5, maxDf: Int = 1000): DataFrame =
+    ngramPairCounts(docs, textCol, idCol, n, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("_na") + col("_nb") - col("inter")).as("uni"))
+      .filter(col("inter") * thDen >= col("uni") * thNum)
+
+  /** Asymmetric CONTAINMENT near-dups (Broder 1997's resemblance vs
+    * containment distinction): pairs where the smaller gram set is mostly
+    * inside the larger — `inter / min(|A|,|B|)` ≥ `thNum/thDen` — catching
+    * quotes, excerpts, and doc-in-doc syndication whose Jaccard is tiny
+    * because the larger document dilutes the union. `contained_id` names
+    * the contained (smaller-set; tie → `doc_a`) document. Thresholding is
+    * exact integer arithmetic; `containment` is one IEEE division of
+    * exact longs for the caller.
+    *
+    * Same machinery and scale guards as [[ngramJaccardPairs]] (shared
+    * core): df-cut gram buckets, in-place pair generation, 8-byte gram
+    * keys.
+    */
+  def ngramContainmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thNum: Int = 4, thDen: Int = 5, maxDf: Int = 1000): DataFrame =
+    ngramPairCounts(docs, textCol, idCol, n, maxDf)
+      .filter(col("inter") * thDen >= least(col("_na"), col("_nb")) * thNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        (col("inter").cast("double") / least(col("_na"), col("_nb")))
+          .as("containment"),
+        when(col("_na") <= col("_nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+
+  /** Shared pair-counting core of [[ngramJaccardPairs]] /
+    * [[ngramContainmentPairs]]: (`doc_a` < `doc_b`, `inter`, `_na`,
+    * `_nb`) over the df-cut distinct-gram universe.
+    */
+  private def ngramPairCounts(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, maxDf: Int): DataFrame = {
     val ngAll = Par.spread(docs)
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
@@ -843,7 +878,6 @@ object Dedup {
       .join(sizes.as("na"), col("doc_a") === col("na._id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb._id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na._n") + col("nb._n") - col("inter")).as("uni"))
-      .filter(col("inter") * thDen >= col("uni") * thNum)
+        col("na._n").as("_na"), col("nb._n").as("_nb"))
   }
 }

@@ -614,6 +614,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // asymmetric containment near-dups: inter/min(|A|,|B|) ≥ 4/5 — quotes
+    // and excerpts whose Jaccard the larger doc dilutes; shared df-cut
+    // gram-bucket core with x5
+    "x91_containment" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(Tables(s, dir, "documents"), "text",
+        "doc_id", n = 3, thNum = 4, thDen = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
     // per-window rightmost-min gram hash — guaranteed coverage of any
     // shared k+w−1-token substring; map-only, ~2/(w+1) density
@@ -2223,6 +2232,26 @@ object ExtensionQueries {
     "x59_semantic_dedup" -> semanticDedupSql,
     "x9_lang_id" -> langIdSql,
     "x89_code_switch" -> codeSwitchSql,
+    "x91_containment" ->
+      s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+         |ng AS (SELECT DISTINCT doc_id,
+         |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS g
+         |       FROM norm, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+         |ngr AS (SELECT doc_id, g FROM ng
+         |        WHERE g IN (SELECT g FROM ng GROUP BY g HAVING count(*) <= 1000)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM ngr a JOIN ngr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |  na.n AS n_a, nb.n AS n_b,
+         |  CAST(i.inter AS DOUBLE) / least(na.n, nb.n) AS containment,
+         |  CASE WHEN na.n <= nb.n THEN i.doc_a ELSE i.doc_b END
+         |    AS contained_id
+         |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+         |             JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE i.inter * 5 >= least(na.n, nb.n) * 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x90_winnow_fingerprints" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l

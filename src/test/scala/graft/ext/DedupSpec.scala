@@ -390,6 +390,27 @@ class DedupSpec extends SparkSpec {
     assert(run(d.repartition(5)) === out)
   }
 
+  test("ngramContainmentPairs: an excerpt inside a long doc flags on " +
+    "containment though its Jaccard is tiny; contained_id names it") {
+    val excerpt = "alpha beta gamma delta epsilon"           // 3 grams @ n=3
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")    // unique grams
+    val d = Seq(
+      (1L, s"$filler $excerpt"),   // long host doc
+      (2L, excerpt),               // fully contained excerpt
+      (3L, "completely different words everywhere here now")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(d, "text", "doc_id",
+      n = 3, thNum = 4, thDen = 5).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("contained_id")) === ((1L, 2L, 2L)))
+    assert(r.getAs[Double]("containment") === 1.0)
+    // the same pair is INVISIBLE to Jaccard at the standard 3/5 threshold
+    val jac = Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3)
+    assert(jac.count() === 0L)
+  }
+
   test("boilerplateStrip: a doc that is all boilerplate surfaces as NULL") {
     val d = Seq(
       (1L, "nav bar", "A"), (2L, "nav bar", "A"), (3L, "nav bar", "A"),
