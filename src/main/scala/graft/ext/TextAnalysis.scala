@@ -76,6 +76,42 @@ object TextAnalysis {
         col("_p").bitwiseAND(lit(0xffffffffL)).as("fp"))
   }
 
+  /** First-owner winnowing fingerprint table: one row per distinct
+    * selected hash — (`fp`, `idCol` = smallest owning doc). Seeded once
+    * from the corpus and APPENDED per ingest batch, the [[winnowFingerprints]]
+    * sibling of the segment-hash table (x60): the corpus is never
+    * re-winnowed to screen a new batch.
+    */
+  def winnowTable(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 3, w: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    winnowFingerprints(docs, textCol, idCol, k, w)
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+
+  /** Batch overlap screening against a MAINTAINED [[winnowTable]]: per
+    * batch document, its selected fingerprint count (`n_fps`, pick rows —
+    * a hash selected at two positions counts twice), how many hit the
+    * table (`n_shared`), and `shared_frac` (one IEEE division of exact
+    * longs). Winnowing's guarantee makes the screen sound: any ≥ k+w−1
+    * token overlap with the corpus MUST hit at least one table row.
+    *
+    * Scale shape: per-batch work is the batch's own fused winnow pass +
+    * one fp-keyed equi-join against the table (8-byte keys) + a
+    * doc-keyed re-aggregation — work ∝ batch, the [[graft.ext.Dedup
+    * .segmentDedupAgainst]] contract.
+    */
+  def winnowOverlapAgainst(docs: org.apache.spark.sql.DataFrame,
+      table: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 3, w: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    winnowFingerprints(docs, textCol, idCol, k, w)
+      .join(table.select(col("fp"), lit(true).as("_sh")), Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("_sh"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_fps"))
+
   /** Canonical token array (single-space split of the normalized text). */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

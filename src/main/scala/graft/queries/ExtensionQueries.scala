@@ -632,6 +632,22 @@ object ExtensionQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // x90's production contract: batch docs screened against a MAINTAINED
+    // first-owner fingerprint table (corpus winnowed once at registration;
+    // per-batch work ∝ batch + one 8-byte-key join) — winnowing's
+    // guarantee makes the screen sound for ≥ k+w−1-token overlaps
+    "x92_winnow_overlap_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val table = Maintained.table(s, s"$dir/documents.parquet",
+        "winnow_fps_mod3_k3w4") {
+        TextAnalysis.winnowTable(d.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", k = 3, w = 4)
+      }
+      TextAnalysis.winnowOverlapAgainst(d.filter(col("doc_id") % 3 === 0),
+        table, "text", "doc_id", k = 3, w = 4)
+        .orderBy("doc_id")
+    }),
+
     // code-switching detection: langId over each half of the token stream;
     // mixed = confident-but-different halves — the check whole-document
     // language ID averages away on concatenated bilingual pages
@@ -1489,6 +1505,32 @@ object ExtensionQueries {
        |  FROM ls)""".stripMargin
   }
 
+  /** x90/x92 mirror: CTE chain ending in `p` = DISTINCT (doc_id, pos, fp)
+    * winnowing picks (k=3 grams, w=4 windows, rightmost-min).
+    */
+  private def winnowPicksCtes: String = {
+    val norm = normSql("text")
+    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |      FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id,
+       |        list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+       |          i -> CAST(concat('0x', substr(md5('0|' ||
+       |                 concat_ws(' ', l[CAST(i AS INT)],
+       |                   l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2])),
+       |                 1, 8)) AS BIGINT)) AS h
+       |      FROM t),
+       |win AS (SELECT doc_id, i,
+       |          h[CAST(i AS INT):CAST(i AS INT) + 3] AS sub
+       |        FROM g, unnest(generate_series(1, greatest(len(h) - 3, 1)))
+       |          AS u(i)),
+       |p AS (SELECT DISTINCT doc_id,
+       |        CAST(i + len(sub)
+       |          - list_position(list_reverse(sub), list_min(sub)) AS INT)
+       |          AS pos,
+       |        list_min(sub) AS fp
+       |      FROM win)""".stripMargin
+  }
+
   /** x89 mirror: per-half stopword scores + the langId CASE chain twice. */
   private def codeSwitchSql: String = {
     def scoreCols(arr: String, sfx: String) =
@@ -2252,28 +2294,19 @@ object ExtensionQueries {
          |             JOIN sizes nb ON nb.doc_id = i.doc_b
          |WHERE i.inter * 5 >= least(na.n, nb.n) * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "x90_winnow_fingerprints" -> {
-      val norm = normSql("text")
-      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
-         |           FROM documents WHERE text IS NOT NULL),
-         |g AS (SELECT doc_id,
-         |        list_transform(generate_series(1, greatest(len(l) - 2, 1)),
-         |          i -> CAST(concat('0x', substr(md5('0|' ||
-         |                 concat_ws(' ', l[CAST(i AS INT)],
-         |                   l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2])),
-         |                 1, 8)) AS BIGINT)) AS h
-         |      FROM t),
-         |win AS (SELECT doc_id, i,
-         |          h[CAST(i AS INT):CAST(i AS INT) + 3] AS sub
-         |        FROM g, unnest(generate_series(1, greatest(len(h) - 3, 1)))
-         |          AS u(i))
-         |SELECT DISTINCT doc_id,
-         |  CAST(i + len(sub)
-         |    - list_position(list_reverse(sub), list_min(sub)) AS INT)
-         |    AS pos,
-         |  list_min(sub) AS fp
-         |FROM win ORDER BY doc_id, pos""".stripMargin
-    },
+    "x90_winnow_fingerprints" ->
+      s"""WITH $winnowPicksCtes
+         |SELECT doc_id, pos, fp FROM p ORDER BY doc_id, pos""".stripMargin,
+    "x92_winnow_overlap_incr" ->
+      s"""WITH $winnowPicksCtes,
+         |ctab AS (SELECT DISTINCT fp FROM p WHERE doc_id % 3 <> 0),
+         |b AS (SELECT p.doc_id, (ctab.fp IS NOT NULL) AS sh
+         |      FROM p LEFT JOIN ctab USING (fp) WHERE p.doc_id % 3 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+         |  CAST(sum(CASE WHEN sh THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(CAST(sum(CASE WHEN sh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE) / count(*) AS shared_frac
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x47_curation_e2e" -> curationE2eSql,
     "x10_quality_score" -> qualitySql,
     "x11_token_count" ->

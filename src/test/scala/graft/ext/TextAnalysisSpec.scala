@@ -190,6 +190,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.sorted.toSeq === fps.sorted.toSeq)
   }
 
+  test("winnowOverlapAgainst: a batch doc sharing >= k+w-1 tokens with " +
+    "the corpus MUST hit the maintained table; unrelated docs don't") {
+    val passage = "alpha beta gamma delta epsilon zeta"   // 6 = k+w-1
+    val corpus = Seq(
+      (1L, s"leading words here $passage trailing content words"),
+      (2L, "other corpus text entirely")
+    ).toDF("doc_id", "text")
+    val table = TextAnalysis.winnowTable(corpus, "text", "doc_id",
+      k = 3, w = 4)
+    val batch = Seq(
+      (10L, s"brand new framing $passage and different tail"),
+      (11L, "nothing shared with anything at all truly")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowOverlapAgainst(batch, table, "text",
+      "doc_id", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("shared_frac"))).toMap
+    assert(got(10L)._1 >= 1L, "coverage guarantee")
+    assert(got(11L) === ((0L, 0.0)))
+    // table rows carry the smallest owning doc id
+    assert(table.filter(col("doc_id") === 1L).count() > 0)
+  }
+
   test("codeSwitchFlag: bilingual halves flag mixed; monolingual, " +
     "unknown-half, and odd-length docs do not mis-flag") {
     val docs = Seq(
