@@ -813,6 +813,34 @@ object Dedup {
         (col("_na") + col("_nb") - col("inter")).as("uni"))
       .filter(col("inter") * thDen >= col("uni") * thNum)
 
+  /** Cross-source syndication matrix: near-dup pairs ([[minhashNearDups]])
+    * rolled up to the SOURCE level — `n_pairs` near-duplicate document
+    * pairs per unordered source pair (`src_1` ≤ `src_2`; the diagonal is
+    * within-source duplication). The corpus-forensics view: which domains
+    * mirror which, where scraped content recirculates, which source to
+    * keep when cluster dedup must pick a canonical side.
+    *
+    * Scale shape: the pair stream (already bounded by the LSH banding)
+    * joins the doc→source map on each end — two doc-id equi-joins, the
+    * map AQE-broadcast when sources fit — then ONE (source, source)-keyed
+    * aggregate with map-side combine; output rows ≤ sources².
+    */
+  def syndicationMatrix(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, k: Int = 16, bands: Int = 4, shingleLen: Int = 7,
+      thNum: Int = 4, thDen: Int = 5): DataFrame = {
+    val pairs = minhashNearDups(docs, textCol, idCol, k, bands, shingleLen,
+      thNum, thDen)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(sourceCol).as("_sa")),
+        Seq("doc_a"))
+      .join(src.select(col(idCol).as("doc_b"), col(sourceCol).as("_sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("_sa"), col("_sb")).as("src_1"),
+        greatest(col("_sa"), col("_sb")).as("src_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Asymmetric CONTAINMENT near-dups (Broder 1997's resemblance vs
     * containment distinction): pairs where the smaller gram set is mostly
     * inside the larger — `inter / min(|A|,|B|)` ≥ `thNum/thDen` — catching

@@ -614,6 +614,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-source syndication matrix: x3's near-dup pairs rolled up per
+    // unordered source pair — which domains mirror which
+    "x93_syndication_matrix" -> ((s, dir) => {
+      Dedup.syndicationMatrix(Tables(s, dir, "documents"), "text",
+        "doc_id", "source")
+        .orderBy("src_1", "src_2")
+    }),
+
     // asymmetric containment near-dups: inter/min(|A|,|B|) ≥ 4/5 — quotes
     // and excerpts whose Jaccard the larger doc dilutes; shared df-cut
     // gram-bucket core with x5
@@ -2274,6 +2282,15 @@ object ExtensionQueries {
     "x59_semantic_dedup" -> semanticDedupSql,
     "x9_lang_id" -> langIdSql,
     "x89_code_switch" -> codeSwitchSql,
+    "x93_syndication_matrix" ->
+      s"""WITH pr AS (${minhashLshCoreSql("a.doc_id < b.doc_id")}),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS src_1,
+         |  greatest(sa.source, sb.source) AS src_2,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr JOIN src sa ON sa.doc_id = pr.doc_a
+         |        JOIN src sb ON sb.doc_id = pr.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x91_containment" ->
       s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
          |ng AS (SELECT DISTINCT doc_id,

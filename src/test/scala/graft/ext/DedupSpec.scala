@@ -390,6 +390,21 @@ class DedupSpec extends SparkSpec {
     assert(run(d.repartition(5)) === out)
   }
 
+  test("syndicationMatrix: near-dup pairs roll up per unordered source " +
+    "pair; diagonal is within-source duplication") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, base, "A"), (2L, base, "B"),            // A↔B syndication
+      (3L, base, "B"),                             // B↔B and more A/B pairs
+      (4L, "totally unrelated text about engines", "C")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.syndicationMatrix(d, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B
+    assert(m === Map(("A", "B") -> 2L, ("B", "B") -> 1L))
+  }
+
   test("ngramContainmentPairs: an excerpt inside a long doc flags on " +
     "containment though its Jaccard is tiny; contained_id names it") {
     val excerpt = "alpha beta gamma delta epsilon"           // 3 grams @ n=3
