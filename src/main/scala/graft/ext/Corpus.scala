@@ -877,6 +877,50 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Collocation extraction — adjacent-bigram LIFT in the log-free
+    * rational form of PMI (Church & Hanks 1990): for every bigram with ≥
+    * `minCount` occurrences, `lift` = `c_ab · N / (c_a · c_b)` where `N`
+    * is the corpus unigram total — the monotone transform of pointwise
+    * mutual information (PMI = log lift), kept as ONE IEEE division of
+    * exact longs so ranking and hashes are bit-stable across engines (the
+    * [[tfidfTopTerms]] raw-idf convention). High lift marks multiword
+    * expressions ("new york", "machine learning") — tokenizer merge
+    * candidates and phrase-mining seeds. Top `topK` by (lift desc,
+    * bigram asc).
+    *
+    * Scale shape: the bigram and unigram counts are two map-side-combined
+    * aggregates over the token stream (vocabulary- and vocabulary²-
+    * bounded); the two unigram attaches join a bounded table (AQE
+    * broadcast); the final top-K plans as TakeOrderedAndProject.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount > 0 && topK > 0, "need minCount, topK > 0")
+    val toks = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(TextAnalysis.tokens(col(textCol)).as("_t"))
+    val uni = toks.select(explode(col("_t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    val nTotal = uni.agg(sum(col("_c"))).head().getLong(0)
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - 1),
+        i => concat(element_at(col("_t"), i), lit(" "),
+          element_at(col("_t"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("term"), col("_c").as("c_a")),
+        split(col("bigram"), " ").getItem(0) === col("term"))
+      .drop("term")
+      .join(uni.select(col("term"), col("_c").as("c_b")),
+        split(col("bigram"), " ").getItem(1) === col("term"))
+      .drop("term")
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * nTotal).cast("double") / (col("c_a") * col("c_b")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed-unigram features are under a TARGET

@@ -614,6 +614,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // collocation extraction: adjacent-bigram lift (log-free PMI, exact
+    // rational) — multiword-expression mining / tokenizer merge candidates
+    "x94_collocations" -> ((s, dir) => {
+      Corpus.collocations(Tables(s, dir, "documents"), "text",
+        minCount = 5L, topK = 40)
+    }),
+
     // cross-source syndication matrix: x3's near-dup pairs rolled up per
     // unordered source pair — which domains mirror which
     "x93_syndication_matrix" -> ((s, dir) => {
@@ -2282,6 +2289,24 @@ object ExtensionQueries {
     "x59_semantic_dedup" -> semanticDedupSql,
     "x9_lang_id" -> langIdSql,
     "x89_code_switch" -> codeSwitchSql,
+    "x94_collocations" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT string_split($norm, ' ') AS l
+         |           FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT tk AS term, count(*) AS c
+         |        FROM (SELECT unnest(l) AS tk FROM t) GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM uni),
+         |bi AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+         |          AS bigram, count(*) AS c_ab
+         |       FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)
+         |       GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  CAST(c_ab * tot.n AS DOUBLE) / (ua.c * ub.c) AS lift
+         |FROM bi, tot
+         |JOIN uni ua ON ua.term = string_split(bigram, ' ')[1]
+         |JOIN uni ub ON ub.term = string_split(bigram, ' ')[2]
+         |ORDER BY lift DESC, bigram LIMIT 40""".stripMargin
+    },
     "x93_syndication_matrix" ->
       s"""WITH pr AS (${minhashLshCoreSql("a.doc_id < b.doc_id")}),
          |src AS (SELECT doc_id, source FROM documents)

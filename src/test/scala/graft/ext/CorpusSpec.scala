@@ -453,6 +453,30 @@ class CorpusSpec extends SparkSpec {
       Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
   }
 
+  test("collocations: a planted multiword expression outranks frequent " +
+    "unigram co-occurrence; exact lift; bigrams never cross docs") {
+    import org.apache.spark.sql.functions.col
+    // "new york" always together (perfect collocation); "the cat" co-occur
+    // but 'the' is everywhere, diluting its lift
+    val docs = Seq(
+      (1L, "new york is where the cat sleeps the most"),
+      (2L, "new york has the cat and the dog"),
+      (3L, "the dog likes new york in the winter"),
+      (4L, "a final doc mentioning new york and the end")
+    ).toDF("doc_id", "text")
+    val out = Corpus.collocations(docs, "text", minCount = 2L, topK = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val n = 34L   // total tokens (9 + 8 + 8 + 9)
+    val (cab, ca, cb, lift) = out("new york")
+    assert((cab, ca, cb) === ((4L, 4L, 4L)))
+    assert(lift === (4L * n).toDouble / (4L * 4L))
+    // "new york" (every occurrence paired) outranks "the cat"
+    assert(lift > out("the cat")._4)
+    // doc-boundary check: "most new" (doc 1 tail → doc 2 head) never forms
+    assert(!out.contains("most new"))
+  }
+
   test("oovRateAgainstTable: vocab = top-V by (count desc, term asc); " +
     "unseen tokens are OOV; exact rates") {
     import org.apache.spark.sql.functions.col
