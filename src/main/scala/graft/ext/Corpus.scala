@@ -625,6 +625,100 @@ object Corpus {
         col("score"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Sparck Jones probabilistic model,
+    * Okapi weighting with k1 = 6/5, b = 3/4): top-`k` corpus documents per
+    * query, scored over the inverted-index shape — the workhorse for
+    * "find the corpus documents most relevant to this probe/benchmark
+    * question" sweeps over training data.
+    *
+    * Determinism across engines is engineered the same way as
+    * [[tfidfTopTerms]]'s raw-idf: the idf is the log-free rational variant
+    * `(N − df + ½)/(df + ½)` and every per-term contribution reduces to
+    * ONE IEEE division of two exactly-representable products,
+    *
+    *   ((2N − 2df + 1) · 44·tf · T) / ((2df + 1) · (20·tf·T + 6T + 18·dl·N))
+    *
+    * (T = corpus token count, dl = doc length; the integer constants are
+    * k1, b and the ½s cleared to a common denominator). The quotient is
+    * quantized to millionths with `floor(q · 10⁶)` — bit-identical on any
+    * IEEE-754 engine — so the per-(query, doc) score is an exact LONG sum,
+    * associative under any partitioning. Long-range caveat: the products
+    * stay exact while tf·T < 2⁵³ (T ≈ 4·10¹⁵ at tf=1) — beyond that,
+    * pre-aggregate per shard or widen to decimal.
+    *
+    * Scale shape: term frequencies and document frequencies are map-side-
+    * combined aggregates (shared with tfidf); query terms join the tf
+    * postings on the TERM key — the classic inverted-index probe, work
+    * ∝ Σ_{query term} df(term), never queries × corpus — then one
+    * (query, doc)-keyed sum and a per-QUERY top-k window (millions of tiny
+    * groups). `excludeSelf` drops qid = doc id hits when the queries are
+    * themselves corpus rows.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, "need k > 0")
+    val base = Par.spread(docs).filter(col(textCol).isNotNull)
+    val tf = base
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dl = tf.groupBy(col("_id")).agg(sum(col("_tf")).as("_dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val glob = dl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_T"))
+    val qterms = Par.spread(queries).filter(col(qTextCol).isNotNull)
+      .select(col(qIdCol).as("_qid"),
+        explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("term"))
+    val num = (lit(2) * col("_N") - lit(2) * col("_df") + 1).cast("double") *
+      (col("_tf") * 44).cast("double") * col("_T").cast("double")
+    val den = (lit(2) * col("_df") + 1).cast("double") *
+      (col("_tf") * 20 * col("_T") + lit(6) * col("_T") +
+        lit(18) * col("_dl") * col("_N")).cast("double")
+    val hits = qterms
+      .join(tf, Seq("term"))
+      .join(dl, Seq("_id"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(glob))
+    val scored = (if (excludeSelf) hits.filter(col("_qid") =!= col("_id"))
+      else hits)
+      .withColumn("_c", floor((num / den) * lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("score").desc, col("_id").asc)
+    scored
+      .groupBy(col("_qid"), col("_id")).agg(sum(col("_c")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("_id").as("doc_id"),
+        col("score"), col("rank"))
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: [[hashSplit]] decided per
+    * NEAR-DUP CLUSTER instead of per document, so two near-duplicate
+    * documents can never land on opposite sides of the train/eval fence —
+    * the split-level form of decontamination (random per-doc splits leak
+    * evaluation answers through surviving near-dups; Lee et al. 2022
+    * measure the effect). `pairs` is any near-dup pair list (`doc_a` <
+    * `doc_b` — [[Dedup.minhashNearDups]], [[Dedup.simhashNearDups]],
+    * [[Similarity.cosineNearDupsBlocked]]...); cluster membership comes
+    * from [[Dedup.dupClusters]]' iterative min-label components, and the
+    * md5 split key is each row's canonical cluster id (its own id for
+    * singletons). Adds `split_key` and `split`; a document's assignment is
+    * stable under corpus growth unless new pairs join its cluster.
+    *
+    * Scale shape: O(diameter) label-propagation rounds on the (tiny) pair
+    * list, one left join of the corpus against the member table, then the
+    * per-row O(1) md5 threshold test — the corpus itself never shuffles on
+    * anything but the id.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valFrac: Double, testFrac: Double, salt: String = "split"): DataFrame = {
+    val canon = Dedup.dupClusters(pairs).withColumnRenamed("member_id", idCol)
+    val keyed = docs.join(canon, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+    hashSplit(keyed, "split_key", valFrac, testFrac, salt)
+  }
+
   /** Deterministic balanced shard assignment for training-data export:
     * rows order globally by `(weight desc, md5(id), id)` and fill `nShards`
     * output shards in a serpentine (boustrophedon) pattern — pass `r` of

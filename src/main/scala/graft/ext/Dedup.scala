@@ -908,4 +908,95 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("na._n").as("_na"), col("nb._n").as("_nb"))
   }
+
+  /** PREFIX-FILTERED exact n-gram Jaccard join (the AllPairs algorithm,
+    * Bayardo/Ma/Srikant WWW 2007): identical output to
+    * [[ngramJaccardPairs]] — every pair with filtered-set Jaccard ≥
+    * `thNum/thDen` — but candidate pairs are generated only from each
+    * document's PREFIX under a global rarest-first gram order, not from
+    * every shared gram.
+    *
+    * Why this is the different algorithm x5 needed: [[ngramPairCounts]]
+    * exchanges one pair occurrence per SHARED GRAM — Σ_{df ≤ maxDf} df²
+    * pair rows — because it must count every intersection exactly for
+    * every co-occurring pair. Here the exchange is bounded by the prefix
+    * theorem instead: order all grams by (document frequency asc, hash),
+    * keep only the first `|d| − ⌈t·|d|⌉ + 1` grams of each document, and
+    * any pair with Jaccard ≥ t MUST share a prefix gram (if all shared
+    * grams sat in both suffixes, the overlap would be < ⌈t·max(|A|,|B|)⌉,
+    * contradicting J ≥ t for any length-compatible pair). Prefixes are
+    * the RAREST (1−t)/(1+ε) slice of each document, so the per-gram df —
+    * and with it the df² fan-out — collapses; stop-phrase grams never
+    * generate a candidate at all. Candidates then take one LENGTH filter
+    * (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)) and are verified EXACTLY
+    * with a per-pair sorted-array intersection over the two documents'
+    * full filtered gram sets — two id-keyed joins moving each doc array
+    * once per surviving candidate, no per-gram pair stream. (PPJoin's
+    * positional filter is deliberately omitted: in set-bucket generation
+    * it needs the probe-time running-overlap state to stay sound, and an
+    * unsound variant would silently drop true pairs.)
+    *
+    * The `maxDf` cut is applied to the gram universe FIRST, exactly as in
+    * [[ngramJaccardPairs]], so the two operators compute the same
+    * function — x95 is hash-checked against x5's own oracle. Trade-off at
+    * 100 TB: x5's shape pays one giant gram-keyed exchange and wins when
+    * near-everything co-occurs; this shape pays per-doc array
+    * materialization (bounded by document length) and wins — typically by
+    * the candidate-count ratio — when the corpus is large and true
+    * near-dup pairs are sparse, which is the production regime.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thNum: Int = 3, thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
+    require(thNum > 0 && thDen >= thNum, "need 0 < thNum/thDen <= 1")
+    val ng = Par.spread(docs)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+    // document frequency per gram; same df > maxDf universe cut as x5
+    val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+    // each doc's filtered gram set as ONE array sorted rarest-first:
+    // (df asc, hash asc) is a global total order, so array positions are
+    // the canonical order the prefix theorem needs. The array is bounded
+    // by the document's own length — the row a giant doc pays is its own.
+    val docArr = ng.join(dfs, Seq("_g"))
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_g")))).as("_sg"))
+      .select(col("_id"),
+        transform(col("_sg"), s => s.getField("_g")).as("_ga"),
+        size(col("_sg")).as("_n"))
+    // prefix length |d| − ⌈t·|d|⌉ + 1 (exact integer ceiling)
+    val pfxLen = (col("_n") - floor((col("_n") * thNum + (thDen - 1))
+      / thDen).cast("int") + 1)
+    val prefix = docArr
+      .select(col("_id"), col("_n"), explode(slice(col("_ga"), lit(1), pfxLen)).as("_g"))
+    // candidate pairs generated in place per prefix-gram bucket (the same
+    // suffix-pairing trick as ngramPairCounts), length-filtered before the
+    // distinct so hopeless pairs never reach the pair exchange
+    val cands = prefix.groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_id"), col("_n")))).as("_m"))
+      .filter(size(col("_m")) > 1)
+      .select(explode(flatten(transform(col("_m"), (a, i) =>
+        transform(slice(col("_m"), i + lit(2), size(col("_m")) - i - lit(1)),
+          b => struct(a.getField("_id").as("doc_a"), a.getField("_n").as("_na"),
+            b.getField("_id").as("doc_b"), b.getField("_n").as("_nb")))))).as("_p"))
+      .select(col("_p.doc_a").as("doc_a"), col("_p._na").as("_na"),
+        col("_p.doc_b").as("doc_b"), col("_p._nb").as("_nb"))
+      .filter(least(col("_na"), col("_nb")) * thDen
+        >= greatest(col("_na"), col("_nb")) * thNum)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("_na")).as("_na"), max(col("_nb")).as("_nb"))
+    // exact verify: intersect the two full sorted gram arrays per pair —
+    // arrays are sets (distinct hashes), so size(array_intersect) IS the
+    // exact intersection cardinality
+    cands
+      .join(docArr.select(col("_id").as("doc_a"), col("_ga").as("_gaa")), Seq("doc_a"))
+      .join(docArr.select(col("_id").as("doc_b"), col("_ga").as("_gab")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("_gaa"), col("_gab"))).cast("long").as("inter"),
+        col("_na"), col("_nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("_na").cast("long") + col("_nb") - col("inter")).as("uni"))
+      .filter(col("inter") * thDen >= col("uni") * thNum)
+  }
 }

@@ -308,6 +308,27 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 ranked retrieval over the inverted-index shape: every 101st
+    // document probes the corpus as a query, top-10 by the log-free
+    // rational Okapi score (k1=6/5, b=3/4), quantized to an exact long
+    "x96_bm25_topk" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Corpus.bm25TopK(d, d.filter(col("doc_id") % 101 === 0),
+        "text", "doc_id", "doc_id", "text", k = 10, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
+    // leakage-safe split: hashSplit decided per near-dup CLUSTER (x21's
+    // simhash pairs → x29's components), so near-duplicates never
+    // straddle the train/eval fence
+    "x97_leakage_safe_split" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.simhashNearDups(d, "text", "doc_id")
+      Corpus.leakageSafeSplit(d.select(col("doc_id"), col("lang")),
+        "doc_id", pairs, valFrac = 0.1, testFrac = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash-based train/val/test split: 32-bit md5 slice vs
     // exact integer thresholds — O(1)/row, stable under corpus growth
     "x63_hash_split" -> ((s, dir) => {
@@ -627,6 +648,16 @@ object ExtensionQueries {
       Dedup.syndicationMatrix(Tables(s, dir, "documents"), "text",
         "doc_id", "source")
         .orderBy("src_1", "src_2")
+    }),
+
+    // AllPairs prefix-filtered exact Jaccard join: the same function as
+    // x5 (hash-checked against x5's own oracle) computed by a different
+    // algorithm — rarest-first prefixes generate the candidates, one
+    // sorted-array intersection per candidate verifies exactly
+    "x95_prefix_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairsPrefix(Tables(s, dir, "documents"), "text",
+        "doc_id", n = 3, thNum = 3, thDen = 5)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // asymmetric containment near-dups: inter/min(|A|,|B|) ≥ 4/5 — quotes
@@ -2182,6 +2213,67 @@ object ExtensionQueries {
          |          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
          |      FROM k)
          |ORDER BY doc_id""".stripMargin,
+    "x96_bm25_topk" -> {
+      val norm = normSql("text")
+      // every arithmetic step mirrors the Spark side exactly: long
+      // products inside the CASTs are exact integers, the score is ONE
+      // IEEE division per term, quantized with floor(q·10⁶) and summed
+      // as exact BIGINTs (DuckDB's HUGEINT sum cast back down)
+      s"""WITH base AS (SELECT doc_id, string_split($norm, ' ') AS l
+         |              FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id AS id, unnest(l) AS term FROM base),
+         |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS qid, unnest(l) AS term
+         |       FROM base WHERE doc_id % 101 = 0),
+         |hits AS (SELECT q.qid, f.id, f.tf, d.dl, x.df, g.n, g.t
+         |         FROM qt q JOIN tf f ON f.term = q.term
+         |         JOIN dl d ON d.id = f.id
+         |         JOIN dft x ON x.term = q.term, tot g
+         |         WHERE q.qid <> f.id),
+         |sc AS (SELECT qid, id, CAST(sum(CAST(floor(
+         |         ((CAST(2 * n - 2 * df + 1 AS DOUBLE) * CAST(44 * tf AS DOUBLE))
+         |            * CAST(t AS DOUBLE))
+         |         / (CAST(2 * df + 1 AS DOUBLE)
+         |            * CAST(20 * tf * t + 6 * t + 18 * dl * n AS DOUBLE))
+         |         * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+         |       FROM hits GROUP BY 1, 2),
+         |r AS (SELECT qid AS query_id, id AS doc_id, score,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY score DESC, id) AS INT) AS rank
+         |      FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "x97_leakage_safe_split" ->
+      // x29's recursive component closure supplies the canonical id; the
+      // split is x63's md5-slice rule applied to that cluster key
+      s"""WITH RECURSIVE $simhashCore,
+         |$simhashBandCtes,
+         |p AS (SELECT c.doc_a, c.doc_b
+         |      FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+         |                  JOIN fp fb ON fb.doc_id = c.doc_b
+         |      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (SELECT s AS id, s AS r FROM e
+         |          UNION
+         |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+         |canon AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id, d.lang,
+         |            coalesce(c.canonical_id, d.doc_id) AS split_key
+         |          FROM documents d LEFT JOIN canon c ON c.id = d.doc_id)
+         |SELECT doc_id, lang, split_key,
+         |  CASE WHEN sl < 429496729 THEN 'val'
+         |       WHEN sl < 858993459 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT *,
+         |        CAST(concat('0x', substr(md5('split|' || CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
+         |      FROM keyed)
+         |ORDER BY doc_id""".stripMargin,
     "x63_hash_split" ->
       // thresholds: floor(0.1·2^32) = 429496729, floor(0.2·2^32) = 858993459
       """SELECT doc_id,
@@ -2257,6 +2349,9 @@ object ExtensionQueries {
          |SELECT lang, term, n, rank FROM r WHERE rank <= 10
          |ORDER BY lang, rank""".stripMargin,
     "x5_ngram_jaccard" -> ngramJaccardSql,
+    // x95 computes the same function as x5 by a different algorithm —
+    // the shared oracle IS the equivalence claim
+    "x95_prefix_jaccard" -> ngramJaccardSql,
     "x6_cosine_topk" -> topkSql,
     "x7_ann_lsh" -> annLshSql,
     "x16_ann_ivf" -> annIvfSql,

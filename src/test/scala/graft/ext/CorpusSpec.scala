@@ -10,6 +10,60 @@ class CorpusSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("bm25TopK: shared-term ranking, rarity beats frequency, " +
+    "excludeSelf drops the identity hit") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),           // shares rare 'cherry' with q
+      (2L, "apple apple apple banana"),      // shares only common 'apple'
+      (3L, "durian elderberry fig"),         // shares nothing
+      (4L, "cherry cherry apple")            // strongest cherry match
+    ).toDF("doc_id", "text")
+    val q = Seq((100L, "apple cherry")).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(docs, q, "text", "doc_id", "doc_id", "text",
+      k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score"), r.getAs[Int]("rank")))
+    // doc 3 shares no term — absent; all hits belong to query 100
+    assert(out.map(_._2).toSet === Set(1L, 2L, 4L))
+    assert(out.forall(_._1 === 100L))
+    // docs with the rare term 'cherry' outrank the apple-only doc
+    val rankOf = out.map(t => t._2 -> t._4).toMap
+    assert(rankOf(4L) < rankOf(2L) && rankOf(1L) < rankOf(2L))
+    // ranks are dense from 1
+    assert(out.map(_._4).sorted === Array(1, 2, 3))
+    // scores are positive quantized longs
+    assert(out.forall(_._3 > 0L))
+    // self-exclusion: querying with a corpus row drops only the self hit
+    val selfQ = docs.filter(col("doc_id") === 1L)
+    val self = Corpus.bm25TopK(docs, selfQ, "text", "doc_id", "doc_id",
+      "text", k = 10, excludeSelf = true).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    assert(!self.contains(1L) && self.nonEmpty)
+  }
+
+  test("leakageSafeSplit: cluster members share one split; singletons " +
+    "keep their per-id assignment") {
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"))
+    // two clusters: {1,2,3} (chained) and {7,8}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Corpus.leakageSafeSplit(docs, "doc_id", pairs, 0.25, 0.25)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    // members inherit the min-id canonical as split key → same split
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(out(7L)._1 === 7L && out(8L)._1 === 7L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size === 1)
+    assert(out(7L)._2 === out(8L)._2)
+    // a singleton's assignment equals plain hashSplit on its own id
+    val plain = Corpus.hashSplit(docs.filter(col("doc_id") === 5L),
+      "doc_id", 0.25, 0.25).collect().head.getAs[String]("split")
+    assert(out(5L) === ((5L, plain)))
+    // every row is assigned something legal
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("stratifiedSample: at most k per stratum, deterministic, md5-ordered") {
     val docs = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

@@ -426,6 +426,42 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() === 0L)
   }
 
+  test("ngramJaccardPairsPrefix: identical result to ngramJaccardPairs " +
+    "on dup/near-dup/stop-gram corpus, at two thresholds") {
+    // mix: exact dup pair, near-dup pair, disjoint doc, plus a gram that
+    // appears in every doc (prefix ordering must push it to the suffixes)
+    val stop = "common phrase here"
+    val d = Seq(
+      (1L, s"$stop the quick brown fox jumps over the lazy dog today"),
+      (2L, s"$stop the quick brown fox jumps over the lazy dog today"),
+      (3L, s"$stop an entirely different document about spark engines"),
+      (4L, s"$stop the quick brown fox jumps over the lazy cat today")
+    ).toDF("doc_id", "text")
+    for ((tn, td) <- Seq((3, 5), (9, 10))) {
+      val full = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        n = 3, thNum = tn, thDen = td)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val pfx = Dedup.ngramJaccardPairsPrefix(d, "text", "doc_id",
+        n = 3, thNum = tn, thDen = td)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(pfx === full, s"threshold $tn/$td")
+      assert(full.nonEmpty) // the corpus really has qualifying pairs
+    }
+  }
+
+  test("ngramJaccardPairsPrefix: df cut drops mega-grams from the " +
+    "universe exactly as in ngramJaccardPairs") {
+    val shared = "x y z"                       // one gram shared by all
+    val d = (1L to 6L).map(i => (i, s"$shared unique$i gram$i tail$i"))
+      .toDF("doc_id", "text")
+    // maxDf=2 cuts the shared gram (df=6): no pair shares anything
+    val full = Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3,
+      thNum = 1, thDen = 10, maxDf = 2).collect()
+    val pfx = Dedup.ngramJaccardPairsPrefix(d, "text", "doc_id", n = 3,
+      thNum = 1, thDen = 10, maxDf = 2).collect()
+    assert(full.isEmpty && pfx.isEmpty)
+  }
+
   test("boilerplateStrip: a doc that is all boilerplate surfaces as NULL") {
     val d = Seq(
       (1L, "nav bar", "A"), (2L, "nav bar", "A"), (3L, "nav bar", "A"),
