@@ -656,16 +656,43 @@ object Corpus {
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame =
+    bm25TopKAgainstPostings(queries, postingsTable(docs, textCol, idCol),
+      qIdCol, qTextCol, k, excludeSelf)
+
+  /** The index side of [[bm25TopK]] as a MAINTAINED table — (`id`, `term`,
+    * `tf`, `dl`) term-frequency postings, the inverted index's row form.
+    * ADDITIVE on disjoint document batches: each row depends only on its
+    * own document, so `postingsTable(a ∪ b) = postingsTable(a) ∪
+    * postingsTable(b)` (spec-proved) — the production contract where
+    * documents are tokenized ONCE at ingest, appended, and never
+    * re-tokenized per query sweep. `dl` (document token count) is
+    * denormalized into every row precisely to keep the table append-only:
+    * a separate doc-length table would also work, but this way one table
+    * carries the whole index.
+    */
+  def postingsTable(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tf = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")), Seq("id"))
+  }
+
+  /** [[bm25TopK]] scored against an existing [[postingsTable]] — the
+    * incremental entry point: corpus-global statistics (df, N, T) are
+    * re-derived from the table with two map-side-combined aggregates
+    * (O(table), no re-tokenization), and the query batch pays only its own
+    * term explode plus the postings probe. Same score, same output shape.
+    */
+  def bm25TopKAgainstPostings(queries: DataFrame, postings: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int = 10,
       excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, "need k > 0")
-    val base = Par.spread(docs).filter(col(textCol).isNotNull)
-    val tf = base
-      .select(col(idCol).as("_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("_tf"))
-    val dl = tf.groupBy(col("_id")).agg(sum(col("_tf")).as("_dl"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
-    val glob = dl.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_T"))
+    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val docLen = postings.groupBy(col("id")).agg(max(col("dl")).as("_dl"))
+    val glob = docLen.agg(count(lit(1)).as("_N"), sum(col("_dl")).as("_T"))
     val qterms = Par.spread(queries).filter(col(qTextCol).isNotNull)
       .select(col(qIdCol).as("_qid"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("term"))
@@ -675,8 +702,8 @@ object Corpus {
       (col("_tf") * 20 * col("_T") + lit(6) * col("_T") +
         lit(18) * col("_dl") * col("_N")).cast("double")
     val hits = qterms
-      .join(tf, Seq("term"))
-      .join(dl, Seq("_id"))
+      .join(postings.select(col("id").as("_id"), col("term"),
+        col("tf").as("_tf"), col("dl").as("_dl")), Seq("term"))
       .join(dfT, Seq("term"))
       .crossJoin(broadcast(glob))
     val scored = (if (excludeSelf) hits.filter(col("_qid") =!= col("_id"))
@@ -690,6 +717,35 @@ object Corpus {
       .filter(col("rank") <= k)
       .select(col("_qid").as("query_id"), col("_id").as("doc_id"),
         col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR 2009) of N
+    * ranked retrieval lists — the standard hybrid-retrieval combiner for
+    * lexical + semantic search ([[bm25TopK]] fused with
+    * [[Similarity.bruteForceTopK]]/`ivfTopK`): each list contributes
+    * `1/(kRrf + rank)` per (query, doc), fused score = the sum. Rankings
+    * need only (`query_id`, `doc_id`, `rank`) columns; lists may cover
+    * different doc subsets (`n_lists` records how many voted for each
+    * hit). Scores are quantized to exact longs — `⌊10⁹/(kRrf + rank)⌋` is
+    * bit-identical on any engine and the sum is order-independent — so
+    * the fused ranking is deterministic (ties → doc id).
+    *
+    * Scale shape: one union of the (already top-k-bounded) lists, one
+    * (query, doc)-keyed map-side-combined sum, one per-QUERY top-k window
+    * — input is N·k rows per query, never corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && kRrf >= 0, "need k > 0 and kRrf >= 0")
+    val tagged = rankings.map(_.select(col("query_id"), col("doc_id"),
+      floor(lit(1000000000.0) / (col("rank") + kRrf)).cast("long").as("_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** LEAKAGE-SAFE train/val/test split: [[hashSplit]] decided per

@@ -318,6 +318,37 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // x96's production contract: the postings table (id, term, tf, dl) is
+    // MAINTAINED — tokenized once at registration, appended per batch,
+    // never re-tokenized per sweep; the query batch pays its own explode
+    // plus the term-keyed probe. Same function as x96, same oracle.
+    "x98_bm25_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val postings = Maintained.table(s, s"$dir/documents.parquet",
+        "bm25_postings") {
+        Corpus.postingsTable(d, "text", "doc_id")
+      }
+      Corpus.bm25TopKAgainstPostings(d.filter(col("doc_id") % 101 === 0),
+        postings, "doc_id", "text", k = 10, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval: BM25 top-20 (lexical) fused with exact cosine
+    // top-20 (semantic) by reciprocal-rank fusion — quantized-long RRF
+    // scores, ties to doc id; at scale the semantic list comes from the
+    // IVF paths, same fusion
+    "x99_hybrid_rrf" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val lex = Corpus.bm25TopK(d, d.filter(col("doc_id") % 101 === 0),
+        "text", "doc_id", "doc_id", "text", k = 20, excludeSelf = true)
+      val sem = Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 20)
+        .filter(col("query_id") % 101 === 0)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Corpus.rrfFuse(Seq(lex, sem), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // leakage-safe split: hashSplit decided per near-dup CLUSTER (x21's
     // simhash pairs → x29's components), so near-duplicates never
     // straddle the train/eval fence
@@ -1106,6 +1137,48 @@ object ExtensionQueries {
        |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d)
        |SELECT min(r) AS canonical_id, id AS member_id
        |FROM reach GROUP BY id ORDER BY canonical_id, member_id""".stripMargin
+
+  /** BM25 ranked CTE chain (mirror of `Corpus.bm25TopK`): every
+    * arithmetic step matches the Spark side exactly — long products
+    * inside the CASTs are exact integers, the score is ONE IEEE division
+    * per term, quantized with floor(q·10⁶) and summed as exact BIGINTs
+    * (DuckDB's HUGEINT sum cast back down). Ends at `bmr(query_id,
+    * doc_id, score, rank)`, unlimited — consumers slice their own top-k.
+    */
+  private def bm25RankedCtes: String = {
+    val norm = normSql("text")
+    s"""base AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |         FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id AS id, unnest(l) AS term FROM base),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(dl) AS BIGINT) AS t FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS qid, unnest(l) AS term
+       |       FROM base WHERE doc_id % 101 = 0),
+       |hits AS (SELECT q.qid, f.id, f.tf, d.dl, x.df, g.n, g.t
+       |         FROM qt q JOIN tf f ON f.term = q.term
+       |         JOIN dl d ON d.id = f.id
+       |         JOIN dft x ON x.term = q.term, tot g
+       |         WHERE q.qid <> f.id),
+       |sc AS (SELECT qid, id, CAST(sum(CAST(floor(
+       |         ((CAST(2 * n - 2 * df + 1 AS DOUBLE) * CAST(44 * tf AS DOUBLE))
+       |            * CAST(t AS DOUBLE))
+       |         / (CAST(2 * df + 1 AS DOUBLE)
+       |            * CAST(20 * tf * t + 6 * t + 18 * dl * n AS DOUBLE))
+       |         * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+       |       FROM hits GROUP BY 1, 2),
+       |bmr AS (SELECT qid AS query_id, id AS doc_id, score,
+       |          CAST(row_number() OVER (PARTITION BY qid
+       |            ORDER BY score DESC, id) AS INT) AS rank
+       |        FROM sc)""".stripMargin
+  }
+
+  private def bm25Sql: String =
+    s"""WITH $bm25RankedCtes
+       |SELECT query_id, doc_id, score, rank FROM bmr WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   private def ngramJaccardSql: String =
     s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
@@ -2213,41 +2286,36 @@ object ExtensionQueries {
          |          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
          |      FROM k)
          |ORDER BY doc_id""".stripMargin,
-    "x96_bm25_topk" -> {
-      val norm = normSql("text")
-      // every arithmetic step mirrors the Spark side exactly: long
-      // products inside the CASTs are exact integers, the score is ONE
-      // IEEE division per term, quantized with floor(q·10⁶) and summed
-      // as exact BIGINTs (DuckDB's HUGEINT sum cast back down)
-      s"""WITH base AS (SELECT doc_id, string_split($norm, ' ') AS l
-         |              FROM documents WHERE text IS NOT NULL),
-         |tok AS (SELECT doc_id AS id, unnest(l) AS term FROM base),
-         |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |               CAST(sum(dl) AS BIGINT) AS t FROM dl),
-         |qt AS (SELECT DISTINCT doc_id AS qid, unnest(l) AS term
-         |       FROM base WHERE doc_id % 101 = 0),
-         |hits AS (SELECT q.qid, f.id, f.tf, d.dl, x.df, g.n, g.t
-         |         FROM qt q JOIN tf f ON f.term = q.term
-         |         JOIN dl d ON d.id = f.id
-         |         JOIN dft x ON x.term = q.term, tot g
-         |         WHERE q.qid <> f.id),
-         |sc AS (SELECT qid, id, CAST(sum(CAST(floor(
-         |         ((CAST(2 * n - 2 * df + 1 AS DOUBLE) * CAST(44 * tf AS DOUBLE))
-         |            * CAST(t AS DOUBLE))
-         |         / (CAST(2 * df + 1 AS DOUBLE)
-         |            * CAST(20 * tf * t + 6 * t + 18 * dl * n AS DOUBLE))
-         |         * 1000000.0) AS BIGINT)) AS BIGINT) AS score
-         |       FROM hits GROUP BY 1, 2),
-         |r AS (SELECT qid AS query_id, id AS doc_id, score,
-         |        CAST(row_number() OVER (PARTITION BY qid
-         |          ORDER BY score DESC, id) AS INT) AS rank
-         |      FROM sc)
-         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "x96_bm25_topk" -> bm25Sql,
+    // same function through the maintained-postings entry point — the
+    // shared oracle IS the equivalence claim (x41/x42/x98 convention)
+    "x98_bm25_incr" -> bm25Sql,
+    "x99_hybrid_rrf" ->
+      // bm25 ranked CTEs (top-20 slice) + the x6 cosine core restricted
+      // to the query subset, fused with quantized-long RRF contributions
+      s"""WITH $bm25RankedCtes,
+         |cp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id, $cosSql AS c
+         |       FROM embeddings a JOIN embeddings b
+         |         ON a.vec_id <> b.vec_id AND a.vec_id % 101 = 0),
+         |cr AS (SELECT query_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY c DESC, doc_id) AS INT) AS rank
+         |       FROM cp),
+         |u AS (SELECT query_id, doc_id,
+         |        CAST(floor(1000000000.0 / (rank + 60)) AS BIGINT) AS c
+         |      FROM bmr WHERE rank <= 20
+         |      UNION ALL
+         |      SELECT query_id, doc_id,
+         |        CAST(floor(1000000000.0 / (rank + 60)) AS BIGINT)
+         |      FROM cr WHERE rank <= 20),
+         |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+         |        CAST(count(*) AS BIGINT) AS n_lists
+         |      FROM u GROUP BY 1, 2),
+         |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+         |       FROM f)
+         |SELECT query_id, doc_id, rrf_score, n_lists, rank
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x97_leakage_safe_split" ->
       // x29's recursive component closure supplies the canonical id; the
       // split is x63's md5-slice rule applied to that cluster key

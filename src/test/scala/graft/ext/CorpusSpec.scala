@@ -41,6 +41,50 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("postingsTable: additive on disjoint batches; scoring against the " +
+    "merged table equals direct bm25TopK") {
+    val a = Seq((1L, "apple banana cherry"), (2L, "apple apple banana"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "durian cherry fig"), (4L, "cherry cherry apple"))
+      .toDF("doc_id", "text")
+    val docs = a.unionByName(b)
+    val merged = Corpus.postingsTable(a, "text", "doc_id")
+      .unionByName(Corpus.postingsTable(b, "text", "doc_id"))
+    val whole = Corpus.postingsTable(docs, "text", "doc_id")
+    assert(merged.collect().map(_.toSeq).toSet ===
+      whole.collect().map(_.toSeq).toSet)
+    val q = Seq((100L, "apple cherry")).toDF("doc_id", "text")
+    val direct = Corpus.bm25TopK(docs, q, "text", "doc_id", "doc_id",
+      "text", k = 10).collect().map(_.toSeq).toSet
+    val viaTable = Corpus.bm25TopKAgainstPostings(q, merged, "doc_id",
+      "text", k = 10).collect().map(_.toSeq).toSet
+    assert(viaTable === direct)
+  }
+
+  test("rrfFuse: agreement across lists wins, n_lists counts votes, " +
+    "ties break on doc id") {
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Corpus.rrfFuse(Seq(l1, l2), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rrf_score"), r.getAs[Long]("n_lists"),
+          r.getAs[Int]("rank"))).toMap
+    def c(r: Int) = 1000000000L / (r + 60)
+    // doc 11 appears in both lists: summed contributions, 2 votes, rank 1
+    assert(out(11L) === ((c(2) + c(1), 2L, 1)))
+    assert(out(10L)._2 === 1L && out(12L)._2 === 1L && out(13L)._2 === 1L)
+    // single-vote docs rank below the double-vote doc; equal-score ties
+    // (rank-1-only vs rank-1-only) would break on doc id — here 10 (c1)
+    // beats 13 (c2) on score alone
+    assert(out(10L)._3 === 2)
+    assert(out(13L)._3 === 3 && out(12L)._3 === 4)
+    // top-k cut honored
+    val cut = Corpus.rrfFuse(Seq(l1, l2), k = 2).collect()
+    assert(cut.length === 2)
+  }
+
   test("leakageSafeSplit: cluster members share one split; singletons " +
     "keep their per-id assignment") {
     val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
