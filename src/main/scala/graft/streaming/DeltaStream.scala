@@ -480,6 +480,46 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming retrieval probe — [[graft.ext.Corpus.bm25TopKAgainstPostings]]
+    * mounted at ingest: probe/benchmark queries arrive as a file stream and
+    * each micro-batch retrieves its top-`k` corpus documents against a
+    * FIXED postings table seeded once from the corpus (the maintained-index
+    * contract of x98: the corpus is tokenized exactly once, never per
+    * batch). Results land overwrite-per-batch at `outDir/batch-<id>` — a
+    * crashed-and-retried batch reproduces the same files, and because the
+    * table is read-only per batch, a query's retrieval result is
+    * independent of arrival order by construction (same guarantee as
+    * [[startImportanceGate]]'s fixed bucket tables).
+    *
+    * Scale shape per batch: the batch's own term explode + the term-keyed
+    * postings probe (work ∝ Σ query-term df) + two map-side-combined
+    * corpus-stats aggregates over the table — no re-tokenization, no
+    * corpus shuffle.
+    */
+  def startBm25Probe(spark: SparkSession, queriesDir: String,
+      corpus: DataFrame, postingsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 10): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(postingsDir).exists()) {
+      graft.ext.Corpus.postingsTable(corpus, textCol, idCol)
+        .write.mode("overwrite").parquet(postingsDir)
+    }
+    spark.readStream.schema(schema).json(queriesDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.ext.Corpus.bm25TopKAgainstPostings(batch,
+              s.read.parquet(postingsDir), idCol, textCol, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Streaming takedown scan — the right-to-be-forgotten mount of
     * [[graft.ext.Blocklist]]: here the REMOVAL FEED is the stream
     * (deletion requests arrive over time; the corpus is at rest). Each

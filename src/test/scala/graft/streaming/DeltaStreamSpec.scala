@@ -328,6 +328,48 @@ class DeltaStreamSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(s"$root/buckets")) === mtime)
   }
 
+  test("startBm25Probe: arriving queries retrieve against the FIXED seeded " +
+    "postings table; stream results equal the batch operator; restart " +
+    "neither rescores nor reseeds") {
+    import spark.implicits._
+    val root = tmpDir("bm25probe")
+    val qDir = s"$root/queries"
+    Files.createDirectories(Paths.get(qDir))
+    val corpus = Seq(
+      (100L, "apple banana cherry"), (101L, "apple apple banana"),
+      (102L, "durian cherry fig"), (103L, "cherry cherry apple")
+    ).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    jsonl(s"$qDir/b1.json", 1L -> "apple cherry", 2L -> "durian fig")
+    val q1 = DeltaStream.startBm25Probe(spark, qDir, corpus,
+      s"$root/postings", s"$root/out", s"$root/ckpt", k = 3)
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.read.parquet(s"$root/out/batch-0")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val direct = graft.ext.Corpus.bm25TopKAgainstPostings(
+        Seq((1L, "apple cherry"), (2L, "durian fig")).toDF("doc_id", "text"),
+        spark.read.parquet(s"$root/postings"), "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got === direct && got.nonEmpty)
+    // both queries retrieved something
+    assert(got.map(_._1) === Set(1L, 2L))
+    // restart: batch 0 not reprocessed, postings not reseeded
+    val mtime = Files.getLastModifiedTime(Paths.get(s"$root/postings"))
+    jsonl(s"$qDir/b2.json", 3L -> "banana")
+    val q2 = DeltaStream.startBm25Probe(spark, qDir, corpus,
+      s"$root/postings", s"$root/out", s"$root/ckpt", k = 3)
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(b1.map(_._1).toSet === Set(3L))
+    // banana appears in docs 100 and 101 only
+    assert(b1.map(_._2).toSet === Set(100L, 101L))
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/postings")) === mtime)
+  }
+
   test("startNearDupFlagging: per-file batches flag cross-corpus near-dups; " +
     "checkpoint restart reprocesses nothing") {
     import spark.implicits._
