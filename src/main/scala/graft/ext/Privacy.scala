@@ -89,4 +89,67 @@ object Privacy {
     joined.select(passthrough ++ suppressedQis :+
       col("class_size") :+ col("suppressed"): _*)
   }
+
+  /** t-closeness report (Li, Li & Venkatasubramanian ICDE 2007) — the
+    * third privacy gate: l-diversity still discloses when a class's
+    * sensitive-value DISTRIBUTION diverges from the corpus (a class that
+    * is 90% one language in a 10% corpus narrows the attribute even with
+    * many distinct values present). Per QI class: total-variation distance
+    * between the class's and the corpus's sensitive distributions
+    * (the equal-ground-distance Earth Mover's special case the paper
+    * uses for categorical attributes), `at_risk` = (distance > t).
+    *
+    * Exactness: with class counts `c_v` (m = Σc_v) and corpus counts `g_v`
+    * (N = Σg_v), TV = ½·Σ|c_v/m − g_v/N| = tv_num / (2mN) where
+    * `tv_num = Σ_v |c_v·N − g_v·m|` is an EXACT long. Values absent from
+    * the class contribute `g_v·m`, folded in without materializing the
+    * absent set: Σ_absent g_v·m = m·(N − Σ_present g_v). The `at_risk`
+    * verdict is the exact integer comparison `tv_num·tDen > 2·tNum·m·N`
+    * (distance strictly exceeding t = tNum/tDen fails); `tv_distance` is
+    * ONE IEEE division for the caller. NULL sensitive values carry no
+    * distribution information and are excluded (matching
+    * [[lDiversityReport]]'s countDistinct); a class with ONLY null
+    * sensitive values reports null distance/verdict. Long caveat: exact
+    * while c·N < 2⁶³ (N < ~3·10⁹ rows).
+    *
+    * Scale shape: two map-side-combined aggregates (class×value, value),
+    * one value-keyed equi-join, a per-class window over ≤ |sensitive
+    * domain| rows (bounded — not the per-group serialization hazard), one
+    * class-keyed aggregate, and a null-safe join back to the full class
+    * list. Output rows = QI cardinality, never corpus rows.
+    */
+  def tClosenessReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tNum >= 0 && tDen > 0, "need t = tNum/tDen >= 0")
+    val qi = qiCols.map(col)
+    val nn = df.filter(col(sensitiveCol).isNotNull)
+    val c = nn.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("_c"))
+    val g = nn.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("_g"))
+    val nTot = g.agg(coalesce(sum(col("_g")), lit(0L)).as("_N"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qi: _*)
+    val per = c.join(g, Seq(sensitiveCol))
+      .crossJoin(broadcast(nTot))
+      .withColumn("_m", sum(col("_c")).over(w))
+      .groupBy(qi: _*)
+      .agg(max(col("_m")).as("class_n"),
+        sum(abs(col("_c") * col("_N") - col("_g") * col("_m"))).as("_present"),
+        sum(col("_g")).as("_gsum"),
+        max(col("_N")).as("_Nv"))
+      .withColumn("tv_num",
+        col("_present") + col("class_n") * (col("_Nv") - col("_gsum")))
+    val base = df.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
+    val cond = qiCols.map(n => col(s"_b.$n") <=> col(s"_t.$n")).reduce(_ && _)
+    base.as("_b").join(per.as("_t"), cond, "left")
+      .select(qiCols.map(n => col(s"_b.$n").as(n)) ++ Seq(
+        col("class_size"), col("class_n"), col("tv_num"),
+        (col("tv_num").cast("double") /
+          (lit(2L) * col("class_n") * col("_Nv")).cast("double"))
+          .as("tv_distance"),
+        (col("tv_num") * tDen > lit(2L) * tNum * col("class_n") * col("_Nv"))
+          .as("at_risk")): _*)
+  }
 }

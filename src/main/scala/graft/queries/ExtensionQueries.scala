@@ -857,6 +857,17 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // t-closeness over the same QI/sensitive choice as x86 — the third
+    // privacy gate: class-vs-corpus total-variation distance of the lang
+    // distribution, exact-integer verdict at t = 1/4
+    "x100_t_closeness" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          floor(col("n_chars") / lit(200.0)).cast("int").as("size_bucket"))
+      Privacy.tClosenessReport(d, Seq("source", "size_bucket"), "lang",
+        tNum = 1, tDen = 4).orderBy("source", "size_bucket")
+    }),
+
     // margin-based cross-set neighbor mining: label-0 vectors as queries
     // vs the rest as index, IVF-cell-routed candidates, top-2 cosines,
     // accept on the cos1−cos2 margin (Artetxe & Schwenk criterion)
@@ -1929,6 +1940,40 @@ object ExtensionQueries {
         |  (count(DISTINCT lang) < 3) AS at_risk
         |FROM d GROUP BY 1, 2
         |ORDER BY source, size_bucket""".stripMargin,
+    "x100_t_closeness" ->
+      // HUGEINT intermediates (DuckDB's BIGINT sums/products widen) are
+      // exact; the Spark side stays in longs — same integer values
+      """WITH d AS (SELECT lang, source,
+        |             CAST(floor(n_chars / 200.0) AS INT) AS size_bucket
+        |           FROM documents),
+        |nn AS (SELECT * FROM d WHERE lang IS NOT NULL),
+        |c AS (SELECT source, size_bucket, lang, count(*) AS c
+        |      FROM nn GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, count(*) AS g FROM nn GROUP BY 1),
+        |nt AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM g),
+        |j AS (SELECT c.source, c.size_bucket, c.c, g.g, nt.n,
+        |        sum(c.c) OVER (PARTITION BY c.source, c.size_bucket) AS m
+        |      FROM c JOIN g USING (lang), nt),
+        |per AS (SELECT source, size_bucket,
+        |          CAST(max(m) AS BIGINT) AS class_n,
+        |          sum(abs(c * n - g * m)) AS present,
+        |          sum(g) AS gsum, max(n) AS n
+        |        FROM j GROUP BY 1, 2),
+        |pc AS (SELECT source, size_bucket, class_n,
+        |         CAST(present + class_n * (n - gsum) AS BIGINT) AS tv_num,
+        |         n
+        |       FROM per),
+        |base AS (SELECT source, size_bucket,
+        |           CAST(count(*) AS BIGINT) AS class_size
+        |         FROM d GROUP BY 1, 2)
+        |SELECT b.source, b.size_bucket, b.class_size, p.class_n, p.tv_num,
+        |  CAST(p.tv_num AS DOUBLE) / CAST(2 * p.class_n * p.n AS DOUBLE)
+        |    AS tv_distance,
+        |  (p.tv_num * 4 > 2 * 1 * p.class_n * p.n) AS at_risk
+        |FROM base b LEFT JOIN pc p
+        |  ON p.source IS NOT DISTINCT FROM b.source
+        |  AND p.size_bucket IS NOT DISTINCT FROM b.size_bucket
+        |ORDER BY b.source, b.size_bucket""".stripMargin,
     "x83_margin_mine" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings WHERE label <> 0

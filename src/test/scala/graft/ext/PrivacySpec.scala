@@ -84,4 +84,30 @@ class PrivacySpec extends SparkSpec {
       .select(col("count")).as[Long].collect()
     assert(classSizes.nonEmpty && classSizes.forall(_ >= 2L))
   }
+
+  test("tCloseness: hand-computed TV distances; boundary is strict; " +
+    "null-sensitive rows excluded; all-null class reports null verdict") {
+    // class A: {x:2, y:2} m=4; class B: {x:4} m=4; global {x:6, y:2} N=8
+    // TV(A) = ½(|½−¾| + |½−¼|) = 0.25 = TV(B) = ½(¼ + ¼)
+    val d = Seq(
+      (1L, "x", "A"), (2L, "x", "A"), (3L, "y", "A"), (4L, "y", "A"),
+      (5L, "x", "B"), (6L, "x", "B"), (7L, "x", "B"), (8L, "x", "B"),
+      (9L, null, "C"), (10L, null, "C")
+    ).toDF("id", "sens", "cls")
+    def report(tNum: Long, tDen: Long) =
+      Privacy.tClosenessReport(d, Seq("cls"), "sens", tNum, tDen)
+        .collect().map(r => r.getAs[String]("cls") ->
+          (r.getAs[Long]("class_size"), Option(r.getAs[java.lang.Long]("tv_num")),
+            Option(r.getAs[java.lang.Double]("tv_distance")),
+            Option(r.getAs[java.lang.Boolean]("at_risk")))).toMap
+    // tv_num = Σ|c·N − g·m| + m·(N − Σg_present): A: 8+8+0; B: 8+4·2
+    val at14 = report(1, 4)
+    assert(at14("A") === ((4L, Some(16L), Some(0.25), Some(false))))
+    assert(at14("B") === ((4L, Some(16L), Some(0.25), Some(false))))
+    // distance exactly t is COMPLIANT (strict >); at t=1/5 both fail
+    val at15 = report(1, 5)
+    assert(at15("A")._4 === Some(true) && at15("B")._4 === Some(true))
+    // the all-null class is audited (class_size) but has no distribution
+    assert(at14("C") === ((2L, None, None, None)))
+  }
 }
