@@ -319,6 +319,78 @@ object Corpus {
       .drop("_sk", "_tk", "_pid", "_lcum", "_off")
   }
 
+  /** Vocabulary head-coverage planning: for each stratum and each
+    * requested coverage fraction `fn/fd`, the SMALLEST head vocabulary —
+    * terms taken in (count desc, term asc) order — whose token mass
+    * reaches that fraction of the stratum's total. The Zipf planning
+    * curve behind "how large a vocabulary covers 99% of English tokens":
+    * tokenizer sizing, OOV budgeting ([[oovRateAgainstTable]]'s vocabSize
+    * chosen from data), stopword-head inspection. Output per (stratum,
+    * fraction): `frac`, `vocab_size` (the rank of the crossing term),
+    * `covered_tokens`, `total_tokens` — exact longs; fractions are exact
+    * rationals so the crossing test `(cum − cnt)·fd < fn·tot ≤ cum·fd`
+    * never touches a float (`frac` itself is one IEEE division for the
+    * caller).
+    *
+    * Scale shape: one map-side-combined (stratum, term) count, then the
+    * [[Ranks.byValue]] two-pass rank-and-prefix-sum over the VOCABULARY
+    * table — range-partitioned on (stratum, count desc, term), per-slice
+    * local ranks/cumsums plus a broadcast ≤ partitions × strata offset
+    * table — so a billion-term vocabulary never serializes into one
+    * reducer per stratum. (count desc, term) is a TOTAL order per
+    * stratum, so ranks, cumsums and the crossing row are deterministic.
+    * The fraction probes ride the same pass as a literal-array explode.
+    */
+  def headCoverage(docs: DataFrame, strataCol: String, textCol: String,
+      fracs: Seq[(Int, Int)]): DataFrame = {
+    require(fracs.nonEmpty &&
+      fracs.forall { case (n, d) => n > 0 && d > 0 && n <= d },
+      "need fractions fn/fd in (0, 1]")
+    val counts = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(strataCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(strataCol), col("term")).agg(count(lit(1)).as("_cnt"))
+    val nParts =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = counts
+      .repartitionByRange(nParts, col(strataCol).asc, col("_cnt").desc,
+        col("term").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wPrev = Window.partitionBy(col(strataCol)).orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted
+      .groupBy(col("_pid"), col(strataCol))
+      .agg(sum(col("_cnt")).as("_c"), count(lit(1)).as("_k"))
+      .withColumn("_coff", coalesce(sum(col("_c")).over(wPrev), lit(0L)))
+      .withColumn("_koff", coalesce(sum(col("_k")).over(wPrev), lit(0L)))
+      .withColumn("_tot",
+        sum(col("_c")).over(Window.partitionBy(col(strataCol))))
+      .select(col("_pid"), col(strataCol), col("_coff"), col("_koff"),
+        col("_tot"))
+    val wLocal = Window.partitionBy(col("_pid"), col(strataCol))
+      .orderBy(col("_cnt").desc, col("term").asc)
+    val cum = parted
+      .withColumn("_lrn", row_number().over(wLocal))
+      .withColumn("_lcum", sum(col("_cnt"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("_pid", strataCol))
+      .withColumn("_rank", col("_lrn") + col("_koff"))
+      .withColumn("_cum", col("_lcum") + col("_coff"))
+    val probes = explode(array(fracs.map { case (n, d) =>
+      struct(lit(n).as("_fn"), lit(d).as("_fd"))
+    }: _*))
+    cum.withColumn("_f", probes)
+      .select(col(strataCol), col("_cnt"), col("_rank"), col("_cum"),
+        col("_tot"), col("_f._fn").as("_fn"), col("_f._fd").as("_fd"))
+      .filter((col("_cum") - col("_cnt")) * col("_fd") <
+          col("_fn") * col("_tot") &&
+        col("_cum") * col("_fd") >= col("_fn") * col("_tot"))
+      .select(col(strataCol),
+        (col("_fn").cast("double") / col("_fd")).as("frac"),
+        col("_rank").cast("long").as("vocab_size"),
+        col("_cum").as("covered_tokens"), col("_tot").as("total_tokens"))
+  }
+
   /** Mixture sampling to TARGET PROPORTIONS: given per-stratum target
     * shares `w_s` (e.g. en 0.5, fr 0.2, de 0.3), find the largest total
     * token budget every stratum can supply — `B = min_s ⌊T_s / w_s⌋` over

@@ -857,6 +857,15 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // Zipf head-coverage planning: smallest per-language head vocabulary
+    // covering 50% / 90% / 99% of token mass — exact-rational crossing
+    // test over the two-pass ranked prefix sum
+    "x101_head_coverage" -> ((s, dir) => {
+      Corpus.headCoverage(Tables(s, dir, "documents"), "lang", "text",
+        fracs = Seq((1, 2), (9, 10), (99, 100)))
+        .orderBy("lang", "frac")
+    }),
+
     // t-closeness over the same QI/sensitive choice as x86 — the third
     // privacy gate: class-vs-corpus total-variation distance of the lang
     // distribution, exact-integer verdict at t = 1/4
@@ -1940,6 +1949,26 @@ object ExtensionQueries {
         |  (count(DISTINCT lang) < 3) AS at_risk
         |FROM d GROUP BY 1, 2
         |ORDER BY source, size_bucket""".stripMargin,
+    "x101_head_coverage" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT lang, unnest(string_split($norm, ' ')) AS term
+         |           FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |r AS (SELECT lang, term, cnt,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY cnt DESC, term) AS BIGINT) AS rnk,
+         |        sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, term
+         |          ROWS UNBOUNDED PRECEDING) AS cum,
+         |        sum(cnt) OVER (PARTITION BY lang) AS tot
+         |      FROM c),
+         |f(fn, fd) AS (VALUES (1, 2), (9, 10), (99, 100))
+         |SELECT lang, CAST(fn AS DOUBLE) / fd AS frac, rnk AS vocab_size,
+         |  CAST(cum AS BIGINT) AS covered_tokens,
+         |  CAST(tot AS BIGINT) AS total_tokens
+         |FROM r, f
+         |WHERE (cum - cnt) * fd < fn * tot AND cum * fd >= fn * tot
+         |ORDER BY lang, frac""".stripMargin
+    },
     "x100_t_closeness" ->
       // HUGEINT intermediates (DuckDB's BIGINT sums/products widen) are
       // exact; the Spark side stays in longs — same integer values

@@ -41,6 +41,30 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("headCoverage: smallest head vocab per coverage fraction, exact " +
+    "crossing, multiple strata in one pass") {
+    // en: a×6 b×3 c×1 (tot 10): 50%→{a} covers 6; 90%→{a,b} covers 9
+    // is NOT ≥ 9? 9*10 >= 9*10 ✓ so 90%→2 terms; 100%→3
+    val docs = Seq(
+      ("en", "a a a a a a b b b c"),
+      ("fr", "x x y")
+    ).toDF("lang", "text")
+    val out = Corpus.headCoverage(docs, "lang", "text",
+      Seq((1, 2), (9, 10), (1, 1))).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("frac")) ->
+        (r.getAs[Long]("vocab_size"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("total_tokens"))).toMap
+    assert(out(("en", 0.5)) === ((1L, 6L, 10L)))
+    assert(out(("en", 0.9)) === ((2L, 9L, 10L)))
+    assert(out(("en", 1.0)) === ((3L, 10L, 10L)))
+    // fr: x×2 y×1 (tot 3): 50% → x (2/3); 90% → 2 terms; 100% → 2
+    assert(out(("fr", 0.5)) === ((1L, 2L, 3L)))
+    assert(out(("fr", 0.9)) === ((2L, 3L, 3L)))
+    assert(out(("fr", 1.0)) === ((2L, 3L, 3L)))
+    // exactly one crossing row per (stratum, frac)
+    assert(out.size === 6)
+  }
+
   test("postingsTable: additive on disjoint batches; scoring against the " +
     "merged table equals direct bm25TopK") {
     val a = Seq((1L, "apple banana cherry"), (2L, "apple apple banana"))
