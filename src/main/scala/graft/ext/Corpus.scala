@@ -791,6 +791,61 @@ object Corpus {
         col("score"), col("rank"))
   }
 
+  /** INCREMENTAL [[leakageSafeSplit]] — split routing at ingest: each new
+    * document receives its train/val/test assignment by first looking for
+    * near-duplicates in the EXISTING corpus (via the maintained signature
+    * table, [[Dedup.minhashNearDupsAgainstSigs]]) and inheriting the
+    * matched cluster's split key, so a near-duplicate of a test document
+    * can never be routed into train no matter when it arrives. Batch-
+    * internal near-dups are closed with [[Dedup.dupClusters]] over the
+    * batch's own pairs, and a batch cluster where ANY member matched the
+    * corpus adopts the smallest matched corpus key (one-step closure: two
+    * batch docs bridging two distinct corpus clusters unify the BATCH
+    * side only — the corpus keeps its existing keys, the documented
+    * incremental approximation). Unmatched singletons key on their own id,
+    * which is exactly what [[leakageSafeSplit]] would assign — so a doc's
+    * split is stable whether it arrived in the initial load or any later
+    * batch. `corpusSplitKeys` is (`idCol`, `split_key`) — the registration
+    * output of [[leakageSafeSplit]] (or this routine's own prior output),
+    * maintained alongside the signature table.
+    *
+    * Scale shape: per batch — the delta-only signature/bucket probe of the
+    * maintained path, one key-attach join against the (compact) corpus
+    * split-key table, the batch-local cluster propagation, and the O(1)
+    * md5 threshold test; the corpus text is never re-signatured and never
+    * shuffles.
+    */
+  def splitRouteAgainst(newDocs: DataFrame, corpusSigs: DataFrame,
+      corpusDocs: DataFrame, corpusSplitKeys: DataFrame, textCol: String,
+      idCol: String, valFrac: Double, testFrac: Double,
+      salt: String = "split", k: Int = 8, bands: Int = 4,
+      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): DataFrame = {
+    val cross = Dedup.minhashNearDupsAgainstSigs(newDocs, corpusSigs,
+      corpusDocs, textCol, idCol, k, bands, shingleLen, thNum, thDen)
+      .select(col("doc_a"), col("doc_b"))
+    val matchKey = cross
+      .join(corpusSplitKeys.select(col(idCol).as("doc_b"),
+        col("split_key").as("_ck")), Seq("doc_b"))
+      .groupBy(col("doc_a")).agg(min(col("_ck")).as("_corpusKey"))
+      .withColumnRenamed("doc_a", idCol)
+    val batchPairs = Dedup.minhashNearDups(newDocs, textCol, idCol, k,
+      bands, shingleLen, thNum, thDen).select(col("doc_a"), col("doc_b"))
+    val canon = Dedup.dupClusters(batchPairs)
+      .withColumnRenamed("member_id", idCol)
+    // batch-cluster key propagation: groups are batch clusters — bounded
+    // by the batch, not the corpus, so the per-group window is safe
+    val wC = Window.partitionBy(col("_bc"))
+    val keyed = newDocs
+      .join(canon, Seq(idCol), "left")
+      .withColumn("_bc", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+      .join(matchKey, Seq(idCol), "left")
+      .withColumn("split_key",
+        coalesce(min(col("_corpusKey")).over(wC), col("_bc")))
+      .drop("_bc", "_corpusKey")
+    hashSplit(keyed, "split_key", valFrac, testFrac, salt)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR 2009) of N
     * ranked retrieval lists — the standard hybrid-retrieval combiner for
     * lexical + semantic search ([[bm25TopK]] fused with

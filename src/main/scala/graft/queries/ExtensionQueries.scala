@@ -66,6 +66,37 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // split routing at ingest: the batch (every 7th doc) inherits split
+    // keys from corpus near-dup clusters via the SAME maintained sig
+    // table as x41, plus a maintained corpus split-key table; batch-
+    // internal clusters close locally
+    "x102_split_route_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val sigs = Maintained.table(s, s"$dir/documents.parquet",
+        "minhash_sigs_mod7_k16_s7") {
+        Dedup.minhashSignatures(corpus, "text", "doc_id", k = 16, shingleLen = 7)
+      }
+      val corpusKeys = Maintained.table(s, s"$dir/documents.parquet",
+        "split_keys_mod7_k16_s7") {
+        val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id", k = 16,
+          bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+          .select(col("doc_a"), col("doc_b"))
+        corpus.select(col("doc_id"))
+          .join(Dedup.dupClusters(pairs).withColumnRenamed("member_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical_id"), col("doc_id")).as("split_key"))
+      }
+      Corpus.splitRouteAgainst(
+        d.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")),
+        sigs, corpus, corpusKeys, "text", "doc_id",
+        valFrac = 0.1, testFrac = 0.1,
+        k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprint (48-bit, md5-nibble votes over token occurrences)
     "x4_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 48)
@@ -1729,6 +1760,49 @@ object ExtensionQueries {
     // same oracle as x36: the sig-table entry point must produce the
     // identical pair set — only where the corpus signatures COME FROM differs
     "x41_neardup_incr_sigtable" -> neardupIncrementalSql,
+    "x102_split_route_incr" ->
+      // three LSH cores (corpus-corpus for the cluster keys, batch-corpus
+      // for the routing matches, batch-batch for the local closure), two
+      // recursive component closures, then x63's md5-slice split rule on
+      // the inherited key
+      s"""WITH RECURSIVE
+         |cpr AS (${minhashLshCoreSql("a.doc_id % 7 <> 0 AND b.doc_id % 7 <> 0 AND a.doc_id < b.doc_id")}),
+         |xpr AS (${minhashLshCoreSql("a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0")}),
+         |bpr AS (${minhashLshCoreSql("a.doc_id % 7 = 0 AND b.doc_id % 7 = 0 AND a.doc_id < b.doc_id")}),
+         |ce AS (SELECT doc_a AS s, doc_b AS d FROM cpr
+         |       UNION ALL SELECT doc_b, doc_a FROM cpr),
+         |creach AS (SELECT s AS id, s AS r FROM ce
+         |           UNION
+         |           SELECT ce.s, creach.r FROM ce JOIN creach ON creach.id = ce.d),
+         |ccanon AS (SELECT id, min(r) AS canon FROM creach GROUP BY id),
+         |csplit AS (SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS ck
+         |           FROM documents d LEFT JOIN ccanon c ON c.id = d.doc_id
+         |           WHERE d.doc_id % 7 <> 0),
+         |be AS (SELECT doc_a AS s, doc_b AS d FROM bpr
+         |       UNION ALL SELECT doc_b, doc_a FROM bpr),
+         |breach AS (SELECT s AS id, s AS r FROM be
+         |           UNION
+         |           SELECT be.s, breach.r FROM be JOIN breach ON breach.id = be.d),
+         |bcanon AS (SELECT id, min(r) AS canon FROM breach GROUP BY id),
+         |wb AS (SELECT d.doc_id, coalesce(bc.canon, d.doc_id) AS bc
+         |       FROM documents d LEFT JOIN bcanon bc ON bc.id = d.doc_id
+         |       WHERE d.doc_id % 7 = 0),
+         |mk AS (SELECT x.doc_a AS doc_id, min(cs.ck) AS corpus_key
+         |       FROM xpr x JOIN csplit cs ON cs.doc_id = x.doc_b
+         |       GROUP BY 1),
+         |gk AS (SELECT w.doc_id, w.bc, mk.corpus_key,
+         |         min(mk.corpus_key) OVER (PARTITION BY w.bc) AS cluster_ck
+         |       FROM wb w LEFT JOIN mk ON mk.doc_id = w.doc_id),
+         |keyed AS (SELECT doc_id, coalesce(cluster_ck, bc) AS split_key
+         |          FROM gk)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN sl < 429496729 THEN 'val'
+         |       WHEN sl < 858993459 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT *,
+         |        CAST(concat('0x', substr(md5('split|' || CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
+         |      FROM keyed)
+         |ORDER BY doc_id""".stripMargin,
     "x38_chunk_windows" -> chunkWindowsSql,
     "x39_contamination_scan" -> contaminationSql,
     "x48_multi_eval_decontam" -> multiEvalDecontamSql,

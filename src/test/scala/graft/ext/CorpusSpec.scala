@@ -132,6 +132,53 @@ class CorpusSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("splitRouteAgainst: corpus matches inherit the cluster's split " +
+    "key; batch clusters close locally; singletons match leakageSafeSplit") {
+    // single trailing-char differences keep shingle-7 Jaccard ≥ 4/5
+    val tmpl = "large language models are trained on vast corpora of text " +
+      "data scraped from across the public web %s"
+    val corpus = Seq(
+      (10L, tmpl.format("aa")), (11L, tmpl.format("ac")),
+      (12L, "completely unrelated content about volcanoes and magnitudes")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id",
+      k = 16, shingleLen = 7)
+    val corpusPairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+      .select(col("doc_a"), col("doc_b"))
+    val corpusKeys = corpus.select(col("doc_id"))
+      .join(Dedup.dupClusters(corpusPairs)
+        .withColumnRenamed("member_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("split_key"))
+    // corpus 10/11 cluster under key 10
+    assert(corpusKeys.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(10L -> 10L, 11L -> 10L, 12L -> 12L))
+    val local = "a fresh document about exactly-once streaming watermark " +
+      "semantics and state store compaction policies %s"
+    val batch = Seq(
+      (20L, tmpl.format("ab")),       // near-dup of corpus 10/11
+      (21L, local.format("zz")),      // batch-internal near-dup pair
+      (22L, local.format("zq")),
+      (23L, "nothing like anything else in this corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Corpus.splitRouteAgainst(batch, sigs, corpus, corpusKeys,
+      "text", "doc_id", 0.25, 0.25, k = 16, bands = 4, shingleLen = 7,
+      thNum = 4, thDen = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    // 20 inherits the corpus cluster key 10
+    assert(out(20L)._1 === 10L)
+    // 21/22 are batch-internal near-dups: shared local key 21, same split
+    assert(out(21L)._1 === 21L && out(22L)._1 === 21L)
+    assert(out(21L)._2 === out(22L)._2)
+    // 23 is a singleton: identical assignment to plain hashSplit
+    assert(out(23L)._1 === 23L)
+    val plain = Corpus.hashSplit(batch.filter(col("doc_id") === 23L),
+      "doc_id", 0.25, 0.25).collect().head.getAs[String]("split")
+    assert(out(23L)._2 === plain)
+  }
+
   test("stratifiedSample: at most k per stratum, deterministic, md5-ordered") {
     val docs = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
