@@ -480,6 +480,81 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming split routing — the x102 contract mounted at ingest with
+    * GROWING tables: arriving documents receive their leakage-safe
+    * train/val/test assignment from
+    * [[graft.ext.Corpus.splitRouteAgainst]], matching near-dups in the
+    * corpus AND every earlier batch (the signature table grows like
+    * [[startNearDupFlaggingMaintained]]'s), and split keys PROPAGATE
+    * through the growing key table — a batch-2 near-dup of a batch-1
+    * document inherits the key batch 1 inherited, so the no-straddle
+    * guarantee holds transitively across arrival order. Each batch
+    * appends its own signatures and its assigned keys; retry idempotence
+    * is the sibling mounts' contract (table reads exclude the current
+    * batch's ids, appends exclude ids already present, outputs
+    * overwrite-per-batch).
+    */
+  def startSplitRouting(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, sigsDir: String, keysDir: String,
+      outDir: String, checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", valFrac: Double = 0.1,
+      testFrac: Double = 0.1, salt: String = "split", k: Int = 8,
+      bands: Int = 4, shingleLen: Int = 5, thNum: Int = 4,
+      thDen: Int = 5): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(sigsDir).exists())
+      graft.ext.Dedup.minhashSignatures(
+          graft.util.Par.spread(corpusDocs), textCol, idCol, k, shingleLen)
+        .write.mode("overwrite").parquet(sigsDir)
+    if (!new java.io.File(keysDir).exists()) {
+      val pairs = graft.ext.Dedup.minhashNearDups(corpusDocs, textCol,
+        idCol, k, bands, shingleLen, thNum, thDen)
+        .select(col("doc_a"), col("doc_b"))
+      corpusDocs.select(col(idCol))
+        .join(graft.ext.Dedup.dupClusters(pairs)
+          .withColumnRenamed("member_id", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("canonical_id"), col(idCol)).as("split_key"))
+        .write.mode("overwrite").parquet(keysDir)
+    }
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            val sigs = s.read.parquet(sigsDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val keys = s.read.parquet(keysDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val texts = corpusDocs.select(col(idCol), col(textCol))
+              .unionByName(s.read.schema(schema).json(docsDir)
+                .select(col(idCol), col(textCol)))
+            graft.ext.Corpus.splitRouteAgainst(b, sigs, texts, keys,
+                textCol, idCol, valFrac, testFrac, salt, k, bands,
+                shingleLen, thNum, thDen)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            val present = s.read.parquet(sigsDir).select(col(idCol))
+            graft.ext.Dedup.minhashSignatures(b, textCol, idCol, k, shingleLen)
+              .join(present, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(sigsDir)
+            // the routed keys re-read from the just-written output — no
+            // second routing pass; append only ids the table lacks
+            val presentKeys = s.read.parquet(keysDir).select(col(idCol))
+            s.read.parquet(s"$outDir/batch-$batchId")
+              .select(col(idCol), col("split_key"))
+              .join(presentKeys, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(keysDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming retrieval probe — [[graft.ext.Corpus.bm25TopKAgainstPostings]]
     * mounted at ingest: probe/benchmark queries arrive as a file stream and
     * each micro-batch retrieves its top-`k` corpus documents against a

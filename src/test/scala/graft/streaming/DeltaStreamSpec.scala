@@ -328,6 +328,56 @@ class DeltaStreamSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(s"$root/buckets")) === mtime)
   }
 
+  test("startSplitRouting: keys inherit from the corpus, PROPAGATE through " +
+    "earlier batches via the growing tables, and restart reprocesses nothing") {
+    import spark.implicits._
+    val root = tmpDir("splitroute")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    // trailing-char diffs keep shingle-7 Jaccard ≥ 4/5 (see CorpusSpec)
+    val tmpl = "large language models are trained on vast corpora of text " +
+      "data scraped from across the public web %s"
+    val local = "a fresh document about exactly-once streaming watermark " +
+      "semantics and state store compaction policies %s"
+    val corpus = Seq(
+      (10L, tmpl.format("aa")), (11L, tmpl.format("ac")),
+      (12L, "completely unrelated content about volcanoes and magnitudes")
+    ).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    // batch 1: one corpus near-dup, one novel doc
+    jsonl(s"$docsDir/b1.json", 20L -> tmpl.format("ab"),
+      21L -> local.format("zz"))
+    val q1 = DeltaStream.startSplitRouting(spark, docsDir, corpus,
+      s"$root/sigs", s"$root/keys", s"$root/out", s"$root/ckpt",
+      k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 20 inherits the corpus cluster key 10; 21 keys on itself
+    assert(b0(20L)._1 === 10L && b0(21L)._1 === 21L)
+    // batch 2: near-dups of BATCH-1 docs only — keys must propagate
+    jsonl(s"$docsDir/b2.json", 30L -> local.format("zq"))
+    val q2 = DeltaStream.startSplitRouting(spark, docsDir, corpus,
+      s"$root/sigs", s"$root/keys", s"$root/out", s"$root/ckpt",
+      k = 16, bands = 4, shingleLen = 7, thNum = 4, thDen = 5)
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 30 never saw the corpus — it inherits 21's key through the grown
+    // tables, and with it 21's split
+    assert(b1(30L)._1 === 21L && b1(30L)._2 === b0(21L)._2)
+    // the key table now carries corpus + both batches, no duplicates
+    val keys = spark.read.parquet(s"$root/keys")
+      .as[(Long, Long)].collect().toMap
+    assert(keys.keySet === Set(10L, 11L, 12L, 20L, 21L, 30L))
+    assert(keys(20L) === 10L && keys(30L) === 21L)
+  }
+
   test("startBm25Probe: arriving queries retrieve against the FIXED seeded " +
     "postings table; stream results equal the batch operator; restart " +
     "neither rescores nor reseeds") {
