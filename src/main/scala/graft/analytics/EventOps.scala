@@ -120,6 +120,44 @@ object EventOps {
         col("_asof_row").getField(s"_p_$c").as(s"$outPrefix$c")): _*)
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent preceding touch event (of a qualifying type, same
+    * entity) within `windowSec` — the standard marketing/behavioral
+    * attribution rule, and in a training-data setting the "which probe
+    * preceded this outcome" query. Built on [[asofJoin]] (the touch
+    * stream is the right side; matches beyond the window are nulled, not
+    * dropped — verdict-not-filter, unattributed conversions stay
+    * visible). One row per conversion: the conversion's own columns plus
+    * `touch_type`, `touch_id`, `touch_ts` (all null when unattributed).
+    * Ties at the same timestamp resolve toward the larger touch id, the
+    * [[asofJoin]] rule.
+    *
+    * Scale shape: inherits [[asofJoin]]'s single entity-keyed exchange +
+    * one window pass; the window test is per-row epoch arithmetic.
+    */
+  def lastTouchAttribution(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String, typeCol: String, valueCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    require(windowSec > 0, "need windowSec > 0")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(idCol), col(entityCol), col(tsCol), col(valueCol))
+    val tch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol), col(tsCol), col(idCol), col(typeCol))
+    val matched = asofJoin(conv, tch, entityCol, tsCol, idCol,
+      payloadCols = Seq(typeCol, tsCol, idCol), outPrefix = "_t_")
+    val inWin = col(s"_t_$tsCol").isNotNull &&
+      epochUs(col(s"_t_$tsCol")) >=
+        epochUs(col(tsCol)) - windowSec * 1000000L
+    matched.select(col(idCol), col(entityCol), col(tsCol), col(valueCol),
+      when(inWin, col(s"_t_$typeCol")).as("touch_type"),
+      when(inWin, col(s"_t_$idCol")).as("touch_id"),
+      when(inWin, col(s"_t_$tsCol")).as("touch_ts"))
+  }
+
   /** Ordered funnel: for each entity that performed `steps.head`, the
     * EARLIEST completion chain — `t1` = first occurrence of step 1,
     * `t(i)` = first occurrence of step i STRICTLY after `t(i-1)` (the

@@ -237,6 +237,17 @@ object WarehouseQueries {
         .orderBy("event_id")
     }),
 
+    // last-touch attribution: each purchase credited to the latest
+    // click/view of the same user within 1 hour; unattributed purchases
+    // stay visible with null touch columns
+    "x103_last_touch" -> ((s, dir) => {
+      graft.analytics.EventOps.lastTouchAttribution(Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        windowSec = 3600)
+        .orderBy("event_id")
+    }),
+
     // range join: events to their containing session interval, via grain
     // bucketing (equi-join + residual filter, not a nested-loop theta join)
     "x25_range_join" -> ((s, dir) => {
@@ -494,6 +505,20 @@ object WarehouseQueries {
          |FROM events e JOIN sess ON e.user_id = sess.user_id
          |  AND e.ts BETWEEN sess.st AND sess.en
          |ORDER BY event_id, session_id""".stripMargin,
+
+    "x103_last_touch" ->
+      // same ASOF + equal-ts dedup shape as x24; the window test mirrors
+      // the Spark side's epoch arithmetic as interval arithmetic
+      """WITH t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE event_type IN ('click', 'view')
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN t.ts >= p.ts - INTERVAL 3600 SECONDS THEN t.event_type END AS touch_type,
+        |  CASE WHEN t.ts >= p.ts - INTERVAL 3600 SECONDS THEN t.event_id END AS touch_id,
+        |  CASE WHEN t.ts >= p.ts - INTERVAL 3600 SECONDS THEN t.ts END AS touch_ts
+        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "x24_asof_join" ->
       """WITH v AS (SELECT user_id, ts, event_id, value FROM events

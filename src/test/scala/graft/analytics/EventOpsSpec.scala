@@ -11,6 +11,37 @@ class EventOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("lastTouchAttribution: latest in-window touch wins, out-of-window " +
+    "and touchless conversions stay visible unattributed, equal-ts ties " +
+    "to larger id") {
+    val events = Seq(
+      // user 7: click then view then purchase — view is latest touch
+      (1L, ts("2026-08-12 10:00:00"), 7L, "click", null.asInstanceOf[java.lang.Double]),
+      (2L, ts("2026-08-12 10:30:00"), 7L, "view", null.asInstanceOf[java.lang.Double]),
+      (3L, ts("2026-08-12 10:40:00"), 7L, "purchase", java.lang.Double.valueOf(9.99)),
+      // user 8: touch 2h before purchase — outside the 1h window
+      (4L, ts("2026-08-12 08:00:00"), 8L, "click", null.asInstanceOf[java.lang.Double]),
+      (5L, ts("2026-08-12 10:00:00"), 8L, "purchase", java.lang.Double.valueOf(5.0)),
+      // user 9: no touches at all
+      (6L, ts("2026-08-12 10:00:00"), 9L, "purchase", java.lang.Double.valueOf(1.0)),
+      // user 10: two touches at the SAME ts — larger event_id wins
+      (7L, ts("2026-08-12 10:00:00"), 10L, "click", null.asInstanceOf[java.lang.Double]),
+      (8L, ts("2026-08-12 10:00:00"), 10L, "view", null.asInstanceOf[java.lang.Double]),
+      (9L, ts("2026-08-12 10:05:00"), 10L, "purchase", java.lang.Double.valueOf(2.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.lastTouchAttribution(events, "user_id", "ts",
+      "event_id", "event_type", "value", "purchase", Seq("click", "view"),
+      windowSec = 3600)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("touch_type")),
+          Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong))).toMap
+    assert(out(3L) === ((Some("view"), Some(2L))))
+    assert(out(5L) === ((None, None)))     // out of window → unattributed
+    assert(out(6L) === ((None, None)))     // no touch at all
+    assert(out(9L) === ((Some("view"), Some(8L))))  // tie → larger id
+    assert(out.size === 4)                 // every conversion present
+  }
+
   test("sessionize: gap splits, ordinal ids, exact totals") {
     val events = Seq(
       (1L, ts("2026-08-12 10:00:00"), 7L, 1.5),
