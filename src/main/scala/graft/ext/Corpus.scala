@@ -319,6 +319,72 @@ object Corpus {
       .drop("_sk", "_tk", "_pid", "_lcum", "_off")
   }
 
+  /** N-gram diversity profile (the distinct-n corpus diversity metric —
+    * Li et al. 2016's distinct-1/distinct-2 at corpus scale): per stratum
+    * and n-gram order, `distinct_ngrams / total_ngrams`. Low values mark
+    * template-heavy or repetitively-generated slices BEFORE training on
+    * them; the per-order trend (how fast diversity rises with n)
+    * separates natural text from boilerplate. Counts are exact longs over
+    * raw grams (the production-scale variant would count hashed grams;
+    * exactness is kept here so the ratio is oracle-checkable bit-for-bit)
+    * and the ratio is one IEEE division. Short documents contribute their
+    * single partial tail gram, the [[Dedup.wordNgrams]] convention.
+    *
+    * Scale shape: all requested orders ride ONE corpus pass (a literal
+    * array explode tags each gram stream with its order), then one
+    * (stratum, n, gram)-keyed two-stage distinct aggregate — Spark's
+    * partial-distinct spreads the gram stream before the count, so a
+    * dominant stratum doesn't concentrate.
+    */
+  def ngramDiversity(docs: DataFrame, strataCol: String, textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), "need n-gram orders > 0")
+    val base = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(strataCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+    val grams = base
+      .select(col(strataCol), explode(array(ns.map(n =>
+        struct(lit(n).as("_n"), Dedup.wordNgrams(col("_t"), n).as("_gs"))): _*))
+        .as("_e"))
+      .select(col(strataCol), col("_e._n").as("n"),
+        explode(col("_e._gs")).as("_g"))
+    grams.groupBy(col(strataCol), col("n"))
+      .agg(count_distinct(col("_g")).as("distinct_ngrams"),
+        count(lit(1)).as("total_ngrams"))
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast("double") / col("total_ngrams"))
+  }
+
+  /** Corpus-derived stopword coverage — the CCNet-style "does this
+    * document use its language's common words" signal WITHOUT an external
+    * stopword resource: the list is each stratum's own head vocabulary
+    * ([[topTermsPerStratum]], the terms every natural document of that
+    * language keeps hitting), and each document reports how much of its
+    * token stream those terms cover. Gibberish, code dumps, and
+    * wrong-language text score low in their claimed stratum. Output per
+    * document: (`idCol`, strataCol, `n_toks`, `n_stop`, `stop_ratio` —
+    * one IEEE division of exact longs).
+    *
+    * Scale shape: the head list is `strata × k` rows (broadcast); the
+    * token stream left-joins it map-only and re-aggregates per document —
+    * work is one corpus token pass, the x88 OOV shape with a per-stratum
+    * vocabulary.
+    */
+  def stopwordCoverage(docs: DataFrame, strataCol: String, textCol: String,
+      idCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, "need k > 0")
+    val heads = topTermsPerStratum(docs, strataCol, textCol, k)
+      .select(col(strataCol), col("term"), lit(true).as("_stop"))
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol), col(strataCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .join(broadcast(heads), Seq(strataCol, "term"), "left")
+      .groupBy(col(idCol), col(strataCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("_stop"), 1L).otherwise(0L)).as("n_stop"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_toks"))
+  }
+
   /** Vocabulary head-coverage planning: for each stratum and each
     * requested coverage fraction `fn/fd`, the SMALLEST head vocabulary —
     * terms taken in (count desc, term asc) order — whose token mass

@@ -888,6 +888,24 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // distinct-n diversity profile: per language and n ∈ {1,2,3}, the
+    // distinct/total n-gram ratio — template-heavy slices surface before
+    // training on them; all orders ride one corpus pass
+    "x104_ngram_diversity" -> ((s, dir) => {
+      Corpus.ngramDiversity(Tables(s, dir, "documents"), "lang", "text",
+        ns = Seq(1, 2, 3))
+        .orderBy("lang", "n")
+    }),
+
+    // corpus-derived stopword coverage: each doc scored against its own
+    // language's top-20 head terms — the no-external-resource CCNet
+    // common-words signal; low coverage marks gibberish/wrong-language
+    "x105_stopword_coverage" -> ((s, dir) => {
+      Corpus.stopwordCoverage(Tables(s, dir, "documents"), "lang", "text",
+        "doc_id", k = 20)
+        .orderBy("doc_id")
+    }),
+
     // Zipf head-coverage planning: smallest per-language head vocabulary
     // covering 50% / 90% / 99% of token mass — exact-rational crossing
     // test over the two-pass ranked prefix sum
@@ -2023,6 +2041,41 @@ object ExtensionQueries {
         |  (count(DISTINCT lang) < 3) AS at_risk
         |FROM d GROUP BY 1, 2
         |ORDER BY source, size_bucket""".stripMargin,
+    "x104_ngram_diversity" -> {
+      val norm = normSql("text")
+      // one UNION ALL branch per order; out-of-range list elements are
+      // NULL and concat_ws skips them — the partial-tail-gram convention
+      val branches = Seq(1, 2, 3).map { n =>
+        val parts = (0 until n).map(o => s"l[CAST(i AS INT) + $o]")
+          .mkString(", ")
+        s"""SELECT lang, $n AS n, concat_ws(' ', $parts) AS g
+           |FROM norm, unnest(generate_series(1, greatest(len(l) - ${n - 1}, 1))) AS u(i)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH norm AS (SELECT lang, string_split($norm, ' ') AS l
+         |              FROM documents WHERE text IS NOT NULL),
+         |gr AS ($branches)
+         |SELECT lang, n,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         |  CAST(count(*) AS BIGINT) AS total_ngrams,
+         |  CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS distinct_ratio
+         |FROM gr GROUP BY 1, 2 ORDER BY lang, n""".stripMargin
+    },
+    "x105_stopword_coverage" -> {
+      val norm = normSql("text")
+      s"""WITH t AS (SELECT doc_id, lang, unnest(string_split($norm, ' ')) AS term
+         |           FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |h AS (SELECT lang, term FROM c
+         |      QUALIFY row_number() OVER (PARTITION BY lang
+         |        ORDER BY cnt DESC, term) <= 20)
+         |SELECT t.doc_id, t.lang,
+         |  CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(CASE WHEN h.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |  CAST(sum(CASE WHEN h.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS stop_ratio
+         |FROM t LEFT JOIN h ON h.lang = t.lang AND h.term = t.term
+         |GROUP BY 1, 2 ORDER BY t.doc_id""".stripMargin
+    },
     "x101_head_coverage" -> {
       val norm = normSql("text")
       s"""WITH t AS (SELECT lang, unnest(string_split($norm, ' ')) AS term

@@ -41,6 +41,38 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("ngramDiversity: exact distinct/total per order, partial tail " +
+    "grams for short docs, orders share one pass") {
+    val docs = Seq(
+      ("en", "a a a a"),   // 1g: 4×a; 2g: 3×"a a"; 3g: 2×"a a a"
+      ("en", "b c")        // 1g: b,c; 2g: "b c"; 3g: partial "b c"
+    ).toDF("lang", "text")
+    val out = Corpus.ngramDiversity(docs, "lang", "text", Seq(1, 2, 3))
+      .collect().map(r => r.getAs[Int]("n") ->
+        (r.getAs[Long]("distinct_ngrams"), r.getAs[Long]("total_ngrams"),
+          r.getAs[Double]("distinct_ratio"))).toMap
+    assert(out(1) === ((3L, 6L, 0.5)))
+    assert(out(2) === ((2L, 4L, 0.5)))
+    assert(out(3) === ((2L, 3L, 2.0 / 3.0)))
+  }
+
+  test("stopwordCoverage: head terms from the stratum's own vocabulary, " +
+    "deterministic tie order, per-doc exact ratios") {
+    val docs = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", "the the dog"),
+      (3L, "en", "zz qq ww")
+    ).toDF("doc_id", "lang", "text")
+    // counts: the×3; cat/dog/sat/zz/qq/ww ×1 → top-2 = {the, cat} (tie→asc)
+    val out = Corpus.stopwordCoverage(docs, "lang", "text", "doc_id", k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_stop"),
+          r.getAs[Double]("stop_ratio"))).toMap
+    assert(out(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+  }
+
   test("headCoverage: smallest head vocab per coverage fraction, exact " +
     "crossing, multiple strata in one pass") {
     // en: a×6 b×3 c×1 (tot 10): 50%→{a} covers 6; 90%→{a,b} covers 9
