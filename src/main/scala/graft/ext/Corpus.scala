@@ -857,6 +857,44 @@ object Corpus {
         col("score"), col("rank"))
   }
 
+  /** Diversity pruning of ranked retrieval lists: within each query's
+    * list, a result that is a near-duplicate of a BETTER-ranked result of
+    * the same list is dropped, survivors re-rank densely and the top `k`
+    * remain — so a retrieval page isn't five copies of the same mirrored
+    * article. `pairs` is any near-dup pair list over the result documents
+    * ([[Dedup.simhashNearDups]] on the distinct result set is the natural
+    * feed). The rule is deliberately ONE-STEP domination (drop iff some
+    * better-ranked near-dup exists), not the greedy MMR recursion — a
+    * dropped result does not rescue results it dominated; one join
+    * instead of an iterative per-list scan, deterministic, and
+    * order-of-evaluation-free. Output keeps the input's columns plus
+    * `final_rank` (input `rank` is the ordering key).
+    *
+    * Scale shape: pairs symmetrize once, one equi-join against the
+    * (N·k-bounded) ranked lists per side, and the re-rank window
+    * partitions per QUERY — many tiny groups.
+    */
+  def diversityPrune(ranked: DataFrame, pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val sym = pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+    val dominated = ranked.as("_fa")
+      .join(sym, col("_fa.doc_id") === col("doc_a"))
+      .join(ranked.as("_fb"),
+        col("_fa.query_id") === col("_fb.query_id") &&
+          col("_fb.doc_id") === col("doc_b") &&
+          col("_fb.rank") < col("_fa.rank"))
+      .select(col("_fa.query_id").as("query_id"),
+        col("_fa.doc_id").as("doc_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+    ranked.join(dominated, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("final_rank", row_number().over(w))
+      .filter(col("final_rank") <= k)
+  }
+
   /** INCREMENTAL [[leakageSafeSplit]] — split routing at ingest: each new
     * document receives its train/val/test assignment by first looking for
     * near-duplicates in the EXISTING corpus (via the maintained signature

@@ -364,6 +364,29 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // FLAGSHIP retrieval composition — the full hybrid-retrieval flow as
+    // ONE hash-verified query, every stage the standalone library call:
+    // BM25 top-20 (x96) + exact cosine top-20 (x6 form) → RRF fusion to
+    // 10 (x99) → simhash near-dup diversity pruning (x21's pairs) →
+    // final diverse top-5
+    "x106_retrieval_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val lex = Corpus.bm25TopK(d, d.filter(col("doc_id") % 101 === 0),
+        "text", "doc_id", "doc_id", "text", k = 20, excludeSelf = true)
+      val sem = Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 20)
+        .filter(col("query_id") % 101 === 0)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = Corpus.rrfFuse(Seq(lex, sem), k = 10)
+      val resDocs = d.join(fused.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      val pairs = Dedup.simhashNearDups(resDocs, "text", "doc_id")
+      Corpus.diversityPrune(fused, pairs, k = 5)
+        .select(col("query_id"), col("doc_id"), col("rrf_score"),
+          col("final_rank"))
+        .orderBy("query_id", "final_rank")
+    }),
+
     // hybrid retrieval: BM25 top-20 (lexical) fused with exact cosine
     // top-20 (semantic) by reciprocal-rank fusion — quantized-long RRF
     // scores, ties to doc id; at scale the semantic list comes from the
@@ -1248,6 +1271,33 @@ object ExtensionQueries {
     s"""WITH $bm25RankedCtes
        |SELECT query_id, doc_id, score, rank FROM bmr WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** The x99 fusion chain over `bmr` (must follow [[bm25RankedCtes]]):
+    * the x6 cosine core restricted to the query subset, both lists'
+    * top-20 slices fused with quantized-long RRF contributions, ranked
+    * into `rr(query_id, doc_id, rrf_score, n_lists, rank)`.
+    */
+  private def hybridRrfCtes: String =
+    s"""cp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id, $cosSql AS c
+       |       FROM embeddings a JOIN embeddings b
+       |         ON a.vec_id <> b.vec_id AND a.vec_id % 101 = 0),
+       |cr AS (SELECT query_id, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c DESC, doc_id) AS INT) AS rank
+       |       FROM cp),
+       |u AS (SELECT query_id, doc_id,
+       |        CAST(floor(1000000000.0 / (rank + 60)) AS BIGINT) AS c
+       |      FROM bmr WHERE rank <= 20
+       |      UNION ALL
+       |      SELECT query_id, doc_id,
+       |        CAST(floor(1000000000.0 / (rank + 60)) AS BIGINT)
+       |      FROM cr WHERE rank <= 20),
+       |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+       |        CAST(count(*) AS BIGINT) AS n_lists
+       |      FROM u GROUP BY 1, 2),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |       FROM f)""".stripMargin
 
   private def ngramJaccardSql: String =
     s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
@@ -2492,31 +2542,39 @@ object ExtensionQueries {
     // shared oracle IS the equivalence claim (x41/x42/x98 convention)
     "x98_bm25_incr" -> bm25Sql,
     "x99_hybrid_rrf" ->
-      // bm25 ranked CTEs (top-20 slice) + the x6 cosine core restricted
-      // to the query subset, fused with quantized-long RRF contributions
       s"""WITH $bm25RankedCtes,
-         |cp AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id, $cosSql AS c
-         |       FROM embeddings a JOIN embeddings b
-         |         ON a.vec_id <> b.vec_id AND a.vec_id % 101 = 0),
-         |cr AS (SELECT query_id, doc_id,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY c DESC, doc_id) AS INT) AS rank
-         |       FROM cp),
-         |u AS (SELECT query_id, doc_id,
-         |        CAST(floor(1000000000.0 / (rank + 60)) AS BIGINT) AS c
-         |      FROM bmr WHERE rank <= 20
-         |      UNION ALL
-         |      SELECT query_id, doc_id,
-         |        CAST(floor(1000000000.0 / (rank + 60)) AS BIGINT)
-         |      FROM cr WHERE rank <= 20),
-         |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
-         |        CAST(count(*) AS BIGINT) AS n_lists
-         |      FROM u GROUP BY 1, 2),
-         |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |         ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
-         |       FROM f)
+         |$hybridRrfCtes
          |SELECT query_id, doc_id, rrf_score, n_lists, rank
          |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x106_retrieval_e2e" ->
+      // x99's fusion chain + x21's simhash core over the fused result
+      // docs + the one-step domination rule + dense re-rank to top-5
+      s"""WITH $bm25RankedCtes,
+         |$hybridRrfCtes,
+         |fr AS (SELECT * FROM rr WHERE rank <= 10),
+         |${simhashCoreOver("(SELECT d.doc_id, d.text FROM documents d " +
+             "JOIN (SELECT DISTINCT doc_id FROM fr) s ON s.doc_id = d.doc_id)")},
+         |$simhashBandCtes,
+         |dompairs AS (SELECT c.doc_a, c.doc_b
+         |             FROM cand c JOIN fp fa ON fa.doc_id = c.doc_a
+         |                         JOIN fp fb ON fb.doc_id = c.doc_b
+         |             WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+         |dp AS (SELECT doc_a, doc_b FROM dompairs
+         |       UNION ALL SELECT doc_b, doc_a FROM dompairs),
+         |dom AS (SELECT DISTINCT fa.query_id, fa.doc_id
+         |        FROM fr fa JOIN dp ON dp.doc_a = fa.doc_id
+         |        JOIN fr fb ON fb.query_id = fa.query_id
+         |          AND fb.doc_id = dp.doc_b AND fb.rank < fa.rank),
+         |sv AS (SELECT f.* FROM fr f
+         |       LEFT JOIN dom x ON x.query_id = f.query_id
+         |         AND x.doc_id = f.doc_id
+         |       WHERE x.doc_id IS NULL),
+         |fin AS (SELECT query_id, doc_id, rrf_score,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rank) AS INT) AS final_rank
+         |        FROM sv)
+         |SELECT query_id, doc_id, rrf_score, final_rank
+         |FROM fin WHERE final_rank <= 5 ORDER BY query_id, final_rank""".stripMargin,
     "x97_leakage_safe_split" ->
       // x29's recursive component closure supplies the canonical id; the
       // split is x63's md5-slice rule applied to that cluster key

@@ -42,9 +42,11 @@ class PlanAuditSpec extends SparkSpec {
     "x83_margin_mine",
     // x96/x98/x100: the same ONE-ROW scalar attach as x55/x58 (corpus
     // (N, T) under every postings hit; the global sensitive total under
-    // every class row); x99 additionally embeds the x6 exact all-pairs
-    // cosine baseline as its semantic list (the scale path swaps in IVF)
-    "x96_bm25_topk", "x98_bm25_incr", "x99_hybrid_rrf", "x100_t_closeness")
+    // every class row); x99/x106 additionally embed the x6 exact
+    // all-pairs cosine baseline as their semantic list (the scale path
+    // swaps in IVF)
+    "x96_bm25_topk", "x98_bm25_incr", "x99_hybrid_rrf", "x100_t_closeness",
+    "x106_retrieval_e2e")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

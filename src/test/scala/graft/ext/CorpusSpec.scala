@@ -41,6 +41,27 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("diversityPrune: near-dup of a better-ranked result drops, " +
+    "one-step rule (no MMR rescue), dense re-rank, top-k cut") {
+    val ranked = Seq(
+      (100L, 1L, 10L, 1), (100L, 2L, 9L, 2), (100L, 3L, 8L, 3),
+      (100L, 4L, 7L, 4),
+      (200L, 2L, 5L, 1), (200L, 9L, 4L, 2)
+    ).toDF("query_id", "doc_id", "rrf_score", "rank")
+    // chain 1–2–3: 2 dominated by 1; 3 dominated by 2 EVEN THOUGH 2 drops
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Corpus.diversityPrune(ranked, pairs, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("final_rank")).toMap
+    assert(out === Map((100L, 1L) -> 1, (100L, 4L) -> 2,
+      // query 200: doc 2 is rank 1 THERE — nothing better-ranked, stays
+      (200L, 2L) -> 1, (200L, 9L) -> 2))
+    // top-k cut applies after the prune
+    val cut = Corpus.diversityPrune(ranked, pairs, k = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    assert(cut === Set((100L, 1L), (200L, 2L)))
+  }
+
   test("ngramDiversity: exact distinct/total per order, partial tail " +
     "grams for short docs, orders share one pass") {
     val docs = Seq(
