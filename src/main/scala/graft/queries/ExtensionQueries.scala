@@ -377,7 +377,11 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 20)
         .filter(col("query_id") % 101 === 0)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      val fused = Corpus.rrfFuse(Seq(lex, sem), k = 10)
+      // persist the fused head: it feeds the result-doc set, BOTH sides
+      // of the domination join, and the final anti-join — without this
+      // the whole BM25+cosine chain replays four times (x47's
+      // persisted-head pattern; Verify/Bench clearCache per query)
+      val fused = Corpus.rrfFuse(Seq(lex, sem), k = 10).persist()
       val resDocs = d.join(fused.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       val pairs = Dedup.simhashNearDups(resDocs, "text", "doc_id")
