@@ -479,6 +479,31 @@ object Corpus {
     * range-partition shape ([[packSequences]]) — no per-stratum sequential
     * scan, parallelism bounded by shuffle partitions.
     */
+  /** Temperature-flattened mixture shares at α = ½ (the multilingual
+    * upsampling rule of XLM-R / mT5: raw stratum masses `T_s` are
+    * flattened to `T_s^α` so low-resource strata train more than their
+    * raw share, high-resource ones less): per non-null stratum the weight
+    * `√T_s`, ready to feed [[mixtureSample]] (which only reads share
+    * RATIOS, so no normalization — and therefore no order-sensitive
+    * float sum — is ever computed). α is fixed at ½ deliberately: IEEE
+    * `sqrt` is correctly rounded and thus bit-identical on every engine,
+    * while a general `pow(x, α)` carries no such guarantee and would
+    * break oracle hash equality.
+    *
+    * Driver-side by design: the result is one weight per stratum —
+    * bounded by stratum cardinality (languages, sources), the same
+    * contract as the collected centroid/budget tables elsewhere.
+    */
+  def temperatureShares(docs: DataFrame, strataCol: String,
+      tokenCol: String): Seq[(String, Double)] =
+    docs.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_T"))
+      .filter(col("_T") > 0)
+      .collect()
+      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble))
+      .sortBy(_._1).toSeq
+
   def mixtureSample(docs: DataFrame, strataCol: String, idCol: String,
       tokenCol: String, shares: Seq[(String, Double)]): DataFrame = {
     require(shares.nonEmpty && shares.forall(_._2 > 0.0),

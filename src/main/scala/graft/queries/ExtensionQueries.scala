@@ -915,6 +915,20 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
+    // engine-exact, unlike pow) derived from the corpus itself, then the
+    // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
+    // upsampling rule with no hand-written share table
+    "x107_temperature_mix" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      val shares = Corpus.temperatureShares(d, "lang", "n_toks")
+      Corpus.mixtureSample(d, "lang", "doc_id", "n_toks", shares)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // distinct-n diversity profile: per language and n ∈ {1,2,3}, the
     // distinct/total n-gram ratio — template-heavy slices surface before
     // training on them; all orders ride one corpus pass
@@ -2614,6 +2628,28 @@ object ExtensionQueries {
         |FROM (SELECT doc_id,
         |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x107_temperature_mix" ->
+      // x58's fill with the share table COMPUTED: w = sqrt(T_s) — IEEE
+      // sqrt matches the Spark driver's math.sqrt bit for bit
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_toks
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS t
+        |        FROM b WHERE lang IS NOT NULL GROUP BY lang
+        |        HAVING sum(n_toks) > 0),
+        |sh AS (SELECT lang, sqrt(CAST(t AS DOUBLE)) AS w, t FROM tot),
+        |bb AS (SELECT min(CAST(floor(t / w) AS BIGINT)) AS bmax FROM sh),
+        |bud AS (SELECT lang, CAST(floor(w * bmax) AS BIGINT) AS budget
+        |        FROM sh CROSS JOIN bb),
+        |c AS (SELECT b.doc_id, b.lang, b.n_toks,
+        |        CAST(sum(b.n_toks) OVER (PARTITION BY b.lang
+        |          ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM b JOIN sh USING (lang))
+        |SELECT c.doc_id, c.lang, c.n_toks, c.cum_tokens
+        |FROM c JOIN bud USING (lang) WHERE c.cum_tokens <= bud.budget
         |ORDER BY doc_id""".stripMargin,
     "x58_mixture_sample" ->
       """WITH b AS (SELECT doc_id, lang,

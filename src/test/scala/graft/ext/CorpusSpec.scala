@@ -41,6 +41,21 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("temperatureShares: √T_s weights, null/empty strata excluded, " +
+    "flattening upsamples the low-resource stratum") {
+    val d = Seq(
+      (1L, "en", 900L), (2L, "en", 700L),   // T_en = 1600 → w = 40
+      (3L, "fr", 100L),                     // T_fr = 100  → w = 10
+      (4L, null.asInstanceOf[String], 50L), // null stratum excluded
+      (5L, "de", 0L)                        // zero-mass stratum excluded
+    ).toDF("doc_id", "lang", "n_toks")
+    val shares = Corpus.temperatureShares(d, "lang", "n_toks")
+    assert(shares === Seq("en" -> 40.0, "fr" -> 10.0))
+    // raw share of fr is 100/1700 ≈ 6%; flattened it's 10/50 = 20%
+    val Seq((_, wEn), (_, wFr)) = shares
+    assert(wFr / (wEn + wFr) > 100.0 / 1700.0)
+  }
+
   test("diversityPrune: near-dup of a better-ranked result drops, " +
     "one-step rule (no MMR rescue), dense re-rank, top-k cut") {
     val ranked = Seq(
