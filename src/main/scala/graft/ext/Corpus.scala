@@ -479,6 +479,53 @@ object Corpus {
     * range-partition shape ([[packSequences]]) — no per-stratum sequential
     * scan, parallelism bounded by shuffle partitions.
     */
+  /** Distribution drift between a REFERENCE population and a CURRENT one
+    * over a categorical key (language, source, quality bucket...) — the
+    * ingest-time monitoring question "does today's data still look like
+    * the corpus": per key the exact-integer drift mass
+    * `drift_num = |c_ref·N_cur − c_cur·N_ref|` (the x100 t-closeness
+    * algebra: total-variation distance = Σ drift_num / (2·N_ref·N_cur),
+    * so the per-key rows ARE the audit of which buckets moved) and
+    * `drift_share`, its one-IEEE-division contribution to the total.
+    * Keys absent from one side count with mass 0 — appearing/vanishing
+    * categories are drift, not errors. NULL keys are excluded (missing
+    * metadata is [[Privacy.kAnonymityReport]]'s concern, not a
+    * distribution bucket).
+    *
+    * Scale shape: two map-side-combined key aggregates, one full-outer
+    * join on the (bounded-cardinality) key, one one-row totals attach.
+    * [[driftFromCounts]] is the same report from pre-aggregated count
+    * tables — the maintained/streaming entry point.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame =
+    driftFromCounts(
+      ref.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+        .agg(count(lit(1)).as("c_ref")),
+      cur.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+        .agg(count(lit(1)).as("c_cur")),
+      keyCol)
+
+  /** [[distributionDrift]] from pre-aggregated count tables
+    * (`keyCol`, `c_ref`) / (`keyCol`, `c_cur`).
+    */
+  def driftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      keyCol: String): DataFrame = {
+    val joined = refCounts.join(curCounts, Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = joined.agg(sum(col("c_ref")).as("_nr"),
+      sum(col("c_cur")).as("_nc"))
+    joined.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("c_ref"), col("c_cur"),
+        abs(col("c_ref") * col("_nc") - col("c_cur") * col("_nr"))
+          .as("drift_num"),
+        (abs(col("c_ref") * col("_nc") - col("c_cur") * col("_nr"))
+          .cast("double") /
+          (lit(2L) * col("_nr") * col("_nc")).cast("double"))
+          .as("drift_share"))
+  }
+
   /** Temperature-flattened mixture shares at α = ½ (the multilingual
     * upsampling rule of XLM-R / mT5: raw stratum masses `T_s` are
     * flattened to `T_s^α` so low-resource strata train more than their

@@ -915,6 +915,17 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // distribution drift report: source mix of the "arriving" slice
+    // (every 3rd doc) vs the reference corpus — exact-integer TV-distance
+    // masses per source, the ingest drift monitor
+    "x108_drift_report" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Corpus.distributionDrift(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0), "source")
+        .orderBy("source")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -2629,6 +2640,22 @@ object ExtensionQueries {
         |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x108_drift_report" ->
+      """WITH r AS (SELECT source, count(*) AS c_ref FROM documents
+        |           WHERE doc_id % 3 <> 0 AND source IS NOT NULL GROUP BY 1),
+        |c AS (SELECT source, count(*) AS c_cur FROM documents
+        |      WHERE doc_id % 3 = 0 AND source IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(r.source, c.source) AS source,
+        |        CAST(coalesce(c_ref, 0) AS BIGINT) AS c_ref,
+        |        CAST(coalesce(c_cur, 0) AS BIGINT) AS c_cur
+        |      FROM r FULL OUTER JOIN c ON c.source = r.source),
+        |t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS nr,
+        |             CAST(sum(c_cur) AS BIGINT) AS nc FROM j)
+        |SELECT source, c_ref, c_cur,
+        |  CAST(abs(c_ref * nc - c_cur * nr) AS BIGINT) AS drift_num,
+        |  CAST(abs(c_ref * nc - c_cur * nr) AS DOUBLE)
+        |    / CAST(2 * nr * nc AS DOUBLE) AS drift_share
+        |FROM j, t ORDER BY source""".stripMargin,
     "x107_temperature_mix" ->
       // x58's fill with the share table COMPUTED: w = sqrt(T_s) — IEEE
       // sqrt matches the Spark driver's math.sqrt bit for bit

@@ -480,6 +480,41 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming drift monitor — [[graft.ext.Corpus.driftFromCounts]]
+    * mounted at ingest: the corpus's key distribution (language, source,
+    * quality bucket) is aggregated ONCE into a reference count table, and
+    * every arriving micro-batch reports its own distribution's exact
+    * TV-distance masses against it to `outDir/batch-<id>` — the "does
+    * today's data still look like the corpus" alarm, one bounded-key
+    * aggregate per batch. Overwrite-per-batch, read-only reference: the
+    * [[startImportanceGate]] idempotence contract.
+    */
+  def startDriftMonitor(spark: SparkSession, docsDir: String,
+      corpus: DataFrame, keyCol: String, refDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id"): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(keyCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(refDir).exists())
+      corpus.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+        .agg(count(lit(1)).as("c_ref"))
+        .write.mode("overwrite").parquet(refDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.ext.Corpus.driftFromCounts(
+              s.read.parquet(refDir),
+              batch.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+                .agg(count(lit(1)).as("c_cur")),
+              keyCol)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Streaming split routing — the x102 contract mounted at ingest with
     * GROWING tables: arriving documents receive their leakage-safe
     * train/val/test assignment from

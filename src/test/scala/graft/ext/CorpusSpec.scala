@@ -41,6 +41,24 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("distributionDrift: exact TV masses, absent-side keys count as " +
+    "drift, nulls excluded, shares sum to the TV distance") {
+    val ref = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, null.asInstanceOf[String])).toDF("id", "k")
+    val cur = Seq((6L, "A"), (7L, "C")).toDF("id", "k")
+    val out = Corpus.distributionDrift(ref, cur, "k").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("c_ref"), r.getAs[Long]("c_cur"),
+          r.getAs[Long]("drift_num"), r.getAs[Double]("drift_share"))).toMap
+    // N_ref=4 (null excluded), N_cur=2
+    assert(out("A") === ((3L, 1L, 2L, 0.125)))   // |3·2 − 1·4|
+    assert(out("B") === ((1L, 0L, 2L, 0.125)))   // vanished category
+    assert(out("C") === ((0L, 1L, 4L, 0.25)))    // new category
+    assert(!out.contains(null))
+    // Σ shares = TV distance = 0.5 for these disjoint-ish mixes
+    assert(math.abs(out.values.map(_._4).sum - 0.5) < 1e-12)
+  }
+
   test("temperatureShares: √T_s weights, null/empty strata excluded, " +
     "flattening upsamples the low-resource stratum") {
     val d = Seq(

@@ -328,6 +328,39 @@ class DeltaStreamSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(s"$root/buckets")) === mtime)
   }
 
+  test("startDriftMonitor: each batch's distribution scored against the " +
+    "FIXED reference; a skewed batch shows the drift; restart clean") {
+    import spark.implicits._
+    val root = tmpDir("driftmon")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, l) =>
+        s"""{"doc_id": $id, "lang": "$l"}"""
+      }.asJava)
+    // batch matching the reference mix: 3:1 en:fr → zero drift
+    jsonl(s"$docsDir/b1.json", 10L -> "en", 11L -> "en", 12L -> "en",
+      13L -> "fr")
+    val q1 = DeltaStream.startDriftMonitor(spark, docsDir, corpus, "lang",
+      s"$root/ref", s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+      .select("lang", "drift_num").as[(String, Long)].collect().toMap
+    assert(b0 === Map("en" -> 0L, "fr" -> 0L))
+    // an all-de batch: every key drifts
+    jsonl(s"$docsDir/b2.json", 20L -> "de", 21L -> "de")
+    val q2 = DeltaStream.startDriftMonitor(spark, docsDir, corpus, "lang",
+      s"$root/ref", s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+      .select("lang", "drift_share").as[(String, Double)].collect().toMap
+    // TV = 1.0: ref mass gone (3/8 + 1/8), new category holds all (1/2)
+    assert(math.abs(b1.values.sum - 1.0) < 1e-12)
+    assert(b1("de") === 0.5)
+  }
+
   test("startSplitRouting: keys inherit from the corpus, PROPAGATE through " +
     "earlier batches via the growing tables, and restart reprocesses nothing") {
     import spark.implicits._
