@@ -479,6 +479,31 @@ object Corpus {
     * range-partition shape ([[packSequences]]) — no per-stratum sequential
     * scan, parallelism bounded by shuffle partitions.
     */
+  /** Score-proportional Bernoulli sampling — SOFT quality filtering
+    * (the FineWeb-style alternative to a hard threshold: keep each
+    * document with probability equal to its clamped-[0,1] quality score,
+    * so borderline documents survive in proportion instead of cliffing):
+    * `keep` ⇔ the 32-bit `md5(salt|id)` slice falls below
+    * `⌊p·2³²⌋` — [[hashSplit]]'s determinism extended to a PER-ROW
+    * probability. The decision is pure per-row arithmetic (O(1),
+    * codegen'd, reproducible on any engine and partitioning, re-saltable
+    * for fresh draws), marginally Bernoulli(p) over the hash. A NULL
+    * score yields a NULL verdict — unknown, not dropped
+    * (verdict-not-filter). Output: the input plus `keep`.
+    */
+  def bernoulliByScore(docs: DataFrame, idCol: String, scoreCol: String,
+      salt: String = "soft"): DataFrame = {
+    val slice = conv(
+      substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0))
+    // least/greatest SKIP nulls (both engines), so the unknown verdict
+    // must be restored explicitly — a null score is not a zero score
+    docs.withColumn("keep",
+      when(col(scoreCol).isNull, lit(null))
+        .otherwise(slice < floor(p * 4294967296.0).cast("long")))
+  }
+
   /** Distribution drift between a REFERENCE population and a CURRENT one
     * over a categorical key (language, source, quality bucket...) — the
     * ingest-time monitoring question "does today's data still look like

@@ -915,6 +915,17 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // soft quality sampling: keep each doc with probability equal to its
+    // distinct-token ratio — borderline docs survive in proportion
+    // instead of cliffing at a threshold; per-row md5 draw, verdict col
+    "x109_soft_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.distinctTokenRatio(col("text")).as("score"))
+      Corpus.bernoulliByScore(d, "doc_id", "score")
+        .orderBy("doc_id")
+    }),
+
     // distribution drift report: source mix of the "arriving" slice
     // (every 3rd doc) vs the reference corpus — exact-integer TV-distance
     // masses per source, the ingest drift monitor
@@ -2640,6 +2651,19 @@ object ExtensionQueries {
         |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x109_soft_sample" -> {
+      val norm = normSql("text")
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(list_distinct(string_split($norm, ' '))) AS DOUBLE) /
+         |      len(string_split($norm, ' ')) AS score
+         |  FROM documents)
+         |SELECT doc_id, score,
+         |  CASE WHEN score IS NULL THEN NULL ELSE
+         |    CAST(concat('0x', substr(md5('soft|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      < CAST(floor(least(greatest(score, 0.0), 1.0) * 4294967296.0) AS BIGINT)
+         |  END AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "x108_drift_report" ->
       """WITH r AS (SELECT source, count(*) AS c_ref FROM documents
         |           WHERE doc_id % 3 <> 0 AND source IS NOT NULL GROUP BY 1),

@@ -41,6 +41,34 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("bernoulliByScore: p=1 always keeps, p=0 never, null score gives " +
+    "null verdict, decision deterministic and salt-sensitive") {
+    val d = Seq((1L, 1.0), (2L, 0.0), (3L, 2.5), (4L, -1.0))
+      .toDF("doc_id", "score")
+      .unionByName(Seq((5L, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "score"))
+    val out = Corpus.bernoulliByScore(d, "doc_id", "score").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Boolean]("keep")).map(_.booleanValue)).toMap
+    assert(out(1L) === Some(true) && out(3L) === Some(true)) // clamp hi
+    assert(out(2L) === Some(false) && out(4L) === Some(false)) // clamp lo
+    assert(out(5L) === None)
+    // deterministic across invocations; a different salt redraws
+    val again = Corpus.bernoulliByScore(d, "doc_id", "score").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Boolean]("keep"))).toMap
+    assert(again.view.mapValues(_.map(_.booleanValue)).toMap === out)
+    // p=0.5 over many ids: acceptance rate near half, salt changes draws
+    val many = spark.range(1, 2001).select(col("id").as("doc_id"),
+      lit(0.5).as("score"))
+    val kept = Corpus.bernoulliByScore(many, "doc_id", "score")
+      .filter(col("keep")).count()
+    assert(kept > 800 && kept < 1200)
+    val keptB = Corpus.bernoulliByScore(many, "doc_id", "score", salt = "b")
+      .filter(col("keep")).count()
+    assert(keptB != kept) // overwhelmingly likely under a fresh draw
+  }
+
   test("distributionDrift: exact TV masses, absent-side keys count as " +
     "drift, nulls excluded, shares sum to the TV distance") {
     val ref = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
