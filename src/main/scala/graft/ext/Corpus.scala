@@ -70,6 +70,87 @@ object Corpus {
       .drop("_rn", "_sk")
   }
 
+  /** Bottom-k (KMV) sketch of each group's distinct word-`n`-gram set —
+    * the DETERMINISTIC sketch form: the k smallest 60-bit md5 slices of
+    * the group's gram universe. Unlike probabilistic-register sketches
+    * (HLL), a KMV sketch is a pure function of the input set, so sketch
+    * rows are oracle-checkable bit-for-bit and two engines always agree.
+    * Feed [[kmvJaccardEst]] for cross-group overlap estimation; ±1/√k
+    * relative error on the estimates (Beyer et al. 2007). Output:
+    * (`groupCol`, `h`, `rank` 1..k).
+    *
+    * Scale shape: gram hashes dedup on a (group, h)-keyed shuffle, then
+    * the [[stratifiedSample]] two-stage top-k — per-partition bounded
+    * TreeSet prune (no sort, no shuffle; a global bottom-k member is
+    * necessarily in its partition's bottom-k), exact window over
+    * ≤ partitions×k survivors. The sketch, not the gram universe, is
+    * what leaves the corpus pass.
+    */
+  def kmvSketch(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 256, n: Int = 5): DataFrame = {
+    require(k > 0 && n > 0, "need k > 0 and n > 0")
+    val hashed = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(array_distinct(
+        Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n))).as("_g"))
+      .select(col(groupCol),
+        conv(substring(md5(col("_g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val schema = hashed.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val hIdx = schema.fieldIndex("h")
+    val pruned = hashed.mapPartitions { it =>
+      val groups = mutable.HashMap.empty[Any, mutable.TreeSet[Long]]
+      it.foreach { r =>
+        val s = groups.getOrElseUpdate(r.get(gIdx), mutable.TreeSet.empty[Long])
+        s += r.getLong(hIdx)
+        if (s.size > k) s -= s.last
+      }
+      groups.iterator.flatMap { case (g, s) => s.iterator.map(h => Row(g, h)) }
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Pairwise Jaccard estimates from a [[kmvSketch]] table: for each
+    * unordered group pair, the k smallest hashes of the sketch UNION are
+    * taken and `jaccard_est = shared_k / union_k` where `shared_k` counts
+    * union members present in BOTH sketches — the standard KMV set
+    * estimator, one IEEE division. Deterministic: same sketches → same
+    * estimate, so the whole report hash-checks. The cross-SOURCE overlap
+    * triage that says which pairs deserve the exact near-dup machinery
+    * (x93's syndication matrix) without any pairwise document work.
+    *
+    * Scale shape: input is `groups × k` sketch rows, never corpus data;
+    * the per-pair window runs over ≤ 2k rows.
+    */
+  def kmvJaccardEst(sketch: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val g = sketch.select(col(groupCol)).distinct()
+    val pairs = g.select(col(groupCol).as("g_1"))
+      .join(g.select(col(groupCol).as("g_2")), col("g_1") < col("g_2"))
+    val ra = pairs.join(sketch.select(col(groupCol).as("g_1"), col("h")),
+        Seq("g_1"))
+      .select(col("g_1"), col("g_2"), col("h"),
+        lit(1L).as("_a"), lit(0L).as("_b"))
+    val rb = pairs.join(sketch.select(col(groupCol).as("g_2"), col("h")),
+        Seq("g_2"))
+      .select(col("g_1"), col("g_2"), col("h"),
+        lit(0L).as("_a"), lit(1L).as("_b"))
+    val w = Window.partitionBy(col("g_1"), col("g_2")).orderBy(col("h"))
+    ra.unionByName(rb)
+      .groupBy(col("g_1"), col("g_2"), col("h"))
+      .agg(max(col("_a")).as("_a"), max(col("_b")).as("_b"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .groupBy(col("g_1"), col("g_2"))
+      .agg(count(lit(1)).as("union_k"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("shared_k"))
+      .withColumn("jaccard_est",
+        col("shared_k").cast("double") / col("union_k"))
+  }
+
   /** Per-stratum embedding centroid: the element-wise mean vector of each
     * stratum's embeddings (class prototypes for data audits / classifier
     * init), emitted long-form as (stratum, pos, mean) so the result is

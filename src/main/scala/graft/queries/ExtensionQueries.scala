@@ -915,6 +915,16 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // deterministic bottom-k sketches per source + pairwise Jaccard
+    // estimates from the union sketch — cross-source overlap triage
+    // without pairwise document work; every row oracle-exact
+    "x110_kmv_overlap" -> ((s, dir) => {
+      val sk = Corpus.kmvSketch(Tables(s, dir, "documents"), "source",
+        "text", k = 256, n = 5)
+      Corpus.kmvJaccardEst(sk, "source", k = 256)
+        .orderBy("g_1", "g_2")
+    }),
+
     // soft quality sampling: keep each doc with probability equal to its
     // distinct-token ratio — borderline docs survive in proportion
     // instead of cliffing at a threshold; per-row md5 draw, verdict col
@@ -2651,6 +2661,36 @@ object ExtensionQueries {
         |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x110_kmv_overlap" -> {
+      val norm = normSql("text")
+      s"""WITH nrm AS (SELECT source, string_split($norm, ' ') AS l
+         |             FROM documents WHERE text IS NOT NULL),
+         |ng AS (SELECT DISTINCT source,
+         |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1],
+         |           l[CAST(i AS INT) + 2], l[CAST(i AS INT) + 3],
+         |           l[CAST(i AS INT) + 4]) AS g
+         |       FROM nrm, unnest(generate_series(1, greatest(len(l) - 4, 1))) AS u(i)),
+         |hs AS (SELECT DISTINCT source,
+         |         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |       FROM ng),
+         |sk AS (SELECT source, h FROM hs
+         |       QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256),
+         |gs AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS g_1, b.source AS g_2
+         |       FROM gs a JOIN gs b ON a.source < b.source),
+         |u AS (SELECT p.g_1, p.g_2, s.h,
+         |        max(CASE WHEN s.source = p.g_1 THEN 1 ELSE 0 END) AS a,
+         |        max(CASE WHEN s.source = p.g_2 THEN 1 ELSE 0 END) AS b
+         |      FROM pr p JOIN sk s ON s.source IN (p.g_1, p.g_2)
+         |      GROUP BY 1, 2, 3),
+         |t AS (SELECT g_1, g_2, h, a, b FROM u
+         |      QUALIFY row_number() OVER (PARTITION BY g_1, g_2 ORDER BY h) <= 256)
+         |SELECT g_1, g_2, CAST(count(*) AS BIGINT) AS union_k,
+         |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_k,
+         |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS jaccard_est
+         |FROM t GROUP BY 1, 2 ORDER BY g_1, g_2""".stripMargin
+    },
     "x109_soft_sample" -> {
       val norm = normSql("text")
       s"""WITH m AS (SELECT doc_id,

@@ -47,8 +47,11 @@ class PlanAuditSpec extends SparkSpec {
     // swaps in IVF)
     "x96_bm25_topk", "x98_bm25_incr", "x99_hybrid_rrf", "x100_t_closeness",
     // x107: x58's one-row global-budget attach through mixtureSample;
-    // x108: the one-row (N_ref, N_cur) totals attach
-    "x106_retrieval_e2e", "x107_temperature_mix", "x108_drift_report")
+    // x108: the one-row (N_ref, N_cur) totals attach; x110: the G×G
+    // group-pair generation (G = source cardinality, sketch rows only —
+    // never corpus data)
+    "x106_retrieval_e2e", "x107_temperature_mix", "x108_drift_report",
+    "x110_kmv_overlap")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

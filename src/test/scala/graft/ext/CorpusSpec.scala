@@ -41,6 +41,38 @@ class CorpusSpec extends SparkSpec {
     assert(!self.contains(1L) && self.nonEmpty)
   }
 
+  test("kmvSketch/kmvJaccardEst: sketch = k smallest distinct gram " +
+    "hashes; identical groups estimate 1, disjoint estimate 0; " +
+    "deterministic under repartitioning") {
+    val text = "a b c d e f g h i j k l"
+    val other = "z y x w v u t s r q p o"
+    val d = Seq(
+      ("s1", text), ("s2", text),        // identical gram sets
+      ("s3", other)                      // disjoint
+    ).toDF("source", "text")
+    val sk = Corpus.kmvSketch(d, "source", "text", k = 8, n = 3)
+    val bySrc = sk.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getInt(2)))).toMap
+    // 10 grams per doc, k=8 → exactly 8 rows per source, ranks 1..8,
+    // hashes ascending
+    bySrc.values.foreach { rows =>
+      assert(rows.length === 8)
+      assert(rows.map(_._2).sorted === (1 to 8).toArray)
+      val hs = rows.sortBy(_._2).map(_._1)
+      assert(hs.toSeq === hs.sorted.toSeq)
+    }
+    assert(bySrc("s1").map(_._1).toSet === bySrc("s2").map(_._1).toSet)
+    val est = Corpus.kmvJaccardEst(sk, "source", k = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("union_k"), r.getAs[Long]("shared_k"),
+          r.getAs[Double]("jaccard_est"))).toMap
+    assert(est(("s1", "s2")) === ((8L, 8L, 1.0)))
+    assert(est(("s1", "s3"))._3 === 0.0 && est(("s2", "s3"))._3 === 0.0)
+    // partition-layout-invariant: the sketch is a pure function of the set
+    val sk2 = Corpus.kmvSketch(d.repartition(7), "source", "text", k = 8, n = 3)
+    assert(sk2.collect().map(_.toSeq).toSet === sk.collect().map(_.toSeq).toSet)
+  }
+
   test("bernoulliByScore: p=1 always keeps, p=0 never, null score gives " +
     "null verdict, decision deterministic and salt-sensitive") {
     val d = Seq((1L, 1.0), (2L, 0.0), (3L, 2.5), (4L, -1.0))
