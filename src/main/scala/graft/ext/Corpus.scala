@@ -119,6 +119,22 @@ object Corpus {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Merge [[kmvSketch]] tables: bottom-k of the unioned sketch rows per
+    * group. KMV's defining algebra — `merge(sketch(A), sketch(B)) =
+    * sketch(A ∪ B)` EXACTLY (the k smallest of a union are among the two
+    * sides' k smallest) — which makes sketch tables maintainable: sketch
+    * each batch once at ingest, merge instead of ever re-reading text.
+    * The registered query proves the law by scoring merged
+    * corpus-slice + batch-slice sketches against the full-corpus oracle.
+    * Work: one distinct + one window over ≤ sides×k rows per group.
+    */
+  def kmvMerge(sketchRows: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    sketchRows.select(col(groupCol), col("h")).distinct()
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Pairwise Jaccard estimates from a [[kmvSketch]] table: for each
     * unordered group pair, the k smallest hashes of the sketch UNION are
     * taken and `jaccard_est = shared_k / union_k` where `shared_k` counts

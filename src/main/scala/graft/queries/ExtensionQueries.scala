@@ -925,6 +925,27 @@ object ExtensionQueries {
         .orderBy("g_1", "g_2")
     }),
 
+    // x110's production contract: the corpus slice's sketches are
+    // MAINTAINED (sketched once at registration), the batch slice
+    // sketches fresh, and the two merge — merge(sketch(A), sketch(B)) =
+    // sketch(A ∪ B) exactly, so the full-corpus oracle IS the law's proof
+    "x111_kmv_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpusSk = Maintained.table(s, s"$dir/documents.parquet",
+        "kmv_sketch_mod3_k256_n5") {
+        Corpus.kmvSketch(d.filter(col("doc_id") % 3 =!= 0), "source",
+          "text", k = 256, n = 5)
+      }
+      val batchSk = Corpus.kmvSketch(d.filter(col("doc_id") % 3 === 0),
+        "source", "text", k = 256, n = 5)
+      val merged = Corpus.kmvMerge(
+        corpusSk.select(col("source"), col("h"))
+          .unionByName(batchSk.select(col("source"), col("h"))),
+        "source", k = 256)
+      Corpus.kmvJaccardEst(merged, "source", k = 256)
+        .orderBy("g_1", "g_2")
+    }),
+
     // soft quality sampling: keep each doc with probability equal to its
     // distinct-token ratio — borderline docs survive in proportion
     // instead of cliffing at a threshold; per-row md5 draw, verdict col
@@ -1321,6 +1342,41 @@ object ExtensionQueries {
     s"""WITH $bm25RankedCtes
        |SELECT query_id, doc_id, score, rank FROM bmr WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of x110 (and, through the exact merge law, x111):
+    * per-source bottom-256 sketches of the distinct word-5-gram hashes,
+    * pairwise union-sketch Jaccard estimates.
+    */
+  private def kmvOverlapSql: String = {
+    val norm = normSql("text")
+    s"""WITH nrm AS (SELECT source, string_split($norm, ' ') AS l
+       |             FROM documents WHERE text IS NOT NULL),
+       |ng AS (SELECT DISTINCT source,
+       |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1],
+       |           l[CAST(i AS INT) + 2], l[CAST(i AS INT) + 3],
+       |           l[CAST(i AS INT) + 4]) AS g
+       |       FROM nrm, unnest(generate_series(1, greatest(len(l) - 4, 1))) AS u(i)),
+       |hs AS (SELECT DISTINCT source,
+       |         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+       |       FROM ng),
+       |sk AS (SELECT source, h FROM hs
+       |       QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256),
+       |gs AS (SELECT DISTINCT source FROM sk),
+       |pr AS (SELECT a.source AS g_1, b.source AS g_2
+       |       FROM gs a JOIN gs b ON a.source < b.source),
+       |u AS (SELECT p.g_1, p.g_2, s.h,
+       |        max(CASE WHEN s.source = p.g_1 THEN 1 ELSE 0 END) AS a,
+       |        max(CASE WHEN s.source = p.g_2 THEN 1 ELSE 0 END) AS b
+       |      FROM pr p JOIN sk s ON s.source IN (p.g_1, p.g_2)
+       |      GROUP BY 1, 2, 3),
+       |t AS (SELECT g_1, g_2, h, a, b FROM u
+       |      QUALIFY row_number() OVER (PARTITION BY g_1, g_2 ORDER BY h) <= 256)
+       |SELECT g_1, g_2, CAST(count(*) AS BIGINT) AS union_k,
+       |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_k,
+       |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS jaccard_est
+       |FROM t GROUP BY 1, 2 ORDER BY g_1, g_2""".stripMargin
+  }
 
   /** The x99 fusion chain over `bmr` (must follow [[bm25RankedCtes]]):
     * the x6 cosine core restricted to the query subset, both lists'
@@ -2661,36 +2717,10 @@ object ExtensionQueries {
         |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    "x110_kmv_overlap" -> {
-      val norm = normSql("text")
-      s"""WITH nrm AS (SELECT source, string_split($norm, ' ') AS l
-         |             FROM documents WHERE text IS NOT NULL),
-         |ng AS (SELECT DISTINCT source,
-         |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1],
-         |           l[CAST(i AS INT) + 2], l[CAST(i AS INT) + 3],
-         |           l[CAST(i AS INT) + 4]) AS g
-         |       FROM nrm, unnest(generate_series(1, greatest(len(l) - 4, 1))) AS u(i)),
-         |hs AS (SELECT DISTINCT source,
-         |         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
-         |       FROM ng),
-         |sk AS (SELECT source, h FROM hs
-         |       QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256),
-         |gs AS (SELECT DISTINCT source FROM sk),
-         |pr AS (SELECT a.source AS g_1, b.source AS g_2
-         |       FROM gs a JOIN gs b ON a.source < b.source),
-         |u AS (SELECT p.g_1, p.g_2, s.h,
-         |        max(CASE WHEN s.source = p.g_1 THEN 1 ELSE 0 END) AS a,
-         |        max(CASE WHEN s.source = p.g_2 THEN 1 ELSE 0 END) AS b
-         |      FROM pr p JOIN sk s ON s.source IN (p.g_1, p.g_2)
-         |      GROUP BY 1, 2, 3),
-         |t AS (SELECT g_1, g_2, h, a, b FROM u
-         |      QUALIFY row_number() OVER (PARTITION BY g_1, g_2 ORDER BY h) <= 256)
-         |SELECT g_1, g_2, CAST(count(*) AS BIGINT) AS union_k,
-         |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_k,
-         |  CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*) AS jaccard_est
-         |FROM t GROUP BY 1, 2 ORDER BY g_1, g_2""".stripMargin
-    },
+    // merge(sketch(corpus), sketch(batch)) = sketch(full) exactly — the
+    // shared full-corpus oracle IS the equivalence claim (x98 convention)
+    "x111_kmv_incr" -> kmvOverlapSql,
+    "x110_kmv_overlap" -> kmvOverlapSql,
     "x109_soft_sample" -> {
       val norm = normSql("text")
       s"""WITH m AS (SELECT doc_id,

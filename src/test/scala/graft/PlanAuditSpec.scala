@@ -51,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     // group-pair generation (G = source cardinality, sketch rows only —
     // never corpus data)
     "x106_retrieval_e2e", "x107_temperature_mix", "x108_drift_report",
-    "x110_kmv_overlap")
+    "x110_kmv_overlap", "x111_kmv_incr")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -73,6 +73,23 @@ class CorpusSpec extends SparkSpec {
     assert(sk2.collect().map(_.toSeq).toSet === sk.collect().map(_.toSeq).toSet)
   }
 
+  test("kmvMerge: merge(sketch(A), sketch(B)) = sketch(A ∪ B) exactly") {
+    val a = Seq(("s", "a b c d e f g h"), ("t", "m n o p q r s t"))
+      .toDF("source", "text")
+    val b = Seq(("s", "e f g h i j k l"), ("t", "u v w x y z aa bb"))
+      .toDF("source", "text")
+    val k = 5
+    val merged = Corpus.kmvMerge(
+      Corpus.kmvSketch(a, "source", "text", k, n = 3)
+        .select(col("source"), col("h"))
+        .unionByName(Corpus.kmvSketch(b, "source", "text", k, n = 3)
+          .select(col("source"), col("h"))),
+      "source", k)
+    val whole = Corpus.kmvSketch(a.unionByName(b), "source", "text", k, n = 3)
+    assert(merged.collect().map(_.toSeq).toSet ===
+      whole.collect().map(_.toSeq).toSet)
+  }
+
   test("bernoulliByScore: p=1 always keeps, p=0 never, null score gives " +
     "null verdict, decision deterministic and salt-sensitive") {
     val d = Seq((1L, 1.0), (2L, 0.0), (3L, 2.5), (4L, -1.0))
