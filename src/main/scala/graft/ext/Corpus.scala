@@ -513,16 +513,36 @@ object Corpus {
     * The fraction probes ride the same pass as a literal-array explode.
     */
   def headCoverage(docs: DataFrame, strataCol: String, textCol: String,
+      fracs: Seq[(Int, Int)]): DataFrame =
+    headCoverageFromCounts(
+      strataTermCounts(docs, strataCol, textCol), strataCol, fracs)
+
+  /** Per-(stratum, term) occurrence counts — the stratum-tagged sibling
+    * of [[termCountTable]], and like it ADDITIVE on disjoint document
+    * batches (each count row depends only on its own documents'
+    * token streams, aggregated by key): maintain per batch with a
+    * `(strataCol, term)`-keyed re-aggregation, never re-tokenize.
+    * Feeds [[headCoverageFromCounts]] and any per-stratum vocabulary
+    * consumer.
+    */
+  def strataTermCounts(docs: DataFrame, strataCol: String,
+      textCol: String): DataFrame =
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(strataCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(strataCol), col("term")).agg(count(lit(1)).as("_cnt"))
+
+  /** [[headCoverage]] from a pre-aggregated [[strataTermCounts]] table —
+    * the maintained entry point: vocabulary planning re-runs on CURRENT
+    * counts without touching corpus text.
+    */
+  def headCoverageFromCounts(counts: DataFrame, strataCol: String,
       fracs: Seq[(Int, Int)]): DataFrame = {
     require(fracs.nonEmpty &&
       fracs.forall { case (n, d) => n > 0 && d > 0 && n <= d },
       "need fractions fn/fd in (0, 1]")
-    val counts = Par.spread(docs).filter(col(textCol).isNotNull)
-      .select(col(strataCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col(strataCol), col("term")).agg(count(lit(1)).as("_cnt"))
     val nParts =
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      counts.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parted = counts
       .repartitionByRange(nParts, col(strataCol).asc, col("_cnt").desc,
         col("term").asc)

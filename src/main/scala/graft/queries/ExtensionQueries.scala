@@ -1000,6 +1000,26 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // x101's production contract: per-stratum term counts MAINTAINED
+    // (additive — corpus slice counted once, batch counts summed in by
+    // key), vocabulary planning re-runs without touching corpus text;
+    // the shared full-corpus oracle is the additivity proof
+    "x112_head_coverage_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpusCounts = Maintained.table(s, s"$dir/documents.parquet",
+        "strata_term_counts_mod3") {
+        Corpus.strataTermCounts(d.filter(col("doc_id") % 3 =!= 0),
+          "lang", "text")
+      }
+      val batchCounts = Corpus.strataTermCounts(
+        d.filter(col("doc_id") % 3 === 0), "lang", "text")
+      val merged = corpusCounts.unionByName(batchCounts)
+        .groupBy(col("lang"), col("term")).agg(sum(col("_cnt")).as("_cnt"))
+      Corpus.headCoverageFromCounts(merged, "lang",
+        fracs = Seq((1, 2), (9, 10), (99, 100)))
+        .orderBy("lang", "frac")
+    }),
+
     // Zipf head-coverage planning: smallest per-language head vocabulary
     // covering 50% / 90% / 99% of token mass — exact-rational crossing
     // test over the two-pass ranked prefix sum
@@ -1342,6 +1362,28 @@ object ExtensionQueries {
     s"""WITH $bm25RankedCtes
        |SELECT query_id, doc_id, score, rank FROM bmr WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of x101 (and, through count additivity, x112). */
+  private def headCoverageSql: String = {
+    val norm = normSql("text")
+    s"""WITH t AS (SELECT lang, unnest(string_split($norm, ' ')) AS term
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |r AS (SELECT lang, term, cnt,
+       |        CAST(row_number() OVER (PARTITION BY lang
+       |          ORDER BY cnt DESC, term) AS BIGINT) AS rnk,
+       |        sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, term
+       |          ROWS UNBOUNDED PRECEDING) AS cum,
+       |        sum(cnt) OVER (PARTITION BY lang) AS tot
+       |      FROM c),
+       |f(fn, fd) AS (VALUES (1, 2), (9, 10), (99, 100))
+       |SELECT lang, CAST(fn AS DOUBLE) / fd AS frac, rnk AS vocab_size,
+       |  CAST(cum AS BIGINT) AS covered_tokens,
+       |  CAST(tot AS BIGINT) AS total_tokens
+       |FROM r, f
+       |WHERE (cum - cnt) * fd < fn * tot AND cum * fd >= fn * tot
+       |ORDER BY lang, frac""".stripMargin
+  }
 
   /** DuckDB mirror of x110 (and, through the exact merge law, x111):
     * per-source bottom-256 sketches of the distinct word-5-gram hashes,
@@ -2232,26 +2274,10 @@ object ExtensionQueries {
          |FROM t LEFT JOIN h ON h.lang = t.lang AND h.term = t.term
          |GROUP BY 1, 2 ORDER BY t.doc_id""".stripMargin
     },
-    "x101_head_coverage" -> {
-      val norm = normSql("text")
-      s"""WITH t AS (SELECT lang, unnest(string_split($norm, ' ')) AS term
-         |           FROM documents WHERE text IS NOT NULL),
-         |c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2),
-         |r AS (SELECT lang, term, cnt,
-         |        CAST(row_number() OVER (PARTITION BY lang
-         |          ORDER BY cnt DESC, term) AS BIGINT) AS rnk,
-         |        sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, term
-         |          ROWS UNBOUNDED PRECEDING) AS cum,
-         |        sum(cnt) OVER (PARTITION BY lang) AS tot
-         |      FROM c),
-         |f(fn, fd) AS (VALUES (1, 2), (9, 10), (99, 100))
-         |SELECT lang, CAST(fn AS DOUBLE) / fd AS frac, rnk AS vocab_size,
-         |  CAST(cum AS BIGINT) AS covered_tokens,
-         |  CAST(tot AS BIGINT) AS total_tokens
-         |FROM r, f
-         |WHERE (cum - cnt) * fd < fn * tot AND cum * fd >= fn * tot
-         |ORDER BY lang, frac""".stripMargin
-    },
+    "x101_head_coverage" -> headCoverageSql,
+    // identical function through the maintained count table — the shared
+    // oracle IS the additivity claim
+    "x112_head_coverage_incr" -> headCoverageSql,
     "x100_t_closeness" ->
       // HUGEINT intermediates (DuckDB's BIGINT sums/products widen) are
       // exact; the Spark side stays in longs — same integer values

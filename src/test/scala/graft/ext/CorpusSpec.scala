@@ -73,6 +73,23 @@ class CorpusSpec extends SparkSpec {
     assert(sk2.collect().map(_.toSeq).toSet === sk.collect().map(_.toSeq).toSet)
   }
 
+  test("strataTermCounts: additive on disjoint batches; " +
+    "headCoverageFromCounts over the merged table equals direct") {
+    val a = Seq(("en", "a a b"), ("fr", "x y")).toDF("lang", "text")
+    val b = Seq(("en", "a c"), ("fr", "x x")).toDF("lang", "text")
+    val merged = Corpus.strataTermCounts(a, "lang", "text")
+      .unionByName(Corpus.strataTermCounts(b, "lang", "text"))
+      .groupBy(col("lang"), col("term")).agg(sum(col("_cnt")).as("_cnt"))
+    val whole = Corpus.strataTermCounts(a.unionByName(b), "lang", "text")
+    assert(merged.collect().map(_.toSeq).toSet ===
+      whole.collect().map(_.toSeq).toSet)
+    val direct = Corpus.headCoverage(a.unionByName(b), "lang", "text",
+      Seq((1, 2), (1, 1))).collect().map(_.toSeq).toSet
+    val viaCounts = Corpus.headCoverageFromCounts(merged, "lang",
+      Seq((1, 2), (1, 1))).collect().map(_.toSeq).toSet
+    assert(viaCounts === direct)
+  }
+
   test("kmvMerge: merge(sketch(A), sketch(B)) = sketch(A ∪ B) exactly") {
     val a = Seq(("s", "a b c d e f g h"), ("t", "m n o p q r s t"))
       .toDF("source", "text")
