@@ -222,4 +222,52 @@ object EventOps {
         (col("_b") - col("_c")).as("bucket_age"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Event-rate anomaly detection: per (type, day), flag days whose event
+    * count exceeds `factorNum/factorDen` times the trailing `windowDays`-
+    * day mean — the ops alarm for ingestion spikes, bot bursts, and
+    * broken instrumentation. The verdict is the exact integer comparison
+    * `n·windowDays·factorDen > trailing_sum·factorNum` (no float mean);
+    * `trailing_mean` rides along as one IEEE division. Days with fewer
+    * than `windowDays` PRIOR CALENDAR days of history (including gap days,
+    * which count as zero — a spike after silence is still a spike) report
+    * a null verdict: no baseline, not "normal". One row per observed
+    * (type, day).
+    *
+    * Scale shape: one (type, day)-keyed count with map-side combine (the
+    * only corpus-sized pass), then a per-type RANGE window over day
+    * numbers — group size is bounded by the calendar, not the corpus, so
+    * the per-type window task is days-sized.
+    */
+  def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      windowDays: Int, factorNum: Long, factorDen: Long): DataFrame = {
+    require(windowDays > 0, "need windowDays > 0")
+    require(factorNum > 0 && factorDen > 0, "need a positive spike factor")
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        datediff(col(tsCol).cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("_day"))
+      .groupBy(col("event_type"), col("_day"))
+      .agg(count(lit(1)).as("n"))
+    // RANGE frame over the day NUMBER: gap days contribute nothing to the
+    // sum (= zero events) but still age the frame — calendar semantics
+    val w = Window.partitionBy(col("event_type")).orderBy(col("_day"))
+      .rangeBetween(-windowDays, -1)
+    val first = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("_tsum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("_hist", col("_day") - min(col("_day")).over(first))
+      .select(col("event_type"),
+        // yyyy-MM-dd STRING, not DATE: date columns round-trip through
+        // parquet/pandas with engine-specific physical types and fail
+        // exact compares; the string form is unambiguous everywhere
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("_day").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n"),
+        when(col("_hist") >= windowDays,
+          col("_tsum").cast("double") / windowDays).as("trailing_mean"),
+        when(col("_hist") >= windowDays,
+          col("n") * windowDays * factorDen > col("_tsum") * factorNum)
+          .as("spike"))
+  }
 }

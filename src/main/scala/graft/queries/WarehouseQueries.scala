@@ -237,6 +237,15 @@ object WarehouseQueries {
         .orderBy("event_id")
     }),
 
+    // event-rate anomaly detection: per (type, day), spike = count > 1.5×
+    // the trailing 7-day mean (exact integer verdict); first week of each
+    // type's history reports null — no baseline, not "normal"
+    "x113_rate_anomaly" -> ((s, dir) => {
+      graft.analytics.EventOps.rateAnomalies(Tables(s, dir, "events"),
+        "event_type", "ts", windowDays = 7, factorNum = 3, factorDen = 2)
+        .orderBy("event_type", "day")
+    }),
+
     // last-touch attribution: each purchase credited to the latest
     // click/view of the same user within 1 hour; unattributed purchases
     // stay visible with null touch columns
@@ -505,6 +514,27 @@ object WarehouseQueries {
          |FROM events e JOIN sess ON e.user_id = sess.user_id
          |  AND e.ts BETWEEN sess.st AND sess.en
          |ORDER BY event_id, session_id""".stripMargin,
+
+    "x113_rate_anomaly" ->
+      // RANGE frame over epoch-day numbers — gap days age the window but
+      // add nothing, matching the Spark side's calendar semantics
+      """WITH d AS (SELECT event_type,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |wnd AS (SELECT event_type, dn, n,
+        |          sum(n) OVER (PARTITION BY event_type ORDER BY dn
+        |            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tsum0,
+        |          dn - min(dn) OVER (PARTITION BY event_type) AS hist
+        |        FROM d)
+        |SELECT event_type,
+        |  strftime(DATE '1970-01-01' + CAST(dn AS INT), '%Y-%m-%d') AS day,
+        |  CAST(n AS BIGINT) AS n,
+        |  CASE WHEN hist >= 7
+        |       THEN CAST(coalesce(tsum0, 0) AS DOUBLE) / 7 END AS trailing_mean,
+        |  CASE WHEN hist >= 7
+        |       THEN n * 7 * 2 > coalesce(tsum0, 0) * 3 END AS spike
+        |FROM wnd ORDER BY event_type, day""".stripMargin,
 
     "x103_last_touch" ->
       // same ASOF + equal-ts dedup shape as x24; the window test mirrors

@@ -11,6 +11,35 @@ class EventOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("rateAnomalies: exact spike verdict vs trailing mean, null before " +
+    "a full baseline, gap days age the window as zeros") {
+    def day(d: Int, i: Int) = (d * 100L + i,
+      ts(f"2026-01-${d + 1}%02d 12:00:00"), 1L, "a", 1.0)
+    // type a: 2 events/day on days 0..6, then 5 events on day 7
+    val a = (0 to 6).flatMap(d => Seq(day(d, 0), day(d, 1))) ++
+      (0 until 5).map(i => day(7, i))
+    // type g: burst on day 0, silence, one event on day 10
+    val g = Seq((9000L, ts("2026-01-01 12:00:00"), 2L, "g", 1.0),
+      (9001L, ts("2026-01-11 12:00:00"), 2L, "g", 1.0))
+    val events = (a ++ g)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.analytics.EventOps.rateAnomalies(events, "event_type",
+      "ts", windowDays = 7, factorNum = 3, factorDen = 2)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("day")) ->
+        (r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("trailing_mean")),
+          Option(r.getAs[java.lang.Boolean]("spike")))).toMap
+    // days 0..6: under 7 days of history → null verdict
+    (1 to 7).foreach { d =>
+      assert(out(("a", f"2026-01-$d%02d"))._3 === None)
+    }
+    // day 7: trailing sum 14, mean 2.0; 5 > 1.5×2 → spike
+    assert(out(("a", "2026-01-08")) === ((5L, Some(2.0), Some(true))))
+    // type g day 10: empty trailing window sums to 0 → spike after silence
+    assert(out(("g", "2026-01-11")) === ((1L, Some(0.0), Some(true))))
+    assert(out(("g", "2026-01-01"))._3 === None)
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, out-of-window " +
     "and touchless conversions stay visible unattributed, equal-ts ties " +
     "to larger id") {
