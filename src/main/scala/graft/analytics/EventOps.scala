@@ -240,15 +240,30 @@ object EventOps {
     * the per-type window task is days-sized.
     */
   def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
-      windowDays: Int, factorNum: Long, factorDen: Long): DataFrame = {
-    require(windowDays > 0, "need windowDays > 0")
-    require(factorNum > 0 && factorDen > 0, "need a positive spike factor")
-    val daily = events
+      windowDays: Int, factorNum: Long, factorDen: Long): DataFrame =
+    rateAnomaliesFromDaily(dailyCounts(events, typeCol, tsCol),
+      windowDays, factorNum, factorDen)
+
+  /** Per-(type, epoch-day) event counts — ADDITIVE on disjoint event
+    * batches (aggregate of a pure per-row key), so a monitoring pipeline
+    * maintains them per batch and re-scores from counts alone.
+    */
+  def dailyCounts(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame =
+    events
       .select(col(typeCol).as("event_type"),
         datediff(col(tsCol).cast("date"),
           to_date(lit("1970-01-01"))).cast("long").as("_day"))
       .groupBy(col("event_type"), col("_day"))
       .agg(count(lit(1)).as("n"))
+
+  /** [[rateAnomalies]] from a pre-aggregated [[dailyCounts]] table — the
+    * maintained/streaming entry point.
+    */
+  def rateAnomaliesFromDaily(daily: DataFrame, windowDays: Int,
+      factorNum: Long, factorDen: Long): DataFrame = {
+    require(windowDays > 0, "need windowDays > 0")
+    require(factorNum > 0 && factorDen > 0, "need a positive spike factor")
     // RANGE frame over the day NUMBER: gap days contribute nothing to the
     // sum (= zero events) but still age the frame — calendar semantics
     val w = Window.partitionBy(col("event_type")).orderBy(col("_day"))

@@ -480,6 +480,67 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming event-rate monitor — x113 mounted at ingest with a GROWING
+    * tagged daily-count table: the corpus's (type, day) counts seed once,
+    * each arriving event micro-batch merges its own counts in (ADDITIVE —
+    * [[graft.analytics.EventOps.dailyCounts]]), re-scores with
+    * [[graft.analytics.EventOps.rateAnomaliesFromDaily]], and emits
+    * verdicts for THE BATCH'S OWN (type, day) pairs to
+    * `outDir/batch-<id>`. A day's verdict reflects counts known SO FAR
+    * (snapshot semantics — late events re-raise on a later batch).
+    * Replay idempotence is the x67 `_src`-tag contract: the table read
+    * excludes the current batch's tag, the append is skipped when the tag
+    * already landed.
+    */
+  def startRateMonitor(spark: SparkSession, eventsDir: String,
+      corpusEvents: DataFrame, countsDir: String, outDir: String,
+      checkpointDir: String, typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id",
+      windowDays: Int = 7, factorNum: Long = 3,
+      factorDen: Long = 2): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(typeCol, org.apache.spark.sql.types.StringType)
+      .add(tsCol, org.apache.spark.sql.types.StringType)
+    import graft.analytics.EventOps
+    if (!new java.io.File(countsDir).exists())
+      EventOps.dailyCounts(corpusEvents, typeCol, tsCol)
+        .withColumn("_src", lit("corpus"))
+        .write.mode("overwrite").parquet(countsDir)
+    spark.readStream.schema(schema).json(eventsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val src = s"batch-$batchId"
+          val bDaily = EventOps.dailyCounts(
+            batch.withColumn(tsCol, col(tsCol).cast("timestamp")),
+            typeCol, tsCol).persist()
+          try {
+            val merged = s.read.parquet(countsDir)
+              .filter(col("_src") =!= src)
+              .select(col("event_type"), col("_day"), col("n"))
+              .unionByName(bDaily)
+              .groupBy(col("event_type"), col("_day"))
+              .agg(sum(col("n")).as("n"))
+            EventOps.rateAnomaliesFromDaily(merged, windowDays,
+                factorNum, factorDen)
+              .join(bDaily.select(col("event_type"),
+                date_format(date_add(to_date(lit("1970-01-01")),
+                  col("_day").cast("int")), "yyyy-MM-dd").as("day")),
+                Seq("event_type", "day"), "left_semi")
+              .write.mode("overwrite").parquet(s"$outDir/$src")
+            val already = !s.read.parquet(countsDir)
+              .filter(col("_src") === src).isEmpty
+            if (!already)
+              bDaily.withColumn("_src", lit(src))
+                .write.mode("append").parquet(countsDir)
+          } finally bDaily.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming drift monitor — [[graft.ext.Corpus.driftFromCounts]]
     * mounted at ingest: the corpus's key distribution (language, source,
     * quality bucket) is aggregated ONCE into a reference count table, and

@@ -328,6 +328,51 @@ class DeltaStreamSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(s"$root/buckets")) === mtime)
   }
 
+  test("startRateMonitor: batch days scored against merged growing " +
+    "counts; spike flagged; counts accumulate without double-append") {
+    import spark.implicits._
+    val root = tmpDir("ratemon")
+    val evDir = s"$root/events"
+    Files.createDirectories(Paths.get(evDir))
+    // corpus baseline: 2 events/day on Jan 1..7
+    val corpus = (0 to 6).flatMap(d => Seq(
+        (d * 10L, f"2026-01-${d + 1}%02d 10:00:00"),
+        (d * 10L + 1, f"2026-01-${d + 1}%02d 11:00:00")))
+      .map { case (id, t) => (id, "a", java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "event_type", "ts")
+    def jsonl(path: String, evs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), evs.map { case (id, t) =>
+        s"""{"event_id": $id, "event_type": "a", "ts": "$t"}"""
+      }.asJava)
+    // batch 1: a 5-event spike on Jan 8
+    jsonl(s"$evDir/b1.json", (100L to 104L).map(i =>
+      i -> s"2026-01-08 12:0${i - 100}:00"): _*)
+    val q1 = DeltaStream.startRateMonitor(spark, evDir, corpus,
+      s"$root/counts", s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+      .select("event_type", "day", "n", "spike")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // 5 > 1.5 × (14/7 = 2) → spike, scored against corpus + batch counts
+    assert(b0 === Map("2026-01-08" -> ((5L, true))))
+    // batch 2: normal day Jan 9 (2 events) — trailing window now contains
+    // the spike day, mean (2·6 + 5)/7; 2·7·2 = 28 < 17·3 → no spike
+    jsonl(s"$evDir/b2.json", 200L -> "2026-01-09 09:00:00",
+      201L -> "2026-01-09 09:30:00")
+    val q2 = DeltaStream.startRateMonitor(spark, evDir, corpus,
+      s"$root/counts", s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+      .select("day", "n", "spike").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(b1 === Map("2026-01-09" -> ((2L, false))))
+    // growing table holds corpus + both batches exactly once
+    val total = spark.read.parquet(s"$root/counts")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total === 14L + 5L + 2L)
+  }
+
   test("startDriftMonitor: each batch's distribution scored against the " +
     "FIXED reference; a skewed batch shows the drift; restart clean") {
     import spark.implicits._
