@@ -915,6 +915,31 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // FLAGSHIP sketch-to-exact triage — the escalation pattern at corpus
+    // scale as ONE hash-verified query: KMV estimates (x110) select the
+    // hot source pairs (exact integer threshold est ≥ 1/25), then the
+    // exact minhash syndication rollup (x93) runs over ONLY those
+    // sources' documents; output pairs each estimate with its exact
+    // near-dup pair count (0 when the sketch over-triaged)
+    "x114_overlap_triage_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sk = Corpus.kmvSketch(d, "source", "text", k = 256, n = 5)
+      // persisted: the selection feeds the hot-source set AND the final
+      // report join (x47's persisted-head pattern)
+      val sel = Corpus.kmvJaccardEst(sk, "source", k = 256)
+        .filter(col("shared_k") * 25 >= col("union_k")).persist()
+      val hot = sel.select(col("g_1").as("source"))
+        .unionByName(sel.select(col("g_2").as("source"))).distinct()
+      val exact = Dedup.syndicationMatrix(
+        d.join(broadcast(hot), Seq("source"), "left_semi"),
+        "text", "doc_id", "source")
+      sel.join(exact,
+          col("g_1") === col("src_1") && col("g_2") === col("src_2"), "left")
+        .select(col("g_1"), col("g_2"), col("jaccard_est"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_exact_pairs"))
+        .orderBy("g_1", "g_2")
+    }),
+
     // deterministic bottom-k sketches per source + pairwise Jaccard
     // estimates from the union sketch — cross-source overlap triage
     // without pairwise document work; every row oracle-exact
@@ -2747,6 +2772,26 @@ object ExtensionQueries {
     // shared full-corpus oracle IS the equivalence claim (x98 convention)
     "x111_kmv_incr" -> kmvOverlapSql,
     "x110_kmv_overlap" -> kmvOverlapSql,
+    "x114_overlap_triage_e2e" ->
+      // the subset-restricted exact pass equals the full rollup on the
+      // selected pairs (minhash sigs/candidates are pair-local), so the
+      // oracle composes the unrestricted x93 core with the x110 selection
+      s"""WITH kmv AS ($kmvOverlapSql),
+         |sel AS (SELECT g_1, g_2, jaccard_est FROM kmv
+         |        WHERE shared_k * 25 >= union_k),
+         |pr AS (${minhashLshCoreSql("a.doc_id < b.doc_id")}),
+         |syn AS (SELECT least(sa.source, sb.source) AS src_1,
+         |          greatest(sa.source, sb.source) AS src_2,
+         |          CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM pr
+         |        JOIN documents sa ON sa.doc_id = pr.doc_a
+         |        JOIN documents sb ON sb.doc_id = pr.doc_b
+         |        GROUP BY 1, 2)
+         |SELECT sel.g_1, sel.g_2, sel.jaccard_est,
+         |  coalesce(syn.n_pairs, 0) AS n_exact_pairs
+         |FROM sel LEFT JOIN syn
+         |  ON syn.src_1 = sel.g_1 AND syn.src_2 = sel.g_2
+         |ORDER BY sel.g_1, sel.g_2""".stripMargin,
     "x109_soft_sample" -> {
       val norm = normSql("text")
       s"""WITH m AS (SELECT doc_id,

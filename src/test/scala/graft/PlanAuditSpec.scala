@@ -51,7 +51,9 @@ class PlanAuditSpec extends SparkSpec {
     // group-pair generation (G = source cardinality, sketch rows only —
     // never corpus data)
     "x106_retrieval_e2e", "x107_temperature_mix", "x108_drift_report",
-    "x110_kmv_overlap", "x111_kmv_incr")
+    "x110_kmv_overlap", "x111_kmv_incr",
+    // x114 composes x110's pair generation as its triage head
+    "x114_overlap_triage_e2e")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
