@@ -361,6 +361,45 @@ object Dedup {
     * verification then scores on its true Jaccard — correctness never
     * rests on the hash. Returns (idCol, band, bucket).
     */
+  /** Collision probability of the banded MinHash scheme at Jaccard `j`:
+    * `1 − (1 − j^r)^b` with `r = k/bands` rows per band — the S-curve
+    * every LSH parameter choice is read off of.
+    */
+  def lshCollisionProb(j: Double, k: Int, bands: Int): Double = {
+    require(bands > 0 && k % bands == 0, "bands must divide k")
+    val r = k / bands
+    1.0 - math.pow(1.0 - math.pow(j, r), bands)
+  }
+
+  /** Closed-form LSH parameter planner: the smallest signature (fewest
+    * total hashes `k = r·bands`, ties toward fewer bands = fewer
+    * candidate-join rows) whose S-curve achieves recall ≥ `minRecall` at
+    * the target threshold `jThreshold` AND collision rate ≤ `maxFpRate`
+    * at the sub-threshold point `jLow` — the design calculation behind
+    * [[minhashNearDups]]' defaults, done once at planning time instead of
+    * by trial sweeps ([[Similarity.nearDupRecallReport]] then MEASURES
+    * the choice on real data; this plans it). Searches r, bands ≤ 64.
+    * Returns (k, bands); throws if no configuration in range satisfies
+    * both constraints (loosen one).
+    */
+  def lshPlan(jThreshold: Double, minRecall: Double, jLow: Double,
+      maxFpRate: Double): (Int, Int) = {
+    require(jThreshold > 0 && jThreshold < 1 && jLow >= 0 &&
+      jLow < jThreshold, "need 0 ≤ jLow < jThreshold < 1")
+    require(minRecall > 0 && minRecall < 1 && maxFpRate > 0,
+      "need recall/fp-rate targets in (0, 1)")
+    val candidates = for {
+      r <- 1 to 64
+      b <- 1 to 64
+      if lshCollisionProb(jThreshold, r * b, b) >= minRecall
+      if lshCollisionProb(jLow, r * b, b) <= maxFpRate
+    } yield (r * b, b)
+    require(candidates.nonEmpty,
+      s"no (rows, bands) ≤ 64 achieves recall ≥ $minRecall at " +
+        s"$jThreshold with fp ≤ $maxFpRate at $jLow — loosen a constraint")
+    candidates.minBy { case (k, b) => (k, b) }
+  }
+
   def lshBuckets(sig: DataFrame, idCol: String, k: Int = 8, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands

@@ -426,6 +426,31 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() === 0L)
   }
 
+  test("lshPlan: S-curve math correct, planned params meet both " +
+    "constraints, defaults' curve behaves as documented") {
+    // closed form spot-check: r=2, b=2 at j=0.5 → 1−(1−0.25)² = 0.4375
+    assert(math.abs(Dedup.lshCollisionProb(0.5, 4, 2) - 0.4375) < 1e-12)
+    // the planner's choice satisfies what it promises
+    val (k, b) = Dedup.lshPlan(jThreshold = 0.8, minRecall = 0.95,
+      jLow = 0.3, maxFpRate = 0.05)
+    assert(k % b === 0)
+    assert(Dedup.lshCollisionProb(0.8, k, b) >= 0.95)
+    assert(Dedup.lshCollisionProb(0.3, k, b) <= 0.05)
+    // no smaller signature with fewer-or-equal bands would do: k is the
+    // minimum over the search space by construction — verify k > the
+    // largest k' < k for which ANY bands config passes
+    for (k2 <- 1 until k; b2 <- 1 to k2 if k2 % b2 == 0)
+      assert(!(Dedup.lshCollisionProb(0.8, k2, b2) >= 0.95 &&
+        Dedup.lshCollisionProb(0.3, k2, b2) <= 0.05))
+    // the x3/x41 production defaults (k=16, bands=4): high recall at
+    // j=0.8, sharp drop below
+    assert(Dedup.lshCollisionProb(0.8, 16, 4) > 0.85)
+    assert(Dedup.lshCollisionProb(0.2, 16, 4) < 0.01)
+    // monotone in j
+    assert(Dedup.lshCollisionProb(0.9, 16, 4) >
+      Dedup.lshCollisionProb(0.5, 16, 4))
+  }
+
   test("ngramJaccardPairsPrefix: identical result to ngramJaccardPairs " +
     "on dup/near-dup/stop-gram corpus, at two thresholds") {
     // mix: exact dup pair, near-dup pair, disjoint doc, plus a gram that
