@@ -646,6 +646,45 @@ object Similarity {
       .join(broadcast(centroidRow(emb, idCol, vecCol, nCells)))
       .select(col(idCol), assignedCell(col("_v"), col("_n")).as("cell"))
 
+  /** Weak-label propagation: every UNLABELED vector adopts the label of
+    * its nearest LABELED neighbor within its IVF cell — the 1-NN
+    * semi-supervised labeling pass that turns a small annotated seed set
+    * into corpus-wide weak labels (with `cosine` kept as the confidence
+    * for downstream thresholding — verdict-not-filter). Cells are
+    * assigned over labeled ∪ unlabeled with [[cellAssignments]]'
+    * deterministic seeds, so candidate pairing is a cell equi-join —
+    * work ∝ Σ cell_unlabeled · cell_labeled, never unlabeled × labeled —
+    * the x83 margin-mining shape with a label payload. An unlabeled
+    * vector whose cell holds no labeled neighbor is ABSENT from the
+    * output (no prediction, not a null guess); ties break toward the
+    * smaller labeled id. Output: (idCol, `cell`, `pred_label`,
+    * `neighbor_id`, `cosine` rounded to 9).
+    */
+  def labelPropagate(labeled: DataFrame, unlabeled: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      nCells: Int): DataFrame = {
+    val all = labeled.select(col(idCol), col(vecCol))
+      .unionByName(unlabeled.select(col(idCol), col(vecCol)))
+    val cells = cellAssignments(all, idCol, vecCol, nCells)
+    val lab = labeled
+      .select(col(idCol).as("_lid"), col(vecCol).as("_lv"),
+        col(labelCol).as("_lab"))
+      .withColumn("_ln", sqrt(dot(col("_lv"), col("_lv"))))
+      .join(cells.select(col(idCol).as("_lid"), col("cell")), Seq("_lid"))
+    val unl = unlabeled.select(col(idCol), col(vecCol).as("_uv"))
+      .withColumn("_un", sqrt(dot(col("_uv"), col("_uv"))))
+      .join(cells.select(col(idCol), col("cell")), Seq(idCol))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_cos").desc, col("_lid").asc)
+    unl.join(lab, Seq("cell"))
+      .withColumn("_cos",
+        dot(col("_uv"), col("_lv")) / (col("_un") * col("_ln")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("cell"), col("_lab").as("pred_label"),
+        col("_lid").as("neighbor_id"), round(col("_cos"), 9).as("cosine"))
+  }
+
   /** Materializable centroid table — (`_cid`, `_cvec`, `_cn`) rows, the
     * storage form of [[centroidRow]]'s single collected row (seeds =
     * `nCells` smallest-id vectors, same determinism). Register it once

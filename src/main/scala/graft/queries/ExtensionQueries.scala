@@ -915,6 +915,18 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // 1-NN weak-label propagation: every 5th vector "loses" its label and
+    // adopts the nearest labeled neighbor's within its IVF cell, cosine
+    // kept as confidence; cells with no labeled member predict nothing
+    "x115_label_propagation" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.labelPropagate(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0).drop("label"),
+        "vec_id", "embedding", "label", nCells = 16)
+        .orderBy("vec_id")
+    }),
+
     // FLAGSHIP sketch-to-exact triage — the escalation pattern at corpus
     // scale as ONE hash-verified query: KMV estimates (x110) select the
     // hot source pairs (exact integer threshold est ≥ 1/25), then the
@@ -2484,6 +2496,38 @@ object ExtensionQueries {
         |     ORDER BY s DESC, cid) AS rn
         |   FROM scored) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    "x115_label_propagation" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+         |              FROM embeddings ORDER BY vec_id LIMIT 16),
+         |scored AS (SELECT e.vec_id, c.cid,
+         |             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                              CAST(c.cvec AS DOUBLE[])) /
+         |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                                      CAST(e.embedding AS DOUBLE[]))) *
+         |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+         |                                      CAST(c.cvec AS DOUBLE[])))) AS s
+         |           FROM embeddings e CROSS JOIN cent c),
+         |asn AS (SELECT vec_id, cid AS cell FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY s DESC, cid) AS rn
+         |           FROM scored) WHERE rn = 1),
+         |lab AS (SELECT e.vec_id AS lid, e.embedding AS lv, e.label AS lab,
+         |          a.cell
+         |        FROM embeddings e JOIN asn a USING (vec_id)
+         |        WHERE e.vec_id % 5 <> 0),
+         |unl AS (SELECT e.vec_id, e.embedding AS uv, a.cell
+         |        FROM embeddings e JOIN asn a USING (vec_id)
+         |        WHERE e.vec_id % 5 = 0),
+         |p AS (SELECT u.vec_id, u.cell, l.lab, l.lid,
+         |        list_dot_product(CAST(u.uv AS DOUBLE[]), CAST(l.lv AS DOUBLE[])) /
+         |          (sqrt(list_dot_product(CAST(u.uv AS DOUBLE[]), CAST(u.uv AS DOUBLE[]))) *
+         |           sqrt(list_dot_product(CAST(l.lv AS DOUBLE[]), CAST(l.lv AS DOUBLE[])))) AS c
+         |      FROM unl u JOIN lab l USING (cell)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, lid) AS rn FROM p)
+         |SELECT vec_id, cell, lab AS pred_label, lid AS neighbor_id,
+         |  round(c, 9) AS cosine
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "x75_cluster_cap_sample" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings ORDER BY vec_id LIMIT 16),

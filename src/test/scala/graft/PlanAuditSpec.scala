@@ -52,8 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     // never corpus data)
     "x106_retrieval_e2e", "x107_temperature_mix", "x108_drift_report",
     "x110_kmv_overlap", "x111_kmv_incr",
-    // x114 composes x110's pair generation as its triage head
-    "x114_overlap_triage_e2e")
+    // x114 composes x110's pair generation as its triage head; x115 is
+    // the IVF family's single-row broadcast centroid attach (twice: the
+    // labeled and unlabeled sides' cell assignment)
+    "x114_overlap_triage_e2e", "x115_label_propagation")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -425,4 +425,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c2b - 1.0 / math.sqrt(2)) < 1e-9)
     assert(m2 > 0.05 && a2)
   }
+
+  test("labelPropagate: nearest labeled neighbor within the cell wins, " +
+    "confidence kept, label-free cells predict nothing") {
+    // nCells = 1: one cell, pure 1-NN against the labeled side
+    val labeled = Seq(
+      (1L, Seq(1.0f, 0.0f), 7),
+      (2L, Seq(0.0f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (10L, Seq(0.9f, 0.1f)),   // closest to vec 1 -> label 7
+      (11L, Seq(0.1f, 0.9f))    // closest to vec 2 -> label 9
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.labelPropagate(labeled, unlabeled, "vec_id",
+      "embedding", "label", nCells = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cosine"))).toMap
+    assert(out(10L)._1 === 7 && out(10L)._2 === 1L)
+    assert(out(11L)._1 === 9 && out(11L)._2 === 2L)
+    assert(out(10L)._3 > 0.99 && out(11L)._3 > 0.99)
+    // isolate the labeled side in its own cell: with nCells = 2 the seed
+    // centroids are vecs 1 and 2; an unlabeled vector landing in a cell
+    // with NO labeled member is absent (here: make label side tiny)
+    val oneLab = labeled.filter(col("vec_id") === 1L)
+    val far = Seq((12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out2 = Similarity.labelPropagate(oneLab, far, "vec_id",
+      "embedding", "label", nCells = 2)
+      .collect()
+    // seeds = vecs 1 and 12; vec 12 sits in its own cell, no labeled
+    // neighbor there -> no prediction
+    assert(out2.isEmpty)
+  }
 }
