@@ -685,6 +685,39 @@ object Similarity {
         col("_lid").as("neighbor_id"), round(col("_cos"), 9).as("cosine"))
   }
 
+  /** Per-cell label PURITY report — the unsupervised clustering-quality
+    * measure behind every IVF routing decision: for each cell, the
+    * member count, the majority label and its count, and
+    * `purity = majority_n / n` (one IEEE division). Low-purity cells are
+    * where [[labelPropagate]]'s 1-NN guesses go wrong and where more
+    * centroids (or a [[kmeansCentroids]] refinement) pay off. NULL
+    * labels don't vote (but still count toward `n` — unlabeled mass
+    * lowers purity honestly); majority ties break toward the smaller
+    * label. Output: (`cell`, `n`, `majority_label`, `majority_n`,
+    * `purity`).
+    *
+    * Scale shape: one map-only cell assignment, one (cell, label)
+    * aggregate, one min-struct majority pick per cell — output rows =
+    * nCells.
+    */
+  def cellPurity(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nCells: Int): DataFrame = {
+    val cells = cellAssignments(emb, idCol, vecCol, nCells)
+      .join(emb.select(col(idCol), col(labelCol).as("_lab")), Seq(idCol))
+    val counts = cells.groupBy(col("cell"), col("_lab"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col("cell")).agg(sum(col("_c")).as("n"))
+    val majority = counts.filter(col("_lab").isNotNull)
+      .groupBy(col("cell"))
+      .agg(min(struct((-col("_c")).as("_neg"), col("_lab").as("_l"))).as("_m"))
+      .select(col("cell"), col("_m._l").as("majority_label"),
+        (-col("_m._neg")).as("majority_n"))
+    totals.join(majority, Seq("cell"), "left")
+      .select(col("cell"), col("n"), col("majority_label"),
+        col("majority_n"),
+        (col("majority_n").cast("double") / col("n")).as("purity"))
+  }
+
   /** Materializable centroid table — (`_cid`, `_cvec`, `_cn`) rows, the
     * storage form of [[centroidRow]]'s single collected row (seeds =
     * `nCells` smallest-id vectors, same determinism). Register it once

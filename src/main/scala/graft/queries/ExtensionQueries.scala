@@ -915,6 +915,39 @@ object ExtensionQueries {
         l = 3).orderBy("source", "size_bucket")
     }),
 
+    // weak-label EVALUATION: x115's predictions scored against the held
+    // back truth, per true label — the measure-your-weak-labels loop
+    // (n_labeled counts the slice, n_predicted its covered part,
+    // n_correct the agreements; accuracy = one division)
+    "x116_label_prop_eval" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val pred = Similarity.labelPropagate(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0).drop("label"),
+        "vec_id", "embedding", "label", nCells = 16)
+      e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label").as("true_label"))
+        .join(pred.select(col("vec_id"), col("pred_label")),
+          Seq("vec_id"), "left")
+        .groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_labeled"),
+          sum(when(col("pred_label").isNotNull, 1L).otherwise(0L))
+            .as("n_predicted"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n_predicted"))
+        .orderBy("true_label")
+    }),
+
+    // per-cell label purity: the clustering-quality measure behind the
+    // IVF routing — low-purity cells are where 1-NN weak labels go wrong
+    "x117_cell_purity" -> ((s, dir) => {
+      Similarity.cellPurity(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", nCells = 16)
+        .orderBy("cell")
+    }),
+
     // 1-NN weak-label propagation: every 5th vector "loses" its label and
     // adopts the nearest labeled neighbor's within its IVF cell, cosine
     // kept as confidence; cells with no labeled member predict nothing
@@ -1399,6 +1432,45 @@ object ExtensionQueries {
     s"""WITH $bm25RankedCtes
        |SELECT query_id, doc_id, score, rank FROM bmr WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF cell-assignment CTEs over `embeddings` (16 smallest-id seeds) —
+    * the x75 oracle core, shared by x115/x116/x117.
+    */
+  private def ivfAsnCtes: String =
+    """cent AS (SELECT vec_id AS cid, embedding AS cvec
+      |         FROM embeddings ORDER BY vec_id LIMIT 16),
+      |scored AS (SELECT e.vec_id, c.cid,
+      |             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                              CAST(c.cvec AS DOUBLE[])) /
+      |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(e.embedding AS DOUBLE[]))) *
+      |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+      |                                      CAST(c.cvec AS DOUBLE[])))) AS s
+      |           FROM embeddings e CROSS JOIN cent c),
+      |asn AS (SELECT vec_id, cid AS cell FROM
+      |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY s DESC, cid) AS rn
+      |           FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** [[ivfAsnCtes]] + the x115 1-NN propagation chain, ending at
+    * `r(vec_id, cell, lab, lid, c, rn)` — rn = 1 is the prediction.
+    */
+  private def labelPropCtes: String =
+    s"""$ivfAsnCtes,
+       |lab AS (SELECT e.vec_id AS lid, e.embedding AS lv, e.label AS lab,
+       |          a.cell
+       |        FROM embeddings e JOIN asn a USING (vec_id)
+       |        WHERE e.vec_id % 5 <> 0),
+       |unl AS (SELECT e.vec_id, e.embedding AS uv, a.cell
+       |        FROM embeddings e JOIN asn a USING (vec_id)
+       |        WHERE e.vec_id % 5 = 0),
+       |p AS (SELECT u.vec_id, u.cell, l.lab, l.lid,
+       |        list_dot_product(CAST(u.uv AS DOUBLE[]), CAST(l.lv AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(u.uv AS DOUBLE[]), CAST(u.uv AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(l.lv AS DOUBLE[]), CAST(l.lv AS DOUBLE[])))) AS c
+       |      FROM unl u JOIN lab l USING (cell)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY c DESC, lid) AS rn FROM p)""".stripMargin
 
   /** DuckDB mirror of x101 (and, through count additivity, x112). */
   private def headCoverageSql: String = {
@@ -2497,37 +2569,43 @@ object ExtensionQueries {
         |   FROM scored) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
     "x115_label_propagation" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-         |              FROM embeddings ORDER BY vec_id LIMIT 16),
-         |scored AS (SELECT e.vec_id, c.cid,
-         |             list_dot_product(CAST(e.embedding AS DOUBLE[]),
-         |                              CAST(c.cvec AS DOUBLE[])) /
-         |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-         |                                      CAST(e.embedding AS DOUBLE[]))) *
-         |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
-         |                                      CAST(c.cvec AS DOUBLE[])))) AS s
-         |           FROM embeddings e CROSS JOIN cent c),
-         |asn AS (SELECT vec_id, cid AS cell FROM
-         |          (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |             ORDER BY s DESC, cid) AS rn
-         |           FROM scored) WHERE rn = 1),
-         |lab AS (SELECT e.vec_id AS lid, e.embedding AS lv, e.label AS lab,
-         |          a.cell
-         |        FROM embeddings e JOIN asn a USING (vec_id)
-         |        WHERE e.vec_id % 5 <> 0),
-         |unl AS (SELECT e.vec_id, e.embedding AS uv, a.cell
-         |        FROM embeddings e JOIN asn a USING (vec_id)
-         |        WHERE e.vec_id % 5 = 0),
-         |p AS (SELECT u.vec_id, u.cell, l.lab, l.lid,
-         |        list_dot_product(CAST(u.uv AS DOUBLE[]), CAST(l.lv AS DOUBLE[])) /
-         |          (sqrt(list_dot_product(CAST(u.uv AS DOUBLE[]), CAST(u.uv AS DOUBLE[]))) *
-         |           sqrt(list_dot_product(CAST(l.lv AS DOUBLE[]), CAST(l.lv AS DOUBLE[])))) AS c
-         |      FROM unl u JOIN lab l USING (cell)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY c DESC, lid) AS rn FROM p)
+      s"""WITH $labelPropCtes
          |SELECT vec_id, cell, lab AS pred_label, lid AS neighbor_id,
          |  round(c, 9) AS cosine
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "x116_label_prop_eval" ->
+      s"""WITH $labelPropCtes,
+         |pred AS (SELECT vec_id, lab AS pred_label FROM r WHERE rn = 1),
+         |truth AS (SELECT vec_id, label AS true_label FROM embeddings
+         |          WHERE vec_id % 5 = 0)
+         |SELECT t.true_label,
+         |  CAST(count(*) AS BIGINT) AS n_labeled,
+         |  CAST(sum(CASE WHEN p.pred_label IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_predicted,
+         |  CAST(sum(CASE WHEN p.pred_label = t.true_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN p.pred_label = t.true_label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) /
+         |    sum(CASE WHEN p.pred_label IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS accuracy
+         |FROM truth t LEFT JOIN pred p USING (vec_id)
+         |GROUP BY 1 ORDER BY true_label""".stripMargin,
+    "x117_cell_purity" ->
+      s"""WITH $ivfAsnCtes,
+         |j AS (SELECT a.cell, e.label FROM embeddings e
+         |      JOIN asn a USING (vec_id)),
+         |cnt AS (SELECT cell, label, count(*) AS c FROM j GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |maj AS (SELECT cell, label AS majority_label,
+         |          CAST(c AS BIGINT) AS majority_n
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY cell
+         |                ORDER BY c DESC, label) AS rn
+         |              FROM cnt WHERE label IS NOT NULL)
+         |        WHERE rn = 1)
+         |SELECT t.cell, t.n, m.majority_label, m.majority_n,
+         |  CAST(m.majority_n AS DOUBLE) / t.n AS purity
+         |FROM tot t LEFT JOIN maj m USING (cell)
+         |ORDER BY cell""".stripMargin,
     "x75_cluster_cap_sample" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
         |              FROM embeddings ORDER BY vec_id LIMIT 16),

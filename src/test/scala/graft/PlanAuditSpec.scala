@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     // x114 composes x110's pair generation as its triage head; x115 is
     // the IVF family's single-row broadcast centroid attach (twice: the
     // labeled and unlabeled sides' cell assignment)
-    "x114_overlap_triage_e2e", "x115_label_propagation")
+    "x114_overlap_triage_e2e", "x115_label_propagation",
+    "x116_label_prop_eval", "x117_cell_purity")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -457,4 +457,30 @@ class SimilaritySpec extends SparkSpec {
     // neighbor there -> no prediction
     assert(out2.isEmpty)
   }
+
+  test("cellPurity: majority label, ties to smaller label, null labels " +
+    "count toward n but never vote") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), Integer.valueOf(7)),
+      (2L, Seq(0.9f, 0.1f), Integer.valueOf(7)),
+      (3L, Seq(0.8f, 0.2f), Integer.valueOf(9)),
+      (4L, Seq(0.85f, 0.15f), null.asInstanceOf[Integer])
+    ).toDF("vec_id", "embedding", "label")
+    // nCells = 1: one cell holding all four vectors
+    val out = Similarity.cellPurity(e, "vec_id", "embedding", "label",
+      nCells = 1).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Int]("majority_label") === 7)
+    assert(r.getAs[Long]("majority_n") === 2L)
+    assert(r.getAs[Double]("purity") === 0.5) // null-label row dilutes
+    // tie: two labels with one vote each -> smaller label wins
+    val tie = Seq(
+      (1L, Seq(1.0f, 0.0f), 9), (2L, Seq(0.9f, 0.1f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.cellPurity(tie, "vec_id", "embedding", "label",
+      nCells = 1).collect().head
+    assert(t.getAs[Int]("majority_label") === 3)
+  }
 }
