@@ -940,6 +940,24 @@ object ExtensionQueries {
         .orderBy("true_label")
     }),
 
+    // weak-label confusion matrix: WHICH classes the 1-NN propagation
+    // confuses (true × predicted counts over the held-back slice;
+    // unpredicted rows appear under a null pred_label)
+    "x118_label_confusion" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val pred = Similarity.labelPropagate(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0).drop("label"),
+        "vec_id", "embedding", "label", nCells = 16)
+      e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label").as("true_label"))
+        .join(pred.select(col("vec_id"), col("pred_label")),
+          Seq("vec_id"), "left")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
     // per-cell label purity: the clustering-quality measure behind the
     // IVF routing — low-purity cells are where 1-NN weak labels go wrong
     "x117_cell_purity" -> ((s, dir) => {
@@ -2590,6 +2608,14 @@ object ExtensionQueries {
          |    AS accuracy
          |FROM truth t LEFT JOIN pred p USING (vec_id)
          |GROUP BY 1 ORDER BY true_label""".stripMargin,
+    "x118_label_confusion" ->
+      s"""WITH $labelPropCtes,
+         |pred AS (SELECT vec_id, lab AS pred_label FROM r WHERE rn = 1),
+         |truth AS (SELECT vec_id, label AS true_label FROM embeddings
+         |          WHERE vec_id % 5 = 0)
+         |SELECT t.true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+         |FROM truth t LEFT JOIN pred p USING (vec_id)
+         |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
     "x117_cell_purity" ->
       s"""WITH $ivfAsnCtes,
          |j AS (SELECT a.cell, e.label FROM embeddings e
