@@ -940,6 +940,28 @@ object ExtensionQueries {
         .orderBy("true_label")
     }),
 
+    // confidence calibration: weak-label accuracy per cosine band
+    // (floor(cos·10)) — the table that picks the confidence threshold
+    // above which propagated labels are trustworthy
+    "x119_confidence_calibration" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val pred = Similarity.labelPropagate(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0).drop("label"),
+        "vec_id", "embedding", "label", nCells = 16)
+      pred
+        .join(e.select(col("vec_id"), col("label").as("true_label")),
+          Seq("vec_id"))
+        .withColumn("band", floor(col("cosine") * 10).cast("int"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n"))
+        .orderBy("band")
+    }),
+
     // weak-label confusion matrix: WHICH classes the 1-NN propagation
     // confuses (true × predicted counts over the held-back slice;
     // unpredicted rows appear under a null pred_label)
@@ -2608,6 +2630,19 @@ object ExtensionQueries {
          |    AS accuracy
          |FROM truth t LEFT JOIN pred p USING (vec_id)
          |GROUP BY 1 ORDER BY true_label""".stripMargin,
+    "x119_confidence_calibration" ->
+      s"""WITH $labelPropCtes,
+         |pred AS (SELECT vec_id, lab AS pred_label, round(c, 9) AS cosine
+         |         FROM r WHERE rn = 1),
+         |truth AS (SELECT vec_id, label AS true_label FROM embeddings
+         |          WHERE vec_id % 5 = 0),
+         |b AS (SELECT CAST(floor(p.cosine * 10) AS INT) AS band,
+         |        CASE WHEN p.pred_label = t.true_label THEN 1 ELSE 0 END AS ok
+         |      FROM pred p JOIN truth t USING (vec_id))
+         |SELECT band, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST(sum(ok) AS DOUBLE) / count(*) AS accuracy
+         |FROM b GROUP BY 1 ORDER BY band""".stripMargin,
     "x118_label_confusion" ->
       s"""WITH $labelPropCtes,
          |pred AS (SELECT vec_id, lab AS pred_label FROM r WHERE rn = 1),

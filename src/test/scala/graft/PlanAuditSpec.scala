@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     // the IVF family's single-row broadcast centroid attach (twice: the
     // labeled and unlabeled sides' cell assignment)
     "x114_overlap_triage_e2e", "x115_label_propagation",
-    "x116_label_prop_eval", "x117_cell_purity", "x118_label_confusion")
+    "x116_label_prop_eval", "x117_cell_purity", "x118_label_confusion",
+    "x119_confidence_calibration")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
