@@ -26,8 +26,12 @@ object X95Probe {
     val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
 
-    // x5's exchange: one pair occurrence per shared gram
-    val x5Pairs = dfs.agg(sum(col("_df") * (col("_df") - 1) / 2)).head().getDouble(0).toLong
+    // x5's exchange: one pair occurrence per shared gram. Integer
+    // arithmetic throughout (df·(df-1) is even, so the halving is exact)
+    // — the recorded mechanism numbers stay exact at any corpus size,
+    // where a double sum would lose exactness past 2^53.
+    val x5Pairs = dfs.agg(sum(col("_df") * (col("_df") - 1)).as("_s"))
+      .head().getLong(0) / 2
 
     // x95's exchange: prefix-bucket pairs, then after the length filter,
     // then the distinct candidate set that reaches the verify join
@@ -43,7 +47,8 @@ object X95Probe {
       .select(col("_id"), col("_n"), explode(slice(col("_ga"), lit(1), pfxLen)).as("_g"))
     val buckets = prefix.groupBy(col("_g"))
       .agg(count(lit(1)).as("_c"))
-    val rawPfxPairs = buckets.agg(sum(col("_c") * (col("_c") - 1) / 2)).head().getDouble(0).toLong
+    val rawPfxPairs = buckets.agg(sum(col("_c") * (col("_c") - 1)).as("_s"))
+      .head().getLong(0) / 2
     val cands = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
       n, thNum, thDen, maxDf)
     val survivors = cands.count()

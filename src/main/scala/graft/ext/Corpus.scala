@@ -698,7 +698,10 @@ object Corpus {
       .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_T"))
       .filter(col("_T") > 0)
       .collect()
-      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble))
+      // r.get(0).toString, not getString: the generic strataCol may be a
+      // non-string stratum (int source id, date bucket) — the
+      // Seq[(String, Double)] contract stringifies it safely either way
+      .map(r => r.get(0).toString -> math.sqrt(r.getLong(1).toDouble))
       .sortBy(_._1).toSeq
 
   def mixtureSample(docs: DataFrame, strataCol: String, idCol: String,
@@ -1121,19 +1124,23 @@ object Corpus {
     * document receives its train/val/test assignment by first looking for
     * near-duplicates in the EXISTING corpus (via the maintained signature
     * table, [[Dedup.minhashNearDupsAgainstSigs]]) and inheriting the
-    * matched cluster's split key, so a near-duplicate of a test document
-    * can never be routed into train no matter when it arrives. Batch-
-    * internal near-dups are closed with [[Dedup.dupClusters]] over the
-    * batch's own pairs, and a batch cluster where ANY member matched the
-    * corpus adopts the smallest matched corpus key (one-step closure: two
-    * batch docs bridging two distinct corpus clusters unify the BATCH
-    * side only — the corpus keeps its existing keys, the documented
-    * incremental approximation). Unmatched singletons key on their own id,
-    * which is exactly what [[leakageSafeSplit]] would assign — so a doc's
-    * split is stable whether it arrived in the initial load or any later
-    * batch. `corpusSplitKeys` is (`idCol`, `split_key`) — the registration
-    * output of [[leakageSafeSplit]] (or this routine's own prior output),
-    * maintained alongside the signature table.
+    * matched cluster's split key: a new doc whose near-dups all live in
+    * ONE corpus cluster lands in that cluster's split. The guarantee has
+    * one documented exception — the BRIDGING case: a batch doc (or batch
+    * cluster) matching TWO distinct corpus clusters inherits only the
+    * smaller key, so it can end up split opposite its near-dups in the
+    * other cluster (the corpus keys are never rewritten; one-step
+    * closure, not a transitive re-closure). Such rows are surfaced with
+    * `bridging = true` in the output so callers can quarantine them or
+    * re-close the corpus keys offline. Batch-internal near-dups are
+    * closed with [[Dedup.dupClusters]] over the batch's own pairs, and a
+    * batch cluster where ANY member matched the corpus adopts the
+    * smallest matched corpus key. Unmatched singletons key on their own
+    * id, which is exactly what [[leakageSafeSplit]] would assign — so a
+    * doc's split is stable whether it arrived in the initial load or any
+    * later batch. `corpusSplitKeys` is (`idCol`, `split_key`) — the
+    * registration output of [[leakageSafeSplit]] (or this routine's own
+    * prior output), maintained alongside the signature table.
     *
     * Scale shape: per batch — the delta-only signature/bucket probe of the
     * maintained path, one key-attach join against the (compact) corpus
@@ -1149,26 +1156,32 @@ object Corpus {
     val cross = Dedup.minhashNearDupsAgainstSigs(newDocs, corpusSigs,
       corpusDocs, textCol, idCol, k, bands, shingleLen, thNum, thDen)
       .select(col("doc_a"), col("doc_b"))
-    val matchKey = cross
+    val matched = cross
       .join(corpusSplitKeys.select(col(idCol).as("doc_b"),
         col("split_key").as("_ck")), Seq("doc_b"))
-      .groupBy(col("doc_a")).agg(min(col("_ck")).as("_corpusKey"))
-      .withColumnRenamed("doc_a", idCol)
+      .select(col("doc_a").as(idCol), col("_ck"))
     val batchPairs = Dedup.minhashNearDups(newDocs, textCol, idCol, k,
       bands, shingleLen, thNum, thDen).select(col("doc_a"), col("doc_b"))
     val canon = Dedup.dupClusters(batchPairs)
       .withColumnRenamed("member_id", idCol)
-    // batch-cluster key propagation: groups are batch clusters — bounded
-    // by the batch, not the corpus, so the per-group window is safe
-    val wC = Window.partitionBy(col("_bc"))
-    val keyed = newDocs
+    val withBc = newDocs
       .join(canon, Seq(idCol), "left")
       .withColumn("_bc", coalesce(col("canonical_id"), col(idCol)))
       .drop("canonical_id")
-      .join(matchKey, Seq(idCol), "left")
-      .withColumn("split_key",
-        coalesce(min(col("_corpusKey")).over(wC), col("_bc")))
-      .drop("_bc", "_corpusKey")
+    // batch-cluster key propagation as an aggregate: one row per batch
+    // cluster (bounded by the batch), carrying the adopted key AND the
+    // count of DISTINCT corpus clusters the whole batch cluster touched —
+    // > 1 is the bridging case the scaladoc documents
+    val clusterKey = withBc.select(col(idCol), col("_bc"))
+      .join(matched, Seq(idCol))
+      .groupBy(col("_bc"))
+      .agg(min(col("_ck")).as("_corpusKey"),
+        countDistinct(col("_ck")).as("_nck"))
+    val keyed = withBc
+      .join(clusterKey, Seq("_bc"), "left")
+      .withColumn("split_key", coalesce(col("_corpusKey"), col("_bc")))
+      .withColumn("bridging", coalesce(col("_nck") > 1, lit(false)))
+      .drop("_bc", "_corpusKey", "_nck")
     hashSplit(keyed, "split_key", valFrac, testFrac, salt)
   }
 

@@ -987,23 +987,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, thNum: Int = 3, thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
     require(thNum > 0 && thDen >= thNum, "need 0 < thNum/thDen <= 1")
-    val ng = Par.spread(docs)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
-    // document frequency per gram; same df > maxDf universe cut as x5
-    val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf)
-    // each doc's filtered gram set as ONE array sorted rarest-first:
-    // (df asc, hash asc) is a global total order, so array positions are
-    // the canonical order the prefix theorem needs. The array is bounded
-    // by the document's own length — the row a giant doc pays is its own.
-    val docArr = ng.join(dfs, Seq("_g"))
-      .groupBy(col("_id"))
-      .agg(array_sort(collect_list(struct(col("_df"), col("_g")))).as("_sg"))
-      .select(col("_id"),
-        transform(col("_sg"), s => s.getField("_g")).as("_ga"),
-        size(col("_sg")).as("_n"))
+    val docArr = prefixDocArrays(docs, textCol, idCol, n, maxDf)
     // prefix length |d| − ⌈t·|d|⌉ + 1 (exact integer ceiling)
     val pfxLen = (col("_n") - floor((col("_n") * thNum + (thDen - 1))
       / thDen).cast("int") + 1)
@@ -1037,5 +1021,99 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("_na").cast("long") + col("_nb") - col("inter")).as("uni"))
       .filter(col("inter") * thDen >= col("uni") * thNum)
+  }
+
+  /** Shared rarest-first doc-array prep for the prefix-filtered joins:
+    * each document's df-cut distinct-gram set as ONE array sorted by
+    * (df asc, hash asc) — a global total order, so array positions are
+    * the canonical order the prefix theorem needs — plus its size. The
+    * array is bounded by the document's own length; the df > `maxDf`
+    * universe cut is identical to [[ngramJaccardPairs]]'s.
+    */
+  private def prefixDocArrays(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, maxDf: Int): DataFrame = {
+    val ng = Par.spread(docs)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+    val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+    ng.join(dfs, Seq("_g"))
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_g")))).as("_sg"))
+      .select(col("_id"),
+        transform(col("_sg"), s => s.getField("_g")).as("_ga"),
+        size(col("_sg")).as("_n"))
+  }
+
+  /** CONTAINMENT-specific prefix-filtered join: identical output to
+    * [[ngramContainmentPairs]] — every pair with
+    * `inter / min(|A|,|B|) ≥ thNum/thDen` over the df-cut gram universe —
+    * without the Σ df² per-shared-gram pair exchange.
+    *
+    * Containment needs its own prefix argument (Bayardo/Ma/Srikant WWW
+    * 2007 §3.2's overlap generalization): the required overlap
+    * `⌈t·min(|A|,|B|)⌉` depends only on the SMALLER side, so the Jaccard
+    * join's symmetric prefix–prefix bucketing is unsound here — the
+    * larger document's Jaccard prefix can exclude every shared gram (its
+    * required overlap for some partner sizes is far below what the
+    * Jaccard prefix assumes). Instead the join is ASYMMETRIC, the
+    * probe–index shape of the prefix-filter literature: the smaller side
+    * probes with its containment prefix — the rarest
+    * `|S| − ⌈t·|S|⌉ + 1` grams, exactly the Jaccard prefix length, since
+    * its own required overlap IS `⌈t·|S|⌉` — and the larger side is
+    * indexed by its FULL filtered gram set. Soundness is one-sided: if a
+    * qualifying pair shared no probe-prefix gram, every shared gram
+    * would sit in S's suffix of size `⌈t·|S|⌉ − 1 < ⌈t·|S|⌉` —
+    * contradiction. Candidates are then verified EXACTLY with one
+    * sorted-array intersection per pair, as in
+    * [[ngramJaccardPairsPrefix]].
+    *
+    * Scale shape: the candidate exchange is
+    * Σ_g prefix_df(g) · full_df(g) — prefixes hold each document's
+    * RAREST grams, so the buckets with large full_df have near-zero
+    * prefix_df and stop-phrase grams never probe. The index side pays
+    * Σ df (each doc's grams once), not Σ df². There is deliberately no
+    * upper length filter: a tiny quote inside a huge document is exactly
+    * what containment must find.
+    */
+  def ngramContainmentPairsPrefix(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, thNum: Int = 4, thDen: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
+    require(thNum > 0 && thDen >= thNum, "need 0 < thNum/thDen <= 1")
+    val docArr = prefixDocArrays(docs, textCol, idCol, n, maxDf)
+    val pfxLen = (col("_n") - floor((col("_n") * thNum + (thDen - 1))
+      / thDen).cast("int") + 1)
+    val probe = docArr
+      .select(col("_id").as("_pid"), col("_n").as("_np"),
+        explode(slice(col("_ga"), lit(1), pfxLen)).as("_g"))
+    val index = docArr
+      .select(col("_id").as("_iid"), col("_n").as("_ni"),
+        explode(col("_ga")).as("_g"))
+    // role filter: the probe is the strictly-(size, id)-smaller side, so
+    // each unordered pair is generated from exactly one direction (for
+    // equal sizes either side satisfies the prefix theorem)
+    val cands = probe.join(index, Seq("_g"))
+      .filter(col("_np") < col("_ni") ||
+        (col("_np") === col("_ni") && col("_pid") < col("_iid")))
+      .groupBy(least(col("_pid"), col("_iid")).as("doc_a"),
+        greatest(col("_pid"), col("_iid")).as("doc_b"))
+      .agg(count(lit(1)).as("_hits"))
+      .drop("_hits")
+    cands
+      .join(docArr.select(col("_id").as("doc_a"), col("_ga").as("_gaa"),
+        col("_n").as("_sa")), Seq("doc_a"))
+      .join(docArr.select(col("_id").as("doc_b"), col("_ga").as("_gab"),
+        col("_n").as("_sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("_gaa"), col("_gab"))).cast("long").as("inter"),
+        col("_sa").cast("long").as("n_a"), col("_sb").cast("long").as("n_b"))
+      .filter(col("inter") * thDen >= least(col("n_a"), col("n_b")) * thNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        (col("inter").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
   }
 }

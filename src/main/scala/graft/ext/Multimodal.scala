@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode / feature-extract / resize / frame-sample
   * are operators over that representation.
   *
-  * The decode step itself is a STUB — this container has no image/audio
-  * codecs, so [[Multimodal.decodeOne]] produces a deterministic fake
-  * (byte-derived "pixels") behind the same interface a real decoder would
-  * use. Everything Spark-side is real and load-bearing: the schema, the
-  * repartition before the CPU-heavy stage, the iterator-per-partition batch
-  * shape of [[decode]] (one decoder instance per partition, streaming
-  * through rows — the Scala analogue of a vectorized Python `mapInPandas`
-  * decode), and the declarative frame-sampling plan.
+  * The IMAGE decode path is REAL: PNG payloads (synthesized as genuine
+  * PNG files by [[Multimodal.derivePngMediaTable]]) round-trip through the
+  * JDK codec (`javax.imageio` → `BufferedImage` → raster gray samples) in
+  * [[Multimodal.decodeOne]]. Audio/video decode remains a documented STUB
+  * (this container has no JDK wav/mp4 codec): a deterministic byte-derived
+  * fake behind the same interface. Everything Spark-side is real and
+  * load-bearing either way: the schema, the repartition before the
+  * CPU-heavy stage, the iterator-per-partition batch shape of [[decode]]
+  * (one decoder instance per partition, streaming through rows — the
+  * Scala analogue of a vectorized Python `mapInPandas` decode), and the
+  * declarative frame-sampling plan.
   *
   * Scale notes: payloads never enter a shuffle key; the decode stage is
   * spread across cores before the amplifying work; frame sampling explodes
@@ -29,7 +32,7 @@ object Multimodal {
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
       meta: MediaMeta)
   case class DecodedMedia(media_id: Long, kind: String,
-      features: Array[Double], brightness: Double)
+      features: Array[Double], brightness: Double, width: Int, height: Int)
 
   /** Hex-slice → bounded int, the md5-keyed metadata derivation also used
     * by the DuckDB oracle: `1 + CAST('0x'||substr(md5, off, 8) AS BIGINT) % bound`.
@@ -62,30 +65,113 @@ object Multimodal {
       ).as("meta"))
   }
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (javax.imageio / ffmpeg binding). Consumes the payload bytes exactly
-    * like a real decoder would; emits a fixed-width feature vector (first
-    * 16 bytes scaled to [0,1]) and a global brightness (mean byte value).
+  /** PNG file signature (RFC 2083 §3.1). */
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+      bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+
+  /** The deterministic gray value of pixel (x,y) in the synthetic PNGs
+    * emitted by [[derivePngMediaTable]] — shared by the encoder, the
+    * decode spec, and the DuckDB oracle.
+    */
+  def pngPixel(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+
+  /** Encode a REAL grayscale PNG whose pixels follow [[pngPixel]] —
+    * JDK-only (`javax.imageio`), lossless, so a decode round-trip
+    * recovers the exact gray values the oracle computes arithmetically.
+    */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode one media record. PNG payloads (detected by the file
+    * signature) go through a REAL JDK codec — `javax.imageio` →
+    * `BufferedImage` → raster gray samples: features are the first 16
+    * pixels row-major scaled to [0,1], brightness the exact mean gray
+    * (integer pixel sum, one division). wav/mp4 payloads keep the
+    * documented STUB (this container has no JDK audio/video codec): the
+    * same feature contract computed over raw payload bytes.
     */
   def decodeOne(rec: MediaRecord): DecodedMedia = {
     val bytes = rec.payload
-    val features = Array.tabulate(16)(i =>
-      if (i < bytes.length) (bytes(i) & 0xff) / 255.0 else 0.0)
-    val brightness =
-      if (bytes.isEmpty) 0.0
-      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-    DecodedMedia(rec.media_id, rec.kind, features, brightness)
+    if (isPng(bytes)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val features = Array.tabulate(16)(i =>
+        if (i < px.length) px(i) / 255.0 else 0.0)
+      // Long pixel sum: exact for any image < 2^53 total gray mass, so
+      // the single division matches the oracle's bit-for-bit
+      DecodedMedia(rec.media_id, rec.kind, features,
+        px.foldLeft(0L)(_ + _).toDouble / px.length, w, h)
+    } else {
+      val features = Array.tabulate(16)(i =>
+        if (i < bytes.length) (bytes(i) & 0xff) / 255.0 else 0.0)
+      val brightness =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+      DecodedMedia(rec.media_id, rec.kind, features, brightness, 0, 0)
+    }
+  }
+
+  /** REAL-image media table: one row per image-kind document, payload a
+    * genuine PNG file (encoded per partition with `javax.imageio`) whose
+    * pixels follow the deterministic [[pngPixel]] formula — so the
+    * decode path exercises a real codec while the DuckDB oracle can
+    * reproduce the decoded values arithmetically. Dimensions are small
+    * (id-derived, ≤ 8×6) and metadata-typed like [[deriveMediaTable]].
+    *
+    * Scale shape: encode is a map-only typed pass, spread before the
+    * CPU-heavy stage; payload bytes never enter a shuffle key.
+    */
+  def derivePngMediaTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dims = docs.filter(col(idCol) % 3 === 0)
+      .select(col(idCol).cast("long").as("media_id"),
+        (col(idCol) % 7 + 2).cast("int").as("width"),
+        (col(idCol) % 5 + 2).cast("int").as("height"))
+    Par.spread(dims).as[(Long, Int, Int)].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+      it.map { case (id, w, h) =>
+        (id, "image", encodePng(id, w, h), MediaMeta(w, h, 0, 1, "png"))
+      }
+    }.toDF("media_id", "kind", "payload", "meta")
   }
 
   /** Decode stage: typed, batch-shaped (iterator per partition — decoder
-    * state would be instantiated once per partition, rows stream through),
-    * spread across cores before the CPU-heavy work.
+    * state is instantiated once per partition, rows stream through),
+    * spread across cores before the CPU-heavy work. PNG rows hit the real
+    * `javax.imageio` codec; other formats the documented stub (see
+    * [[decodeOne]]).
     */
   def decode(media: DataFrame): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     Par.spread(media).as[MediaRecord].mapPartitions { it =>
-      // real impl: val decoder = Codec.open(...) once per partition
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec state
       it.map(decodeOne)
     }
   }

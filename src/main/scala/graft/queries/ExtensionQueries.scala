@@ -758,6 +758,17 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // containment by the ASYMMETRIC prefix filter: same function as x91
+    // (hash-checked against x91's own oracle) without the Σ df² shared-
+    // gram pair exchange — the smaller side probes with its rarest-gram
+    // prefix, the larger side is indexed by its full gram set, exact
+    // sorted-array verify per candidate
+    "x121_containment_prefix" -> ((s, dir) => {
+      Dedup.ngramContainmentPairsPrefix(Tables(s, dir, "documents"), "text",
+        "doc_id", n = 3, thNum = 4, thDen = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
     // per-window rightmost-min gram hash — guaranteed coverage of any
     // shared k+w−1-token substring; map-only, ~2/(w+1) density
@@ -1311,6 +1322,25 @@ object ExtensionQueries {
           element_at(col("features_small"), 2).as("f1"),
           element_at(col("features_small"), 3).as("f2"),
           element_at(col("features_small"), 4).as("f3"),
+          col("brightness"))
+        .orderBy("media_id")
+    }),
+
+    // REAL image decode: genuine PNG payloads (javax.imageio encode per
+    // partition) round-tripped through the JDK codec — decoded width/
+    // height, first-pixel features, and exact mean-gray brightness. The
+    // oracle reproduces the lossless round-trip arithmetically from the
+    // deterministic pixel formula; matching hashes prove the real codec
+    // path end-to-end.
+    "x120_png_decode" -> ((s, dir) => {
+      Multimodal.decode(
+        Multimodal.derivePngMediaTable(Tables(s, dir, "documents"), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          element_at(col("features"), 3).as("f2"),
+          element_at(col("features"), 4).as("f3"),
           col("brightness"))
         .orderBy("media_id")
     }))
@@ -3153,26 +3183,8 @@ object ExtensionQueries {
          |FROM pr JOIN src sa ON sa.doc_id = pr.doc_a
          |        JOIN src sb ON sb.doc_id = pr.doc_b
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "x91_containment" ->
-      s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
-         |ng AS (SELECT DISTINCT doc_id,
-         |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS g
-         |       FROM norm, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
-         |ngr AS (SELECT doc_id, g FROM ng
-         |        WHERE g IN (SELECT g FROM ng GROUP BY g HAVING count(*) <= 1000)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |          FROM ngr a JOIN ngr b ON a.g = b.g AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT i.doc_a, i.doc_b, i.inter,
-         |  na.n AS n_a, nb.n AS n_b,
-         |  CAST(i.inter AS DOUBLE) / least(na.n, nb.n) AS containment,
-         |  CASE WHEN na.n <= nb.n THEN i.doc_a ELSE i.doc_b END
-         |    AS contained_id
-         |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
-         |             JOIN sizes nb ON nb.doc_id = i.doc_b
-         |WHERE i.inter * 5 >= least(na.n, nb.n) * 4
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x91_containment" -> containmentSql,
+    "x121_containment_prefix" -> containmentSql,
     "x90_winnow_fingerprints" ->
       s"""WITH $winnowPicksCtes
          |SELECT doc_id, pos, fp FROM p ORDER BY doc_id, pos""".stripMargin,
@@ -3199,6 +3211,7 @@ object ExtensionQueries {
     "x13_media_meta" -> mediaMetaSql,
     "x14_frame_sample" -> frameSampleSql,
     "x15_decode_resize" -> decodeResizeSql,
+    "x120_png_decode" -> pngDecodeSql,
     "x18_pii_scan" -> piiScanSql,
     "x40_pii_redact" ->
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
@@ -3372,6 +3385,55 @@ object ExtensionQueries {
        |FROM b LEFT JOIN br ON b.media_id = br.media_id
        |ORDER BY b.media_id""".stripMargin
   }
+
+  /** Shared by x91 and x121: [[graft.ext.Dedup.ngramContainmentPairs]]
+    * and [[graft.ext.Dedup.ngramContainmentPairsPrefix]] compute the same
+    * function by different algorithms, so they share one oracle.
+    */
+  private def containmentSql: String =
+    s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |ng AS (SELECT DISTINCT doc_id,
+       |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS g
+       |       FROM norm, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+       |ngr AS (SELECT doc_id, g FROM ng
+       |        WHERE g IN (SELECT g FROM ng GROUP BY g HAVING count(*) <= 1000)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM ngr a JOIN ngr b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       |  na.n AS n_a, nb.n AS n_b,
+       |  CAST(i.inter AS DOUBLE) / least(na.n, nb.n) AS containment,
+       |  CASE WHEN na.n <= nb.n THEN i.doc_a ELSE i.doc_b END
+       |    AS contained_id
+       |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+       |             JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 5 >= least(na.n, nb.n) * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Arithmetic mirror of the REAL PNG round-trip: the synthesized PNGs'
+    * pixels follow `pixel(x,y) = (id·31 + x·7 + y·13) mod 256`
+    * ([[graft.ext.Multimodal.pngPixel]]) and PNG is lossless, so the
+    * decoded raster values — and hence features and the exact-integer
+    * mean-gray brightness — are reproducible without a codec. Every image
+    * has ≥ 4 pixels (dims ≥ 2×2), so f0..f3 always exist.
+    */
+  private def pngDecodeSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |             CAST(doc_id % 7 + 2 AS INT) AS width,
+       |             CAST(doc_id % 5 + 2 AS INT) AS height
+       |           FROM documents WHERE doc_id % 3 = 0),
+       |px AS (SELECT media_id, width, height, CAST(i AS INT) AS idx,
+       |         (media_id * 31 + (CAST(i AS INT) % width) * 7 + (CAST(i AS INT) // width) * 13) % 256 AS v
+       |       FROM m, unnest(generate_series(0, width * height - 1)) AS u(i))
+       |SELECT media_id, width, height,
+       |  CAST(max(CASE WHEN idx = 0 THEN v END) AS DOUBLE) / 255.0 AS f0,
+       |  CAST(max(CASE WHEN idx = 1 THEN v END) AS DOUBLE) / 255.0 AS f1,
+       |  CAST(max(CASE WHEN idx = 2 THEN v END) AS DOUBLE) / 255.0 AS f2,
+       |  CAST(max(CASE WHEN idx = 3 THEN v END) AS DOUBLE) / 255.0 AS f3,
+       |  CAST(sum(v) AS DOUBLE) / (width * height) AS brightness
+       |FROM px GROUP BY media_id, width, height
+       |ORDER BY media_id""".stripMargin
 
   private def frameSampleSql: String =
     s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS ph,

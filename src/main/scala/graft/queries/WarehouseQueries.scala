@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dw.{DateDim, DimBuilder, Merge}
+import graft.dw.{Bucketed, DateDim, DimBuilder, Merge}
 import graft.ingest.Staging
 import graft.ods.{OdsTransform, PlaceParser}
 import graft.util.{Exact, Tables}
@@ -71,6 +71,24 @@ object WarehouseQueries {
       val staged = o.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), lit("M").as("o_orderstatus"))
       Merge.upsert(existing, staged, "o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // K5 over BUCKETED storage — the co-located MERGE that keeps the big
+    // (existing) side exchange-free at warehouse scale: both sides are
+    // written bucketed on the key, the upsert join reads buckets pairwise,
+    // and the result swaps in via metastore rename. Oracle = the plain
+    // MERGE semantics (same as k5) — storage layout must not change the
+    // answer.
+    "k5b_merge_bucketed" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val existing = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val staged = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"))
+      val table = "k5b_fact"
+      Bucketed.writeBucketed(existing, table, "o_orderkey", buckets = 8)
+      Bucketed.mergeIntoBucketed(s, table, staged, "o_orderkey", buckets = 8)
+      s.table(table).orderBy("o_orderkey")
     }),
 
     // J3 — anti-join dedup/exclusion
@@ -371,6 +389,13 @@ object WarehouseQueries {
         |ORDER BY ID_Event""".stripMargin,
 
     "k5_merge_upsert" ->
+      """WITH existing AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
+        |staged AS (SELECT o_orderkey, 'M' AS o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM existing WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+        |UNION ALL SELECT * FROM staged
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "k5b_merge_bucketed" ->
       """WITH existing AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
         |staged AS (SELECT o_orderkey, 'M' AS o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
         |SELECT * FROM existing WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)

@@ -583,11 +583,20 @@ object DeltaStream {
     * corpus AND every earlier batch (the signature table grows like
     * [[startNearDupFlaggingMaintained]]'s), and split keys PROPAGATE
     * through the growing key table — a batch-2 near-dup of a batch-1
-    * document inherits the key batch 1 inherited, so the no-straddle
-    * guarantee holds transitively across arrival order. Each batch
-    * appends its own signatures and its assigned keys; retry idempotence
-    * is the sibling mounts' contract (table reads exclude the current
-    * batch's ids, appends exclude ids already present, outputs
+    * document inherits the key batch 1 inherited, CHAIN-wise across
+    * arrival order. The inherited guarantee is
+    * [[graft.ext.Corpus.splitRouteAgainst]]'s, including its documented
+    * bridging exception: a doc matching two distinct existing clusters
+    * adopts the smaller key only (flagged `bridging = true` in the batch
+    * output) and may sit split-opposite its near-dups in the other
+    * cluster until the keys are re-closed offline — the guarantee is
+    * per-matched-cluster, not a global transitive closure. Texts ride a
+    * third maintained table (`textsDir`, seeded from the corpus, appended
+    * per batch) so per-batch verify-join cost follows the candidate set —
+    * the stream history is never re-read as JSON. Each batch appends its
+    * own signatures, texts, and assigned keys; retry idempotence is the
+    * sibling mounts' contract (table reads exclude the current batch's
+    * ids, appends exclude ids already present, outputs
     * overwrite-per-batch).
     */
   def startSplitRouting(spark: SparkSession, docsDir: String,
@@ -596,7 +605,8 @@ object DeltaStream {
       idCol: String = "doc_id", valFrac: Double = 0.1,
       testFrac: Double = 0.1, salt: String = "split", k: Int = 8,
       bands: Int = 4, shingleLen: Int = 5, thNum: Int = 4,
-      thDen: Int = 5): StreamingQuery = {
+      thDen: Int = 5, textsDirOpt: String = null): StreamingQuery = {
+    val textsDir = Option(textsDirOpt).getOrElse(s"$sigsDir-texts")
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
@@ -615,6 +625,9 @@ object DeltaStream {
           coalesce(col("canonical_id"), col(idCol)).as("split_key"))
         .write.mode("overwrite").parquet(keysDir)
     }
+    if (!new java.io.File(textsDir).exists())
+      corpusDocs.select(col(idCol), col(textCol))
+        .write.mode("overwrite").parquet(textsDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -627,9 +640,11 @@ object DeltaStream {
               .join(broadcast(batchIds), Seq(idCol), "left_anti")
             val keys = s.read.parquet(keysDir)
               .join(broadcast(batchIds), Seq(idCol), "left_anti")
-            val texts = corpusDocs.select(col(idCol), col(textCol))
-              .unionByName(s.read.schema(schema).json(docsDir)
-                .select(col(idCol), col(textCol)))
+            // texts from the maintained side table, not a re-read of the
+            // whole stream directory: per-batch cost tracks the candidate
+            // verify join, not total stream history
+            val texts = s.read.parquet(textsDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
             graft.ext.Corpus.splitRouteAgainst(b, sigs, texts, keys,
                 textCol, idCol, valFrac, testFrac, salt, k, bands,
                 shingleLen, thNum, thDen)
@@ -638,6 +653,10 @@ object DeltaStream {
             graft.ext.Dedup.minhashSignatures(b, textCol, idCol, k, shingleLen)
               .join(present, Seq(idCol), "left_anti")
               .write.mode("append").parquet(sigsDir)
+            val presentTexts = s.read.parquet(textsDir).select(col(idCol))
+            b.select(col(idCol), col(textCol))
+              .join(presentTexts, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(textsDir)
             // the routed keys re-read from the just-written output — no
             // second routing pass; append only ids the table lacks
             val presentKeys = s.read.parquet(keysDir).select(col(idCol))

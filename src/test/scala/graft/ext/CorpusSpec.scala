@@ -359,6 +359,42 @@ class CorpusSpec extends SparkSpec {
     assert(out(23L)._2 === plain)
   }
 
+  test("splitRouteAgainst: a batch doc matching TWO distinct corpus " +
+    "clusters is flagged bridging and adopts the smaller key") {
+    // Jaccard is not transitive: D = core, A = core+sufA, B = core+sufB.
+    // sim(D,A) ≈ sim(D,B) ≈ |core|/(|core|+|suf|) ≥ 0.8 while
+    // sim(A,B) ≈ |core|/(|core|+2|suf|) < 0.8 — so A and B sit in
+    // DISTINCT corpus clusters and the batch doc D bridges them.
+    val core = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronauts calibrate spectral instruments aboard the " +
+      "orbital platform during routine maintenance windows every " +
+      "alternate morning before dawn"
+    val sufA = " and later they archived burnt clay"
+    val sufB = " then quietly mapped frozen deltas"
+    val corpus = Seq((10L, core + sufA), (13L, core + sufB))
+      .toDF("doc_id", "text")
+    val params = (16, 8, 7, 4, 5) // k, bands, shingleLen, thNum, thDen
+    val (k, bands, sh, tn, td) = params
+    // A and B must NOT be near-dups of each other under these params
+    assert(Dedup.minhashNearDups(corpus, "text", "doc_id", k, bands, sh,
+      tn, td).count() === 0L)
+    val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", k, sh)
+    val corpusKeys = Seq((10L, 10L), (13L, 13L)).toDF("doc_id", "split_key")
+    val batch = Seq((20L, core)).toDF("doc_id", "text")
+    // D really matches both corpus clusters
+    val crossIds = Dedup.minhashNearDupsAgainstSigs(batch, sigs, corpus,
+      "text", "doc_id", k, bands, sh, tn, td)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(crossIds === Set(10L, 13L))
+    val out = Corpus.splitRouteAgainst(batch, sigs, corpus, corpusKeys,
+      "text", "doc_id", 0.25, 0.25, k = k, bands = bands, shingleLen = sh,
+      thNum = tn, thDen = td).collect()
+    assert(out.length === 1)
+    val row = out.head
+    assert(row.getAs[Long]("split_key") === 10L)   // adopts the smaller key
+    assert(row.getAs[Boolean]("bridging"))          // ...and is surfaced
+  }
+
   test("stratifiedSample: at most k per stratum, deterministic, md5-ordered") {
     val docs = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

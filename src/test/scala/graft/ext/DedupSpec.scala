@@ -474,6 +474,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramContainmentPairsPrefix: identical result to " +
+    "ngramContainmentPairs, including the doc-in-doc case a symmetric " +
+    "Jaccard prefix would miss") {
+    val excerpt =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val stop = "common phrase here"
+    val d = Seq(
+      (1L, s"$stop $filler $excerpt"),  // long host: excerpt buried in it
+      (2L, s"$stop $excerpt"),          // the contained excerpt
+      (3L, s"$stop the quick brown fox jumps over the lazy dog today"),
+      (4L, s"$stop the quick brown fox jumps over the lazy cat today"),
+      (5L, s"$stop an entirely different document about spark engines")
+    ).toDF("doc_id", "text")
+    for ((tn, td) <- Seq((4, 5), (3, 5), (9, 10))) {
+      val full = Dedup.ngramContainmentPairs(d, "text", "doc_id",
+        n = 3, thNum = tn, thDen = td)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val pfx = Dedup.ngramContainmentPairsPrefix(d, "text", "doc_id",
+        n = 3, thNum = tn, thDen = td)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(pfx === full, s"threshold $tn/$td")
+      // 9/10 is deliberately above every pair: both must return empty
+      if ((tn, td) != ((9, 10))) assert(full.nonEmpty, s"threshold $tn/$td")
+      // the asymmetric case is really present: (1,2) qualifies on
+      // containment at 4/5 though its Jaccard is far below
+      if ((tn, td) == ((4, 5)))
+        assert(full.exists(r => r.getAs[Long]("doc_a") == 1L &&
+          r.getAs[Long]("doc_b") == 2L && r.getAs[Long]("contained_id") == 2L))
+    }
+  }
+
   test("ngramJaccardPairsPrefix: df cut drops mega-grams from the " +
     "universe exactly as in ngramJaccardPairs") {
     val shared = "x y z"                       // one gram shared by all

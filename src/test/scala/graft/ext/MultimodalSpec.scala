@@ -59,6 +59,39 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.forall(_.features.length == 16))
   }
 
+  test("REAL PNG round-trip: a known 2x2 PNG decodes to its exact " +
+    "pixel features and mean-gray brightness") {
+    // pngPixel(0, x, y) = (7x + 13y) % 256 → pixels row-major: 0, 7, 13, 20
+    val png = Multimodal.encodePng(0L, 2, 2)
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val d = Multimodal.decodeOne(Multimodal.MediaRecord(0L, "image", png,
+      Multimodal.MediaMeta(2, 2, 0, 1, "png")))
+    assert(d.width === 2 && d.height === 2)
+    assert(d.features.take(4).toSeq ===
+      Seq(0.0, 7 / 255.0, 13 / 255.0, 20 / 255.0))
+    assert(d.features.drop(4).forall(_ == 0.0)) // padded past 4 pixels
+    assert(d.brightness === (0 + 7 + 13 + 20) / 4.0)
+  }
+
+  test("derivePngMediaTable + decode: real codec path, distributed — " +
+    "every decoded raster value matches the pixel formula") {
+    val pdocs = Seq.tabulate(12)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val tbl = Multimodal.derivePngMediaTable(pdocs, "doc_id")
+    val out = Multimodal.decode(tbl).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(0L, 3L, 6L, 9L))
+    out.foreach { d =>
+      val (w, h) = ((d.media_id % 7 + 2).toInt, (d.media_id % 5 + 2).toInt)
+      assert(d.width === w && d.height === h)
+      (0 until math.min(16, w * h)).foreach { i =>
+        assert(d.features(i) ===
+          Multimodal.pngPixel(d.media_id, i % w, i / w) / 255.0)
+      }
+      val mean = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pngPixel(d.media_id, x, y)).sum.toDouble / (w * h)
+      assert(d.brightness === mean)
+    }
+  }
+
   test("resizeFeatures: stride-4 keeps features 0,4,8,12") {
     val decoded = Multimodal.decode(media)
     val full = decoded.collect().map(d => d.media_id -> d.features).toMap
