@@ -117,7 +117,12 @@ object Similarity {
 
   private def guardAllPairs(emb: DataFrame, maxExactRows: Long, op: String,
       alternative: String): Unit = {
-    val n = emb.count()
+    // Catalyst's optimized-plan statistics answer the bound without a job
+    // when an exact row count is known (e.g. a LocalRelation, a cached
+    // plan, or CBO stats); only plans with no row-count stat pay the
+    // eager count() action.
+    val n = emb.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(emb.count())
     require(n <= maxExactRows,
       s"$op is an all-pairs exact baseline (O(n^2) pairs): corpus has $n rows" +
         s" > maxExactRows=$maxExactRows. Use $alternative at scale, or raise" +
@@ -568,6 +573,36 @@ object Similarity {
         nPlanes, bands, dims)
       .select(col("doc_a"), col("doc_b"), lit(true).as("_found"))
     exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("cosine") * 20).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("_found"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_exact"))
+  }
+
+  /** Recall report for an ANN top-k surface against the exact
+    * [[bruteForceTopK]] baseline — the top-k sibling of
+    * [[nearDupRecallReport]], closing the measurement gap for the IVF
+    * family (x16/x28/x33/x52): every exact (query, neighbor, rank ≤ k)
+    * pair is checked for presence in the ANN output and aggregated per
+    * 0.05-wide cosine band of the exact neighbor. Output: (`band` =
+    * ⌊cosine·20⌋, `n_exact`, `n_found`, `recall`), so a tuner reads
+    * exactly WHERE the approximation loses neighbors (recall should rise
+    * toward the high-cosine bands — those are the neighbors that share a
+    * cell) and ties `nprobe`/quantization settings to a measured number
+    * instead of an asserted one.
+    *
+    * The exact side is the all-pairs oracle, `maxExactRows`-guarded: this
+    * REPORT is a sampled tuning pass, not a corpus operator — production
+    * retrieval stays on the ANN path whose recall this measures.
+    */
+  def topKRecallReport(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, ann: DataFrame,
+      maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    val exact = bruteForceTopK(emb, idCol, vecCol, k, maxExactRows)
+    val found = ann.select(col("query_id"), col("neighbor_id"),
+      lit(true).as("_found"))
+    exact.join(found, Seq("query_id", "neighbor_id"), "left")
       .groupBy(floor(col("cosine") * 20).cast("int").as("band"))
       .agg(count(lit(1)).as("n_exact"),
         sum(when(col("_found"), 1L).otherwise(0L)).as("n_found"))

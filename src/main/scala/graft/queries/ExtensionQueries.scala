@@ -192,6 +192,24 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF recall report: exact top-5 neighbors vs the probed-IVF output,
+    // per 0.05 cosine band, for nprobe 1/2/4 — ties the recall lever to
+    // a measured number (x80's harness shape, applied to the top-k
+    // family); exact side is the guarded all-pairs oracle (sampled
+    // tuning pass, not a corpus operator)
+    "x122_ivf_recall_report" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Seq(1, 2, 4).map { np =>
+        Similarity.topKRecallReport(e, "vec_id", "embedding", k = 5,
+          Similarity.ivfTopKProbed(e, "vec_id", "embedding", k = 5,
+            nCells = 16, nprobe = np))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("band"), col("n_exact"), col("n_found"),
+          col("recall"))
+        .orderBy("nprobe", "band")
+    }),
+
     // int8 symmetric quantization of the embedding column
     "x17_embed_quantize" -> ((s, dir) => {
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1768,6 +1786,52 @@ object ExtensionQueries {
        |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB mirror of x122: exact top-5 (topkSql's core) LEFT JOINed
+    * against the probed-IVF mirror (annIvfProbedSql's core) for each
+    * nprobe in (1,2,4), aggregated per ⌊cosine·20⌋ band of the exact
+    * neighbor.
+    */
+  private def ivfRecallSql: String = {
+    def f(np: Int) =
+      s"""f$np AS (SELECT $np AS nprobe, query_id, neighbor_id FROM (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY p.c DESC, p.neighbor_id) AS rank
+         |  FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+         |        FROM (SELECT vec_id, embedding, cid AS cell FROM rk WHERE rn <= $np) a
+         |        JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
+         |) WHERE rank <= 5)""".stripMargin
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |              FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |           FROM embeddings e CROSS JOIN cent c),
+       |rk AS (SELECT vec_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |       FROM scored),
+       |corpus AS (SELECT vec_id, embedding, cid AS cell FROM rk WHERE rn = 1),
+       |ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |exact AS (SELECT query_id, neighbor_id, round(c, 9) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+       |  FROM ex) WHERE rank <= 5),
+       |${f(1)}, ${f(2)}, ${f(4)},
+       |found AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f4),
+       |rep AS (SELECT n.nprobe, CAST(floor(e.cosine * 20) AS INT) AS band,
+       |          CAST(count(*) AS BIGINT) AS n_exact,
+       |          CAST(sum(CASE WHEN fnd.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |        FROM (VALUES (1), (2), (4)) AS n(nprobe)
+       |        CROSS JOIN exact e
+       |        LEFT JOIN found fnd ON fnd.nprobe = n.nprobe
+       |          AND fnd.query_id = e.query_id AND fnd.neighbor_id = e.neighbor_id
+       |        GROUP BY 1, 2)
+       |SELECT nprobe, band, n_exact, n_found,
+       |  CAST(n_found AS DOUBLE) / n_exact AS recall
+       |FROM rep ORDER BY nprobe, band""".stripMargin
+  }
+
   private def topkSql: String =
     s"""WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
        |           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
@@ -3128,6 +3192,7 @@ object ExtensionQueries {
     "x7_ann_lsh" -> annLshSql,
     "x16_ann_ivf" -> annIvfSql,
     "x28_ann_ivf_nprobe" -> annIvfProbedSql,
+    "x122_ivf_recall_report" -> ivfRecallSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,
     "x52_ann_pq_adc" -> annPqAdcSql,
     "x20_ann_ivf_kmeans" -> annIvfKmeansSql,

@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkSpec {
     // labeled and unlabeled sides' cell assignment)
     "x114_overlap_triage_e2e", "x115_label_propagation",
     "x116_label_prop_eval", "x117_cell_purity", "x118_label_confusion",
-    "x119_confidence_calibration")
+    "x119_confidence_calibration",
+    // x122 embeds the x6 exact all-pairs baseline as its ground truth
+    // (the guarded sampled tuning pass, like x80) AND the IVF family's
+    // single-row broadcast centroid attach on the ANN side
+    "x122_ivf_recall_report")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
@@ -101,6 +105,73 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("mega-domain skew: AQE splits the skewed source join, and " +
+    "saltedJoin bounds per-reducer key input as the manual fallback") {
+    import graft.util.Skew
+    import org.apache.spark.sql.functions._
+    // one source holds 7/8 of the rows — the x69 scaladoc's hazard case
+    val n = 80000
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(col("id") % 8 =!= 0, lit("megadomain"))
+        .otherwise(concat(lit("s"), col("id") % 37)).as("source"),
+      md5(col("id").cast("string")).as("payload"))
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val confs = Seq(
+      // model the stats-side-too-big-to-broadcast regime + scale AQE's
+      // skew thresholds down to the fixture size
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // regime 1 — stats as a MAINTAINED table (the production shape for
+      // source reputation): both join inputs are plain shuffles, and AQE
+      // splits the megadomain partition. collect() executes THIS
+      // Dataset's QueryExecution (count() would wrap a new one), so the
+      // adaptive plan below is the final one.
+      val statsDir = java.nio.file.Files
+        .createTempDirectory("skewstats").toString
+      stats.write.mode("overwrite").parquet(statsDir)
+      val joinedTbl = docs.join(spark.read.parquet(statsDir), Seq("source"))
+      assert(joinedTbl.collect().length === n)
+      val planTbl = joinedTbl.queryExecution.executedPlan.toString
+      assert(planTbl.contains("skew=true"),
+        s"expected AQE to mark the skewed join, plan:\n$planTbl")
+      // regime 2 — the same stats aggregated IN the query: the final
+      // HashAggregate between the shuffle stage and the join means
+      // OptimizeSkewedJoin cannot match (splitting an agg's input
+      // partition would break it) — the documented case Skew.saltedJoin
+      // exists for. Assert the limitation so a Spark version that lifts
+      // it surfaces here.
+      val joinedAgg = docs.join(stats, Seq("source"))
+      assert(joinedAgg.collect().length === n)
+      val planAgg = joinedAgg.queryExecution.executedPlan.toString
+      assert(!planAgg.contains("skew=true"),
+        s"AQE now splits agg-fed joins — revisit Skew scaladoc:\n$planAgg")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // the manual fallback: salting splits the hot key's reducer input by
+    // ~salt, and the join result is exactly the plain join's
+    val salt = 16
+    val maxGroup = Skew.salted(docs, salt)
+      .groupBy(col("source"), col("_salt")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(maxGroup <= (n * 7L / 8 / salt) * 3 / 2,
+      s"hot-key group not split: max (source, salt) group = $maxGroup")
+    val plainRows = docs.join(stats, Seq("source"))
+      .agg(bit_xor(xxhash64(col("doc_id"), col("source"), col("n_docs"))))
+      .head().getLong(0)
+    val saltedRows = Skew.saltedJoin(docs, stats, Seq("source"), salt)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("source"), col("n_docs"))))
+      .head().getLong(0)
+    assert(saltedRows === plainRows)
   }
 
   test("IVF assignment is map-only: no per-id ranking window beyond top-k") {

@@ -213,6 +213,44 @@ class SimilaritySpec extends SparkSpec {
     assert(one === ivf)
   }
 
+  test("topKRecallReport: full-coverage ANN scores recall 1.0 in every " +
+    "band; a half-coverage ANN loses exactly the uncovered neighbors") {
+    // 16 vectors in two well-separated clusters around the two axes
+    val emb = (0L until 16L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)
+      (i, Seq(base(0) + 0.01f * i, base(1) + 0.013f * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+    val full = Similarity.topKRecallReport(emb, "vec_id", "embedding",
+      k = 3, ann = exact).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Long]("n_found") === r.getAs[Long]("n_exact"))
+    }
+    // ANN that only ever returns neighbors with even ids: recall over all
+    // bands must equal the fraction of exact neighbors with even ids
+    val partial = exact.filter(col("neighbor_id") % 2 === 0)
+    val rep = Similarity.topKRecallReport(emb, "vec_id", "embedding",
+      k = 3, ann = partial).collect()
+    val nExact = rep.map(_.getAs[Long]("n_exact")).sum
+    val nFound = rep.map(_.getAs[Long]("n_found")).sum
+    val evenExact = exact.filter(col("neighbor_id") % 2 === 0).count()
+    assert(nExact === exact.count() && nFound === evenExact)
+    // monotone in nprobe on the IVF family (aggregate recall)
+    def agg(np: Int): (Long, Long) = {
+      val r = Similarity.topKRecallReport(emb, "vec_id", "embedding", k = 3,
+        ann = Similarity.ivfTopKProbed(emb, "vec_id", "embedding", k = 3,
+          nCells = 4, nprobe = np)).collect()
+      (r.map(_.getAs[Long]("n_found")).sum, r.map(_.getAs[Long]("n_exact")).sum)
+    }
+    val by = (1 to 4).map(agg)
+    assert(by.forall(_._2 == by.head._2))
+    assert(by.map(_._1).sliding(2).forall(s => s(0) <= s(1)))
+    // nprobe = nCells is exhaustive → perfect recall
+    assert(by.last._1 === by.last._2)
+  }
+
   test("ivfQuantizedRescoreTopK: candK covering the cell recovers the exact IVF result") {
     // rescore is exact, so with every in-cell candidate surviving the
     // quantized cut the result must equal plain IVF top-k
