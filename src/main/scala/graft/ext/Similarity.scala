@@ -782,6 +782,74 @@ object Similarity {
       .select(col(idCol), assignedCell(col("_v"), col("_n")).as("cell"))
   }
 
+  /** Cell-occupancy histogram of a vector set under a maintained
+    * [[centroidTable]] — (`cell`, `c`), the input to the drift-triggered
+    * refresh policy below. One map-only assignment pass + one bounded
+    * (≤ nCells rows) aggregate.
+    */
+  def cellOccupancy(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    cellAssignmentsAgainst(emb, idCol, vecCol, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+
+  /** Drift report over CELL OCCUPANCIES — x108's total-variation algebra
+    * ([[graft.ext.Corpus.driftFromCounts]]) applied to the IVF routing
+    * question "do arriving vectors still land where the corpus did when
+    * the centroids were seeded": per cell the exact-integer drift mass,
+    * plus `tv` (the total TV distance) and `refresh` (`tv > tau`) on
+    * every row. Corpus drift degrades cell balance — hot cells grow
+    * until Σ cell² work concentrates — and this report is the measured
+    * trigger for re-seeding the maintained centroid table (x76) instead
+    * of a calendar guess.
+    *
+    * `tv` is exact-integer arithmetic until one final division:
+    * Σ drift_num / (2·N_ref·N_cur), never a float sum of per-cell shares
+    * — so the report is bit-reproducible on any engine and partitioning.
+    * `refCounts` is (`cell`, `c_ref`) — the occupancies recorded when the
+    * table was seeded; `curCounts` is (`cell`, `c_cur`) — the current
+    * batch through [[cellOccupancy]].
+    */
+  def centroidDriftReport(refCounts: DataFrame, curCounts: DataFrame,
+      tau: Double): DataFrame = {
+    val drift = Corpus.driftFromCounts(refCounts, curCounts, "cell")
+    val tot = drift.agg(sum(col("drift_num")).as("_dn"),
+      sum(col("c_ref")).as("_nr"), sum(col("c_cur")).as("_nc"))
+    drift.crossJoin(broadcast(tot))
+      .select(col("cell"), col("c_ref"), col("c_cur"), col("drift_num"),
+        col("drift_share"),
+        (col("_dn").cast("double") /
+          (lit(2L) * col("_nr") * col("_nc")).cast("double")).as("tv"))
+      .withColumn("refresh", col("tv") > tau)
+  }
+
+  /** The refresh POLICY applied: route with the existing centroid table
+    * while occupancy drift stays ≤ `tau`; re-seed from the CURRENT corpus
+    * snapshot when it exceeds it — via [[kmeansCentroids]] (`refineIters`
+    * Lloyd rounds), so the new centroids genuinely adapt to the drifted
+    * distribution rather than re-picking the same smallest-id seeds.
+    * Returns the table to route with going forward plus the decision.
+    * Assignments stay deterministic across the refresh: both the kept
+    * and the re-seeded table are pure functions of their inputs
+    * (smallest-id seeds + decimal-exact Lloyd means;
+    * [[cellAssignmentsAgainst]] ties break on centroid id), so replaying
+    * the same batches yields the same tables and the same cells.
+    */
+  def refreshedCentroids(corpusNow: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, cents: DataFrame, refOcc: DataFrame,
+      batch: DataFrame, tau: Double,
+      refineIters: Int = 2): (DataFrame, Boolean) = {
+    val cur = cellOccupancy(batch, idCol, vecCol, cents)
+      .withColumnRenamed("c", "c_cur")
+    val doRefresh = centroidDriftReport(
+        refOcc.withColumnRenamed("c", "c_ref"), cur, tau)
+      .select(col("refresh")).limit(1).collect()
+      .headOption.exists(_.getBoolean(0))
+    (if (doRefresh)
+       kmeansCentroids(corpusNow, idCol, vecCol, nCells, refineIters)
+     else cents,
+      doRefresh)
+  }
+
   /** Full Lloyd k-means over the embedding corpus: `iters` rounds of
     * (assign to nearest centroid by cosine, recompute element-wise decimal
     * means), generalizing [[ivfTopKRefined]]'s single refine step into the

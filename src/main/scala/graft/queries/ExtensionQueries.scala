@@ -902,6 +902,27 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // centroid-refresh trigger for the maintained IVF table: x108's
+    // TV-distance drift algebra over CELL OCCUPANCIES — per cell the
+    // exact-integer drift mass of the "arriving" slice vs the corpus the
+    // centroids were seeded on, with the total tv and the re-seed
+    // decision (tv > τ) on every row; tv is Σ drift_num over one final
+    // division, so it is engine-exact
+    "x123_centroid_drift" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 3 =!= 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val cents = Similarity.centroidTable(corpus, "vec_id", "embedding",
+        nCells = 16)
+      Similarity.centroidDriftReport(
+        Similarity.cellOccupancy(corpus, "vec_id", "embedding", cents)
+          .withColumnRenamed("c", "c_ref"),
+        Similarity.cellOccupancy(batch, "vec_id", "embedding", cents)
+          .withColumnRenamed("c", "c_cur"),
+        tau = 0.1)
+        .orderBy("cell")
+    }),
+
     // LSH recall report: exact near-dup pairs vs the blocked path's
     // output, per 0.05 cosine band — the measured tuning harness for
     // nPlanes/bands (sampled pass; the guard names the contract)
@@ -1831,6 +1852,45 @@ object ExtensionQueries {
        |  CAST(n_found AS DOUBLE) / n_exact AS recall
        |FROM rep ORDER BY nprobe, band""".stripMargin
   }
+
+  /** DuckDB mirror of x123: cell assignment under corpus-seeded centroids
+    * (annIvfSql's core), occupancy histograms per side, x108's exact-
+    * integer drift algebra, and the engine-exact tv
+    * (Σ drift_num, ONE division).
+    */
+  private def centroidDriftSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |              FROM embeddings WHERE vec_id % 3 <> 0
+       |              ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |                sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |           FROM embeddings e CROSS JOIN cent c),
+       |asn AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |refc AS (SELECT cell, CAST(count(*) AS BIGINT) AS c_ref FROM asn
+       |         WHERE vec_id % 3 <> 0 GROUP BY cell),
+       |curc AS (SELECT cell, CAST(count(*) AS BIGINT) AS c_cur FROM asn
+       |         WHERE vec_id % 3 = 0 GROUP BY cell),
+       |j AS (SELECT coalesce(r.cell, c.cell) AS cell,
+       |        coalesce(r.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+       |      FROM refc r FULL OUTER JOIN curc c ON r.cell = c.cell),
+       |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS nr,
+       |          CAST(sum(c_cur) AS BIGINT) AS nc FROM j),
+       |d AS (SELECT cell, c_ref, c_cur,
+       |        abs(c_ref * nc - c_cur * nr) AS drift_num,
+       |        CAST(abs(c_ref * nc - c_cur * nr) AS DOUBLE)
+       |          / (2 * nr * nc) AS drift_share
+       |      FROM j CROSS JOIN tot),
+       |t AS (SELECT CAST(sum(drift_num) AS DOUBLE)
+       |        / (2 * (SELECT nr FROM tot) * (SELECT nc FROM tot)) AS tv
+       |      FROM d)
+       |SELECT d.cell, d.c_ref, d.c_cur, d.drift_num, d.drift_share,
+       |  t.tv, t.tv > 0.1 AS refresh
+       |FROM d CROSS JOIN t ORDER BY d.cell""".stripMargin
 
   private def topkSql: String =
     s"""WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
@@ -3193,6 +3253,7 @@ object ExtensionQueries {
     "x16_ann_ivf" -> annIvfSql,
     "x28_ann_ivf_nprobe" -> annIvfProbedSql,
     "x122_ivf_recall_report" -> ivfRecallSql,
+    "x123_centroid_drift" -> centroidDriftSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,
     "x52_ann_pq_adc" -> annPqAdcSql,
     "x20_ann_ivf_kmeans" -> annIvfKmeansSql,

@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec {
     // x122 embeds the x6 exact all-pairs baseline as its ground truth
     // (the guarded sampled tuning pass, like x80) AND the IVF family's
     // single-row broadcast centroid attach on the ANN side
-    "x122_ivf_recall_report")
+    "x122_ivf_recall_report",
+    // x123: the IVF family's single-row centroid attach (both occupancy
+    // sides) + the one-row totals attach of the drift algebra
+    "x123_centroid_drift")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -251,6 +251,59 @@ class SimilaritySpec extends SparkSpec {
     assert(by.last._1 === by.last._2)
   }
 
+  test("refreshedCentroids: a drifted batch triggers the re-seed, a " +
+    "stable batch keeps the table, and routing stays deterministic") {
+    // corpus hugging the x-axis, second dim cycling i % 4: the 4
+    // smallest-id seeds split it into 4 equal cells of 6
+    val corpus = (0L until 24L).map(i => (i, Seq(1.0f, 0.01f * (i % 4))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.centroidTable(corpus, "vec_id", "embedding", 4)
+    val refOcc = Similarity.cellOccupancy(corpus, "vec_id", "embedding", cents)
+    assert(refOcc.collect().map(_.getLong(1)).toSeq === Seq.fill(4)(6L))
+    // stable batch: same distribution → tv ≈ 0 → table kept as-is
+    val stable = (100L until 112L).map(i => (i, Seq(1.0f, 0.01f * (i % 4))))
+      .toDF("vec_id", "embedding")
+    val (kept, r1) = Similarity.refreshedCentroids(
+      corpus.unionByName(stable), "vec_id", "embedding", 4,
+      cents, refOcc, stable, tau = 0.5)
+    assert(!r1)
+    assert(kept.select("_cid").collect().map(_.getLong(0)).toSet ===
+      cents.select("_cid").collect().map(_.getLong(0)).toSet)
+    // drifted batch: orthogonal cluster — every vector lands in the one
+    // cell whose seed has the largest y-component → tv = 0.75 EXACTLY
+    // (integer drift algebra: 3·|6·12−0·24| + |6·12−12·24| over 2·24·12)
+    val drifted = (200L until 212L).map(i => (i, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val report = Similarity.centroidDriftReport(
+      refOcc.withColumnRenamed("c", "c_ref"),
+      Similarity.cellOccupancy(drifted, "vec_id", "embedding", cents)
+        .withColumnRenamed("c", "c_cur"),
+      tau = 0.5).collect()
+    assert(report.forall(_.getAs[Double]("tv") === 0.75))
+    assert(report.forall(_.getAs[Boolean]("refresh")))
+    val snapshot = corpus.unionByName(drifted)
+    val (fresh, r2) = Similarity.refreshedCentroids(snapshot, "vec_id",
+      "embedding", 4, cents, refOcc, drifted, tau = 0.5)
+    assert(r2)
+    // the re-seed genuinely adapts: at least one refined centroid moves
+    // off the pure x-axis shape toward the drifted cluster
+    val freshVecs = fresh.select("_cvec").collect()
+      .map(_.getSeq[Double](0))
+    assert(freshVecs.exists(v => v(1) > 0.5))
+    // determinism: replaying the policy gives the same table and the
+    // same routing
+    val (fresh2, _) = Similarity.refreshedCentroids(snapshot, "vec_id",
+      "embedding", 4, cents, refOcc, drifted, tau = 0.5)
+    assert(fresh2.collect().map(_.toSeq).toSet ===
+      fresh.collect().map(_.toSeq).toSet)
+    val route1 = Similarity.cellAssignmentsAgainst(snapshot, "vec_id",
+      "embedding", fresh).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val route2 = Similarity.cellAssignmentsAgainst(
+      snapshot.repartition(5), "vec_id", "embedding", fresh2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(route1 === route2)
+  }
+
   test("ivfQuantizedRescoreTopK: candK covering the cell recovers the exact IVF result") {
     // rescore is exact, so with every in-cell candidate surviving the
     // quantized cut the result must equal plain IVF top-k
