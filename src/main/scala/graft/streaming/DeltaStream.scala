@@ -275,6 +275,99 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming semantic cell routing against a MAINTAINED centroid table
+    * WITH the drift-triggered refresh policy (the x76 + x123 composition
+    * mounted at ingest): arriving vectors are routed map-only against
+    * the current centroid table, and each batch first answers "do these
+    * vectors still land where the reference corpus did" via
+    * [[graft.ext.Similarity.centroidDriftReport]]'s exact-integer TV
+    * distance over cell occupancies — `tv > tau` triggers a
+    * deterministic Lloyd re-seed from the full corpus snapshot
+    * (corpus ∪ every arrived vector, kept as a third maintained table)
+    * before routing. Three maintained tables: `centsDir` (the routing
+    * centroids — overwritten on refresh), `occDir` (the REFERENCE
+    * occupancy histogram the drift compares against — re-referenced on
+    * refresh so later drift is measured against the new normal), and
+    * `vecTblDir` (the appended vector snapshot the re-seed draws from).
+    * Batch outputs carry (`idCol`, `cell`, `refreshed`).
+    *
+    * Retry idempotence: snapshot reads exclude the current batch's ids
+    * and the vector append excludes ids already present, so the re-seed
+    * input — prior snapshot ∪ batch — is the same SET on a retry even
+    * after a crash past the append. A retry after the centroid overwrite
+    * re-measures drift against the refreshed reference; whether it then
+    * decides keep or refresh-again, the resulting centroids are the same
+    * pure function of the same snapshot, so the routing output and all
+    * three tables converge to the identical state.
+    *
+    * Scale shape per batch: one map-only assignment + ≤ nCells-row drift
+    * algebra on the no-refresh path; a refresh adds `refineIters`
+    * bounded Lloyd rounds over the snapshot table — the full corpus is
+    * touched ONLY when drift demands it, never per batch.
+    */
+  def startCellRoutingMaintained(spark: SparkSession, vecsDir: String,
+      corpusEmb: DataFrame, centsDir: String, occDir: String,
+      vecTblDir: String, outDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, tau: Double = 0.2,
+      refineIters: Int = 2): StreamingQuery = {
+    import graft.ext.Similarity
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(vecCol, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    if (!new java.io.File(centsDir).exists())
+      Similarity.centroidTable(corpusEmb, idCol, vecCol, nCells)
+        .write.mode("overwrite").parquet(centsDir)
+    if (!new java.io.File(vecTblDir).exists())
+      corpusEmb.select(col(idCol), col(vecCol))
+        .write.mode("overwrite").parquet(vecTblDir)
+    if (!new java.io.File(occDir).exists())
+      Similarity.cellOccupancy(corpusEmb, idCol, vecCol,
+          spark.read.parquet(centsDir))
+        .write.mode("overwrite").parquet(occDir)
+    spark.readStream.schema(schema).json(vecsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            val cents = s.read.parquet(centsDir)
+            val refOcc = s.read.parquet(occDir)
+            val snapshot = s.read.parquet(vecTblDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+              .unionByName(b.select(col(idCol), col(vecCol)))
+            val (newCents, refreshed) = Similarity.refreshedCentroids(
+              snapshot, idCol, vecCol, nCells, cents, refOcc, b, tau,
+              refineIters)
+            // materialize the (possibly refreshed) centroids before any
+            // maintained table is overwritten: the routing, the centroid
+            // overwrite, and the new reference all read this one copy
+            val nc = newCents.persist()
+            try {
+              Similarity.cellAssignmentsAgainst(b, idCol, vecCol, nc)
+                .withColumn("refreshed", lit(refreshed))
+                .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+              if (refreshed) {
+                nc.write.mode("overwrite").parquet(centsDir)
+                // the refreshed snapshot occupancy IS the new reference:
+                // later batches drift against the new normal
+                Similarity.cellOccupancy(snapshot, idCol, vecCol, nc)
+                  .write.mode("overwrite").parquet(occDir)
+              }
+            } finally nc.unpersist()
+            val present = s.read.parquet(vecTblDir).select(col(idCol))
+            b.select(col(idCol), col(vecCol))
+              .join(present, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(vecTblDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming segment-level dedup against a MAINTAINED first-owner
     * segment-hash table — the streaming mount of the x60 batch contract
     * (and the segment sibling of [[startNearDupFlaggingMaintained]]):

@@ -780,4 +780,58 @@ class DeltaStreamSpec extends SparkSpec {
         .as[Long].collect().sorted === Array(3L, 7L))
     } finally q.stop()
   }
+
+  test("startCellRoutingMaintained: stable batches route against the " +
+    "seeded table; a drifted batch triggers the Lloyd re-seed and " +
+    "re-references the drift baseline") {
+    import spark.implicits._
+    val root = tmpDir("cellroute")
+    val vecsDir = s"$root/vecs"
+    Files.createDirectories(Paths.get(vecsDir))
+    // corpus hugging the x-axis, 4 equal cells of 6 under the seeds
+    val corpus = (0L until 24L).map(i => (i, Seq(1.0f, 0.01f * (i % 4))))
+      .toDF("vec_id", "embedding")
+    def jsonl(path: String, vs: (Long, Seq[Float])*): Unit =
+      Files.write(Paths.get(path), vs.map { case (id, v) =>
+        s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}"""
+      }.asJava)
+    def mount() = DeltaStream.startCellRoutingMaintained(spark, vecsDir,
+      corpus, s"$root/cents", s"$root/occ", s"$root/vtbl", s"$root/out",
+      s"$root/ckpt", nCells = 4, tau = 0.5)
+    // batch 1: same distribution — routed under the SEEDED table, no refresh
+    jsonl(s"$vecsDir/b1.json",
+      (100L until 112L).map(i => i -> Seq(1.0f, 0.01f * (i % 4))): _*)
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+    assert(b0.select("refreshed").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+    val cells0 = b0.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert((100L until 112L).forall(i => cells0(i) === i % 4))
+    assert(spark.read.parquet(s"$root/cents").select("_cid")
+      .as[Long].collect().toSet === Set(0L, 1L, 2L, 3L))
+    // batch 2: orthogonal cluster — tv = 0.75 > 0.5 → re-seed
+    jsonl(s"$vecsDir/b2.json",
+      (200L until 212L).map(i => i -> Seq(0.0f, 1.0f)): _*)
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+    assert(b1.select("refreshed").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true))
+    // the maintained centroid table genuinely adapted toward the
+    // drifted cluster, and every drifted vector routes to that one cell
+    val cvecs = spark.read.parquet(s"$root/cents").select("_cvec")
+      .collect().map(_.getSeq[Double](0))
+    assert(cvecs.exists(v => v(1) > 0.5))
+    assert(b1.select("cell").distinct().count() === 1L)
+    // the drift baseline re-referenced to the refreshed 48-vector
+    // snapshot; the vector snapshot table carries corpus + both batches
+    assert(spark.read.parquet(s"$root/occ")
+      .agg(sum(col("c"))).head().getLong(0) === 48L)
+    assert(spark.read.parquet(s"$root/vtbl").count() === 48L)
+    // restart with no new data reprocesses nothing
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
+  }
 }
