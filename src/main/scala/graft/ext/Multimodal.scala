@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode / feature-extract / resize / frame-sample
   * are operators over that representation.
   *
-  * The IMAGE decode path is REAL: PNG payloads (synthesized as genuine
-  * PNG files by [[Multimodal.derivePngMediaTable]]) round-trip through the
-  * JDK codec (`javax.imageio` → `BufferedImage` → raster gray samples) in
-  * [[Multimodal.decodeOne]]. Audio/video decode remains a documented STUB
-  * (this container has no JDK wav/mp4 codec): a deterministic byte-derived
+  * The IMAGE and AUDIO decode paths are REAL: PNG payloads (synthesized
+  * as genuine PNG files by [[Multimodal.derivePngMediaTable]]) round-trip
+  * through the JDK image codec (`javax.imageio` → `BufferedImage` →
+  * raster gray samples), and WAV payloads
+  * ([[Multimodal.deriveWavMediaTable]]) through the JDK audio codec
+  * (`javax.sound.sampled.AudioSystem` → 8-bit PCM frames) in
+  * [[Multimodal.decodeOne]]. Video decode remains a documented STUB
+  * (this container has no JDK mp4 codec): a deterministic byte-derived
   * fake behind the same interface. Everything Spark-side is real and
   * load-bearing either way: the schema, the repartition before the
   * CPU-heavy stage, the iterator-per-partition batch shape of [[decode]]
@@ -98,17 +101,61 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** RIFF/WAVE file signature ("RIFF" at 0, "WAVE" at 8). */
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** The deterministic 8-bit sample value of frame `i` in the synthetic
+    * WAVs emitted by [[deriveWavMediaTable]] — shared by the encoder, the
+    * decode spec, and the DuckDB oracle (the audio analogue of
+    * [[pngPixel]]).
+    */
+  def wavSample(id: Long, i: Int): Int =
+    (((id * 31 + i * 7) % 256 + 256) % 256).toInt
+
+  /** Encode a REAL RIFF/WAVE file (8-bit unsigned PCM mono) whose samples
+    * follow [[wavSample]] — JDK-only (`javax.sound.sampled`), lossless
+    * for 8-bit PCM, so a decode round-trip recovers the exact sample
+    * values the oracle computes arithmetically.
+    */
+  def encodeWav(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val data = Array.tabulate(nSamples)(i => wavSample(id, i).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decode one media record. PNG payloads (detected by the file
-    * signature) go through a REAL JDK codec — `javax.imageio` →
+    * signature) go through the REAL JDK image codec — `javax.imageio` →
     * `BufferedImage` → raster gray samples: features are the first 16
     * pixels row-major scaled to [0,1], brightness the exact mean gray
-    * (integer pixel sum, one division). wav/mp4 payloads keep the
-    * documented STUB (this container has no JDK audio/video codec): the
-    * same feature contract computed over raw payload bytes.
+    * (integer pixel sum, one division). WAV payloads (RIFF signature) go
+    * through the REAL JDK audio codec — `javax.sound.sampled.AudioSystem`
+    * → 8-bit PCM frames: the same feature contract over sample values.
+    * mp4 payloads keep the documented STUB (no JDK video codec): the
+    * contract computed over raw payload bytes.
     */
   def decodeOne(rec: MediaRecord): DecodedMedia = {
     val bytes = rec.payload
-    if (isPng(bytes)) {
+    if (isWav(bytes)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val data = ais.readAllBytes()
+      val features = Array.tabulate(16)(i =>
+        if (i < data.length) (data(i) & 0xff) / 255.0 else 0.0)
+      val level =
+        if (data.isEmpty) 0.0
+        else data.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / data.length
+      DecodedMedia(rec.media_id, rec.kind, features, level, 0, 0)
+    } else if (isPng(bytes)) {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       val (w, h) = (img.getWidth, img.getHeight)
@@ -157,6 +204,26 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
       it.map { case (id, w, h) =>
         (id, "image", encodePng(id, w, h), MediaMeta(w, h, 0, 1, "png"))
+      }
+    }.toDF("media_id", "kind", "payload", "meta")
+  }
+
+  /** REAL-audio media table: one row per audio-kind document, payload a
+    * genuine RIFF/WAVE file (8-bit unsigned PCM mono, encoded per
+    * partition with `javax.sound.sampled`) whose samples follow the
+    * deterministic [[wavSample]] formula — the audio sibling of
+    * [[derivePngMediaTable]]. Sample counts are small (id-derived,
+    * 20–69) and metadata-typed.
+    */
+  def deriveWavMediaTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dims = docs.filter(col(idCol) % 3 === 1)
+      .select(col(idCol).cast("long").as("media_id"),
+        (col(idCol) % 50 + 20).cast("int").as("n_samples"))
+    Par.spread(dims).as[(Long, Int)].mapPartitions { it =>
+      it.map { case (id, n) =>
+        (id, "audio", encodeWav(id, 8000, n), MediaMeta(0, 0, 8000, n, "wav"))
       }
     }.toDF("media_id", "kind", "payload", "meta")
   }

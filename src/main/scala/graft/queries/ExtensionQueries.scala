@@ -1382,6 +1382,23 @@ object ExtensionQueries {
           element_at(col("features"), 4).as("f3"),
           col("brightness"))
         .orderBy("media_id")
+    }),
+
+    // REAL audio decode: genuine RIFF/WAVE payloads (javax.sound.sampled
+    // encode per partition, 8-bit unsigned PCM) round-tripped through the
+    // JDK audio codec — first-sample features and exact mean level; the
+    // oracle reproduces the lossless round-trip arithmetically
+    "x124_wav_decode" -> ((s, dir) => {
+      Multimodal.decode(
+        Multimodal.deriveWavMediaTable(Tables(s, dir, "documents"), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          element_at(col("features"), 3).as("f2"),
+          element_at(col("features"), 4).as("f3"),
+          col("brightness").as("level"))
+        .orderBy("media_id")
     }))
 
   // ── oracle SQL ──
@@ -3338,6 +3355,7 @@ object ExtensionQueries {
     "x14_frame_sample" -> frameSampleSql,
     "x15_decode_resize" -> decodeResizeSql,
     "x120_png_decode" -> pngDecodeSql,
+    "x124_wav_decode" -> wavDecodeSql,
     "x18_pii_scan" -> piiScanSql,
     "x40_pii_redact" ->
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
@@ -3559,6 +3577,29 @@ object ExtensionQueries {
        |  CAST(max(CASE WHEN idx = 3 THEN v END) AS DOUBLE) / 255.0 AS f3,
        |  CAST(sum(v) AS DOUBLE) / (width * height) AS brightness
        |FROM px GROUP BY media_id, width, height
+       |ORDER BY media_id""".stripMargin
+
+  /** Arithmetic mirror of the REAL WAV round-trip: the synthesized WAVs'
+    * 8-bit PCM samples follow `sample(i) = (id·31 + i·7) mod 256`
+    * ([[graft.ext.Multimodal.wavSample]]) and 8-bit PCM is lossless
+    * through the JDK codec, so decoded frames — features and the
+    * exact-integer mean level — are reproducible without a codec. Every
+    * clip has ≥ 20 samples, so f0..f3 always exist.
+    */
+  private def wavDecodeSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |             CAST(doc_id % 50 + 20 AS INT) AS n
+       |           FROM documents WHERE doc_id % 3 = 1),
+       |sm AS (SELECT media_id, n, CAST(i AS INT) AS idx,
+       |         (media_id * 31 + CAST(i AS INT) * 7) % 256 AS v
+       |       FROM m, unnest(generate_series(0, n - 1)) AS u(i))
+       |SELECT media_id,
+       |  CAST(max(CASE WHEN idx = 0 THEN v END) AS DOUBLE) / 255.0 AS f0,
+       |  CAST(max(CASE WHEN idx = 1 THEN v END) AS DOUBLE) / 255.0 AS f1,
+       |  CAST(max(CASE WHEN idx = 2 THEN v END) AS DOUBLE) / 255.0 AS f2,
+       |  CAST(max(CASE WHEN idx = 3 THEN v END) AS DOUBLE) / 255.0 AS f3,
+       |  CAST(sum(v) AS DOUBLE) / n AS level
+       |FROM sm GROUP BY media_id, n
        |ORDER BY media_id""".stripMargin
 
   private def frameSampleSql: String =

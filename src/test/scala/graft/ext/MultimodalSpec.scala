@@ -92,6 +92,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL WAV round-trip: a known 4-sample WAV decodes to its exact " +
+    "sample features and mean level") {
+    // wavSample(1, i) = (31 + 7i) % 256 → 31, 38, 45, 52
+    val wav = Multimodal.encodeWav(1L, 8000, 4)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val d = Multimodal.decodeOne(Multimodal.MediaRecord(1L, "audio", wav,
+      Multimodal.MediaMeta(0, 0, 8000, 4, "wav")))
+    assert(d.features.take(4).toSeq ===
+      Seq(31 / 255.0, 38 / 255.0, 45 / 255.0, 52 / 255.0))
+    assert(d.features.drop(4).forall(_ == 0.0))
+    assert(d.brightness === (31 + 38 + 45 + 52) / 4.0)
+  }
+
+  test("deriveWavMediaTable + decode: real audio codec path, distributed " +
+    "— every decoded frame matches the sample formula") {
+    val pdocs = Seq.tabulate(12)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.decode(
+      Multimodal.deriveWavMediaTable(pdocs, "doc_id")).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 4L, 7L, 10L))
+    out.foreach { d =>
+      val n = (d.media_id % 50 + 20).toInt
+      (0 until 16).foreach { i =>
+        val exp = if (i < n) Multimodal.wavSample(d.media_id, i) / 255.0 else 0.0
+        assert(d.features(i) === exp)
+      }
+      val mean = (0 until n).map(Multimodal.wavSample(d.media_id, _))
+        .sum.toDouble / n
+      assert(d.brightness === mean)
+    }
+  }
+
   test("resizeFeatures: stride-4 keeps features 0,4,8,12") {
     val decoded = Multimodal.decode(media)
     val full = decoded.collect().map(d => d.media_id -> d.features).toMap
