@@ -902,6 +902,27 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // recall VALUE of the Lloyd refinement: x122's harness comparing
+    // seeded IVF (x16) against one-k-means-step IVF (x20) at the same
+    // nCells/nprobe — the measured answer to "what does the refinement
+    // buy", per cosine band
+    "x125_ivf_recall_refined" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Seq(
+        "seeded" -> Similarity.ivfTopK(e, "vec_id", "embedding",
+          k = 5, nCells = 16),
+        "refined" -> Similarity.ivfTopKRefined(e, "vec_id", "embedding",
+          k = 5, nCells = 16))
+        .map { case (v, ann) =>
+          Similarity.topKRecallReport(e, "vec_id", "embedding", k = 5, ann)
+            .withColumn("variant", lit(v))
+        }
+        .reduce(_ unionByName _)
+        .select(col("variant"), col("band"), col("n_exact"), col("n_found"),
+          col("recall"))
+        .orderBy("variant", "band")
+    }),
+
     // centroid-refresh trigger for the maintained IVF table: x108's
     // TV-distance drift algebra over CELL OCCUPANCIES — per cell the
     // exact-integer drift mass of the "arriving" slice vs the corpus the
@@ -2193,6 +2214,66 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB mirror of x125: annIvfKmeansSql's CTE chain yields BOTH
+    * assignment generations (asn0 = seeded, asn1 = one Lloyd step); each
+    * variant's in-cell top-5 is checked against the exact baseline per
+    * cosine band, x122's report shape keyed by variant.
+    */
+  private def ivfRecallRefinedSql: String = {
+    def f(asn: String, label: String, name: String) =
+      s"""$name AS (SELECT '$label' AS variant, query_id, neighbor_id FROM (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY p.c DESC, p.neighbor_id) AS rank
+         |  FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+         |        FROM $asn a JOIN $asn b ON a.cell = b.cell AND a.vec_id <> b.vec_id) p
+         |) WHERE rank <= 5)""".stripMargin
+    s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
+       |               FROM embeddings ORDER BY vec_id LIMIT 16),
+       |s0 AS (SELECT e.vec_id, e.embedding, c.cid,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) /
+       |           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |            sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS s
+       |       FROM embeddings e CROSS JOIN cent0 c),
+       |asn0 AS (SELECT vec_id, embedding, cid AS cell FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |            FROM s0) WHERE rn = 1),
+       |sums AS (SELECT cell, CAST(i AS INT) AS pos,
+       |           sum(CAST(v[CAST(i AS INT)] AS DECIMAL(28,10))) AS sm, count(*) AS n
+       |         FROM (SELECT cell, CAST(embedding AS DOUBLE[]) AS v FROM asn0) t,
+       |              unnest(generate_series(1, len(v))) AS u(i)
+       |         GROUP BY 1, 2),
+       |cent1 AS (SELECT cell AS cid, list(CAST(sm AS DOUBLE) / n ORDER BY pos) AS cvec
+       |          FROM sums GROUP BY cell),
+       |s1 AS (SELECT e.vec_id, e.embedding, c.cid,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) /
+       |           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |            sqrt(list_dot_product(c.cvec, c.cvec))) AS s
+       |       FROM embeddings e CROSS JOIN cent1 c),
+       |asn1 AS (SELECT vec_id, embedding, cid AS cell FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |            FROM s1) WHERE rn = 1),
+       |ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |exact AS (SELECT query_id, neighbor_id, round(c, 9) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+       |  FROM ex) WHERE rank <= 5),
+       |${f("asn0", "seeded", "fs")},
+       |${f("asn1", "refined", "fr")},
+       |found AS (SELECT * FROM fs UNION ALL SELECT * FROM fr),
+       |rep AS (SELECT v.variant, CAST(floor(e.cosine * 20) AS INT) AS band,
+       |          CAST(count(*) AS BIGINT) AS n_exact,
+       |          CAST(sum(CASE WHEN fnd.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |        FROM (VALUES ('seeded'), ('refined')) AS v(variant)
+       |        CROSS JOIN exact e
+       |        LEFT JOIN found fnd ON fnd.variant = v.variant
+       |          AND fnd.query_id = e.query_id AND fnd.neighbor_id = e.neighbor_id
+       |        GROUP BY 1, 2)
+       |SELECT variant, band, n_exact, n_found,
+       |  CAST(n_found AS DOUBLE) / n_exact AS recall
+       |FROM rep ORDER BY variant, band""".stripMargin
+  }
+
   /** CTE chain ending in `lp` = (doc_id, lang_pred) — the langId mirror
     * over `src`, shared by x9 and the x47 composition.
     */
@@ -3271,6 +3352,7 @@ object ExtensionQueries {
     "x28_ann_ivf_nprobe" -> annIvfProbedSql,
     "x122_ivf_recall_report" -> ivfRecallSql,
     "x123_centroid_drift" -> centroidDriftSql,
+    "x125_ivf_recall_refined" -> ivfRecallRefinedSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,
     "x52_ann_pq_adc" -> annPqAdcSql,
     "x20_ann_ivf_kmeans" -> annIvfKmeansSql,

@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkSpec {
     "x122_ivf_recall_report",
     // x123: the IVF family's single-row centroid attach (both occupancy
     // sides) + the one-row totals attach of the drift algebra
-    "x123_centroid_drift")
+    "x123_centroid_drift",
+    // x125: x122's shape for the seeded-vs-refined comparison — the
+    // exact all-pairs ground truth + the IVF/Lloyd centroid attaches
+    "x125_ivf_recall_refined")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
