@@ -1046,6 +1046,132 @@ object Dedup {
         size(col("_sg")).as("_n"))
   }
 
+  /** The four maintained tables of the incremental containment screen
+    * ([[ngramContainmentAgainst]]), all pure functions of the corpus —
+    * computed ONCE at registration (e.g. via `util/Maintained`), read
+    * per batch:
+    *  - `arrs`: per corpus doc its df-cut gram set as one rarest-first
+    *    sorted array + size (the verify side);
+    *  - `gramIdx`: `arrs` exploded — gram → corpus doc (the index the
+    *    batch's PREFIX probes when the batch doc is the smaller side);
+    *  - `pfxIdx`: only each corpus doc's containment prefix, exploded
+    *    (what the batch's FULL gram set probes when the CORPUS doc is
+    *    the smaller side — a corpus doc quoted inside a bigger arrival);
+    *  - `dfs`: the FULL corpus gram-frequency table, uncut — probe-time
+    *    needs to distinguish "cut for df > maxDf" from "novel gram"
+    *    (novel grams keep df 1: they stay in the batch's set, diluting
+    *    containment honestly, but can never probe the corpus index).
+    */
+  case class ContainmentIndex(arrs: DataFrame, gramIdx: DataFrame,
+      pfxIdx: DataFrame, dfs: DataFrame)
+
+  /** Build [[ContainmentIndex]] from the corpus. The df universe FREEZES
+    * here — later batches are screened under the corpus's gram
+    * frequencies (the same documented incremental approximation as the
+    * maintained signature/gram tables: per-batch cost must not depend on
+    * re-aggregating the corpus).
+    */
+  def containmentIndex(corpus: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thNum: Int = 4, thDen: Int = 5,
+      maxDf: Int = 1000): ContainmentIndex = {
+    val ng = Par.spread(corpus)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+    val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val arrs = ng.join(dfs.filter(col("_df") <= maxDf), Seq("_g"))
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_g")))).as("_sg"))
+      .select(col("_id"),
+        transform(col("_sg"), s => s.getField("_g")).as("_ga"),
+        size(col("_sg")).as("_n"))
+    val pfxLen = (col("_n") - floor((col("_n") * thNum + (thDen - 1))
+      / thDen).cast("int") + 1)
+    ContainmentIndex(
+      arrs,
+      arrs.select(col("_id"), explode(col("_ga")).as("_g")),
+      arrs.select(col("_id"), explode(slice(col("_ga"), lit(1), pfxLen)).as("_g")),
+      dfs)
+  }
+
+  /** INCREMENTAL containment screen — "is this arrival a quote/excerpt
+    * of something we already have (or vice versa)": batch documents
+    * against a FIXED corpus through the maintained [[ContainmentIndex]],
+    * returning every (batch, corpus) pair with
+    * `inter / min(|A|,|B|) ≥ thNum/thDen` over the frozen df-cut gram
+    * universe. Output: (`doc_a` = batch id, `doc_b` = corpus id,
+    * `inter`, `n_a`, `n_b`, `containment`, `contained_id` — tie →
+    * `doc_a`), the [[ngramContainmentPairs]] contract restricted to
+    * cross pairs.
+    *
+    * Both probe directions run ([[ngramContainmentPairsPrefix]]'s
+    * asymmetric theorem, applied per side): the batch doc's rarest-gram
+    * PREFIX probes the corpus full-gram index (arrival quoted FROM the
+    * corpus — batch side smaller), and the batch doc's FULL set probes
+    * the corpus PREFIX index (corpus doc quoted INSIDE a bigger
+    * arrival). Each direction is sound on its own smaller side, so their
+    * union needs no size-role filter; candidates dedupe and verify
+    * exactly with one sorted-array intersection per pair.
+    *
+    * Scale shape per batch: the batch's own gram pass + two equi-joins
+    * whose corpus sides are PRE-MATERIALIZED tables pruned by the
+    * batch's probe grams — the corpus text is never re-read, never
+    * re-aggregated; exchange is Σ_g probe_df(g)·idx_df(g) over the
+    * batch's grams only.
+    *
+    * Threshold coupling: `pfxIdx` physically encodes the prefix length
+    * of the threshold the index was BUILT with — screening at a LOWER
+    * threshold than the build's would need longer corpus prefixes than
+    * were stored and can miss direction-2 pairs. Screen at the build
+    * threshold (or rebuild the index when loosening it); the batch-side
+    * prefix always uses this call's threshold and is unaffected.
+    */
+  def ngramContainmentAgainst(newDocs: DataFrame, idx: ContainmentIndex,
+      textCol: String, idCol: String, n: Int = 3, thNum: Int = 4,
+      thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
+    require(thNum > 0 && thDen >= thNum, "need 0 < thNum/thDen <= 1")
+    val ngB = Par.spread(newDocs)
+      .select(col(idCol).as("_bid"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_bid"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_bid"), xxhash64(col("_gs")).as("_g"))
+    val bArr = ngB
+      .join(idx.dfs, Seq("_g"), "left")
+      .filter(coalesce(col("_df"), lit(1L)) <= maxDf)
+      .groupBy(col("_bid"))
+      .agg(array_sort(collect_list(struct(
+        coalesce(col("_df"), lit(1L)).as("_df"), col("_g")))).as("_sg"))
+      .select(col("_bid"),
+        transform(col("_sg"), s => s.getField("_g")).as("_bga"),
+        size(col("_sg")).as("_bn"))
+    val pfxLenB = (col("_bn") - floor((col("_bn") * thNum + (thDen - 1))
+      / thDen).cast("int") + 1)
+    val bPfx = bArr.select(col("_bid"),
+      explode(slice(col("_bga"), lit(1), pfxLenB)).as("_g"))
+    val bFull = bArr.select(col("_bid"), explode(col("_bga")).as("_g"))
+    val cands = bPfx
+      .join(idx.gramIdx.select(col("_g"), col("_id").as("_cid")), Seq("_g"))
+      .select(col("_bid"), col("_cid"))
+      .unionByName(
+        bFull.join(idx.pfxIdx.select(col("_g"), col("_id").as("_cid")), Seq("_g"))
+          .select(col("_bid"), col("_cid")))
+      .groupBy(col("_bid"), col("_cid")).agg(count(lit(1)).as("_h"))
+      .drop("_h")
+    cands
+      .join(bArr, Seq("_bid"))
+      .join(idx.arrs.select(col("_id").as("_cid"), col("_ga").as("_cga"),
+        col("_n").as("_cn")), Seq("_cid"))
+      .select(col("_bid").as("doc_a"), col("_cid").as("doc_b"),
+        size(array_intersect(col("_bga"), col("_cga"))).cast("long").as("inter"),
+        col("_bn").cast("long").as("n_a"), col("_cn").cast("long").as("n_b"))
+      .filter(col("inter") * thDen >= least(col("n_a"), col("n_b")) * thNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        (col("inter").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+  }
+
   /** CONTAINMENT-specific prefix-filtered join: identical output to
     * [[ngramContainmentPairs]] — every pair with
     * `inter / min(|A|,|B|) ≥ thNum/thDen` over the df-cut gram universe —

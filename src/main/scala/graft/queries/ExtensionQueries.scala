@@ -787,6 +787,28 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // INCREMENTAL containment screen: arrivals checked for quote/excerpt
+    // relations against a FIXED corpus through four maintained tables
+    // (doc arrays, full-gram index, prefix index, frozen dfs) — both
+    // probe directions (arrival-quotes-corpus via arrival prefix x
+    // corpus full index; corpus-quoted-in-arrival via arrival full x
+    // corpus prefix index); per-batch work never re-reads corpus text
+    "x126_containment_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      def idx = Dedup.containmentIndex(corpus, "text", "doc_id",
+        n = 3, thNum = 4, thDen = 5)
+      val src = s"$dir/documents.parquet"
+      val stored = Dedup.ContainmentIndex(
+        Maintained.table(s, src, "cont_arrs_mod3_n3")(idx.arrs),
+        Maintained.table(s, src, "cont_gramidx_mod3_n3")(idx.gramIdx),
+        Maintained.table(s, src, "cont_pfxidx_mod3_n3_t45")(idx.pfxIdx),
+        Maintained.table(s, src, "cont_dfs_mod3_n3")(idx.dfs))
+      Dedup.ngramContainmentAgainst(d.filter(col("doc_id") % 3 === 0),
+        stored, "text", "doc_id", n = 3, thNum = 4, thDen = 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
     // per-window rightmost-min gram hash — guaranteed coverage of any
     // shared k+w−1-token substring; map-only, ~2/(w+1) density
@@ -3410,6 +3432,7 @@ object ExtensionQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x91_containment" -> containmentSql,
     "x121_containment_prefix" -> containmentSql,
+    "x126_containment_incr" -> containmentIncrSql,
     "x90_winnow_fingerprints" ->
       s"""WITH $winnowPicksCtes
          |SELECT doc_id, pos, fp FROM p ORDER BY doc_id, pos""".stripMargin,
@@ -3634,6 +3657,36 @@ object ExtensionQueries {
        |    AS contained_id
        |FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
        |             JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 5 >= least(na.n, nb.n) * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of x126: the incremental screen's SEMANTICS computed
+    * directly — corpus gram sets df-cut under the corpus-only (frozen)
+    * frequencies, batch gram sets keeping novel grams (df 1) and
+    * dropping corpus-mega grams, cross-side containment over those sets.
+    * The prefix/index mechanism is internal; the function it computes is
+    * order-independent, so the oracle needs no prefix simulation.
+    */
+  private def containmentIncrSql: String =
+    s"""WITH norm AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS l FROM documents),
+       |ng AS (SELECT DISTINCT doc_id,
+       |         concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS g
+       |       FROM norm, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+       |cg AS (SELECT doc_id, g FROM ng WHERE doc_id % 3 <> 0),
+       |dfs AS (SELECT g, count(*) AS df FROM cg GROUP BY g),
+       |cset AS (SELECT c.doc_id, c.g FROM cg c JOIN dfs d ON c.g = d.g
+       |         WHERE d.df <= 1000),
+       |bset AS (SELECT b.doc_id, b.g FROM ng b LEFT JOIN dfs d ON b.g = d.g
+       |         WHERE b.doc_id % 3 = 0 AND coalesce(d.df, 1) <= 1000),
+       |bsz AS (SELECT doc_id, count(*) AS n FROM bset GROUP BY doc_id),
+       |csz AS (SELECT doc_id, count(*) AS n FROM cset GROUP BY doc_id),
+       |inter AS (SELECT b.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS inter
+       |          FROM bset b JOIN cset c ON b.g = c.g GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter, na.n AS n_a, nb.n AS n_b,
+       |  CAST(i.inter AS DOUBLE) / least(na.n, nb.n) AS containment,
+       |  CASE WHEN na.n <= nb.n THEN i.doc_a ELSE i.doc_b END AS contained_id
+       |FROM inter i JOIN bsz na ON na.doc_id = i.doc_a
+       |             JOIN csz nb ON nb.doc_id = i.doc_b
        |WHERE i.inter * 5 >= least(na.n, nb.n) * 4
        |ORDER BY doc_a, doc_b""".stripMargin
 

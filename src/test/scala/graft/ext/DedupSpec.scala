@@ -506,6 +506,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramContainmentAgainst: both probe directions find cross-side " +
+    "quotes; frozen-df semantics; no within-side pairs") {
+    val excerpt =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val filler2 = (1 to 60).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"$filler $excerpt"),  // long corpus host (for direction 1? no:
+                                   // batch quote of this host is dir-1)
+      (11L, excerpt),              // small corpus doc (quoted by a big arrival)
+      (12L, "completely unrelated corpus content about volcanoes here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, excerpt),                 // direction 1: arrival quoted FROM 10/11
+      (21L, s"$filler2 $excerpt"),    // direction 2: corpus 11 quoted INSIDE
+      (22L, "nothing resembling anything in the corpus whatsoever today")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.containmentIndex(corpus, "text", "doc_id",
+      n = 3, thNum = 4, thDen = 5)
+    val out = Dedup.ngramContainmentAgainst(batch, idx, "text", "doc_id",
+      n = 3, thNum = 4, thDen = 5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("contained_id")).toMap
+    // direction 1: batch 20 (= the excerpt) is contained in corpus 10
+    // and identical to corpus 11
+    assert(out.contains((20L, 10L)) && out((20L, 10L)) === 20L)
+    assert(out.contains((20L, 11L)))
+    // direction 2: corpus 11 is contained in the big arrival 21
+    assert(out.contains((21L, 11L)) && out((21L, 11L)) === 11L)
+    // unrelated docs pair with nothing; no corpus-corpus or batch-batch
+    // pairs ever appear
+    assert(!out.keys.exists { case (a, b) => a == 22L || b == 12L })
+    assert(out.keys.forall { case (a, b) => a >= 20L && b < 20L })
+    // frozen-df semantics: a gram occurring in > maxDf corpus docs is cut
+    // from BOTH sides' sets — with maxDf = 1, every corpus gram of the
+    // shared excerpt (df 2: docs 10 and 11) is cut, so doc 20 matches
+    // nothing though its text is identical to corpus 11
+    val idxCut = Dedup.containmentIndex(corpus, "text", "doc_id",
+      n = 3, thNum = 4, thDen = 5, maxDf = 1)
+    val cut = Dedup.ngramContainmentAgainst(
+      batch.filter(col("doc_id") === 20L), idxCut, "text", "doc_id",
+      n = 3, thNum = 4, thDen = 5, maxDf = 1)
+    assert(cut.count() === 0L)
+  }
+
   test("ngramJaccardPairsPrefix: df cut drops mega-grams from the " +
     "universe exactly as in ngramJaccardPairs") {
     val shared = "x y z"                       // one gram shared by all
