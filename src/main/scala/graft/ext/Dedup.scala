@@ -1094,6 +1094,29 @@ object Dedup {
       dfs)
   }
 
+  /** Batch-side doc arrays under the FROZEN corpus frequencies —
+    * (`_id`, `_ga`, `_n`) in [[ContainmentIndex]]`.arrs`'s exact shape:
+    * novel grams keep df 1 and stay; grams the frozen table records
+    * above `maxDf` are cut. Used inside [[ngramContainmentAgainst]] and
+    * by the streaming mount to append screened batches into the growing
+    * index tables.
+    */
+  def containmentBatchArrays(newDocs: DataFrame, frozenDfs: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      maxDf: Int = 1000): DataFrame =
+    Par.spread(newDocs)
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
+      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+      .join(frozenDfs, Seq("_g"), "left")
+      .filter(coalesce(col("_df"), lit(1L)) <= maxDf)
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(
+        coalesce(col("_df"), lit(1L)).as("_df"), col("_g")))).as("_sg"))
+      .select(col("_id"),
+        transform(col("_sg"), s => s.getField("_g")).as("_ga"),
+        size(col("_sg")).as("_n"))
+
   /** INCREMENTAL containment screen — "is this arrival a quote/excerpt
     * of something we already have (or vice versa)": batch documents
     * against a FIXED corpus through the maintained [[ContainmentIndex]],
@@ -1130,19 +1153,10 @@ object Dedup {
       textCol: String, idCol: String, n: Int = 3, thNum: Int = 4,
       thDen: Int = 5, maxDf: Int = 1000): DataFrame = {
     require(thNum > 0 && thDen >= thNum, "need 0 < thNum/thDen <= 1")
-    val ngB = Par.spread(newDocs)
-      .select(col(idCol).as("_bid"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_bid"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_bid"), xxhash64(col("_gs")).as("_g"))
-    val bArr = ngB
-      .join(idx.dfs, Seq("_g"), "left")
-      .filter(coalesce(col("_df"), lit(1L)) <= maxDf)
-      .groupBy(col("_bid"))
-      .agg(array_sort(collect_list(struct(
-        coalesce(col("_df"), lit(1L)).as("_df"), col("_g")))).as("_sg"))
-      .select(col("_bid"),
-        transform(col("_sg"), s => s.getField("_g")).as("_bga"),
-        size(col("_sg")).as("_bn"))
+    val bArr = containmentBatchArrays(newDocs, idx.dfs, textCol, idCol,
+        n, maxDf)
+      .select(col("_id").as("_bid"), col("_ga").as("_bga"),
+        col("_n").as("_bn"))
     val pfxLenB = (col("_bn") - floor((col("_bn") * thNum + (thDen - 1))
       / thDen).cast("int") + 1)
     val bPfx = bArr.select(col("_bid"),

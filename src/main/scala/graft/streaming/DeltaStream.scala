@@ -275,6 +275,81 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming containment screen — the x126 contract mounted at ingest
+    * with GROWING index tables: each arriving document is checked for
+    * quote/excerpt relations ([[graft.ext.Dedup.ngramContainmentAgainst]],
+    * both probe directions) against the corpus AND every earlier batch,
+    * then its own arrays/grams/prefixes append into the index so later
+    * arrivals screen against it. The df universe stays FROZEN at the
+    * corpus seed (`dfsDir` is seeded once and never appended — the
+    * documented incremental approximation: batch grams novel to the
+    * corpus keep df 1 forever, so per-batch work never re-aggregates
+    * history). Retry idempotence is the sibling mounts' contract: index
+    * reads exclude the current batch's ids, appends exclude ids already
+    * present, outputs overwrite-per-batch.
+    */
+  def startContainmentScreen(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, arrsDir: String, gramIdxDir: String,
+      pfxIdxDir: String, dfsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, thNum: Int = 4,
+      thDen: Int = 5, maxDf: Int = 1000): StreamingQuery = {
+    import graft.ext.Dedup
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(dfsDir).exists()) {
+      val idx = Dedup.containmentIndex(corpusDocs, textCol, idCol, n,
+        thNum, thDen, maxDf)
+      idx.dfs.write.mode("overwrite").parquet(dfsDir)
+      idx.arrs.write.mode("overwrite").parquet(arrsDir)
+      idx.gramIdx.write.mode("overwrite").parquet(gramIdxDir)
+      idx.pfxIdx.write.mode("overwrite").parquet(pfxIdxDir)
+    }
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            def minus(dir: String) = s.read.parquet(dir)
+              .join(broadcast(batchIds.withColumnRenamed(idCol, "_id")),
+                Seq("_id"), "left_anti")
+            val dfs = s.read.parquet(dfsDir)
+            val idx = Dedup.ContainmentIndex(minus(arrsDir),
+              minus(gramIdxDir), minus(pfxIdxDir), dfs)
+            Dedup.ngramContainmentAgainst(b, idx, textCol, idCol, n,
+                thNum, thDen, maxDf)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            // the screened batch becomes index for every later batch:
+            // arrays once, then their exploded gram/prefix projections.
+            // Each append anti-joins its OWN target's present ids, so a
+            // crash between the three appends converges on retry instead
+            // of desyncing the tables.
+            val bArr = Dedup.containmentBatchArrays(b, dfs, textCol,
+              idCol, n, maxDf).persist()
+            try {
+              def notIn(dir: String)(df: org.apache.spark.sql.DataFrame) =
+                df.join(s.read.parquet(dir).select(col("_id")).distinct(),
+                  Seq("_id"), "left_anti")
+              notIn(arrsDir)(bArr).write.mode("append").parquet(arrsDir)
+              notIn(gramIdxDir)(
+                  bArr.select(col("_id"), explode(col("_ga")).as("_g")))
+                .write.mode("append").parquet(gramIdxDir)
+              val pfxLen = (col("_n") - floor((col("_n") * thNum
+                + (thDen - 1)) / thDen).cast("int") + 1)
+              notIn(pfxIdxDir)(bArr.select(col("_id"),
+                  explode(slice(col("_ga"), lit(1), pfxLen)).as("_g")))
+                .write.mode("append").parquet(pfxIdxDir)
+            } finally bArr.unpersist()
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming semantic cell routing against a MAINTAINED centroid table
     * WITH the drift-triggered refresh policy (the x76 + x123 composition
     * mounted at ingest): arriving vectors are routed map-only against

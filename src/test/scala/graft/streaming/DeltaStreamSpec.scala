@@ -781,6 +781,54 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startContainmentScreen: arrivals screen against the corpus AND " +
+    "earlier batches via the growing index; restart reprocesses nothing") {
+    import spark.implicits._
+    val root = tmpDir("containscreen")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val local = "seventeen astronauts calibrate spectral instruments " +
+      "aboard the orbital platform every alternate morning before dawn"
+    val corpus = Seq(
+      (10L, s"$filler $excerpt"),
+      (11L, "completely unrelated corpus content about volcanoes here")
+    ).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def mount() = DeltaStream.startContainmentScreen(spark, docsDir,
+      corpus, s"$root/arrs", s"$root/gidx", s"$root/pidx", s"$root/dfs",
+      s"$root/out", s"$root/ckpt", n = 3, thNum = 4, thDen = 5)
+    // batch 1: a novel document — matches nothing, becomes index
+    jsonl(s"$docsDir/b1.json", 20L -> local)
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$root/out/batch-0").count() === 0L)
+    // batch 2: one corpus quote, one copy of the BATCH-1 doc — the
+    // second is findable only through the grown tables (its grams are
+    // novel to the frozen corpus df universe, df 1, indexed on append)
+    jsonl(s"$docsDir/b2.json", 21L -> excerpt, 22L -> local)
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("contained_id"), r.getAs[Double]("containment"))).toMap
+    assert(b1.contains((21L, 10L)) && b1((21L, 10L))._1 === 21L)
+    assert(b1((21L, 10L))._2 === 1.0)
+    assert(b1.contains((22L, 20L)) && b1((22L, 20L))._2 === 1.0)
+    // index grew by every screened doc, exactly once
+    assert(spark.read.parquet(s"$root/arrs").select("_id")
+      .as[Long].collect().toSet === Set(10L, 11L, 20L, 21L, 22L))
+    // restart with no new data reprocesses nothing
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
+  }
+
   test("startCellRoutingMaintained: stable batches route against the " +
     "seeded table; a drifted batch triggers the Lloyd re-seed and " +
     "re-references the drift baseline") {
