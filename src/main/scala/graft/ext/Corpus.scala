@@ -656,6 +656,32 @@ object Corpus {
         .agg(count(lit(1)).as("c_cur")),
       keyCol)
 
+  /** [[distributionDrift]] for NUMERIC columns: values land in
+    * fixed-width bins (`bin = ⌊value / binWidth⌋` — one IEEE division +
+    * floor, engine-exact) and the same exact-integer TV algebra runs
+    * over the bin histogram. The monitoring question x108 answers for
+    * categorical keys ("does today's language/source mix still look
+    * like the corpus"), asked of numeric ones — document lengths, token
+    * counts, quality scores: a shifted length distribution is drift a
+    * categorical monitor cannot see. NULL values are excluded; the
+    * per-bin rows are the audit of WHERE the distribution moved.
+    *
+    * Scale shape: two map-side-combined bin aggregates (output rows
+    * bounded by the value range / binWidth), one full-outer join on the
+    * bin id, one one-row totals attach — [[distributionDrift]]'s cost
+    * exactly.
+    */
+  def numericDistributionDrift(ref: DataFrame, cur: DataFrame,
+      valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0.0, "need binWidth > 0")
+    def binned(df: DataFrame, out: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(floor(col(valueCol).cast("double") / binWidth)
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as(out))
+    driftFromCounts(binned(ref, "c_ref"), binned(cur, "c_cur"), "bin")
+  }
+
   /** [[distributionDrift]] from pre-aggregated count tables
     * (`keyCol`, `c_ref`) / (`keyCol`, `c_cur`).
     */

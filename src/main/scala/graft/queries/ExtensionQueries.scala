@@ -1171,6 +1171,17 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // NUMERIC distribution drift: x108's exact-integer TV algebra over
+    // fixed-width bins of a numeric column (here n_chars, width 100) —
+    // length-distribution shift the categorical monitor cannot see
+    "x127_numeric_drift" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Corpus.numericDistributionDrift(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0), "n_chars", binWidth = 100.0)
+        .orderBy("bin")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -3262,6 +3273,24 @@ object ExtensionQueries {
          |  END AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "x127_numeric_drift" ->
+      """WITH r AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS bin,
+        |             count(*) AS c_ref FROM documents
+        |           WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |c AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS bin,
+        |        count(*) AS c_cur FROM documents
+        |      WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+        |        CAST(coalesce(c_ref, 0) AS BIGINT) AS c_ref,
+        |        CAST(coalesce(c_cur, 0) AS BIGINT) AS c_cur
+        |      FROM r FULL OUTER JOIN c ON c.bin = r.bin),
+        |t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS nr,
+        |             CAST(sum(c_cur) AS BIGINT) AS nc FROM j)
+        |SELECT bin, c_ref, c_cur,
+        |  CAST(abs(c_ref * nc - c_cur * nr) AS BIGINT) AS drift_num,
+        |  CAST(abs(c_ref * nc - c_cur * nr) AS DOUBLE)
+        |    / CAST(2 * nr * nc AS DOUBLE) AS drift_share
+        |FROM j, t ORDER BY bin""".stripMargin,
     "x108_drift_report" ->
       """WITH r AS (SELECT source, count(*) AS c_ref FROM documents
         |           WHERE doc_id % 3 <> 0 AND source IS NOT NULL GROUP BY 1),

@@ -395,6 +395,24 @@ class CorpusSpec extends SparkSpec {
     assert(row.getAs[Boolean]("bridging"))          // ...and is surfaced
   }
 
+  test("numericDistributionDrift: exact-integer TV over fixed bins, " +
+    "negative values floor correctly, NULLs excluded") {
+    val ref = Seq(Option(-150.0), Option(-50.0), Option(50.0),
+      Option(250.0), Option.empty[Double]).toDF("v")
+    val cur = Seq(Option(50.0), Option(60.0)).toDF("v")
+    val out = Corpus.numericDistributionDrift(ref, cur, "v", 100.0)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("c_ref"), r.getAs[Long]("c_cur"),
+          r.getAs[Long]("drift_num"), r.getAs[Double]("drift_share"))).toMap
+    // bins: -150 → -2 (floor, not truncate), -50 → -1, 50/60 → 0,
+    // 250 → 2; the NULL never counts (nr = 4, nc = 2)
+    assert(out.keySet === Set(-2L, -1L, 0L, 2L))
+    assert(out(-2L) === ((1L, 0L, 2L, 0.125)))
+    assert(out(-1L) === ((1L, 0L, 2L, 0.125)))
+    assert(out(0L) === ((1L, 2L, 6L, 0.375)))
+    assert(out(2L) === ((1L, 0L, 2L, 0.125)))
+  }
+
   test("stratifiedSample: at most k per stratum, deterministic, md5-ordered") {
     val docs = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
