@@ -67,7 +67,9 @@ class PlanAuditSpec extends SparkSpec {
     "x123_centroid_drift",
     // x125: x122's shape for the seeded-vs-refined comparison — the
     // exact all-pairs ground truth + the IVF/Lloyd centroid attaches
-    "x125_ivf_recall_refined")
+    "x125_ivf_recall_refined",
+    // x127: x108's one-row (N_ref, N_cur) totals attach over bins
+    "x127_numeric_drift")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
