@@ -1171,6 +1171,32 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // FLAGSHIP media-quality gate: both REAL codec paths (x120 PNG,
+    // x124 WAV) decoded, joined back to document provenance, gated on
+    // the decoded signal (brightness/level within [64, 192]), and rolled
+    // up per (kind, source) — the release-gate shape for multimodal
+    // corpora, every stage the standalone library call
+    "x128_media_quality_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val png = Multimodal.decode(
+          Multimodal.derivePngMediaTable(d, "doc_id")).toDF()
+        .select(col("media_id"), lit("image").as("kind"),
+          col("brightness").as("metric"))
+      val wav = Multimodal.decode(
+          Multimodal.deriveWavMediaTable(d, "doc_id")).toDF()
+        .select(col("media_id"), lit("audio").as("kind"),
+          col("brightness").as("metric"))
+      png.unionByName(wav)
+        .join(d.select(col("doc_id").as("media_id"), col("source")),
+          Seq("media_id"))
+        .withColumn("keep", col("metric") >= 64.0 && col("metric") <= 192.0)
+        .groupBy(col("kind"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_frac", col("n_keep").cast("double") / col("n"))
+        .orderBy("kind", "source")
+    }),
+
     // NUMERIC distribution drift: x108's exact-integer TV algebra over
     // fixed-width bins of a numeric column (here n_chars, width 100) —
     // length-distribution shift the categorical monitor cannot see
@@ -3490,6 +3516,7 @@ object ExtensionQueries {
     "x15_decode_resize" -> decodeResizeSql,
     "x120_png_decode" -> pngDecodeSql,
     "x124_wav_decode" -> wavDecodeSql,
+    "x128_media_quality_e2e" -> mediaQualitySql,
     "x18_pii_scan" -> piiScanSql,
     "x40_pii_redact" ->
       s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
@@ -3765,6 +3792,39 @@ object ExtensionQueries {
        |  CAST(sum(v) AS DOUBLE) / n AS level
        |FROM sm GROUP BY media_id, n
        |ORDER BY media_id""".stripMargin
+
+  /** Composed mirror of x128: the PNG brightness and WAV level formulas
+    * (pngDecodeSql / wavDecodeSql arithmetic), unioned, joined to
+    * provenance, gated, rolled up per (kind, source). Brightness/level
+    * are exact integer sums over ONE division, so the gate comparisons
+    * agree bit-for-bit.
+    */
+  private def mediaQualitySql: String =
+    s"""WITH pm AS (SELECT doc_id AS media_id,
+       |              CAST(doc_id % 7 + 2 AS INT) AS w, CAST(doc_id % 5 + 2 AS INT) AS h
+       |            FROM documents WHERE doc_id % 3 = 0),
+       |px AS (SELECT media_id, w, h,
+       |         (media_id * 31 + (CAST(i AS INT) % w) * 7 + (CAST(i AS INT) // w) * 13) % 256 AS v
+       |       FROM pm, unnest(generate_series(0, w * h - 1)) AS u(i)),
+       |pb AS (SELECT media_id, 'image' AS kind,
+       |         CAST(sum(v) AS DOUBLE) / (w * h) AS metric
+       |       FROM px GROUP BY media_id, w, h),
+       |wm AS (SELECT doc_id AS media_id, CAST(doc_id % 50 + 20 AS INT) AS n
+       |       FROM documents WHERE doc_id % 3 = 1),
+       |sm AS (SELECT media_id, n,
+       |         (media_id * 31 + CAST(i AS INT) * 7) % 256 AS v
+       |       FROM wm, unnest(generate_series(0, n - 1)) AS u(i)),
+       |wb AS (SELECT media_id, 'audio' AS kind,
+       |         CAST(sum(v) AS DOUBLE) / n AS metric
+       |       FROM sm GROUP BY media_id, n),
+       |m AS (SELECT * FROM pb UNION ALL SELECT * FROM wb),
+       |g AS (SELECT m.kind, d.source,
+       |        (m.metric >= 64.0 AND m.metric <= 192.0) AS keep
+       |      FROM m JOIN documents d ON d.doc_id = m.media_id)
+       |SELECT kind, source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_frac
+       |FROM g GROUP BY 1, 2 ORDER BY kind, source""".stripMargin
 
   private def frameSampleSql: String =
     s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS ph,
