@@ -1046,6 +1046,52 @@ object Dedup {
         size(col("_sg")).as("_n"))
   }
 
+  /** Recall report for the banded MinHash near-dup path — the text
+    * sibling of `Similarity.nearDupRecallReport`/`topKRecallReport`,
+    * closing the last approximate path without its own measured recall:
+    * every EXACT pair with shingle Jaccard ≥ `thNum/thDen` (all-pairs
+    * verify, `maxExactRows`-guarded) is checked for presence in
+    * [[minhashNearDups]]'s output and aggregated per Jaccard band
+    * (`⌊20·J⌋` — exact-long division, band 16..20 at t = 0.8). Since
+    * the banded path verifies exactly, precision is 1 by construction
+    * and `recall` here is the banding's only loss — the measured form
+    * of [[lshPlan]]'s S-curve prediction
+    * (`lshCollisionProb(J, k, bands)` is the per-band expectation to
+    * compare against). A sampled tuning pass by contract, not a corpus
+    * operator.
+    */
+  def minhashRecallReport(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, shingleLen: Int = 7, thNum: Int = 4,
+      thDen: Int = 5, maxExactRows: Long = 100000L): DataFrame = {
+    val n = docs.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(docs.count())
+    require(n <= maxExactRows,
+      s"minhashRecallReport's ground truth is all-pairs exact Jaccard " +
+        s"(O(n^2)): corpus has $n rows > maxExactRows=$maxExactRows. " +
+        "Run it on a sample; production near-dup stays on minhashNearDups.")
+    val ids = docs.select(col(idCol))
+    val cands = ids.select(col(idCol).as("doc_a"))
+      .join(ids.select(col(idCol).as("doc_b")), col("doc_a") < col("doc_b"))
+    // shingles travel as 64-bit hashes into the pairwise intersect — the
+    // all-pairs exchange then ships 8-byte longs instead of 7-char
+    // strings and the per-pair intersect hashes longs, not strings; the
+    // x5-precedent collision argument (~m²/2⁶⁵) applies
+    val hashedSets = shingleSets(docs, textCol, idCol, shingleLen)
+      .select(col("_id"),
+        array_distinct(transform(col("_set"), s => xxhash64(s))).as("_set"))
+    val exact = jaccardFromSets(hashedSets, cands)
+      .filter(col("inter") * thDen >= col("uni") * thNum)
+    val found = minhashNearDups(docs, textCol, idCol, k, bands, shingleLen,
+        thNum, thDen)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("_found"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("inter") * 20 / col("uni")).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("_found"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_exact"))
+  }
+
   /** The four maintained tables of the incremental containment screen
     * ([[ngramContainmentAgainst]]), all pure functions of the corpus —
     * computed ONCE at registration (e.g. via `util/Maintained`), read

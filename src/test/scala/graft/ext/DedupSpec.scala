@@ -506,6 +506,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashRecallReport: identical docs land in band 20 at recall 1; " +
+    "sub-threshold pairs are not ground truth; the guard trips") {
+    val tmpl = "large language models are trained on vast corpora of text " +
+      "data scraped from across the public web today"
+    val d = Seq(
+      (1L, tmpl), (2L, tmpl),      // identical pair: J = 1.0, band 20
+      (3L, "an entirely different document about streaming watermarks")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.minhashRecallReport(d, "text", "doc_id",
+      k = 16, bands = 4, shingleLen = 7).collect()
+    assert(rep.length === 1)
+    assert(rep.head.getAs[Int]("band") === 20)
+    assert(rep.head.getAs[Long]("n_exact") === 1L)
+    assert(rep.head.getAs[Long]("n_found") === 1L)
+    assert(rep.head.getAs[Double]("recall") === 1.0)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashRecallReport(d, "text", "doc_id", maxExactRows = 2L)
+    }
+  }
+
   test("ngramContainmentAgainst: both probe directions find cross-side " +
     "quotes; frozen-df semantics; no within-side pairs") {
     val excerpt =
