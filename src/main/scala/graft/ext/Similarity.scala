@@ -610,6 +610,103 @@ object Similarity {
         col("n_found").cast("double") / col("n_exact"))
   }
 
+  // -------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection (Achlioptas ±1 scheme)
+
+  /** Deterministic ±1 JL matrix entry: top bit of the first md5 nibble of
+    * `"jl:k:dim"` — the same reproducible-anywhere device as [[planeSign]],
+    * under its own namespace so the projection matrix is independent of
+    * the LSH hyperplane set. Achlioptas (2003, "Database-friendly random
+    * projections") proves uniform ±1 entries satisfy the JL lemma with the
+    * same distortion bound as Gaussian matrices — and integer entries are
+    * what keeps the whole projection in exact-long arithmetic here.
+    */
+  def jlSign(k: Int, dim: Int): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"jl:$k:$dim".getBytes(StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0x8) != 0) 1L else -1L
+  }
+
+  /** Fixed-point quantization scale for [[jlProject]]: components become
+    * `floor(v · 10⁴)` longs. 10⁴ keeps every downstream value exact-in-
+    * double for unit-scale embeddings: quantized components ≤ ~10⁵,
+    * projected components ≤ inDims·10⁵ ≈ 10⁷ at 64 dims, and the pair
+    * dots / norms² ≤ outDims·10¹⁴ ≈ 10¹⁵ < 2⁵³ — so the long→double casts
+    * and the one cosine division per pair are bit-deterministic across
+    * engines. The 10⁻⁴ quantization error is far below the JL distortion
+    * itself (~1/√outDims).
+    */
+  val JlScale: Double = 10000.0
+
+  /** Exact-long sequential dot of two long-array columns. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** JL random projection of an embedding column to `outDims` exact-long
+    * components: `jl[k] = Σ_j ±1 · floor(v[j]·10⁴)` with the deterministic
+    * [[jlSign]] matrix (Johnson & Lindenstrauss 1984; Achlioptas 2003).
+    * Cosine/distance structure is preserved within ~1/√outDims distortion,
+    * so downstream ANN (IVF routing, near-dup banding, top-k rescore
+    * candidates) can run over vectors `inDims/outDims`× smaller — at
+    * 100 TB the projection is the difference between shuffling 768-float
+    * payloads and 16-long ones (~12× fewer vector bytes on every exchange
+    * of the ANN family). Map-only, zero shuffle; everything stays in exact
+    * integer arithmetic so results are bit-identical across engines and
+    * partitionings.
+    *
+    * `inDims` must equal the embedding dimensionality (sign literals are
+    * baked per input dim; `zip_with` would null-pad a mismatch).
+    * Output: (`idCol`, `jl` array<long>).
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, inDims: Int): DataFrame = {
+    require(outDims > 0 && inDims >= outDims,
+      s"jlProject reduces dimensionality: need 0 < outDims=$outDims <= inDims=$inDims")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(JlScale)))
+    val comps = (0 until outDims).map { k =>
+      val signs = array((0 until inDims).map(j => lit(jlSign(k, j))): _*)
+      aggregate(zip_with(col("_qv"), signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x).as(s"_c$k")
+    }
+    emb.select(col(idCol), qv.as("_qv"))
+      .select(col(idCol), array(comps: _*).as("jl"))
+  }
+
+  /** Exact top-k cosine in the JL-projected space — the measurement
+    * harness for [[jlProject]]'s distortion (production composes the
+    * projection with the IVF/LSH family instead of any all-pairs rank;
+    * this method exists so [[topKRecallReport]] can price `outDims`
+    * against measured recall, x122-style). All-pairs — guarded by
+    * `maxExactRows`. Dot products and norms² stay exact longs; the one
+    * division per pair is the only IEEE op, so ranking ties break
+    * identically on any engine. Output: (query_id, neighbor_id, cosine
+    * [projected-space, 9 dp], rank).
+    */
+  def jlTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      outDims: Int, inDims: Int,
+      maxExactRows: Long = DefaultMaxExactRows): DataFrame = {
+    guardAllPairs(emb, maxExactRows, "jlTopK",
+      "ivfTopK/lshTopK over jlProject output")
+    val p = jlProject(emb, idCol, vecCol, outDims, inDims)
+      .select(col(idCol), col("jl"),
+        sqrt(dotLong(col("jl"), col("jl")).cast("double")).as("_n"))
+    val a = spreadBy(p.select(col(idCol).as("query_id"),
+      col("jl").as("_pa"), col("_n").as("_na")), "query_id")
+    val b = p.select(col(idCol).as("neighbor_id"), col("jl").as("_pb"),
+      col("_n").as("_nb"))
+    val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotLong(col("_pa"), col("_pb")).cast("double")
+          / (col("_na") * col("_nb"))).as("_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_cos"), 9).as("cosine"), col("rank"))
+  }
+
   /** Margin-based cross-set neighbor mining (Artetxe & Schwenk 2019's
     * margin criterion, difference form): for every QUERY vector, its best
     * and second-best INDEX-set neighbors by cosine, and the margin

@@ -1208,6 +1208,37 @@ object ExtensionQueries {
         .orderBy("bin")
     }),
 
+    // Johnson–Lindenstrauss ±1 projection of every embedding to 16
+    // exact-long components (Achlioptas's database-friendly scheme, md5-
+    // deterministic matrix): the vector-compression lever for the ANN
+    // family — projected payloads shuffle inDims/outDims× fewer bytes.
+    // Map-only, zero shuffle, bit-exact across engines.
+    "x129_jl_project" -> ((s, dir) => {
+      Similarity.jlProject(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        outDims = 16, inDims = 64)
+        .select(col("vec_id"), array_join(col("jl"), ",").as("jl_str"),
+          Similarity.dotLong(col("jl"), col("jl")).as("n2"))
+        .orderBy("vec_id")
+    }),
+
+    // JL distortion priced in measured recall, x122-style: exact top-5 in
+    // the projected space (outDims 4 and 16) vs the full-dim exact top-5,
+    // per 0.05 cosine band — ties the compression ratio to a recall
+    // number instead of the lemma's asymptotic bound; exact sides are the
+    // guarded all-pairs oracles (sampled tuning pass, not a corpus op)
+    "x130_jl_recall_report" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Seq(4, 16).map { d =>
+        Similarity.topKRecallReport(e, "vec_id", "embedding", k = 5,
+          Similarity.jlTopK(e, "vec_id", "embedding", k = 5,
+            outDims = d, inDims = 64))
+          .withColumn("dims", lit(d))
+      }.reduce(_ unionByName _)
+        .select(col("dims"), col("band"), col("n_exact"), col("n_found"),
+          col("recall"))
+        .orderBy("dims", "band")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -1948,6 +1979,71 @@ object ExtensionQueries {
        |SELECT nprobe, band, n_exact, n_found,
        |  CAST(n_found AS DOUBLE) / n_exact AS recall
        |FROM rep ORDER BY nprobe, band""".stripMargin
+  }
+
+  /** DuckDB mirror of x129/x130's shared JL projection: the same
+    * floor-quantize (·10⁴ → BIGINT) and md5-derived ±1 matrix (top bit of
+    * the first md5 nibble of "jl:k:j" ⇔ first hex char ≥ '8'), all exact
+    * integer arithmetic.
+    */
+  private def jlProjectCte(outDims: Int): String =
+    s"""q AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${jlFromQ(outDims, s"p$outDims")}""".stripMargin
+
+  private def jlFromQ(outDims: Int, out: String): String =
+    s"""$out AS (SELECT vec_id,
+       |    list_transform(range($outDims), k ->
+       |      CAST(list_sum(list_transform(range(len(qv)), j ->
+       |        qv[j + 1] * (CASE WHEN substr(md5('jl:' || k || ':' || j), 1, 1)
+       |                          >= '8' THEN 1 ELSE -1 END))) AS BIGINT)) AS pv
+       |  FROM q)""".stripMargin
+
+  /** DuckDB mirror of x130: exact full-dim top-5 (ivfRecallSql's ground
+    * truth) vs exact top-5 in the JL space at dims 4 and 16 — the
+    * projected-space cosine is BIGINT dot / (sqrt·sqrt), every long below
+    * 2⁵³ so the one division per pair is engine-exact.
+    */
+  private def jlRecallSql: String = {
+    def f(d: Int) =
+      s"""${jlFromQ(d, s"p$d")},
+         |n$d AS (SELECT vec_id, pv,
+         |    sqrt(CAST(CAST(list_sum(list_transform(pv, x -> x * x))
+         |      AS BIGINT) AS DOUBLE)) AS nn
+         |  FROM p$d),
+         |f$d AS (SELECT $d AS dims, query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(CAST(list_sum(list_transform(range($d), i ->
+         |        a.pv[i + 1] * b.pv[i + 1])) AS BIGINT) AS DOUBLE)
+         |        / (a.nn * b.nn) DESC, b.vec_id) AS rank
+         |  FROM n$d a JOIN n$d b ON a.vec_id <> b.vec_id)
+         |  WHERE rank <= 5)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, embedding,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS c
+       |       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |exact AS (SELECT query_id, neighbor_id, round(c, 9) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+       |  FROM ex) WHERE rank <= 5),
+       |${f(4)}, ${f(16)},
+       |found AS (SELECT * FROM f4 UNION ALL SELECT * FROM f16),
+       |rep AS (SELECT n.dims, CAST(floor(e.cosine * 20) AS INT) AS band,
+       |          CAST(count(*) AS BIGINT) AS n_exact,
+       |          CAST(sum(CASE WHEN fnd.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |        FROM (VALUES (4), (16)) AS n(dims)
+       |        CROSS JOIN exact e
+       |        LEFT JOIN found fnd ON fnd.dims = n.dims
+       |          AND fnd.query_id = e.query_id AND fnd.neighbor_id = e.neighbor_id
+       |        GROUP BY 1, 2)
+       |SELECT dims, band, n_exact, n_found,
+       |  CAST(n_found AS DOUBLE) / n_exact AS recall
+       |FROM rep ORDER BY dims, band""".stripMargin
   }
 
   /** DuckDB mirror of x123: cell assignment under corpus-seeded centroids
@@ -3428,6 +3524,12 @@ object ExtensionQueries {
     "x16_ann_ivf" -> annIvfSql,
     "x28_ann_ivf_nprobe" -> annIvfProbedSql,
     "x122_ivf_recall_report" -> ivfRecallSql,
+    "x129_jl_project" ->
+      s"""WITH ${jlProjectCte(16)}
+         |SELECT vec_id, array_to_string(pv, ',') AS jl_str,
+         |  CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS n2
+         |FROM p16 ORDER BY vec_id""".stripMargin,
+    "x130_jl_recall_report" -> jlRecallSql,
     "x123_centroid_drift" -> centroidDriftSql,
     "x125_ivf_recall_refined" -> ivfRecallRefinedSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,

@@ -69,7 +69,12 @@ class PlanAuditSpec extends SparkSpec {
     // exact all-pairs ground truth + the IVF/Lloyd centroid attaches
     "x125_ivf_recall_refined",
     // x127: x108's one-row (N_ref, N_cur) totals attach over bins
-    "x127_numeric_drift")
+    "x127_numeric_drift",
+    // x130: x122's shape for the JL-distortion measurement — the exact
+    // all-pairs ground truth AND the guarded all-pairs rank in the
+    // projected space (both documented sampled tuning passes; production
+    // composes jlProject with the IVF/LSH family)
+    "x130_jl_recall_report")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
