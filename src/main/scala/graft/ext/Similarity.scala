@@ -707,6 +707,28 @@ object Similarity {
         round(col("_cos"), 9).as("cosine"), col("rank"))
   }
 
+  /** The production composition of [[jlProject]] with the IVF family:
+    * route AND rank in the JL-projected space. Projection is map-only;
+    * centroid seeding/assignment and the cell equi-join are exactly
+    * [[ivfTopKProbed]]'s plan, just over `outDims`-long vectors — so every
+    * exchange of the ANN path (the spread repartition, the cell join, the
+    * ranking window's pair rows) carries `inDims/outDims`× fewer vector
+    * bytes, which is the point at 100 TB. Determinism: projected
+    * components are exact longs ≤ inDims·10⁵, so every double product and
+    * partial sum downstream is < 2⁵³ and exactly representable — the dot
+    * folds are order-independent and the sqrt/division per score are the
+    * only (correctly-rounded) IEEE ops, bit-identical across engines.
+    * Recall = JL distortion (priced by x130) ∘ IVF cell loss (priced by
+    * x122); [[graft.JlRouteProbe]] measures the composed number against
+    * the full-dim exact baseline.
+    */
+  def jlIvfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      outDims: Int, inDims: Int, nCells: Int, nprobe: Int = 1): DataFrame =
+    ivfTopKProbed(
+      jlProject(emb, idCol, vecCol, outDims, inDims)
+        .select(col(idCol), transform(col("jl"), x => x.cast("double")).as("_jlv")),
+      idCol, "_jlv", k, nCells, nprobe)
+
   /** Margin-based cross-set neighbor mining (Artetxe & Schwenk 2019's
     * margin criterion, difference form): for every QUERY vector, its best
     * and second-best INDEX-set neighbors by cosine, and the margin

@@ -1239,6 +1239,17 @@ object ExtensionQueries {
         .orderBy("dims", "band")
     }),
 
+    // the production JL composition: IVF routing AND ranking in the
+    // 16-long projected space (nCells=16, nprobe=2) — ivfTopKProbed's
+    // exact plan over vectors 4× smaller than the float originals; the
+    // shape every exchange of the ANN family takes once the corpus
+    // carries wide embeddings
+    "x131_jl_ivf_topk" -> ((s, dir) => {
+      Similarity.jlIvfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, outDims = 16, inDims = 64, nCells = 16, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -2045,6 +2056,40 @@ object ExtensionQueries {
        |  CAST(n_found AS DOUBLE) / n_exact AS recall
        |FROM rep ORDER BY dims, band""".stripMargin
   }
+
+  /** DuckDB mirror of x131: the JL projection CTE feeding annIvfProbedSql's
+    * exact structure — centroids = the 16 smallest-id PROJECTED vectors,
+    * assignment/probe ranking and the pair cosines all in the projected
+    * space (BIGINT components cast to DOUBLE: every product and partial
+    * sum < 2⁵³, so the arithmetic is engine-exact).
+    */
+  private def jlIvfSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${jlFromQ(16, "p16")},
+       |pd AS (SELECT vec_id, CAST(pv AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[]))) AS n
+       |       FROM p16),
+       |cent AS (SELECT vec_id AS cid, v AS cvec, n AS cn
+       |         FROM pd ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, e.v, e.n, c.cid,
+       |             list_dot_product(e.v, c.cvec) / (e.n * c.cn) AS s
+       |           FROM pd e CROSS JOIN cent c),
+       |rk AS (SELECT vec_id, v, n, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |       FROM scored),
+       |corpus AS (SELECT vec_id, v, n, cid AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT vec_id, v, n, cid AS cell FROM rk WHERE rn <= 2),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |        list_dot_product(a.v, b.v) / (a.n * b.n) AS c
+       |      FROM probes a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB mirror of x123: cell assignment under corpus-seeded centroids
     * (annIvfSql's core), occupancy histograms per side, x108's exact-
@@ -3530,6 +3575,7 @@ object ExtensionQueries {
          |  CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS n2
          |FROM p16 ORDER BY vec_id""".stripMargin,
     "x130_jl_recall_report" -> jlRecallSql,
+    "x131_jl_ivf_topk" -> jlIvfSql,
     "x123_centroid_drift" -> centroidDriftSql,
     "x125_ivf_recall_refined" -> ivfRecallRefinedSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,

@@ -74,7 +74,11 @@ class PlanAuditSpec extends SparkSpec {
     // all-pairs ground truth AND the guarded all-pairs rank in the
     // projected space (both documented sampled tuning passes; production
     // composes jlProject with the IVF/LSH family)
-    "x130_jl_recall_report")
+    "x130_jl_recall_report",
+    // x131: the IVF family's single-row broadcast centroid attach, over
+    // JL-projected vectors (ivfTopKProbed's exact plan — the pairing
+    // itself is the cell equi-join)
+    "x131_jl_ivf_topk")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

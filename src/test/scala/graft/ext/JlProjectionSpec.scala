@@ -96,6 +96,27 @@ class JlProjectionSpec extends SparkSpec {
     assert(e.getMessage.contains("ivfTopK"))
   }
 
+  test("jlIvfTopK at nCells=1 degenerates to jlTopK (single cell = all pairs)") {
+    val ivf = Similarity.jlIvfTopK(vecs, "vec_id", "embedding", k = 4,
+      outDims = 8, inDims = dims, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = Similarity.jlTopK(vecs, "vec_id", "embedding", k = 4,
+      outDims = 8, inDims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ivf === exact)
+  }
+
+  test("jlIvfTopK at nprobe=nCells recovers the duplicate at rank 1") {
+    // with every cell probed the candidate set is the full corpus minus
+    // cross-cell CORPUS rows only when cells differ; dup vectors project
+    // identically so they share a cell — rank 1 at cosine 1.0 regardless
+    val out = Similarity.jlIvfTopK(vecs, "vec_id", "embedding", k = 2,
+      outDims = 8, inDims = dims, nCells = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val q1 = out.filter(t => t._1 == 1L && t._4 == 1)
+    assert(q1.length === 1 && q1.head._2 === 2L && q1.head._3 === 1.0)
+  }
+
   test("jlProject rejects an expansion (outDims > inDims)") {
     val e = intercept[IllegalArgumentException](
       Similarity.jlProject(vecs, "vec_id", "embedding", outDims = 16, inDims = dims))
