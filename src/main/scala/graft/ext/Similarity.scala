@@ -729,6 +729,51 @@ object Similarity {
         .select(col(idCol), transform(col("jl"), x => x.cast("double")).as("_jlv")),
       idCol, "_jlv", k, nCells, nprobe)
 
+  /** Semantic decontamination: for every CORPUS vector, its maximum cosine
+    * against an EVAL set and a `contaminated` verdict at `threshold` —
+    * the embedding-level complement of the n-gram overlap scans
+    * ([[graft.ext.Dedup.ngramOverlapAgainst]]): paraphrased or reworded
+    * benchmark items share no 8-gram but sit near their source in
+    * embedding space, so lexical decontamination alone under-removes.
+    * Verdict-not-filter: EVERY corpus row is in the output (clean rows
+    * with a null match), so the caller decides drop vs quarantine vs
+    * re-route to the eval split.
+    *
+    * Scale shape: centroids seed from the corpus ([[centroidRow]]'s
+    * smallest-id rule); the corpus assigns map-only to its single nearest
+    * cell, the (small) eval side probes its `nprobe` nearest cells — the
+    * pairing is a cell equi-join, work Σ |corpus-cell|·|eval-probes|,
+    * never corpus × eval, and raising nprobe buys back boundary misses at
+    * eval-side cost only. Per-corpus-id max is a lexicographic struct max
+    * (ties → larger eval id), deterministic on any partitioning.
+    * Output: (idCol, matched_eval_id, max_cosine [9 dp], contaminated).
+    */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, nCells: Int, nprobe: Int,
+      threshold: Double): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells, "nprobe must be in 1..nCells")
+    val cents = centroidRow(corpus, idCol, vecCol, nCells)
+    val c = spread(withNorm(corpus, idCol, vecCol, "_id", "_v", "_n"))
+      .join(broadcast(cents))
+      .select(col("_id"), col("_v"), col("_n"),
+        assignedCell(col("_v"), col("_n")).as("_cell"))
+    val e = withNorm(eval, idCol, vecCol, "_eid", "_ev", "_en")
+      .join(broadcast(cents))
+      .select(col("_eid"), col("_ev"), col("_en"),
+        explode(transform(slice(scoredCells(col("_ev"), col("_en")), 1, nprobe),
+          s => s.getField("_cid"))).as("_cell"))
+    val best = c.join(e, Seq("_cell"))
+      .select(col("_id"),
+        struct((dot(col("_v"), col("_ev")) / (col("_n") * col("_en")))
+          .as("_c"), col("_eid")).as("_m"))
+      .groupBy(col("_id")).agg(max(col("_m")).as("_best"))
+    c.select(col("_id")).join(best, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        col("_best._eid").as("matched_eval_id"),
+        round(col("_best._c"), 9).as("max_cosine"),
+        coalesce(col("_best._c") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Margin-based cross-set neighbor mining (Artetxe & Schwenk 2019's
     * margin criterion, difference form): for every QUERY vector, its best
     * and second-best INDEX-set neighbors by cosine, and the margin

@@ -1239,6 +1239,20 @@ object ExtensionQueries {
         .orderBy("dims", "band")
     }),
 
+    // semantic decontamination: every training vector's max cosine against
+    // the held-out eval slice (vec_id % 20 == 0) with a contaminated
+    // verdict at 0.45 — the embedding-level complement of x39/x48's
+    // n-gram scans (paraphrases share no 8-gram but sit near their source
+    // in embedding space); corpus routes map-only to one cell, the small
+    // eval side probes 2 cells, pairing is a cell equi-join
+    "x132_semantic_decontam" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", nCells = 16, nprobe = 2, threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+
     // the production JL composition: IVF routing AND ranking in the
     // 16-long projected space (nCells=16, nprobe=2) — ivfTopKProbed's
     // exact plan over vectors 4× smaller than the float originals; the
@@ -2056,6 +2070,43 @@ object ExtensionQueries {
        |  CAST(n_found AS DOUBLE) / n_exact AS recall
        |FROM rep ORDER BY dims, band""".stripMargin
   }
+
+  /** DuckDB mirror of x132: corpus-seeded centroids (annIvfSql's ordering),
+    * corpus at rn = 1, eval probe list at rn ≤ 2, per-corpus-id best match
+    * by (cosine DESC, eval id DESC) — the struct-max tie-break — left-joined
+    * back under every corpus row.
+    */
+  private def semanticDecontamSql: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+       |ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |         FROM corpus ORDER BY vec_id LIMIT 16),
+       |cs AS (SELECT a.vec_id, a.embedding, b.cid,
+       |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])) /
+       |           (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |            sqrt(list_dot_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))) AS s
+       |       FROM corpus a CROSS JOIN cent b),
+       |casn AS (SELECT vec_id, embedding, cid AS cell FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |            FROM cs) WHERE rn = 1),
+       |es AS (SELECT a.vec_id, a.embedding, b.cid,
+       |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])) /
+       |           (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |            sqrt(list_dot_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])))) AS s
+       |       FROM ev a CROSS JOIN cent b),
+       |eprobe AS (SELECT vec_id, embedding, cid AS cell FROM
+       |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |              FROM es) WHERE rn <= 2),
+       |hits AS (SELECT a.vec_id, b.vec_id AS eid, $cosSql AS c
+       |         FROM casn a JOIN eprobe b ON a.cell = b.cell),
+       |best AS (SELECT vec_id, eid, c FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eid DESC) AS rn
+       |            FROM hits) WHERE rn = 1)
+       |SELECT a.vec_id, best.eid AS matched_eval_id,
+       |  round(best.c, 9) AS max_cosine,
+       |  coalesce(best.c >= 0.45, false) AS contaminated
+       |FROM casn a LEFT JOIN best ON a.vec_id = best.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   /** DuckDB mirror of x131: the JL projection CTE feeding annIvfProbedSql's
     * exact structure — centroids = the 16 smallest-id PROJECTED vectors,
@@ -3576,6 +3627,7 @@ object ExtensionQueries {
          |FROM p16 ORDER BY vec_id""".stripMargin,
     "x130_jl_recall_report" -> jlRecallSql,
     "x131_jl_ivf_topk" -> jlIvfSql,
+    "x132_semantic_decontam" -> semanticDecontamSql,
     "x123_centroid_drift" -> centroidDriftSql,
     "x125_ivf_recall_refined" -> ivfRecallRefinedSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,

@@ -78,7 +78,10 @@ class PlanAuditSpec extends SparkSpec {
     // x131: the IVF family's single-row broadcast centroid attach, over
     // JL-projected vectors (ivfTopKProbed's exact plan — the pairing
     // itself is the cell equi-join)
-    "x131_jl_ivf_topk")
+    "x131_jl_ivf_topk",
+    // x132: the same single-row centroid attach on both the corpus and
+    // eval sides; the contamination pairing is the cell equi-join
+    "x132_semantic_decontam")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec
