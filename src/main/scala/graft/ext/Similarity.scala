@@ -752,7 +752,28 @@ object Similarity {
       idCol: String, vecCol: String, nCells: Int, nprobe: Int,
       threshold: Double): DataFrame = {
     require(nprobe >= 1 && nprobe <= nCells, "nprobe must be in 1..nCells")
-    val cents = centroidRow(corpus, idCol, vecCol, nCells)
+    contaminationCore(corpus, eval, idCol, vecCol,
+      centroidRow(corpus, idCol, vecCol, nCells), nprobe, threshold)
+  }
+
+  /** [[semanticContamination]] against a MAINTAINED [[centroidTable]] —
+    * the incremental form: centroids seed once from the corpus, the eval
+    * set is fixed, and each arriving batch pays only its own map-only
+    * assignment + cell equi-join against the eval probes. Row order of
+    * the stored table is irrelevant (assignment ties break on centroid
+    * id, not array position).
+    */
+  def semanticContaminationAgainst(vectors: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, cents: DataFrame, nprobe: Int,
+      threshold: Double): DataFrame =
+    contaminationCore(vectors, eval, idCol, vecCol,
+      cents.agg(collect_list(struct(col("_cid"), col("_cvec"), col("_cn")))
+        .as("_cents")), nprobe, threshold)
+
+  private def contaminationCore(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, cents: DataFrame, nprobe: Int,
+      threshold: Double): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val c = spread(withNorm(corpus, idCol, vecCol, "_id", "_v", "_n"))
       .join(broadcast(cents))
       .select(col("_id"), col("_v"), col("_n"),

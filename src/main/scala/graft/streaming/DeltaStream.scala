@@ -878,6 +878,49 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming semantic decontamination — x132's contract mounted at
+    * ingest: every arriving vector batch is scored against the FIXED
+    * held-out eval set and receives its contaminated verdict before the
+    * data joins the corpus (decontaminate-on-arrival, not as a later
+    * sweep). Two tables seed once and never grow: the centroid table
+    * (from the corpus, so batches route exactly as the corpus did — the
+    * verdict is arrival-order independent by construction) and the eval
+    * vector table (the benchmark is fixed). Per-batch work is the batch's
+    * own map-only assignment + one cell equi-join against the eval probes
+    * — ∝ batch, never ∝ history. Outputs overwrite per batch
+    * (retry-idempotent, the sibling mounts' contract).
+    */
+  def startSemanticDecontam(spark: SparkSession, vecsDir: String,
+      corpusEmb: DataFrame, evalEmb: DataFrame, centsDir: String,
+      evalDir: String, outDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, nprobe: Int = 2,
+      threshold: Double = 0.45): StreamingQuery = {
+    import graft.ext.Similarity
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(vecCol, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    if (!new java.io.File(centsDir).exists())
+      Similarity.centroidTable(corpusEmb, idCol, vecCol, nCells)
+        .write.mode("overwrite").parquet(centsDir)
+    if (!new java.io.File(evalDir).exists())
+      evalEmb.select(col(idCol), col(vecCol))
+        .write.mode("overwrite").parquet(evalDir)
+    spark.readStream.schema(schema).json(vecsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          Similarity.semanticContaminationAgainst(batch,
+              s.read.parquet(evalDir), idCol, vecCol,
+              s.read.parquet(centsDir), nprobe, threshold)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Streaming takedown scan — the right-to-be-forgotten mount of
     * [[graft.ext.Blocklist]]: here the REMOVAL FEED is the stream
     * (deletion requests arrive over time; the corpus is at rest). Each

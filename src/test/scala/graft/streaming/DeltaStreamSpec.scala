@@ -498,6 +498,56 @@ class DeltaStreamSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(s"$root/postings")) === mtime)
   }
 
+  test("startSemanticDecontam: arriving vectors get verdicts against the " +
+    "FIXED eval set through the FIXED corpus-seeded centroids; stream " +
+    "equals the batch operator; restart neither rescores nor reseeds") {
+    import spark.implicits._
+    val root = tmpDir("semdecon")
+    val vDir = s"$root/vecs"
+    Files.createDirectories(Paths.get(vDir))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f, 0.0f)), (4L, Seq(0.0f, 0.8f, 0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def jsonl(path: String, vecs: (Long, Seq[Float])*): Unit =
+      Files.write(Paths.get(path), vecs.map { case (id, v) =>
+        s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}"""
+      }.asJava)
+    jsonl(s"$vDir/b1.json",
+      10L -> Seq(0.95f, 0.05f, 0.0f, 0.0f), 11L -> Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val q1 = DeltaStream.startSemanticDecontam(spark, vDir, corpus, eval,
+      s"$root/cents", s"$root/eval", s"$root/out", s"$root/ckpt",
+      nCells = 2, nprobe = 2, threshold = 0.45)
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.read.parquet(s"$root/out/batch-0")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getBoolean(3))).toMap
+    assert(got(10L) === ((Some(100L), true)), "near-copy of eval flagged")
+    assert(got(11L)._2 === false, "orthogonal vector is clean")
+    // stream ≡ batch operator on the same maintained tables
+    val direct = graft.ext.Similarity.semanticContaminationAgainst(
+        Seq((10L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+          (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding"),
+        spark.read.parquet(s"$root/eval"), "vec_id", "embedding",
+        spark.read.parquet(s"$root/cents"), nprobe = 2, threshold = 0.45)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getBoolean(3))).toMap
+    assert(got === direct)
+    // restart: batch 0 not reprocessed; centroid/eval tables not reseeded
+    val cm = Files.getLastModifiedTime(Paths.get(s"$root/cents"))
+    jsonl(s"$vDir/b2.json", 12L -> Seq(0.99f, 0.0f, 0.0f, 0.0f))
+    val q2 = DeltaStream.startSemanticDecontam(spark, vDir, corpus, eval,
+      s"$root/cents", s"$root/eval", s"$root/out", s"$root/ckpt",
+      nCells = 2, nprobe = 2, threshold = 0.45)
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1").collect()
+    assert(b1.map(_.getLong(0)).toSet === Set(12L))
+    assert(b1.head.getBoolean(3) === true)
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/cents")) === cm)
+  }
+
   test("startNearDupFlagging: per-file batches flag cross-corpus near-dups; " +
     "checkpoint restart reprocesses nothing") {
     import spark.implicits._
