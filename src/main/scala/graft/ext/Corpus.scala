@@ -702,6 +702,68 @@ object Corpus {
           .as("drift_share"))
   }
 
+  /** Epoch/repetition plan for a token budget under an integer mixture
+    * (the data-constrained scaling question of Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": when the target mixture
+    * asks a stratum for more tokens than it has, how many EPOCHS of it
+    * will repeat, and how much of the ask exceeds the acceptable
+    * repetition cap). Per planned stratum:
+    *
+    *  - `avail_tokens` T_s — what the corpus holds (exact long sum);
+    *  - `target_tokens` ⌊budget·w_s/W⌋ — the mixture's ask, exact integer
+    *    arithmetic over the INTEGER weight parts (no float share sum);
+    *  - `epochs` target/avail — the repetition factor, ONE IEEE division
+    *    (null when the stratum has no tokens: the plan surfaces the hole
+    *    instead of dividing by zero);
+    *  - `over_cap` target·capDen > avail·capNum — the repetition-cap
+    *    verdict as an EXACT integer compare (cap = capNum/capDen epochs);
+    *  - `deficit_tokens` max(0, target − ⌊capNum·avail/capDen⌋) — the
+    *    tokens the mixture must source elsewhere (or the cap must absorb).
+    *
+    * Driver/oracle-exact end to end: the one double is `epochs`, derived
+    * from two exact longs. Strata are the WEIGHTS' rows (left join): a
+    * planned stratum absent from the corpus surfaces with avail 0 rather
+    * than vanishing; corpus strata outside the plan are ignored. One
+    * stratum-keyed aggregate, output ≤ |weights| rows — the bounded
+    * planning-table shape of [[temperatureShares]].
+    */
+  def repetitionPlan(docs: DataFrame, strataCol: String, tokenCol: String,
+      weights: Seq[(String, Long)], budgetTokens: Long,
+      capNum: Long, capDen: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0L),
+      "need positive integer weight parts")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate stratum in weights")
+    require(budgetTokens > 0L && capNum > 0L && capDen > 0L,
+      "budget and epoch cap must be positive")
+    val w = weights.map(_._2).sum
+    require(budgetTokens <= Long.MaxValue / weights.map(_._2).max,
+      "budget x max weight part must fit in a long")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF(strataCol, "_w")
+    val avail = docs
+      .withColumn(strataCol, col(strataCol).cast("string"))
+      .groupBy(col(strataCol))
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_T"))
+    wDf.join(avail, Seq(strataCol), "left")
+      .select(col(strataCol),
+        coalesce(col("_T"), lit(0L)).as("avail_tokens"),
+        // DIV, not /: Spark's / on integral types is a double divide —
+        // exactness past 2^53 needs the integer division operator
+        expr(s"${budgetTokens}L * _w DIV ${w}L").as("target_tokens"))
+      .select(col(strataCol), col("avail_tokens"), col("target_tokens"),
+        when(col("avail_tokens") > 0L,
+          col("target_tokens").cast("double") /
+            col("avail_tokens").cast("double")).as("epochs"),
+        (col("target_tokens") * lit(capDen) >
+          col("avail_tokens") * lit(capNum)).as("over_cap"),
+        greatest(lit(0L),
+          col("target_tokens") -
+            expr(s"${capNum}L * avail_tokens DIV ${capDen}L"))
+          .as("deficit_tokens"))
+  }
+
   /** Temperature-flattened mixture shares at α = ½ (the multilingual
     * upsampling rule of XLM-R / mT5: raw stratum masses `T_s` are
     * flattened to `T_s^α` so low-resource strata train more than their

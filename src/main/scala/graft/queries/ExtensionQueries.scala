@@ -1239,6 +1239,22 @@ object ExtensionQueries {
         .orderBy("dims", "band")
     }),
 
+    // epoch/repetition planning under a token budget (Muennighoff et al.
+    // 2023's data-constrained question): per planned language, the
+    // mixture's exact-integer token ask vs what the corpus holds, the
+    // repetition factor, and the exact over-cap verdict at 1.5 epochs —
+    // es deliberately unplanned, so the plan-vs-corpus join semantics
+    // (weights rows, left) are exercised
+    "x133_repetition_plan" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      Corpus.repetitionPlan(d, "lang", "n_toks",
+        Seq("en" -> 5L, "de" -> 3L, "fr" -> 1L, "zh" -> 1L),
+        budgetTokens = 40000L, capNum = 3L, capDen = 2L)
+        .orderBy("lang")
+    }),
+
     // semantic decontamination: every training vector's max cosine against
     // the held-out eval slice (vec_id % 20 == 0) with a contaminated
     // verdict at 0.45 — the embedding-level complement of x39/x48's
@@ -3628,6 +3644,21 @@ object ExtensionQueries {
     "x130_jl_recall_report" -> jlRecallSql,
     "x131_jl_ivf_topk" -> jlIvfSql,
     "x132_semantic_decontam" -> semanticDecontamSql,
+    "x133_repetition_plan" ->
+      """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),
+        |a AS (SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS t
+        |      FROM documents GROUP BY lang),
+        |p AS (SELECT w.lang, coalesce(a.t, 0) AS avail_tokens,
+        |        CAST(40000 * w.w // 10 AS BIGINT) AS target_tokens
+        |      FROM w LEFT JOIN a ON w.lang = a.lang)
+        |SELECT lang, avail_tokens, target_tokens,
+        |  CASE WHEN avail_tokens > 0
+        |       THEN CAST(target_tokens AS DOUBLE) / avail_tokens END AS epochs,
+        |  target_tokens * 2 > avail_tokens * 3 AS over_cap,
+        |  greatest(0, target_tokens - CAST(3 * avail_tokens // 2 AS BIGINT))
+        |    AS deficit_tokens
+        |FROM p ORDER BY lang""".stripMargin,
     "x123_centroid_drift" -> centroidDriftSql,
     "x125_ivf_recall_refined" -> ivfRecallRefinedSql,
     "x33_ann_quantized_rescore" -> annQuantizedRescoreSql,

@@ -168,6 +168,39 @@ class CorpusSpec extends SparkSpec {
     assert(wFr / (wEn + wFr) > 100.0 / 1700.0)
   }
 
+  test("repetitionPlan: exact integer targets, over-cap verdicts, deficit " +
+    "tokens; unplanned strata ignored, planned-but-absent strata surface") {
+    val d = Seq(
+      (1L, "en", 600L), (2L, "en", 400L), // T_en = 1000
+      (3L, "fr", 100L),                   // T_fr = 100
+      (4L, "es", 999L)                    // unplanned → ignored
+    ).toDF("doc_id", "lang", "n_toks")
+    // W = 5; budget 2000 → en target 1200, fr 400, ja 400; cap 2 epochs
+    val out = Corpus.repetitionPlan(d, "lang", "n_toks",
+      Seq("en" -> 3L, "fr" -> 1L, "ja" -> 1L), // ja planned but absent
+      budgetTokens = 2000L, capNum = 2L, capDen = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4), r.getLong(5))).toMap
+    assert(out.keySet === Set("en", "fr", "ja"))
+    assert(out("en") === ((1000L, 1200L, Some(1.2), false, 0L)))
+    // fr: 400/100 = 4 epochs > cap 2 → deficit 400 − 200 = 200
+    assert(out("fr") === ((100L, 400L, Some(4.0), true, 200L)))
+    // planned stratum with no data: avail 0, epochs null, whole ask is deficit
+    assert(out("ja") === ((0L, 400L, None, true, 400L)))
+  }
+
+  test("repetitionPlan: rejects non-positive weights, duplicates, and " +
+    "overflow-prone budgets") {
+    val d = Seq((1L, "en", 1L)).toDF("doc_id", "lang", "n_toks")
+    intercept[IllegalArgumentException](Corpus.repetitionPlan(d, "lang",
+      "n_toks", Seq("en" -> 0L), 10L, 1L, 1L))
+    intercept[IllegalArgumentException](Corpus.repetitionPlan(d, "lang",
+      "n_toks", Seq("en" -> 1L, "en" -> 2L), 10L, 1L, 1L))
+    intercept[IllegalArgumentException](Corpus.repetitionPlan(d, "lang",
+      "n_toks", Seq("en" -> 1000L), Long.MaxValue / 10L, 1L, 1L))
+  }
+
   test("diversityPrune: near-dup of a better-ranked result drops, " +
     "one-step rule (no MMR rescue), dense re-rank, top-k cut") {
     val ranked = Seq(
