@@ -79,6 +79,11 @@ object Bench {
       // floor of 8: see GraftSession — byte-based coalescing starved a
       // compute-dense candidate shuffle down to one task at sf1
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
+      // start every exchange at 256 partitions and let AQE coalesce DOWN
+      // to the advisory size: see GraftSession — a fixed cpus-sized
+      // partition count made partitions grow with the data (measured 1.7x
+      // on the 100x probe's gram shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // single-JVM local run: the executor IS the driver, so heartbeat
       // eviction is pure downside — under full 32-thread load at sf1 the
       // heartbeater starved past the 120 s default, HeartbeatReceiver

@@ -44,12 +44,40 @@ object ScaleData {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic per-copy permutation of a–z (Fisher–Yates over an LCG
+    * stream seeded by the copy index — no RNG state, replays identical).
+    */
+  def permAlphabet(copy: Int): String = {
+    val a = ('a' to 'z').toArray
+    var s = copy.toLong * 6364136223846793005L + 1442695040888963407L
+    for (i <- a.length - 1 to 1 by -1) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val j = ((s >>> 33) % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+    }
+    new String(a)
+  }
+
+  /** Word suffix + per-copy substitution CIPHER. The suffix alone makes
+    * copies disjoint at the TOKEN level but not at the CHARACTER level —
+    * "table17" and "table3" still share the 5-char shingle "table", so
+    * the banded-MinHash paths (char shingles) saw buckets SPAN copies and
+    * candidate pairs grow quadratically with the factor (measured: 93×
+    * pairs at 10× docs before the cipher; the data, not the plan, was
+    * quadratic). Ciphering a–z per copy makes char n-grams cross-copy
+    * disjoint to ~26⁻ⁿ coincidence, while the suffix keeps tokens unique;
+    * the (suffix ∘ cipher) map is a BIJECTION on tokens, so token-gram
+    * frequency distributions — everything the word-level dedup/stats
+    * paths measure — are preserved exactly per copy.
+    */
   def scaleDocuments(df: DataFrame, factor: Int): DataFrame = {
     val offset = stride(df, "doc_id")
     (0 until factor).map { i =>
       val d = df.withColumn("doc_id", col("doc_id") + lit(i.toLong * offset))
       if (i == 0) d
-      else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", "$1" + i))
+      else d.withColumn("text",
+        translate(regexp_replace(col("text"), "(\\w+)", "$1" + i),
+          "abcdefghijklmnopqrstuvwxyz", permAlphabet(i)))
     }.reduce(_ unionByName _)
   }
 

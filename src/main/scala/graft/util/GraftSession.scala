@@ -32,6 +32,14 @@ object GraftSession {
       // while 31 cores idled). A floor of 8 caps that hazard at 8× while
       // keeping small exchanges far under the cores× task count.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
+      // decouple partition SIZE from data scale: every exchange starts at
+      // 256 partitions and AQE coalesces down to the 64 MB advisory size,
+      // so sf0.1 plans keep their few-task shape while a 100x corpus gets
+      // 100x the reducers instead of 100x the partition size (the fixed
+      // cpus-sized count spilled the big gram shuffles — measured on the
+      // sf10 probe, BASELINE.md round-10 100x section). On a real cluster
+      // the launcher raises this with the executor count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // local-mode heartbeats (executor == driver) only exist to be missed
       // under full-core load; see Bench for the observed eviction cascade

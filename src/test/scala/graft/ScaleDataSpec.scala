@@ -25,10 +25,22 @@ class ScaleDataSpec extends SparkSpec {
     val out = ScaleData.scaleDocuments(src, 2)
     assert(out.count() === 4)
     assert(out.select("doc_id").distinct().count() === 4)
-    // copy > 0 rewrites every word, so copies share no grams with the source
+    // copy > 0 suffixes every word (token disjointness) AND ciphers a-z
+    // (char-gram disjointness): "alpha1"'s cipher, not "alpha1" itself
     val texts = out.orderBy("doc_id").select("text").as[String].collect()
     assert(texts.take(2) === Array("alpha beta", "gamma delta"))
-    assert(texts.drop(2) === Array("alpha1 beta1", "gamma1 delta1"))
+    val cipher = ScaleData.permAlphabet(1)
+    def enc(w: String) = w.map(c =>
+      if (c >= 'a' && c <= 'z') cipher(c - 'a') else c)
+    assert(texts.drop(2) === Array(s"${enc("alpha")}1 ${enc("beta")}1",
+      s"${enc("gamma")}1 ${enc("delta")}1"))
+  }
+
+  test("permAlphabet: deterministic bijections, distinct across copies") {
+    val perms = (1 to 100).map(ScaleData.permAlphabet)
+    assert(perms.forall(_.sorted == "abcdefghijklmnopqrstuvwxyz"))
+    assert(perms.distinct.size === 100)
+    assert(perms === (1 to 100).map(ScaleData.permAlphabet))
   }
 
   test("scaleEmbeddings: empty source yields empty output, no NPE") {
