@@ -4,13 +4,14 @@ import graft.ext.Dedup
 import graft.util.Tables
 import org.apache.spark.sql.functions._
 
-/** Mechanism probe for the banded-MinHash self-join (x3) at scale: counts
+/** Mechanism probe for the banded-MinHash self-join at scale: counts
   * candidate pairs out of the band buckets (the quantity that bounds the
-  * verify cost) and times the full near-dup pipeline, under BOTH x3's
-  * oracle-pinned banding (k=8, bands=4, r=2, 5-char shingles) and the
-  * lshPlan-chosen production banding (k=16, bands=4, r=4, 7-char shingles
-  * — x93's parameters). BASELINE.md's round-10 100x section records the
-  * numbers and the attribution.
+  * verify cost) and times the full near-dup pipeline, under a chosen
+  * banding — the function-default k=8/r=2/5-char shingles, or the
+  * lshPlan-chosen k=16/r=4/7-char banding the registered x3 runs.
+  * BASELINE.md's round-10 100x section records the numbers and the
+  * attribution (banding false-positive mass on a tiny-shingle-universe
+  * corpus, not the plan, drives the super-linear growth).
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> [SPARK_GRAFT_X3_K=16 ...] runMain
   * graft.X3Probe
