@@ -82,8 +82,10 @@ object Bench {
       // start every exchange at 256 partitions and let AQE coalesce DOWN
       // to the advisory size: see GraftSession — a fixed cpus-sized
       // partition count made partitions grow with the data (measured 1.7x
-      // on the 100x probe's gram shuffle)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // on the 100x probe's gram shuffle). Env-overridable for A/B
+      // attribution of the per-stage overhead on small-exchange chains.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "256"))
       // single-JVM local run: the executor IS the driver, so heartbeat
       // eviction is pure downside — under full 32-thread load at sf1 the
       // heartbeater starved past the 120 s default, HeartbeatReceiver
