@@ -175,6 +175,220 @@ object Corpus {
         col("shared_k").cast("double") / col("union_k"))
   }
 
+  /** Bucket of gram `g` in Count-Min hash row `r`: a 60-bit md5 slice of
+    * the row-salted gram, mod `width` — the same engine-agnostic integer
+    * arithmetic as [[kmvSketch]]'s hash, salted per row so the `depth`
+    * rows are independent hash functions of the same gram.
+    */
+  private def cmsBucket(r: Column, g: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), g)), 1, 15),
+      16, 10).cast("long"), lit(width.toLong)).cast("int")
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+    * stream summary") of the corpus word-`n`-gram FREQUENCY distribution:
+    * `depth` hash rows × `width` buckets of exact long counts, where each
+    * gram occurrence adds 1 to bucket `h_r(g) = md5(r ':' g) mod width`
+    * in every row `r`. The frequency analogue of [[kmvSketch]]'s
+    * distinct-set sketch, and like it a PURE FUNCTION of the input
+    * stream — deterministic md5-derived hash rows, exact integer
+    * counts — so sketch tables oracle-check bit-for-bit; no probabilistic
+    * register state that two engines could disagree on.
+    *
+    * Why a sketch when [[topTerms]] counts exactly: exact gram counting
+    * shuffles one row per DISTINCT gram, and at 100 TB the n-gram
+    * universe is trillions of distinct values — larger than any
+    * vocabulary, often larger than the corpus's unique-document count.
+    * The CMS exchange is bounded by depth×width rows per map partition no
+    * matter how many distinct grams exist: the aggregate's key space is
+    * (row, bucket), so map-side combine caps every partition's output and
+    * the reduce state at depth×width exact longs. Estimates
+    * ([[cmsEstimate]]) never under-count: `est(g) = min_r cnt[r][h_r(g)]
+    * ≥ true count`, with overshoot ≤ e·N/width at confidence 1−e^−depth
+    * (N = total gram mass). Size the production sketch from that bound —
+    * `width ≥ e·N/(ε·N) = e/ε` buckets for additive error ε·N and
+    * `depth = ⌈ln(1/δ)⌉`; the registered query pins depth=4, width=8192
+    * for oracle comparability.
+    *
+    * Counts are ADDITIVE per (row, bucket) — [[cmsMerge]] — so the sketch
+    * is maintainable exactly like the KMV table: sketch each ingest batch
+    * once, add the tiny tables, never re-read text. Output: (`row_idx`
+    * 0..depth−1, `bucket`, `cnt`), non-empty buckets only.
+    */
+  def cmsSketch(docs: DataFrame, textCol: String, n: Int = 3,
+      depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(n > 0 && depth > 0 && width > 0, "need n, depth, width > 0")
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(explode(
+        Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n)).as("_g"))
+      .select(explode(transform(sequence(lit(0), lit(depth - 1)),
+        r => struct(r.cast("int").as("row_idx"),
+          cmsBucket(r, col("_g"), width).as("bucket")))).as("_rb"))
+      .groupBy(col("_rb.row_idx").as("row_idx"),
+        col("_rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge [[cmsSketch]] tables: counts ADD per (row, bucket) — CMS's
+    * defining algebra, `merge(sketch(A), sketch(B)) = sketch(A ⊎ B)`
+    * EXACTLY (multiset union of the gram streams), the frequency
+    * counterpart of [[kmvMerge]]'s bottom-k law. This is what makes the
+    * sketch maintainable: per-batch sketches add at ingest, and the
+    * heavy-hitter probe reads the running table instead of ever
+    * re-reading text. Work: one bounded agg over ≤ sides×depth×width
+    * rows.
+    */
+  def cmsMerge(sketchRows: DataFrame): DataFrame =
+    sketchRows.groupBy(col("row_idx"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query a [[cmsSketch]]: for each row of `grams`, the CMS
+    * estimate `est_n = min_r cnt[r][h_r(g)]`, missing buckets reading 0.
+    * The estimate NEVER under-counts the true frequency (every
+    * occurrence of `g` incremented all of g's buckets; collisions only
+    * add). The sketch side is ≤ depth×width rows — broadcast — so
+    * estimation is a map-side join over the candidates, no corpus
+    * access at all.
+    */
+  def cmsEstimate(sketch: DataFrame, grams: DataFrame, gramCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "need depth, width > 0")
+    grams
+      .select(col(gramCol),
+        explode(transform(sequence(lit(0), lit(depth - 1)),
+          r => struct(r.cast("int").as("row_idx"),
+            cmsBucket(r, col(gramCol), width).as("bucket")))).as("_rb"))
+      .select(col(gramCol), col("_rb.row_idx").as("row_idx"),
+        col("_rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
+      .groupBy(col(gramCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
+  /** φ-heavy-hitter phrases via CMS triage: candidate word-`n`-grams
+    * whose CMS estimate clears `phiNum/phiDen` of the total gram mass N,
+    * each verified with an exact count — the x114 sketch-to-exact
+    * escalation applied to frequency instead of overlap. The CMS
+    * guarantee makes the triage SOUND: est ≥ true count, so no truly
+    * φ-heavy gram is ever missed; false positives cost one semi-joined
+    * exact count each, never a gram-universe shuffle. This is boilerplate
+    * phrase mining at corpus scale — a phrase holding ≥ φ of all token
+    * mass is template text by definition (the phrase-level analogue of
+    * [[Dedup.boilerplateStrip]]'s per-source tile rule).
+    *
+    * Batch form (the registered query): candidates are the corpus's
+    * distinct grams. The production streaming form keeps only the
+    * MAINTAINED sketch ([[cmsMerge]]) as state and probes each arriving
+    * batch's grams against the running table: a gram only becomes φ-heavy
+    * ON some arrival, and that batch contains it, so probing arrivals
+    * catches every crossing with per-batch work ∝ batch and fixed sketch
+    * state — the gram universe is never materialized.
+    *
+    * N rides the sketch itself (any row's counts sum to N — the sketch is
+    * the only corpus-pass state); its one-row attach is a broadcast
+    * scalar append, PlanAudit-documented. Output: (`gram`, `est_n`,
+    * `exact_n`), exact longs, `est_n ≥ exact_n` always.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, n: Int = 3,
+      depth: Int = 4, width: Int = 8192,
+      phiNum: Long = 1, phiDen: Long = 4096): DataFrame = {
+    require(phiNum > 0 && phiDen > 0, "need phiNum, phiDen > 0")
+    val grams = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(explode(
+        Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+    val sketch = cmsSketch(docs, textCol, n, depth, width).persist()
+    val total = sketch.filter(col("row_idx") === 0)
+      .agg(sum(col("cnt")).as("_N"))
+    val candidates =
+      cmsEstimate(sketch, grams.distinct(), "gram", depth, width)
+        .crossJoin(broadcast(total))
+        .filter(col("est_n") * phiDen >= col("_N") * phiNum)
+        .select(col("gram"), col("est_n"))
+    val exact = grams.join(candidates.select("gram").hint("broadcast"),
+        Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("exact_n"))
+    candidates.join(exact, Seq("gram")).select("gram", "est_n", "exact_n")
+  }
+
+  /** Bigram language-model scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" §4) — the real
+    * CCNet-style LM quality filter: train unigram/bigram counts on the
+    * `trainPred` reference slice, then score EVERY document's adjacent
+    * token pairs by
+    * `S(v|u) = c₂(u,v)/c₁(u)` when the bigram was seen, else
+    * `α·c₁(v)/T` (α = `alphaNum/alphaDen`, T = train token mass), else 0
+    * for out-of-vocabulary `v`. A document of fluent reference-like text
+    * scores high; gibberish, wrong-language, and template-fragment text
+    * scores low — the model-BASED counterpart of the model-free
+    * perplexity proxies ([[headCoverage]], [[tokenRarityScore]]).
+    *
+    * Log-free exact arithmetic (the x96 Okapi device): each pair
+    * contributes the QUANTIZED probability `⌊scale·S⌋` computed with one
+    * integer `DIV` — no `ln`/`pow`, whose last-ulp rounding differs
+    * across engines — so per-document masses are exact longs, sums
+    * commute, and the whole report hash-checks. `lm_score` (the
+    * per-pair mean mass, the filterable signal) spends the output's one
+    * IEEE division. Monotone in the geometric-mean sense that matters
+    * for thresholding: more in-model pairs → strictly larger mass.
+    *
+    * Scale shape: the count tables are vocabulary-bounded (Heaps' law —
+    * ≪ corpus, usually broadcastable; beyond that they are token-keyed
+    * equi-joins where AQE's skew split handles the stop-word head). The
+    * only corpus-sized pass is the pair stream itself: three equi-joins
+    * against count dimensions and one doc-keyed aggregate with map-side
+    * combine. T's one-row attach is a broadcast scalar append,
+    * PlanAudit-documented. Output: one row per input document —
+    * (`idCol`, `n_pairs`, `n_backoff`, `n_oov`, `lm_mass`, `lm_score`),
+    * zero-pair documents kept with zeros and a null score.
+    */
+  def lmScoreBackoff(docs: DataFrame, textCol: String, idCol: String,
+      trainPred: Column, scale: Long = 1000000L,
+      alphaNum: Long = 2, alphaDen: Long = 5): DataFrame = {
+    require(scale > 0 && alphaNum > 0 && alphaDen > 0,
+      "need scale, alphaNum, alphaDen > 0")
+    val spread = Par.spread(docs)
+    def pairs(d: DataFrame, cols: Column*): DataFrame = {
+      val t = TextAnalysis.tokens(col(textCol))
+      d.filter(col(textCol).isNotNull)
+        .select(cols :+ explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("u"), b.as("v")))).as("_p"): _*)
+        .select(cols :+ col("_p.u").as("_u") :+ col("_p.v").as("_v"): _*)
+    }
+    val train = spread.filter(trainPred)
+    val c1 = train.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+    val c2 = pairs(train)
+      .groupBy(col("_u"), col("_v")).agg(count(lit(1)).as("_c2"))
+    val totalRow = c1.agg(sum(col("_c1")).as("_T"))
+    val scored = pairs(spread, col(idCol))
+      .join(c2, Seq("_u", "_v"), "left")
+      .join(c1.select(col("_w").as("_u"), col("_c1").as("_c1u")),
+        Seq("_u"), "left")
+      .join(c1.select(col("_w").as("_v"), col("_c1").as("_c1v")),
+        Seq("_v"), "left")
+      .crossJoin(broadcast(totalRow))
+      .select(col(idCol),
+        when(col("_c2").isNotNull, expr(s"${scale}L * _c2 DIV _c1u"))
+          .otherwise(when(col("_c1v").isNotNull,
+            expr(s"${scale}L * $alphaNum * _c1v DIV ($alphaDen * _T)"))
+            .otherwise(lit(0L))).as("_q"),
+        when(col("_c2").isNull && col("_c1v").isNotNull, 1L)
+          .otherwise(0L).as("_bk"),
+        when(col("_c1v").isNull, 1L).otherwise(0L).as("_ov"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_bk")).as("n_backoff"),
+        sum(col("_ov")).as("n_oov"), sum(col("_q")).as("lm_mass"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("lm_mass"), lit(0L)).as("lm_mass"))
+      .withColumn("lm_score", when(col("n_pairs") > 0,
+        col("lm_mass").cast("double") / col("n_pairs")))
+  }
+
   /** Per-stratum embedding centroid: the element-wise mean vector of each
     * stratum's embeddings (class prototypes for data audits / classifier
     * init), emitted long-form as (stratum, pos, mean) so the result is

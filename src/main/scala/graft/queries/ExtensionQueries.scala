@@ -1239,6 +1239,50 @@ object ExtensionQueries {
         .orderBy("dims", "band")
     }),
 
+    // Count-Min sketch of 3-gram frequencies (depth 4 × width 8192):
+    // bounded-state frequency counting for gram universes too large to
+    // count exactly (at 100 TB the distinct-gram table dwarfs any vocab;
+    // the CMS exchange is capped at depth×width rows per partition) —
+    // deterministic md5 hash rows + exact long counts make the sketch
+    // itself the oracle-checked result
+    "x134_cms_sketch" -> ((s, dir) => {
+      Corpus.cmsSketch(Tables(s, dir, "documents"), "text", n = 3,
+        depth = 4, width = 8192).orderBy("row_idx", "bucket")
+    }),
+
+    // φ-heavy-hitter phrase mining via CMS triage (φ = 1/16384 of total
+    // gram mass, width sized so ε·N ≈ 2): candidates from the sketch
+    // estimate, each exact-verified — est ≥ exact always, so no truly
+    // heavy phrase is missed and false positives are visible, not silent
+    "x135_cms_heavy_hitters" -> ((s, dir) => {
+      Corpus.cmsHeavyHitters(Tables(s, dir, "documents"), "text", n = 3,
+        depth = 4, width = 131072, phiNum = 1, phiDen = 16384)
+        .orderBy("gram")
+    }),
+
+    // CMS merge law: per-batch sketches ADD per (row, bucket) —
+    // sketch(corpus slice) ⊕ sketch(batch) == sketch(whole corpus),
+    // hash-proved against the full-corpus oracle; x111's maintained-table
+    // algebra for frequencies instead of distinct sets
+    "x136_cms_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Corpus.cmsMerge(
+        Corpus.cmsSketch(d.filter(col("doc_id") % 7 === 0), "text",
+          n = 3, depth = 4, width = 8192)
+          .unionByName(Corpus.cmsSketch(d.filter(col("doc_id") % 7 =!= 0),
+            "text", n = 3, depth = 4, width = 8192)))
+        .orderBy("row_idx", "bucket")
+    }),
+
+    // bigram stupid-backoff LM scoring trained on the lang='en' slice —
+    // the model-BASED perplexity filter (CCNet's LM stage) in log-free
+    // exact arithmetic: quantized ⌊1e6·S⌋ per pair, one integer DIV,
+    // masses sum as exact longs
+    "x137_lm_backoff_score" -> ((s, dir) => {
+      Corpus.lmScoreBackoff(Tables(s, dir, "documents"), "text", "doc_id",
+        trainPred = col("lang") === "en").orderBy("doc_id")
+    }),
+
     // epoch/repetition planning under a token budget (Muennighoff et al.
     // 2023's data-constrained question): per planned language, the
     // mixture's exact-integer token ask vs what the corpus holds, the
@@ -2633,7 +2677,102 @@ object ExtensionQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared 3-gram stream CTEs for the CMS family — mirrors
+    * `Dedup.wordNgrams` at n=3 (short docs yield one partial gram;
+    * concat_ws skips the null tail on both engines).
+    */
+  private def cmsGramCtes: String = {
+    val norm = normSql("text")
+    s"""t AS (SELECT string_split($norm, ' ') AS l
+       |      FROM documents WHERE text IS NOT NULL),
+       |gs AS (SELECT concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1],
+       |         l[CAST(i AS INT) + 2]) AS gram
+       |       FROM t, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i))""".stripMargin
+  }
+
+  /** CMS sketch CTEs over `gs` (must follow [[cmsGramCtes]]): the
+    * row-salted 60-bit md5 slice mod width, counts per (row, bucket).
+    */
+  private def cmsSketchCtes(depth: Int, width: Int): String =
+    s"""h AS (SELECT r, CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR),
+       |        ':', gram)), 1, 15)) AS BIGINT) % $width AS bucket
+       |      FROM gs, unnest(generate_series(0, ${depth - 1})) AS s(r)),
+       |sk AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY 1, 2)""".stripMargin
+
+  private def cmsSketchSql: String =
+    s"""WITH $cmsGramCtes,
+       |${cmsSketchCtes(4, 8192)}
+       |SELECT CAST(r AS INT) AS row_idx, CAST(bucket AS INT) AS bucket,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM sk ORDER BY 1, 2""".stripMargin
+
+  private def cmsHeavyHittersSql: String =
+    s"""WITH $cmsGramCtes,
+       |${cmsSketchCtes(4, 131072)},
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk WHERE r = 0),
+       |cds AS (SELECT DISTINCT gram FROM gs),
+       |pe AS (SELECT c.gram, s.r,
+       |         CAST(concat('0x', substr(md5(concat(CAST(s.r AS VARCHAR),
+       |           ':', c.gram)), 1, 15)) AS BIGINT) % 131072 AS bucket
+       |       FROM cds c, unnest(generate_series(0, 3)) AS s(r)),
+       |est AS (SELECT p.gram, min(coalesce(sk.cnt, 0)) AS est_n
+       |        FROM pe p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+       |        GROUP BY 1),
+       |cand AS (SELECT e.gram, e.est_n FROM est e, tot
+       |         WHERE e.est_n * 16384 >= tot.n),
+       |ex AS (SELECT g.gram, CAST(count(*) AS BIGINT) AS exact_n
+       |       FROM gs g JOIN cand c ON g.gram = c.gram GROUP BY 1)
+       |SELECT c.gram, CAST(c.est_n AS BIGINT) AS est_n, e.exact_n
+       |FROM cand c JOIN ex e ON c.gram = e.gram ORDER BY c.gram""".stripMargin
+
+  private def lmBackoffSql: String = {
+    val norm = normSql("text")
+    s"""WITH tr AS (SELECT string_split($norm, ' ') AS l
+       |            FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+       |c1 AS (SELECT w, count(*) AS c
+       |       FROM (SELECT unnest(l) AS w FROM tr) GROUP BY 1),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+       |c2 AS (SELECT u, v, count(*) AS c
+       |       FROM (SELECT l[CAST(i AS INT)] AS u, l[CAST(i AS INT) + 1] AS v
+       |             FROM tr, unnest(generate_series(1, len(l) - 1)) AS s(i)
+       |             WHERE len(l) >= 2)
+       |       GROUP BY 1, 2),
+       |d AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |      FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id, l[CAST(i AS INT)] AS u, l[CAST(i AS INT) + 1] AS v
+       |      FROM d, unnest(generate_series(1, len(l) - 1)) AS s(i)
+       |      WHERE len(l) >= 2),
+       |q AS (SELECT p.doc_id,
+       |        CASE WHEN b.c IS NOT NULL THEN 1000000 * b.c // cu.c
+       |             WHEN cv.c IS NOT NULL THEN 1000000 * 2 * cv.c // (5 * tt.t)
+       |             ELSE 0 END AS q,
+       |        CASE WHEN b.c IS NULL AND cv.c IS NOT NULL THEN 1 ELSE 0 END AS bk,
+       |        CASE WHEN cv.c IS NULL THEN 1 ELSE 0 END AS ov
+       |      FROM p
+       |      LEFT JOIN c2 b ON p.u = b.u AND p.v = b.v
+       |      LEFT JOIN c1 cu ON p.u = cu.w
+       |      LEFT JOIN c1 cv ON p.v = cv.w
+       |      CROSS JOIN tt),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(bk) AS BIGINT) AS n_backoff,
+       |         CAST(sum(ov) AS BIGINT) AS n_oov,
+       |         CAST(sum(q) AS BIGINT) AS lm_mass
+       |       FROM q GROUP BY 1)
+       |SELECT a.doc_id, CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(sc.n_backoff, 0) AS BIGINT) AS n_backoff,
+       |  CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST(coalesce(sc.lm_mass, 0) AS BIGINT) AS lm_mass,
+       |  CASE WHEN sc.n_pairs > 0
+       |       THEN CAST(sc.lm_mass AS DOUBLE) / sc.n_pairs END AS lm_score
+       |FROM documents a LEFT JOIN sc ON a.doc_id = sc.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x134_cms_sketch" -> cmsSketchSql,
+    "x135_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "x136_cms_incr" -> cmsSketchSql,
+    "x137_lm_backoff_score" -> lmBackoffSql,
     "x1_dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

@@ -107,6 +107,112 @@ class CorpusSpec extends SparkSpec {
       whole.collect().map(_.toSeq).toSet)
   }
 
+  test("cmsSketch/cmsEstimate: row sums = gram mass, estimates never " +
+    "under-count and are exact when collision-free; deterministic under " +
+    "repartitioning") {
+    // 3 docs, 3-grams; "a b c" occurs 3x ("a b c d" contributes it once),
+    // "b c d" once, "x y z" once — total gram mass 5
+    val d = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val depth = 4
+    val wide = Corpus.cmsSketch(d, "text", n = 3, depth = depth,
+      width = 1 << 20)
+    val rows = wide.collect()
+    // every hash row's counts sum to the total gram mass
+    val sums = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(sums === (0 until depth).map(_ -> 5L).toMap)
+    // collision-free width: estimate == exact for every gram, including
+    // an absent probe gram reading 0
+    val probes = Seq("a b c", "b c d", "x y z", "q q q").toDF("gram")
+    val est = Corpus.cmsEstimate(wide, probes, "gram", depth, 1 << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a b c" -> 3L, "b c d" -> 1L, "x y z" -> 1L,
+      "q q q" -> 0L))
+    // tiny width forces collisions: estimates may overshoot, never under
+    val tight = Corpus.cmsSketch(d, "text", n = 3, depth = depth, width = 2)
+    val estT = Corpus.cmsEstimate(tight, probes, "gram", depth, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estT("a b c") >= 3L && estT("b c d") >= 1L && estT("x y z") >= 1L)
+    assert(estT.values.forall(_ <= 5L)) // bounded by total mass
+    // pure function of the gram stream: partition layout can't change it
+    val re = Corpus.cmsSketch(d.repartition(7), "text", n = 3,
+      depth = depth, width = 1 << 20)
+    assert(re.collect().map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+  }
+
+  test("cmsMerge: merge(sketch(A), sketch(B)) = sketch(A ⊎ B) exactly") {
+    val a = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c"), (4L, "x y z w")).toDF("doc_id", "text")
+    val merged = Corpus.cmsMerge(
+      Corpus.cmsSketch(a, "text", n = 3, depth = 3, width = 64)
+        .unionByName(Corpus.cmsSketch(b, "text", n = 3, depth = 3,
+          width = 64)))
+    val whole = Corpus.cmsSketch(a.unionByName(b), "text", n = 3,
+      depth = 3, width = 64)
+    assert(merged.collect().map(_.toSeq).toSet ===
+      whole.collect().map(_.toSeq).toSet)
+  }
+
+  test("cmsHeavyHitters: sound triage — every truly φ-heavy gram " +
+    "surfaces with est_n ≥ exact_n, and exact_n is the true count") {
+    // "t t t" mass: docs 1-3 contribute 4+4+4 of 18 total grams (φ = 2/9);
+    // every other gram appears once
+    val d = Seq(
+      (1L, "t t t t t t"), (2L, "t t t t t t"), (3L, "t t t t t t"),
+      (4L, "a b c d e"), (5L, "p q r s")).toDF("doc_id", "text")
+    // width 4 forces collisions; φ = 1/5 of N=18 → threshold 3.6
+    val hh = Corpus.cmsHeavyHitters(d, "text", n = 3, depth = 4, width = 4,
+      phiNum = 1, phiDen = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGram = hh.map(t => t._1 -> (t._2, t._3)).toMap
+    // the truly heavy gram is present with its exact count
+    assert(byGram.contains("t t t"))
+    assert(byGram("t t t")._2 === 12L)
+    // CMS guarantee on every surfaced row
+    assert(hh.forall { case (_, est, exact) => est >= exact })
+    // collision-driven false positives carry exact counts < threshold —
+    // the exact column is what makes the triage a verdict, not a guess
+    assert(hh.forall { case (_, _, exact) => exact >= 1L })
+  }
+
+  test("lmScoreBackoff: seen-bigram, backoff, and OOV paths on " +
+    "hand-computed counts; zero-pair docs keep a null score") {
+    // train (lang=en): c1 = {a:2, b:2, c:1}, T=5; c2 = {(a,b):2, (b,a):1,
+    // (b,c):1}
+    val d = Seq(
+      (1L, "a b a b c", "en"),
+      (2L, "a b c", "xx"),   // (a,b) seen: 1e6·2/2; (b,c) seen: 1e6·1/2
+      (3L, "c a z", "xx"),   // (c,a) backoff: 1e6·2·2/(5·5); (a,z) OOV
+      (4L, "q", "xx"),       // single token: no pairs
+      (5L, null, "xx")       // null text: no pairs
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.lmScoreBackoff(d, "text", "doc_id",
+      trainPred = col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5)
+    val d2 = out(2L)
+    assert(d2.getLong(1) === 2L && d2.getLong(2) === 0L &&
+      d2.getLong(3) === 0L && d2.getLong(4) === 1500000L)
+    assert(d2.getDouble(5) === 750000.0)
+    val d3 = out(3L)
+    // (c,a): unseen bigram, a in vocab → ⌊1e6·2·2/25⌋ = 160000, backoff;
+    // (a,z): z OOV → 0
+    assert(d3.getLong(1) === 2L && d3.getLong(2) === 1L &&
+      d3.getLong(3) === 1L && d3.getLong(4) === 160000L)
+    assert(d3.getDouble(5) === 80000.0)
+    // the train doc scores itself: (a,b) 1e6, (b,a) 5e5, (a,b) 1e6,
+    // (b,c) 5e5 → mass 3e6 over 4 pairs
+    val d1 = out(1L)
+    assert(d1.getLong(1) === 4L && d1.getLong(4) === 3000000L &&
+      d1.getDouble(5) === 750000.0)
+    // zero-pair docs: zeros + null score
+    Seq(4L, 5L).foreach { id =>
+      val r = out(id)
+      assert(r.getLong(1) === 0L && r.getLong(4) === 0L && r.isNullAt(5))
+    }
+  }
+
   test("bernoulliByScore: p=1 always keeps, p=0 never, null score gives " +
     "null verdict, decision deterministic and salt-sensitive") {
     val d = Seq((1L, 1.0), (2L, 0.0), (3L, 2.5), (4L, -1.0))
