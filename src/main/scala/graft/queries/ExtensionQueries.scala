@@ -2690,12 +2690,14 @@ object ExtensionQueries {
        |       FROM t, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i))""".stripMargin
   }
 
-  /** CMS sketch CTEs over `gs` (must follow [[cmsGramCtes]]): the
-    * row-salted 60-bit md5 slice mod width, counts per (row, bucket).
+  /** CMS sketch CTEs over `gs` (must follow [[cmsGramCtes]]): hash row
+    * `r` is the r-th 32-bit slice of md5('0|' ‖ gram) — the Md5Slices
+    * family, one digest for four rows — mod width, counts per
+    * (row, bucket). Depth ≤ 4 only (one digest group).
     */
   private def cmsSketchCtes(depth: Int, width: Int): String =
-    s"""h AS (SELECT r, CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR),
-       |        ':', gram)), 1, 15)) AS BIGINT) % $width AS bucket
+    s"""h AS (SELECT r, CAST(concat('0x', substr(md5('0|' || gram),
+       |        CAST(1 + 8 * r AS INT), 8)) AS BIGINT) % $width AS bucket
        |      FROM gs, unnest(generate_series(0, ${depth - 1})) AS s(r)),
        |sk AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY 1, 2)""".stripMargin
 
@@ -2712,8 +2714,8 @@ object ExtensionQueries {
        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk WHERE r = 0),
        |cds AS (SELECT DISTINCT gram FROM gs),
        |pe AS (SELECT c.gram, s.r,
-       |         CAST(concat('0x', substr(md5(concat(CAST(s.r AS VARCHAR),
-       |           ':', c.gram)), 1, 15)) AS BIGINT) % 131072 AS bucket
+       |         CAST(concat('0x', substr(md5('0|' || c.gram),
+       |           CAST(1 + 8 * s.r AS INT), 8)) AS BIGINT) % 131072 AS bucket
        |       FROM cds c, unnest(generate_series(0, 3)) AS s(r)),
        |est AS (SELECT p.gram, min(coalesce(sk.cnt, 0)) AS est_n
        |        FROM pe p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
