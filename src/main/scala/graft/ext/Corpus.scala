@@ -348,26 +348,61 @@ object Corpus {
     */
   def lmScoreBackoff(docs: DataFrame, textCol: String, idCol: String,
       trainPred: Column, scale: Long = 1000000L,
+      alphaNum: Long = 2, alphaDen: Long = 5): DataFrame =
+    lmScoreBackoffFromCounts(
+      lmCountTable(Par.spread(docs).filter(trainPred), textCol),
+      docs, textCol, idCol, scale, alphaNum, alphaDen)
+
+  /** Adjacent token pairs of `d`, carrying `cols` through — the bigram
+    * stream both LM passes run on. */
+  private def lmPairs(d: DataFrame, textCol: String,
+      cols: Column*): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    d.filter(col(textCol).isNotNull)
+      .select(cols :+ explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("_p"): _*)
+      .select(cols :+ col("_p.u").as("_u") :+ col("_p.v").as("_v"): _*)
+  }
+
+  /** Long-form unigram+bigram count table of a training slice: unigram
+    * rows (`_u`, `_v` = NULL, `_c`) and bigram rows (`_u`, `_v`, `_c`).
+    * ADDITIVE by (_u, _v) — tables from disjoint batches merge by
+    * summing `_c` per key ([[strataTermCounts]]'s algebra), so the LM's
+    * entire training state is maintainable at ingest: count each batch
+    * once, merge the vocab-bounded tables, and score against the running
+    * table with zero train-text re-reads ([[lmScoreBackoffFromCounts]]).
+    * The registered incremental query proves the law by scoring
+    * merged split-slice tables against the whole-slice oracle.
+    */
+  def lmCountTable(train: DataFrame, textCol: String): DataFrame = {
+    val c1 = train.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_u"))
+      .groupBy(col("_u")).agg(count(lit(1)).as("_c"))
+      .select(col("_u"), lit(null).cast("string").as("_v"), col("_c"))
+    val c2 = lmPairs(train, textCol)
+      .groupBy(col("_u"), col("_v")).agg(count(lit(1)).as("_c"))
+      .select(col("_u"), col("_v"), col("_c"))
+    c1.unionByName(c2)
+  }
+
+  /** [[lmScoreBackoff]]'s scoring pass against an existing
+    * [[lmCountTable]] (merged from per-batch tables in the maintained
+    * deployment): same exact arithmetic, same output contract, but the
+    * training text is never touched — T, the unigram and the bigram
+    * dimensions all come off the table.
+    */
+  def lmScoreBackoffFromCounts(counts: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, scale: Long = 1000000L,
       alphaNum: Long = 2, alphaDen: Long = 5): DataFrame = {
     require(scale > 0 && alphaNum > 0 && alphaDen > 0,
       "need scale, alphaNum, alphaDen > 0")
-    val spread = Par.spread(docs)
-    def pairs(d: DataFrame, cols: Column*): DataFrame = {
-      val t = TextAnalysis.tokens(col(textCol))
-      d.filter(col(textCol).isNotNull)
-        .select(cols :+ explode(zip_with(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("u"), b.as("v")))).as("_p"): _*)
-        .select(cols :+ col("_p.u").as("_u") :+ col("_p.v").as("_v"): _*)
-    }
-    val train = spread.filter(trainPred)
-    val c1 = train.filter(col(textCol).isNotNull)
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
-    val c2 = pairs(train)
-      .groupBy(col("_u"), col("_v")).agg(count(lit(1)).as("_c2"))
+    val c1 = counts.filter(col("_v").isNull)
+      .select(col("_u").as("_w"), col("_c").as("_c1"))
+    val c2 = counts.filter(col("_v").isNotNull)
+      .select(col("_u"), col("_v"), col("_c").as("_c2"))
     val totalRow = c1.agg(sum(col("_c1")).as("_T"))
-    val scored = pairs(spread, col(idCol))
+    val scored = lmPairs(Par.spread(docs), textCol, col(idCol))
       .join(c2, Seq("_u", "_v"), "left")
       .join(c1.select(col("_w").as("_u"), col("_c1").as("_c1u")),
         Seq("_u"), "left")

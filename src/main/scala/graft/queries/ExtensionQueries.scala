@@ -1283,6 +1283,23 @@ object ExtensionQueries {
         trainPred = col("lang") === "en").orderBy("doc_id")
     }),
 
+    // x137's production contract: training counts read from MERGED
+    // per-slice tables (the additive law — table(a) ⊕ table(b) =
+    // table(a ∪ b), x112/x136's algebra) instead of re-counting train
+    // text per run; result identical to x137, proved against the same
+    // whole-slice oracle
+    "x138_lm_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val en = d.filter(col("lang") === "en")
+      val merged = Corpus
+        .lmCountTable(en.filter(col("doc_id") % 7 === 0), "text")
+        .unionByName(
+          Corpus.lmCountTable(en.filter(col("doc_id") % 7 =!= 0), "text"))
+        .groupBy(col("_u"), col("_v")).agg(sum(col("_c")).as("_c"))
+      Corpus.lmScoreBackoffFromCounts(merged, d, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // epoch/repetition planning under a token budget (Muennighoff et al.
     // 2023's data-constrained question): per planned language, the
     // mixture's exact-integer token ask vs what the corpus holds, the
@@ -2775,6 +2792,7 @@ object ExtensionQueries {
     "x135_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "x136_cms_incr" -> cmsSketchSql,
     "x137_lm_backoff_score" -> lmBackoffSql,
+    "x138_lm_incr" -> lmBackoffSql,
     "x1_dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

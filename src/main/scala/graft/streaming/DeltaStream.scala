@@ -549,6 +549,79 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming φ-heavy-hitter monitor — x134/x135 mounted at ingest. The
+    * Count-Min sketch lives as a MAINTAINED `_src`-tagged table (seeded
+    * once from `corpusDocs`, one per-batch sketch appended per arriving
+    * micro-batch — [[graft.ext.Corpus.cmsMerge]]'s additive law makes the
+    * aggregate-on-read view exactly `sketch(everything seen)`), and each
+    * batch's DISTINCT grams are probed against the running sketch: a gram
+    * only becomes φ-heavy ON an arrival that contains it, so probing
+    * arrivals catches every crossing with per-batch work ∝ batch, fixed
+    * depth×width sketch state, and zero text re-reads — the gram universe
+    * is never materialized anywhere.
+    *
+    * Per batch, `outDir/batch-N` gets this batch's grams whose estimate
+    * against (running sketch ⊎ this batch) clears `phiNum/phiDen` of the
+    * total gram mass, estimate-only — the exact-verify escalation
+    * ([[graft.ext.Corpus.cmsHeavyHitters]]) stays a batch job over the
+    * flagged grams. Replay-idempotent by the maintained-table contract:
+    * reads exclude the current batch tag, the per-batch output
+    * overwrites, and the append is guarded by a bounded existence probe.
+    */
+  def startCmsHeavyHitterMonitor(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, sketchDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, depth: Int = 4,
+      width: Int = 8192, phiNum: Long = 1,
+      phiDen: Long = 4096): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(sketchDir).exists())
+      graft.ext.Corpus.cmsSketch(corpusDocs, textCol, n, depth, width)
+        .withColumn("_src", lit("corpus"))
+        .write.mode("overwrite").parquet(sketchDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          val src = s"batch-$batchId"
+          val bs = graft.ext.Corpus.cmsSketch(b, textCol, n, depth, width)
+            .persist()
+          try {
+            val running = graft.ext.Corpus.cmsMerge(
+              s.read.parquet(sketchDir).filter(col("_src") =!= src)
+                .select("row_idx", "bucket", "cnt").unionByName(bs))
+              .persist()
+            val total = running.filter(col("row_idx") === 0)
+              .agg(sum(col("cnt")).as("_n"))
+            val grams = b.filter(col(textCol).isNotNull)
+              .select(explode(graft.ext.Dedup.wordNgrams(
+                graft.ext.TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+              .distinct()
+            try {
+              graft.ext.Corpus.cmsEstimate(running, grams, "gram",
+                  depth, width)
+                .crossJoin(broadcast(total))
+                .filter(col("est_n") * phiDen >= col("_n") * phiNum)
+                .select(col("gram"), col("est_n"))
+                .write.mode("overwrite").parquet(s"$outDir/$src")
+            } finally running.unpersist()
+            // bounded existence probe (limit-1, not a data collect): skip
+            // the append when this batch's tag already landed
+            val already = !s.read.parquet(sketchDir)
+              .filter(col("_src") === src).isEmpty
+            if (!already)
+              bs.withColumn("_src", lit(src))
+                .write.mode("append").parquet(sketchDir)
+          } finally { bs.unpersist(); b.unpersist() }
+        }
+      }
+      .start()
+  }
+
   /** Streaming curation gate — x49 + x50 mounted at ingest: each arriving
     * document micro-batch is Gopher-quality-scored
     * ([[graft.ext.Corpus.gopherQualityFilter]]) and decontaminated against

@@ -82,10 +82,11 @@ class PlanAuditSpec extends SparkSpec {
     // x132: the same single-row centroid attach on both the corpus and
     // eval sides; the contamination pairing is the cell equi-join
     "x132_semantic_decontam",
-    // x135/x137: the x55/x58 ONE-ROW scalar attach again — the total gram
-    // mass N under every CMS candidate row; the train token mass T under
-    // every scored pair (both build sides are a single aggregate row)
-    "x135_cms_heavy_hitters", "x137_lm_backoff_score")
+    // x135/x137/x138: the x55/x58 ONE-ROW scalar attach again — the total
+    // gram mass N under every CMS candidate row; the train token mass T
+    // under every scored pair (both build sides are a single aggregate
+    // row; x138 reads T off the merged maintained table)
+    "x135_cms_heavy_hitters", "x137_lm_backoff_score", "x138_lm_incr")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -176,6 +176,28 @@ class CorpusSpec extends SparkSpec {
     assert(hh.forall { case (_, _, exact) => exact >= 1L })
   }
 
+  test("lmCountTable merges additively: table(a) ⊕ table(b) = " +
+    "table(a ∪ b); scoring from the merged table equals direct training") {
+    val a = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b"), (4L, "c c b")).toDF("doc_id", "text")
+    val merged = Corpus.lmCountTable(a, "text")
+      .unionByName(Corpus.lmCountTable(b, "text"))
+      .groupBy(col("_u"), col("_v")).agg(sum(col("_c")).as("_c"))
+    val whole = Corpus.lmCountTable(a.unionByName(b), "text")
+    assert(merged.collect().map(_.toSeq).toSet ===
+      whole.collect().map(_.toSeq).toSet)
+    val score = Seq((10L, "a b z"), (11L, "c a")).toDF("doc_id", "text")
+    val viaCounts = Corpus.lmScoreBackoffFromCounts(merged, score,
+      "text", "doc_id").collect().map(_.toSeq).toSet
+    val direct = Corpus.lmScoreBackoff(
+      a.unionByName(b).unionByName(score).withColumn("_train",
+        col("doc_id") < 10L),
+      "text", "doc_id", trainPred = col("_train"))
+      .filter(col("doc_id") >= 10L)
+      .collect().map(_.toSeq).toSet
+    assert(viaCounts === direct)
+  }
+
   test("lmScoreBackoff: seen-bigram, backoff, and OOV paths on " +
     "hand-computed counts; zero-pair docs keep a null score") {
     // train (lang=en): c1 = {a:2, b:2, c:1}, T=5; c2 = {(a,b):2, (b,a):1,

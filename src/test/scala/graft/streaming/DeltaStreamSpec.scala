@@ -654,6 +654,48 @@ class DeltaStreamSpec extends SparkSpec {
     assert(replayed === b2)
   }
 
+  test("startCmsHeavyHitterMonitor: maintained sketch adds per batch; a " +
+    "gram is flagged on the arrival that makes it φ-heavy") {
+    import spark.implicits._
+    val root = tmpDir("cms-monitor")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq((10L, "t t t")).toDF("doc_id", "text") // 2× gram "t t"
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startCmsHeavyHitterMonitor(spark, docsDir,
+        corpus, s"$root/sketch", s"$root/out", s"$root/ckpt",
+        n = 2, depth = 4, width = 64, phiNum = 1, phiDen = 2)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: "a b" holds 1 of 3 total grams < φ=1/2 → nothing flagged
+    jsonl(s"$docsDir/b1.json", 20L -> "a b")
+    run()
+    assert(spark.read.parquet(s"$root/out/batch-0").isEmpty)
+    // batch 2: three more "t t" grams → "t t" now 5 of 6 ≥ 1/2, and it is
+    // IN this batch → flagged with its running-sketch estimate
+    jsonl(s"$docsDir/b2.json", 30L -> "t t t t")
+    run()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(b2 === Array(("t t", 5L)))
+    // aggregate-on-read view of the maintained table = one sketch over
+    // all text ever seen (the cmsMerge law on the stream)
+    val view = spark.read.parquet(s"$root/sketch")
+      .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(_.toSeq).toSet
+    val full = graft.ext.Corpus.cmsSketch(
+        corpus.unionByName(Seq((20L, "a b"), (30L, "t t t t"))
+          .toDF("doc_id", "text")),
+        "text", n = 2, depth = 4, width = 64)
+      .collect().map(_.toSeq).toSet
+    assert(view === full)
+  }
+
   test("startTokenRarityMaintained: additive count table grows with the " +
     "stream; later batches score against corpus + earlier batches") {
     import spark.implicits._
