@@ -315,6 +315,48 @@ object Corpus {
     candidates.join(exact, Seq("gram")).select("gram", "est_n", "exact_n")
   }
 
+  /** Per-document corpus-common-gram statistics off a [[cmsSketch]] —
+    * the sketch's map-side production use: `est(g) ≥ minCount ⟺ every
+    * one of g's depth buckets holds ≥ minCount`, so the membership test
+    * is `depth` broadcast joins against the HOT SLICE of each hash row
+    * (buckets with cnt ≥ minCount — ≤ width rows each, usually far
+    * fewer), never a gram-keyed shuffle. Output per document: `n_grams`
+    * and `n_common` (grams the corpus holds ≥ minCount times, by the
+    * never-under-counting CMS estimate — template/boilerplate mass).
+    *
+    * Scale shape: the ONLY exchange is the final doc-keyed aggregate of
+    * map-side-combined rows; everything upstream is scan → explode →
+    * hash → broadcast membership. At 100 TB this is the difference
+    * between "join every document gram against a trillion-row count
+    * table" and "carry a ≤ depth×width-row sketch to the data".
+    */
+  def cmsCommonGramStats(docs: DataFrame, textCol: String, idCol: String,
+      sketch: DataFrame, n: Int = 3, depth: Int = 4, width: Int = 8192,
+      minCount: Long = 4): DataFrame = {
+    require(n > 0 && depth > 0 && width > 0 && minCount > 0,
+      "need n, depth, width, minCount > 0")
+    val hashed = Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(
+        Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n)).as("_g"))
+      .select(col(idCol), shim.column(graft.functions.Md5Slices(
+        shim.expression(col("_g")), (depth + 3) / 4)).as("_sl"))
+      .select(col(idCol) +: (0 until depth).map(r =>
+        pmod(element_at(col("_sl"), r + 1), lit(width.toLong)).cast("int")
+          .as(s"_b$r")): _*)
+    val joined = (0 until depth).foldLeft(hashed) { (acc, r) =>
+      acc.join(
+        broadcast(sketch
+          .filter(col("row_idx") === r && col("cnt") >= minCount)
+          .select(col("bucket").as(s"_hb$r"), lit(1).as(s"_hit$r"))),
+        col(s"_b$r") === col(s"_hb$r"), "left")
+    }
+    val common = (0 until depth).map(r => col(s"_hit$r").isNotNull)
+      .reduce(_ && _)
+    joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(common, 1L).otherwise(0L)).as("n_common"))
+  }
+
   /** Bigram language-model scoring with stupid backoff (Brants et al.
     * 2007, "Large Language Models in Machine Translation" §4) — the real
     * CCNet-style LM quality filter: train unigram/bigram counts on the

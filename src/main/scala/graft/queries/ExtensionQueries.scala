@@ -1300,6 +1300,32 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // FLAGSHIP LM-gated, template-aware curation: x137's backoff-LM
+    // fluency gate (exact-long compare — mean quantized pair prob ≥
+    // 1/30) composed with the CMS membership pass (grams the corpus
+    // holds ≥ 4 times, tested via 4 broadcast hot-slice joins — map-only
+    // until the doc-keyed agg); template_heavy when ≥ 1/5 of a doc's
+    // grams are corpus-common; kept = fluent AND not template-dominated
+    "x139_lm_curation_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val lm = Corpus.lmScoreBackoff(d, "text", "doc_id",
+        trainPred = col("lang") === "en")
+      val sketch = Corpus.cmsSketch(d, "text", n = 3, depth = 4,
+        width = 131072)
+      val tpl = Corpus.cmsCommonGramStats(d, "text", "doc_id", sketch,
+        n = 3, depth = 4, width = 131072, minCount = 4)
+      lm.join(tpl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pairs"), col("lm_mass"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("lm_ok", col("n_pairs") > 0L &&
+          col("lm_mass") * 30L >= col("n_pairs") * 1000000L)
+        .withColumn("template_heavy",
+          col("n_common") * 5L >= col("n_grams") && col("n_grams") > 0L)
+        .withColumn("kept", col("lm_ok") && !col("template_heavy"))
+        .orderBy("doc_id")
+    }),
+
     // epoch/repetition planning under a token budget (Muennighoff et al.
     // 2023's data-constrained question): per planned language, the
     // mixture's exact-integer token ask vs what the corpus holds, the
@@ -2744,9 +2770,13 @@ object ExtensionQueries {
        |SELECT c.gram, CAST(c.est_n AS BIGINT) AS est_n, e.exact_n
        |FROM cand c JOIN ex e ON c.gram = e.gram ORDER BY c.gram""".stripMargin
 
-  private def lmBackoffSql: String = {
+  /** The x137 CTE chain through `sc(doc_id, n_pairs, n_backoff, n_oov,
+    * lm_mass)` — shared by the standalone scoring query, its incremental
+    * twin, and the x139 curation composition.
+    */
+  private def lmBackoffCtes: String = {
     val norm = normSql("text")
-    s"""WITH tr AS (SELECT string_split($norm, ' ') AS l
+    s"""tr AS (SELECT string_split($norm, ' ') AS l
        |            FROM documents WHERE text IS NOT NULL AND lang = 'en'),
        |c1 AS (SELECT w, count(*) AS c
        |       FROM (SELECT unnest(l) AS w FROM tr) GROUP BY 1),
@@ -2776,7 +2806,11 @@ object ExtensionQueries {
        |         CAST(sum(bk) AS BIGINT) AS n_backoff,
        |         CAST(sum(ov) AS BIGINT) AS n_oov,
        |         CAST(sum(q) AS BIGINT) AS lm_mass
-       |       FROM q GROUP BY 1)
+       |       FROM q GROUP BY 1)""".stripMargin
+  }
+
+  private def lmBackoffSql: String =
+    s"""WITH $lmBackoffCtes
        |SELECT a.doc_id, CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
        |  CAST(coalesce(sc.n_backoff, 0) AS BIGINT) AS n_backoff,
        |  CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
@@ -2784,6 +2818,58 @@ object ExtensionQueries {
        |  CASE WHEN sc.n_pairs > 0
        |       THEN CAST(sc.lm_mass AS DOUBLE) / sc.n_pairs END AS lm_score
        |FROM documents a LEFT JOIN sc ON a.doc_id = sc.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
+  /** One CMS hot-slice membership probe for x139's template leg:
+    * row `r`'s bucket of the gram, matched against `hot`. */
+  private def hotProbe(alias: String, r: Int): String =
+    s"LEFT JOIN hot $alias ON $alias.r = $r AND $alias.bucket = " +
+      s"CAST(concat('0x', substr(md5('0|' || p.gram), ${1 + 8 * r}, 8)) " +
+      s"AS BIGINT) % 131072"
+
+  private def lmCurationSql: String = {
+    val norm = normSql("text")
+    s"""WITH $lmBackoffCtes,
+       |pt AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |       FROM documents WHERE text IS NOT NULL),
+       |pg AS (SELECT doc_id, concat_ws(' ', l[CAST(i AS INT)],
+       |         l[CAST(i AS INT) + 1], l[CAST(i AS INT) + 2]) AS gram
+       |       FROM pt, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+       |hh AS (SELECT r, CAST(concat('0x', substr(md5('0|' || gram),
+       |         CAST(1 + 8 * r AS INT), 8)) AS BIGINT) % 131072 AS bucket
+       |       FROM pg, unnest(generate_series(0, 3)) AS s(r)),
+       |hot AS (SELECT r, bucket FROM (SELECT r, bucket, count(*) AS cnt
+       |                               FROM hh GROUP BY 1, 2)
+       |        WHERE cnt >= 4),
+       |fl AS (SELECT p.doc_id,
+       |         CASE WHEN j0.bucket IS NOT NULL AND j1.bucket IS NOT NULL
+       |               AND j2.bucket IS NOT NULL AND j3.bucket IS NOT NULL
+       |              THEN 1 ELSE 0 END AS common
+       |       FROM pg p
+       |       ${hotProbe("j0", 0)}
+       |       ${hotProbe("j1", 1)}
+       |       ${hotProbe("j2", 2)}
+       |       ${hotProbe("j3", 3)}),
+       |ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(common) AS BIGINT) AS n_common
+       |       FROM fl GROUP BY 1)
+       |SELECT a.doc_id,
+       |  CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(sc.lm_mass, 0) AS BIGINT) AS lm_mass,
+       |  CAST(coalesce(ts.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(ts.n_common, 0) AS BIGINT) AS n_common,
+       |  (coalesce(sc.n_pairs, 0) > 0 AND
+       |   coalesce(sc.lm_mass, 0) * 30 >= coalesce(sc.n_pairs, 0) * 1000000)
+       |    AS lm_ok,
+       |  (coalesce(ts.n_common, 0) * 5 >= coalesce(ts.n_grams, 0) AND
+       |   coalesce(ts.n_grams, 0) > 0) AS template_heavy,
+       |  (coalesce(sc.n_pairs, 0) > 0 AND
+       |   coalesce(sc.lm_mass, 0) * 30 >= coalesce(sc.n_pairs, 0) * 1000000
+       |   AND NOT (coalesce(ts.n_common, 0) * 5 >= coalesce(ts.n_grams, 0)
+       |            AND coalesce(ts.n_grams, 0) > 0)) AS kept
+       |FROM documents a
+       |LEFT JOIN sc ON a.doc_id = sc.doc_id
+       |LEFT JOIN ts ON a.doc_id = ts.doc_id
        |ORDER BY a.doc_id""".stripMargin
   }
 
@@ -2793,6 +2879,7 @@ object ExtensionQueries {
     "x136_cms_incr" -> cmsSketchSql,
     "x137_lm_backoff_score" -> lmBackoffSql,
     "x138_lm_incr" -> lmBackoffSql,
+    "x139_lm_curation_e2e" -> lmCurationSql,
     "x1_dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

@@ -176,6 +176,28 @@ class CorpusSpec extends SparkSpec {
     assert(hh.forall { case (_, _, exact) => exact >= 1L })
   }
 
+  test("cmsCommonGramStats: per-doc common-gram counts match the exact " +
+    "computation when collision-free; membership = all-rows test") {
+    // "t t t" appears in 5 docs (cnt 5 ≥ minCount 4); every other gram
+    // is unique
+    val d = (1L to 5L).map(i => (i, "t t t")).toSeq
+      .++(Seq((6L, "t t t a b c"), (7L, "x y z")))
+      .toDF("doc_id", "text")
+    val sketch = Corpus.cmsSketch(d, "text", n = 3, depth = 4,
+      width = 1 << 20)
+    val out = Corpus.cmsCommonGramStats(d, "text", "doc_id", sketch,
+      n = 3, depth = 4, width = 1 << 20, minCount = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // docs 1-5: their single gram "t t t" is corpus-common (cnt 6 ≥ 4)
+    (1L to 5L).foreach(i => assert(out(i) === ((1L, 1L))))
+    // doc 6: grams "t t t","t t a","t a b","a b c" — only the first is
+    // common
+    assert(out(6L) === ((4L, 1L)))
+    // doc 7: one unique gram, nothing common
+    assert(out(7L) === ((1L, 0L)))
+  }
+
   test("lmCountTable merges additively: table(a) ⊕ table(b) = " +
     "table(a ∪ b); scoring from the merged table equals direct training") {
     val a = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
