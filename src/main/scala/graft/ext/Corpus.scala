@@ -304,11 +304,15 @@ object Corpus {
     val sketch = cmsSketch(docs, textCol, n, depth, width).persist()
     val total = sketch.filter(col("row_idx") === 0)
       .agg(sum(col("cnt")).as("_N"))
+    // the candidate list is consumed three times (the exact pass's
+    // semi-join, the final join, and its own filter chain) and is tiny
+    // by construction (≤ 1/φ truly-heavy grams + collision noise);
+    // persisting it saves two full gram-stream replays
     val candidates =
       cmsEstimate(sketch, grams.distinct(), "gram", depth, width)
         .crossJoin(broadcast(total))
         .filter(col("est_n") * phiDen >= col("_N") * phiNum)
-        .select(col("gram"), col("est_n"))
+        .select(col("gram"), col("est_n")).persist()
     val exact = grams.join(candidates.select("gram").hint("broadcast"),
         Seq("gram"), "left_semi")
       .groupBy(col("gram")).agg(count(lit(1)).as("exact_n"))
