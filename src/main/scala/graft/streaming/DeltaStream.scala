@@ -549,6 +549,59 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming LM scoring — x137/x138 mounted at ingest. The bigram
+    * stupid-backoff model's training state is the MAINTAINED `_src`-tagged
+    * [[graft.ext.Corpus.lmCountTable]] (seeded once from `refDocs`, the
+    * curated reference slice): each arriving micro-batch is scored
+    * against the aggregate-on-read table (additive by (u, v) — the x138
+    * law), then its OWN counts are appended, so the model grows with
+    * every curated arrival and later batches are scored by a strictly
+    * better-trained LM. Per-batch work ∝ batch: the table rows are
+    * vocab-bounded dimensions, training text is never re-read.
+    *
+    * Replay-idempotent by the maintained-table contract: scoring reads
+    * exclude the current batch tag, `outDir/batch-N` overwrites, and the
+    * append is guarded by a bounded existence probe.
+    */
+  def startLmScoringMaintained(spark: SparkSession, docsDir: String,
+      refDocs: DataFrame, countsDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    if (!new java.io.File(countsDir).exists())
+      graft.ext.Corpus.lmCountTable(refDocs, textCol)
+        .withColumn("_src", lit("corpus"))
+        .write.mode("overwrite").parquet(countsDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val src = s"batch-$batchId"
+            val counts = s.read.parquet(countsDir)
+              .filter(col("_src") =!= src)
+              .groupBy(col("_u"), col("_v")).agg(sum(col("_c")).as("_c"))
+            graft.ext.Corpus.lmScoreBackoffFromCounts(counts, b,
+                textCol, idCol)
+              .write.mode("overwrite").parquet(s"$outDir/$src")
+            // bounded existence probe (limit-1, not a data collect): skip
+            // the append when this batch's tag already landed
+            val already = !s.read.parquet(countsDir)
+              .filter(col("_src") === src).isEmpty
+            if (!already)
+              graft.ext.Corpus.lmCountTable(b, textCol)
+                .withColumn("_src", lit(src))
+                .write.mode("append").parquet(countsDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Streaming φ-heavy-hitter monitor — x134/x135 mounted at ingest. The
     * Count-Min sketch lives as a MAINTAINED `_src`-tagged table (seeded
     * once from `corpusDocs`, one per-batch sketch appended per arriving

@@ -654,6 +654,52 @@ class DeltaStreamSpec extends SparkSpec {
     assert(replayed === b2)
   }
 
+  test("startLmScoringMaintained: batches score against corpus + earlier " +
+    "batches' counts; the maintained table equals one table over all text") {
+    import spark.implicits._
+    val root = tmpDir("lm-maintained")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    // reference counts: c1 = {a:2, b:2, c:1}, T=5; c2 = {(a,b):2, (b,a):1,
+    // (b,c):1} — the hand-computed x137 fixture
+    val ref = Seq((10L, "a b a b c")).toDF("doc_id", "text")
+    def jsonl(path: String, docs: (Long, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startLmScoringMaintained(spark, docsDir,
+        ref, s"$root/counts", s"$root/out", s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1 scores against the seed: (a,b) 1e6·2/2, (b,c) 1e6·1/2
+    jsonl(s"$docsDir/b1.json", 20L -> "a b c")
+    run()
+    val b1 = spark.read.parquet(s"$root/out/batch-0")
+      .select("doc_id", "n_pairs", "n_backoff", "n_oov", "lm_mass")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(b1 === Array((20L, 2L, 0L, 0L, 1500000L)))
+    // batch 2 scores against seed + batch 1: c1 = {a:3, b:3, c:2}, T=8;
+    // (c,a) unseen bigram → ⌊1e6·2·3/(5·8)⌋ = 150000 backoff; (a,z) OOV
+    jsonl(s"$docsDir/b2.json", 30L -> "c a z")
+    run()
+    val b2 = spark.read.parquet(s"$root/out/batch-1")
+      .select("doc_id", "n_pairs", "n_backoff", "n_oov", "lm_mass")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(b2 === Array((30L, 2L, 1L, 1L, 150000L)))
+    // aggregate-on-read view of the maintained table = one count table
+    // over all text ever seen (the x138 additivity law on the stream)
+    val view = spark.read.parquet(s"$root/counts")
+      .groupBy("_u", "_v").agg(sum("_c").as("_c"))
+      .collect().map(_.toSeq).toSet
+    val full = graft.ext.Corpus.lmCountTable(
+        ref.unionByName(Seq((20L, "a b c"), (30L, "c a z"))
+          .toDF("doc_id", "text")), "text")
+      .collect().map(_.toSeq).toSet
+    assert(view === full)
+  }
+
   test("startCmsHeavyHitterMonitor: maintained sketch adds per batch; a " +
     "gram is flagged on the arrival that makes it φ-heavy") {
     import spark.implicits._
