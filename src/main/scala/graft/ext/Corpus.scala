@@ -361,6 +361,30 @@ object Corpus {
         sum(when(common, 1L).otherwise(0L)).as("n_common"))
   }
 
+  /** Referential-coverage audit between a document table and a sidecar
+    * table keyed by the same id (embeddings, media, labels): per stratum,
+    * how many documents exist, how many have a sidecar row, and how many
+    * sidecar rows are ORPHANED (no document — they group under a null
+    * stratum). The assembly QA gate a multi-table dataset build runs
+    * before training: a silent 3% embedding gap or a batch of orphaned
+    * vectors is exactly the kind of defect that survives every per-table
+    * check. One id-keyed full-outer join + one stratum-bounded aggregate;
+    * `coverage` spends the output's one IEEE division (null when the
+    * stratum holds no documents).
+    */
+  def coverageAudit(docs: DataFrame, idCol: String, strataCol: String,
+      side: DataFrame, sideIdCol: String): DataFrame =
+    docs.select(col(idCol), col(strataCol))
+      .join(side.select(col(sideIdCol)), col(idCol) === col(sideIdCol),
+        "full_outer")
+      .groupBy(col(strataCol))
+      .agg(count(col(idCol)).as("n_docs"),
+        count(when(col(idCol).isNotNull && col(sideIdCol).isNotNull, 1))
+          .as("n_with_side"),
+        count(when(col(idCol).isNull, 1)).as("n_orphan_side"))
+      .withColumn("coverage", when(col("n_docs") > 0,
+        col("n_with_side").cast("double") / col("n_docs")))
+
   /** Bigram language-model scoring with stupid backoff (Brants et al.
     * 2007, "Large Language Models in Machine Translation" §4) — the real
     * CCNet-style LM quality filter: train unigram/bigram counts on the
@@ -381,6 +405,10 @@ object Corpus {
     * per-pair mean mass, the filterable signal) spends the output's one
     * IEEE division. Monotone in the geometric-mean sense that matters
     * for thresholding: more in-model pairs → strictly larger mass.
+    * Overflow bound: the exactness argument needs `scale · max(c₂)` and
+    * `scale · alphaNum · max(c₁)` inside a long — with the default
+    * scale=1e6 that is reference slices up to ~4.6 trillion tokens;
+    * past that, drop `scale` a decade per decade of corpus.
     *
     * Scale shape: the count tables are vocabulary-bounded (Heaps' law —
     * ≪ corpus, usually broadcastable; beyond that they are token-keyed

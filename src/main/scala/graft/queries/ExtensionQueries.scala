@@ -1326,6 +1326,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // assembly QA: per-lang doc↔embedding coverage + orphaned vectors
+    // (the referential parity gate a multi-table dataset build runs
+    // before training) — one id-keyed full-outer join, lang-bounded agg
+    "x140_coverage_audit" -> ((s, dir) => {
+      Corpus.coverageAudit(Tables(s, dir, "documents"), "doc_id", "lang",
+          Tables(s, dir, "embeddings").filter(col("vec_id") % 11 =!= 0),
+          "vec_id")
+        .orderBy(col("lang"))
+    }),
+
     // epoch/repetition planning under a token budget (Muennighoff et al.
     // 2023's data-constrained question): per planned language, the
     // mixture's exact-integer token ask vs what the corpus holds, the
@@ -2880,6 +2890,20 @@ object ExtensionQueries {
     "x137_lm_backoff_score" -> lmBackoffSql,
     "x138_lm_incr" -> lmBackoffSql,
     "x139_lm_curation_e2e" -> lmCurationSql,
+    "x140_coverage_audit" ->
+      """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id % 11 <> 0)
+        |SELECT d.lang, CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN d.doc_id IS NOT NULL
+        |                   AND e.vec_id IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_with_side,
+        |  CAST(count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_orphan_side,
+        |  CASE WHEN count(d.doc_id) > 0
+        |       THEN CAST(count(CASE WHEN d.doc_id IS NOT NULL
+        |                         AND e.vec_id IS NOT NULL THEN 1 END)
+        |                 AS DOUBLE) / count(d.doc_id) END AS coverage
+        |FROM documents d FULL OUTER JOIN e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

@@ -198,6 +198,20 @@ class CorpusSpec extends SparkSpec {
     assert(out(7L) === ((1L, 0L)))
   }
 
+  test("coverageAudit: per-stratum doc/side parity; orphaned side rows " +
+    "group under a null stratum; empty-doc stratum keeps a null coverage") {
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    val s = Seq(1L, 3L, 9L).toDF("vec_id") // 9 matches no document
+    val out = Corpus.coverageAudit(d, "doc_id", "lang", s, "vec_id")
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(out(Some("en")) === ((2L, 1L, 0L, 0.5)))
+    assert(out(Some("fr")) === ((1L, 1L, 0L, 1.0)))
+    assert(out(None) === ((0L, 0L, 1L, -1.0)))
+  }
+
   test("lmCountTable merges additively: table(a) ⊕ table(b) = " +
     "table(a ∪ b); scoring from the merged table equals direct training") {
     val a = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
