@@ -1310,8 +1310,11 @@ object ExtensionQueries {
       val d = Tables(s, dir, "documents")
       val lm = Corpus.lmScoreBackoff(d, "text", "doc_id",
         trainPred = col("lang") === "en")
+      // persisted: cmsCommonGramStats consumes the sketch once per hash
+      // row (4 filtered broadcast builds) — unpersisted, each build
+      // replays the corpus gram scan
       val sketch = Corpus.cmsSketch(d, "text", n = 3, depth = 4,
-        width = 131072)
+        width = 131072).persist()
       val tpl = Corpus.cmsCommonGramStats(d, "text", "doc_id", sketch,
         n = 3, depth = 4, width = 131072, minCount = 4)
       lm.join(tpl, Seq("doc_id"), "left")
