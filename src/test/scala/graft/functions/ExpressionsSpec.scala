@@ -76,6 +76,37 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("CmsPairs: equals Md5Slices over the materialized gram strings, " +
+    "partial-gram tail included; depth > 4 spills to the next digest") {
+    def reference(text: String, n: Int, depth: Int, width: Int): Seq[Long] = {
+      val toks = text.split(" ", -1)
+      val m = math.max(toks.length - n + 1, 1)
+      (0 until m).flatMap { g =>
+        val gram = toks.slice(g, math.min(g + n, toks.length)).mkString(" ")
+        val sl = Md5Slices.slices(UTF8String.fromString(gram),
+          (depth + 3) / 4).toLongArray()
+        (0 until depth).map(r => (r.toLong << 32) | (sl(r) % width))
+      }
+    }
+    for {
+      text <- Seq("a b c d e", "a b", "single", "", "x y z")
+      n <- Seq(2, 3); depth <- Seq(4, 6); width <- Seq(64, 131072)
+    } {
+      val got = CmsPairs.pairs(UTF8String.fromString(text), n, depth, width)
+        .toLongArray().toSeq
+      assert(got === reference(text, n, depth, width),
+        s"text='$text' n=$n depth=$depth width=$width")
+    }
+    // codegen path via DataFrame matches eval
+    import spark.implicits._
+    val rows = Seq("the quick brown fox", "jumps").toDF("s")
+      .select(col("s"), shim.column(CmsPairs(
+        shim.expression(col("s")), 3, 4, 8192)).as("p")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === reference(r.getString(0), 3, 4, 8192))
+    }
+  }
+
   test("GraftExtensions: expressions callable from SQL text") {
     val d = spark.sql(
       "SELECT float_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
