@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.functions.{MinhashSigs, SimhashFp}
+import graft.functions.{GramHashes, MinhashSigs, SimhashFp}
 import graft.util.{Caching, Par}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -582,9 +582,7 @@ object Dedup {
         s" $nEval docs > maxEvalDocs=$maxEvalDocs. Raise the cap only with" +
         " driver memory to match, or join a materialized gram table.")
     def grams(df: DataFrame, idAs: String) = df
-      .select(col(idCol).as(idAs), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col(idAs), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col(idAs), xxhash64(col("_gs")).as("_g"))
+      .select(col(idCol).as(idAs), gramHashStream(textCol, n).as("_g"))
     grams(Par.spread(docs), "_doc").join(broadcast(grams(evalDocs, "eval_id")), Seq("_g"))
       .groupBy(col("_doc").as(idCol), col("eval_id"))
       .agg(count(lit(1)).as("shared_grams"))
@@ -632,10 +630,7 @@ object Dedup {
   def evalSetGramTable(evalDocs: DataFrame, setCol: String, textCol: String,
       idCol: String, n: Int = 8): DataFrame = evalDocs
     .select(col(setCol).as("eval_set"), col(idCol).as("_eid"),
-      TextAnalysis.tokens(col(textCol)).as("_t"))
-    .select(col("eval_set"), col("_eid"),
-      explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-    .select(col("eval_set"), col("_eid"), xxhash64(col("_gs")).as("_g"))
+      gramHashStream(textCol, n).as("_g"))
 
   /** [[ngramOverlapAgainstEvalSets]]'s result from a maintained gram TABLE
     * — the beyond-broadcast scale path its guard names. The corpus gram
@@ -652,9 +647,7 @@ object Dedup {
   private def overlapAgainstGrams(docs: DataFrame, textCol: String,
       idCol: String, n: Int, evalGrams: DataFrame): DataFrame = {
     val corpusGrams = Par.spread(docs)
-      .select(col(idCol).as("_doc"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_doc"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_doc"), xxhash64(col("_gs")).as("_g"))
+      .select(col(idCol).as("_doc"), gramHashStream(textCol, n).as("_g"))
     corpusGrams.join(evalGrams, Seq("_g"))
       .groupBy(col("_doc").as(idCol), col("eval_set"))
       .agg(count_distinct(col("_g")).as("shared_grams"),
@@ -813,6 +806,17 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Exploded DISTINCT xxhash64 gram-hash stream of a text column in one
+    * fused pass ([[graft.functions.GramHashes]]) — byte-identical to
+    * `xxhash64(explode(array_distinct(wordNgrams(tokens(text)))))` but
+    * allocates no per-gram strings (the CmsPairs substring device;
+    * measured on x134's sibling pass: 25× at the 100× corpus). Every
+    * n-gram SET operator's corpus scan rides this.
+    */
+  private def gramHashStream(textCol: String, n: Int): Column =
+    explode(shim.column(GramHashes(
+      shim.expression(TextAnalysis.normalize(col(textCol))), n)))
+
   /** Word n-gram array over an already-materialized token-array column
     * (short docs yield one partial n-gram — concat_ws skips the missing
     * tail). `toks` must be a plain attribute — see the class doc.
@@ -911,9 +915,7 @@ object Dedup {
   private def ngramPairCounts(docs: DataFrame, textCol: String,
       idCol: String, n: Int, maxDf: Int): DataFrame = {
     val ngAll = Par.spread(docs)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+      .select(col(idCol).as("_id"), gramHashStream(textCol, n).as("_g"))
     // ONE groupBy(_g) shuffle of the exploded gram stream yields both the
     // df cut (list size) and, directly, each surviving gram's sorted doc
     // list — so co-occurring pairs are generated IN PLACE per gram bucket
@@ -1033,9 +1035,7 @@ object Dedup {
   private def prefixDocArrays(docs: DataFrame, textCol: String,
       idCol: String, n: Int, maxDf: Int): DataFrame = {
     val ng = Par.spread(docs)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+      .select(col(idCol).as("_id"), gramHashStream(textCol, n).as("_g"))
     val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
     ng.join(dfs, Seq("_g"))
@@ -1121,9 +1121,7 @@ object Dedup {
       n: Int = 3, thNum: Int = 4, thDen: Int = 5,
       maxDf: Int = 1000): ContainmentIndex = {
     val ng = Par.spread(corpus)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+      .select(col(idCol).as("_id"), gramHashStream(textCol, n).as("_g"))
     val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
     val arrs = ng.join(dfs.filter(col("_df") <= maxDf), Seq("_g"))
       .groupBy(col("_id"))
@@ -1151,9 +1149,7 @@ object Dedup {
       textCol: String, idCol: String, n: Int,
       maxDf: Int = 1000): DataFrame =
     Par.spread(newDocs)
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_id"), explode(array_distinct(wordNgrams(col("_t"), n))).as("_gs"))
-      .select(col("_id"), xxhash64(col("_gs")).as("_g"))
+      .select(col(idCol).as("_id"), gramHashStream(textCol, n).as("_g"))
       .join(frozenDfs, Seq("_g"), "left")
       .filter(coalesce(col("_df"), lit(1L)) <= maxDf)
       .groupBy(col("_id"))

@@ -107,6 +107,38 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("GramHashes: equals the xxhash64-over-distinct-gram-strings " +
+    "reference, sorted; partial tail gram; codegen path") {
+    import spark.implicits._
+    def reference(text: String, n: Int): Seq[Long] = {
+      val toks = text.split(" ", -1)
+      val m = math.max(toks.length - n + 1, 1)
+      (0 until m).map(g =>
+          toks.slice(g, math.min(g + n, toks.length)).mkString(" "))
+        .distinct
+        .map(s => org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBytes("UTF-8"),
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            s.getBytes("UTF-8").length, 42L))
+        .sorted
+    }
+    for (text <- Seq("a b c d e", "a b a b a b", "ab", "", "x y x y z");
+         n <- Seq(2, 3, 8)) {
+      val got = GramHashes.hashes(UTF8String.fromString(text), n)
+        .toLongArray().toSeq
+      assert(got === reference(text, n), s"text='$text' n=$n")
+    }
+    // and against Spark's own xxhash64 Column function end-to-end
+    val viaColumns = Seq("the quick brown fox jumps").toDF("s")
+      .select(explode(array_distinct(graft.ext.Dedup.wordNgrams(
+        split(col("s"), " "), 3))).as("g"))
+      .select(xxhash64(col("g"))).as[Long].collect().sorted.toSeq
+    val viaFused = Seq("the quick brown fox jumps").toDF("s")
+      .select(explode(shim.column(GramHashes(
+        shim.expression(col("s")), 3)))).as[Long].collect().toSeq
+    assert(viaFused === viaColumns)
+  }
+
   test("GraftExtensions: expressions callable from SQL text") {
     val d = spark.sql(
       "SELECT float_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
