@@ -96,11 +96,15 @@ object Corpus {
     // 4× slower on 10× duplicated data). On a mostly-unique gram stream
     // the exchange approaches the full stream; the prune still bounds
     // everything downstream to partitions×k rows.
+    // ONE fused pass for the gram→60-bit-hash stream (GramMd5Sixty, the
+    // GramHashes device for this hash family): no per-gram strings,
+    // within-doc dedup by primitive sort — byte-identical to the old
+    // conv(substring(md5(gram),1,15),16,10) chain
     val hashed = Par.spread(docs).filter(col(textCol).isNotNull)
-      .select(col(groupCol), explode(array_distinct(
-        Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n))).as("_g"))
-      .select(col(groupCol),
-        conv(substring(md5(col("_g")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col(groupCol), explode(shim.column(
+        graft.functions.GramMd5Sixty(
+          shim.expression(TextAnalysis.normalize(col(textCol))), n)))
+        .as("h"))
       .distinct()
     val schema = hashed.schema
     val gIdx = schema.fieldIndex(groupCol)

@@ -139,6 +139,39 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaFused === viaColumns)
   }
 
+  test("GramMd5Sixty: equals conv(substring(md5(gram),1,15),16,10) over " +
+    "the distinct gram strings, sorted") {
+    import spark.implicits._
+    for (text <- Seq("a b c d e", "a b a b a b", "ab", "", "x y z");
+         n <- Seq(3, 5)) {
+      val reference = {
+        val toks = text.split(" ", -1)
+        val m = math.max(toks.length - n + 1, 1)
+        (0 until m).map(g =>
+            toks.slice(g, math.min(g + n, toks.length)).mkString(" "))
+          .distinct.map { s =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8"))
+            java.lang.Long.parseLong(
+              d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+          }.sorted
+      }
+      val got = GramMd5Sixty.hashes(UTF8String.fromString(text), n)
+        .toLongArray().toSeq
+      assert(got === reference, s"text='$text' n=$n")
+    }
+    // end-to-end against the Column chain
+    val viaColumns = Seq("the quick brown fox jumps over").toDF("s")
+      .select(explode(array_distinct(graft.ext.Dedup.wordNgrams(
+        split(col("s"), " "), 5))).as("g"))
+      .select(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().sorted.toSeq
+    val viaFused = Seq("the quick brown fox jumps over").toDF("s")
+      .select(explode(shim.column(GramMd5Sixty(
+        shim.expression(col("s")), 5)))).as[Long].collect().toSeq
+    assert(viaFused === viaColumns)
+  }
+
   test("GraftExtensions: expressions callable from SQL text") {
     val d = spark.sql(
       "SELECT float_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
