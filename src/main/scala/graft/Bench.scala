@@ -79,13 +79,16 @@ object Bench {
       // floor of 8: see GraftSession — byte-based coalescing starved a
       // compute-dense candidate shuffle down to one task at sf1
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
-      // start every exchange at 256 partitions and let AQE coalesce DOWN
-      // to the advisory size: see GraftSession — a fixed cpus-sized
-      // partition count made partitions grow with the data (measured 1.7x
-      // on the 100x probe's gram shuffle). Env-overridable for A/B
-      // attribution of the per-stage overhead on small-exchange chains.
+      // start exchanges wide and let AQE coalesce DOWN to the advisory
+      // size: see GraftSession — a fixed cpus-sized partition count made
+      // partitions grow with the data (measured 1.7x on the 100x probe's
+      // gram shuffle), while a flat 256 paid ~3.8 s per warehouse chain at
+      // sf0.1 (round-10/11 A/B). Derived from the input footprint —
+      // 32 at sf0.1, 256 at sf10 — env-overridable for A/B attribution.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "256"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS",
+          graft.util.GraftSession.initialPartitions(
+            graft.util.GraftSession.dirBytes(sfDir), cpus.toInt).toString))
       // single-JVM local run: the executor IS the driver, so heartbeat
       // eviction is pure downside — under full 32-thread load at sf1 the
       // heartbeater starved past the 120 s default, HeartbeatReceiver

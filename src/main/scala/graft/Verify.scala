@@ -60,9 +60,11 @@ object Verify {
       // floored at 8 tasks for compute-dense narrow shuffles
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
-      // see GraftSession: initial partitions high, AQE coalesces down —
-      // partition size must not grow with the data
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // see GraftSession: initial partitions input-footprint-derived, AQE
+      // coalesces down — partition size must not grow with the data
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.util.GraftSession.initialPartitions(
+          graft.util.GraftSession.dirBytes(sfDir), cpus.toInt).toString)
       // single-JVM local run (see Bench): under full thread load the
       // heartbeater can starve past the default, HeartbeatReceiver evicts
       // the local executor, and the fork dies with exit 56

@@ -11,6 +11,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** Scale-aware AQE start-partition count — one number derived from the
+    * input footprint instead of the flat 256 of round 10.
+    *
+    * Two measured anchor points (BASELINE.md round-10/11 attribution):
+    *  - at sf0.1 (~18 MB compressed input) a 256-start shape costs ~3.8 s
+    *    of per-exchange fixed overhead on the many-tiny-exchange warehouse
+    *    chains, while 32 (= cpus) is their round-8 optimum;
+    *  - at sf10 (~300 MB compressed) the gram shuffles NEED ~256 starts or
+    *    partition size grows with the data and spills (the defect the 256
+    *    setting originally fixed on x3's sf10 probe).
+    * One start partition per 2 MB of compressed input hits both anchors:
+    * parquet text decompresses ~4-6× and the gram/shingle exchanges expand
+    * a further ~5-10×, so 2 MB of input is ~64 MB — the AQE advisory size
+    * — of worst-case shuffle bytes. Floor at `cpus` (never fewer starts
+    * than cores), cap at 4096 (a real cluster's launcher raises it with
+    * the executor count, same as `spark.sql.shuffle.partitions`).
+    */
+  def initialPartitions(inputBytes: Long, cpus: Int): Int = {
+    val want = (inputBytes / (2L << 20)).max(1L).min(1L << 40)
+    var p = 1L
+    while (p < want) p <<= 1
+    p.max(cpus.toLong).min(4096L).toInt
+  }
+
+  /** Recursive on-disk footprint of a dataset directory (0 if absent) —
+    * the `inputBytes` feed for [[initialPartitions]] in local tools; a
+    * cluster launcher would pass the catalog's table statistics instead.
+    */
+  def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -32,13 +67,15 @@ object GraftSession {
       // while 31 cores idled). A floor of 8 caps that hazard at 8× while
       // keeping small exchanges far under the cores× task count.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
-      // decouple partition SIZE from data scale: every exchange starts at
-      // 256 partitions and AQE coalesces down to the 64 MB advisory size,
-      // so sf0.1 plans keep their few-task shape while a 100x corpus gets
-      // 100x the reducers instead of 100x the partition size (the fixed
-      // cpus-sized count spilled the big gram shuffles — measured on the
-      // sf10 probe, BASELINE.md round-10 100x section). On a real cluster
-      // the launcher raises this with the executor count.
+      // decouple partition SIZE from data scale: exchanges start wide and
+      // AQE coalesces down to the 64 MB advisory size, so a 100x corpus
+      // gets 100x the reducers instead of 100x the partition size (the
+      // fixed cpus-sized count spilled the big gram shuffles — measured on
+      // the sf10 probe, BASELINE.md round-10 100x section). The count is
+      // input-footprint-derived via [[initialPartitions]] — a flat 256
+      // costs ~3.8 s of per-exchange fixed overhead on the many-tiny-
+      // exchange chains at sf0.1 (round-10/11 A/B) — with 256 as the
+      // no-footprint-known fallback here.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // local-mode heartbeats (executor == driver) only exist to be missed
