@@ -67,20 +67,42 @@ object MinhashSigs {
     prefixCache.computeIfAbsent(groups, g =>
       Array.tabulate(g)(i => (i.toString + "|").getBytes(StandardCharsets.UTF_8)))
 
-  /** Running minima of the [[Md5Slices]] hash family over all shingles. */
+  /** Running minima of the [[Md5Slices]] hash family over all shingles.
+    *
+    * The text's UTF-8 bytes are materialized ONCE and each shingle is
+    * hashed as a byte SLICE between char boundaries (`md.update(bytes,
+    * start, len)`) — the same fused-substring device as [[GramHashes]] /
+    * [[CmsPairs]]. A char-shingle's UTF-8 encoding IS the byte run between
+    * its start/end char offsets, so digests are bit-identical to the
+    * earlier per-position `substringSQL(p, n).getBytes` form (which paid a
+    * UTF8String + byte-array allocation per shingle position — ≈ len(text)
+    * copies per document on the x3/x41/x97/x102 hot path). Two byte
+    * cursors slide one char per position; non-ASCII advances by the
+    * UTF-8 sequence length, ASCII by 1.
+    */
   def sigs(s: UTF8String, groups: Int, shingleLen: Int): UnsafeArrayData = {
-    val positions = math.max(s.numChars() - (shingleLen - 1), 1)
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val positions = math.max(nChars - (shingleLen - 1), 1)
     val out = Array.fill(groups * 4)(Long.MaxValue)
     val md = digests.get()
     val pfx = prefixes(groups)
+    // [startB, endB) = byte run of the current shingle's chars; a short
+    // text (nChars < shingleLen) yields its single whole-text shingle
+    var startB = 0
+    var endB = 0
+    var warm = math.min(shingleLen, nChars)
+    while (warm > 0) {
+      endB += UTF8String.numBytesForFirstByte(bytes(endB))
+      warm -= 1
+    }
     var p = 1
     while (p <= positions) {
-      val bytes = s.substringSQL(p, shingleLen).getBytes
       var g = 0
       while (g < groups) {
         md.reset()
         md.update(pfx(g))
-        md.update(bytes)
+        md.update(bytes, startB, endB - startB)
         val d = md.digest()
         var i = 0
         while (i < 4) {
@@ -90,6 +112,11 @@ object MinhashSigs {
           i += 1
         }
         g += 1
+      }
+      if (p < positions) {
+        startB += UTF8String.numBytesForFirstByte(bytes(startB))
+        if (endB < bytes.length)
+          endB += UTF8String.numBytesForFirstByte(bytes(endB))
       }
       p += 1
     }
