@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * raster gray samples), and WAV payloads
   * ([[Multimodal.deriveWavMediaTable]]) through the JDK audio codec
   * (`javax.sound.sampled.AudioSystem` → 8-bit PCM frames) in
-  * [[Multimodal.decodeOne]]. Video decode remains a documented STUB
-  * (this container has no JDK mp4 codec): a deterministic byte-derived
+  * [[Multimodal.decodeOne]]. Video CONTAINER METADATA is real too:
+  * [[Multimodal.mp4Meta]] walks genuine ISO-BMFF boxes
+  * (ftyp/moov/mvhd/trak — duration, timescale, track count) emitted by
+  * [[Multimodal.encodeMp4]]. Only video FRAME decode remains a
+  * documented stub in [[Multimodal.decodeOne]] (no JDK video codec
+  * exists — public-knowledge constraint): a deterministic byte-derived
   * fake behind the same interface. Everything Spark-side is real and
   * load-bearing either way: the schema, the repartition before the
   * CPU-heavy stage, the iterator-per-partition batch shape of [[decode]]
@@ -226,6 +230,177 @@ object Multimodal {
         (id, "audio", encodeWav(id, 8000, n), MediaMeta(0, 0, 8000, n, "wav"))
       }
     }.toDF("media_id", "kind", "payload", "meta")
+  }
+
+  // ---- ISO-BMFF (mp4) container metadata -----------------------------
+
+  /** Big-endian ISO-BMFF box: 32-bit size + fourcc + body. */
+  private def bmffBox(fourcc: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length)
+    bb.put(fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(body)
+    bb.array()
+  }
+
+  private def be32s(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  /** The deterministic container metadata of the synthetic mp4s emitted
+    * by [[deriveMp4MediaTable]] — shared by the encoder, the parse spec,
+    * and the DuckDB oracle (the video analogue of [[pngPixel]]).
+    */
+  def mp4Timescale: Int = 600
+  def mp4Duration(id: Long): Long = id % 240 + 60
+  def mp4Tracks(id: Long): Int = ((id / 3) % 3 + 1).toInt
+
+  /** Encode a REAL (tiny, valid) ISO-BMFF file — ISO/IEC 14496-12 boxes
+    * written byte-for-byte: `ftyp` (major brand isom, compatible
+    * isom/iso2), `moov` holding a version-0 `mvhd` (timescale
+    * [[mp4Timescale]], duration [[mp4Duration]]) and [[mp4Tracks]] `trak`
+    * boxes each with a `tkhd`, then `free` and `mdat` trailers so the
+    * top-level walk is non-trivial. Frame DATA is deliberately absent:
+    * no JDK video codec exists to decode it (public-knowledge
+    * constraint), and the metadata boxes are the part a curation pass
+    * reads anyway.
+    */
+  def encodeMp4(id: Long): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val ftyp = bmffBox("ftyp",
+      "isom".getBytes(ascii) ++ be32s(0x200) ++
+        "isom".getBytes(ascii) ++ "iso2".getBytes(ascii))
+    val matrix = be32s(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val nTracks = mp4Tracks(id)
+    // mvhd v0: version/flags, creation, modification, timescale, duration,
+    // rate 1.0, volume 1.0 + 10 reserved bytes, matrix, 6×4 pre_defined,
+    // next_track_ID
+    val mvhd = bmffBox("mvhd",
+      be32s(0, 0, 0, mp4Timescale, mp4Duration(id).toInt, 0x10000) ++
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ matrix ++
+        new Array[Byte](24) ++ be32s(nTracks + 1))
+    // tkhd v0 (flags: enabled|in_movie = 3): creation, modification,
+    // track_ID, reserved, duration, 8 reserved, layer/alt-group/volume/
+    // reserved shorts, matrix, width, height
+    val traks = (1 to nTracks).map { k =>
+      bmffBox("trak", bmffBox("tkhd",
+        be32s(3, 0, 0, k, 0, mp4Duration(id).toInt) ++ new Array[Byte](16) ++
+          matrix ++ be32s(0, 0)))
+    }.reduce(_ ++ _)
+    val free = bmffBox("free", new Array[Byte](4))
+    val mdat = bmffBox("mdat",
+      Array.tabulate(8)(i => (((id + i) % 251) & 0xff).toByte))
+    ftyp ++ bmffBox("moov", mvhd ++ traks) ++ free ++ mdat
+  }
+
+  /** ISO-BMFF file signature: a leading `ftyp` box. */
+  private def isBmff(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p'
+
+  /** Pure-JDK ISO-BMFF box walk (ISO/IEC 14496-12 §4.2): top-level boxes
+    * are (32-bit size, fourcc), `size == 1` → 64-bit largesize follows,
+    * `size == 0` → box extends to EOF. `ftyp` yields the major brand;
+    * `moov`'s children yield `mvhd` — version 0 reads 32-bit
+    * timescale/duration at body offsets 8/12, version 1 reads them
+    * 64-bit-aware at offsets 16/20 — and one `trak` per track. Returns
+    * `(brand, timescale, duration, n_tracks)`, or None when the walk
+    * finds no parseable ftyp+mvhd (truncated/malformed payloads are a
+    * verdict, not an exception — at 100 TB some rows are always dirty).
+    */
+  def mp4Meta(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    if (!isBmff(bytes)) return None
+    var brand: String = null
+    var ts = -1L
+    var dur = -1L
+    var tracks = 0
+    var o = 0L
+    var ok = true
+    while (ok && o + 8 <= bytes.length) {
+      var size = be32(o.toInt)
+      val typ = new String(bytes, o.toInt + 4, 4, ascii)
+      var hdr = 8L
+      if (size == 1L && o + 16 <= bytes.length) {
+        size = be64(o.toInt + 8); hdr = 16L
+      } else if (size == 0L) size = bytes.length - o
+      if (size < hdr || o + size > bytes.length) ok = false
+      else {
+        if (typ == "ftyp" && size >= hdr + 4)
+          brand = new String(bytes, (o + hdr).toInt, 4, ascii)
+        if (typ == "moov") {
+          var c = o + hdr
+          val end = o + size
+          while (c + 8 <= end) {
+            var cs = be32(c.toInt)
+            val ct = new String(bytes, c.toInt + 4, 4, ascii)
+            var ch = 8L
+            if (cs == 1L && c + 16 <= end) { cs = be64(c.toInt + 8); ch = 16L }
+            else if (cs == 0L) cs = end - c
+            if (cs < ch || c + cs > end) c = end // malformed child: stop
+            else {
+              if (ct == "mvhd" && cs >= ch + 4) {
+                val ver = bytes((c + ch).toInt) & 0xff
+                val b = (c + ch + 4).toInt // after version/flags
+                if (ver == 1 && cs >= ch + 4 + 28) {
+                  ts = be32(b + 16); dur = be64(b + 20)
+                } else if (ver == 0 && cs >= ch + 4 + 16) {
+                  ts = be32(b + 8); dur = be32(b + 12)
+                }
+              }
+              if (ct == "trak") tracks += 1
+              c += cs
+            }
+          }
+        }
+        o += size
+      }
+    }
+    if (brand != null && ts >= 0) Some((brand, ts, dur, tracks)) else None
+  }
+
+  /** REAL-container video media table: one row per video-kind document,
+    * payload a genuine ISO-BMFF byte stream ([[encodeMp4]]) whose
+    * metadata follows the deterministic [[mp4Duration]]/[[mp4Tracks]]
+    * formulas — the video sibling of [[derivePngMediaTable]] /
+    * [[deriveWavMediaTable]]. Same scale shape: map-only typed encode,
+    * spread before the CPU work, payload bytes never in a shuffle key.
+    */
+  def deriveMp4MediaTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.filter(col(idCol) % 3 === 2)
+      .select(col(idCol).cast("long").as("media_id"))
+    Par.spread(ids).as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id, "video", encodeMp4(id),
+          MediaMeta(0, 0, 0, (id % 12 + 1).toInt, "mp4"))
+      }
+    }.toDF("media_id", "kind", "payload", "meta")
+  }
+
+  /** Container-metadata parse stage over a video media table: the box
+    * walk ([[mp4Meta]]) per row, iterator-per-partition like [[decode]].
+    * Unparseable payloads are dropped (the walk is the verdict); output
+    * (`media_id`, `brand`, `timescale`, `duration`, `n_tracks`).
+    */
+  def mp4MetaTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Par.spread(media.select(col("media_id"), col("payload")))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        mp4Meta(payload).map { case (brand, ts, dur, n) =>
+          (id, brand, ts, dur, n)
+        }
+      })
+      .toDF("media_id", "brand", "timescale", "duration", "n_tracks")
   }
 
   /** Decode stage: typed, batch-shaped (iterator per partition — decoder

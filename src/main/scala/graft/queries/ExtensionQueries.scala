@@ -1260,6 +1260,26 @@ object ExtensionQueries {
         .orderBy("gram")
     }),
 
+    // x135's PRODUCTION contract registered (the streaming monitor's
+    // per-arrival shape): the maintained sketch is the only corpus-pass
+    // state and candidates are the arriving slice's distinct grams
+    // (doc_id % 10 = 7 as the arrival), so per-run work is ∝ batch grams
+    // — the corpus gram universe is never materialized (the batch form's
+    // distinct() pays 59.4 s at 100×; this form's probe stage stays
+    // near-flat, X135bProbe). φ still reads TOTAL corpus mass from the
+    // sketch itself, so verdicts match the batch form on shared grams.
+    "x135b_cms_hh_probe" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      // persisted: the sketch feeds the broadcast estimate build AND the
+      // total-mass agg — unpersisted, each consumer replays the gram scan
+      val sketch = Corpus.cmsSketch(d, "text", n = 3, depth = 4,
+        width = 131072).persist()
+      Corpus.cmsHeavyHitterProbe(sketch,
+          d.filter(col("doc_id") % 10 === 7), "text", n = 3, depth = 4,
+          width = 131072, phiNum = 1, phiDen = 16384)
+        .orderBy("gram")
+    }),
+
     // CMS merge law: per-batch sketches ADD per (row, bucket) —
     // sketch(corpus slice) ⊕ sketch(batch) == sketch(whole corpus),
     // hash-proved against the full-corpus oracle; x111's maintained-table
@@ -1650,6 +1670,19 @@ object ExtensionQueries {
           element_at(col("features"), 3).as("f2"),
           element_at(col("features"), 4).as("f3"),
           col("brightness").as("level"))
+        .orderBy("media_id")
+    }),
+
+    // REAL video container-metadata parse: genuine ISO-BMFF payloads
+    // (ftyp/moov/mvhd/trak boxes, encoded per partition) walked
+    // byte-for-byte by Multimodal.mp4Meta — duration, timescale, track
+    // count; the oracle reproduces the deterministic box contents
+    // arithmetically. Frame decode stays out of scope (no JDK video
+    // codec) — and at 100 TB this is the pass curation runs anyway:
+    // duration/track filters read container metadata, never frames
+    "x141_mp4_meta" -> ((s, dir) => {
+      Multimodal.mp4MetaTable(
+        Multimodal.deriveMp4MediaTable(Tables(s, dir, "documents"), "doc_id"))
         .orderBy("media_id")
     }))
 
@@ -2764,6 +2797,30 @@ object ExtensionQueries {
        |  CAST(cnt AS BIGINT) AS cnt
        |FROM sk ORDER BY 1, 2""".stripMargin
 
+  /** x135b: sketch over the whole corpus, candidates from the batch slice
+    * only — no exact pass (the monitor's per-arrival output contract).
+    */
+  private def cmsHhProbeSql: String =
+    s"""WITH $cmsGramCtes,
+       |${cmsSketchCtes(4, 131072)},
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk WHERE r = 0),
+       |bt AS (SELECT string_split(${normSql("text")}, ' ') AS l
+       |       FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 7),
+       |bgs AS (SELECT concat_ws(' ', l[CAST(i AS INT)], l[CAST(i AS INT) + 1],
+       |          l[CAST(i AS INT) + 2]) AS gram
+       |        FROM bt, unnest(generate_series(1, greatest(len(l) - 2, 1))) AS u(i)),
+       |cds AS (SELECT DISTINCT gram FROM bgs),
+       |pe AS (SELECT c.gram, s.r,
+       |         CAST(concat('0x', substr(md5('0|' || c.gram),
+       |           CAST(1 + 8 * s.r AS INT), 8)) AS BIGINT) % 131072 AS bucket
+       |       FROM cds c, unnest(generate_series(0, 3)) AS s(r)),
+       |est AS (SELECT p.gram, min(coalesce(sk.cnt, 0)) AS est_n
+       |        FROM pe p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+       |        GROUP BY 1)
+       |SELECT e.gram, CAST(e.est_n AS BIGINT) AS est_n
+       |FROM est e, tot WHERE e.est_n * 16384 >= tot.n
+       |ORDER BY e.gram""".stripMargin
+
   private def cmsHeavyHittersSql: String =
     s"""WITH $cmsGramCtes,
        |${cmsSketchCtes(4, 131072)},
@@ -2889,6 +2946,7 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "x134_cms_sketch" -> cmsSketchSql,
     "x135_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "x135b_cms_hh_probe" -> cmsHhProbeSql,
     "x136_cms_incr" -> cmsSketchSql,
     "x137_lm_backoff_score" -> lmBackoffSql,
     "x138_lm_incr" -> lmBackoffSql,
@@ -4020,6 +4078,14 @@ object ExtensionQueries {
     "x15_decode_resize" -> decodeResizeSql,
     "x120_png_decode" -> pngDecodeSql,
     "x124_wav_decode" -> wavDecodeSql,
+    // mirrors encodeMp4's deterministic mvhd/trak contents (the Spark
+    // side parses real ISO-BMFF bytes; the oracle recomputes them)
+    "x141_mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST(doc_id % 240 + 60 AS BIGINT) AS duration,
+        |  CAST((doc_id // 3) % 3 + 1 AS INT) AS n_tracks
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
     "x128_media_quality_e2e" -> mediaQualitySql,
     "x18_pii_scan" -> piiScanSql,
     "x40_pii_redact" ->

@@ -648,18 +648,9 @@ object DeltaStream {
               s.read.parquet(sketchDir).filter(col("_src") =!= src)
                 .select("row_idx", "bucket", "cnt").unionByName(bs))
               .persist()
-            val total = running.filter(col("row_idx") === 0)
-              .agg(sum(col("cnt")).as("_n"))
-            val grams = b.filter(col(textCol).isNotNull)
-              .select(explode(graft.ext.Dedup.wordNgrams(
-                graft.ext.TextAnalysis.tokens(col(textCol)), n)).as("gram"))
-              .distinct()
             try {
-              graft.ext.Corpus.cmsEstimate(running, grams, "gram",
-                  depth, width)
-                .crossJoin(broadcast(total))
-                .filter(col("est_n") * phiDen >= col("_n") * phiNum)
-                .select(col("gram"), col("est_n"))
+              graft.ext.Corpus.cmsHeavyHitterProbe(running, b, textCol,
+                  n, depth, width, phiNum, phiDen)
                 .write.mode("overwrite").parquet(s"$outDir/$src")
             } finally running.unpersist()
             // bounded existence probe (limit-1, not a data collect): skip

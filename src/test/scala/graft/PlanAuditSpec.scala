@@ -86,7 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     // gram mass N under every CMS candidate row; the train token mass T
     // under every scored pair (both build sides are a single aggregate
     // row; x138 reads T off the merged maintained table)
-    "x135_cms_heavy_hitters", "x137_lm_backoff_score", "x138_lm_incr",
+    "x135_cms_heavy_hitters", "x135b_cms_hh_probe",
+    "x137_lm_backoff_score", "x138_lm_incr",
     // x139 composes x137's scoring leg (the same T attach)
     "x139_lm_curation_e2e")
 

@@ -176,6 +176,32 @@ class CorpusSpec extends SparkSpec {
     assert(hh.forall { case (_, _, exact) => exact >= 1L })
   }
 
+  test("cmsHeavyHitterProbe: batch-gram probe agrees with the batch form " +
+    "on the batch's grams, and probes ONLY batch grams") {
+    val d = Seq(
+      (1L, "t t t t t t"), (2L, "t t t t t t"), (3L, "t t t t t t"),
+      (4L, "a b c d e"), (5L, "p q r s")).toDF("doc_id", "text")
+    val sketch = Corpus.cmsSketch(d, "text", n = 3, depth = 4, width = 1 << 16)
+    val batch = d.filter($"doc_id" >= 3L)
+    val probe = Corpus.cmsHeavyHitterProbe(sketch, batch, "text", n = 3,
+      depth = 4, width = 1 << 16, phiNum = 1, phiDen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the heavy gram is in the batch (doc 3 carries it) → surfaced, with
+    // the collision-free estimate = exact corpus count
+    assert(probe === Map("t t t" -> 12L))
+    // full-form agreement on shared grams: est values match cmsHeavyHitters
+    val full = Corpus.cmsHeavyHitters(d, "text", n = 3, depth = 4,
+      width = 1 << 16, phiNum = 1, phiDen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probe.foreach { case (g, est) => assert(full(g) === est) }
+    // a batch NOT containing the heavy gram yields no verdict rows: the
+    // probe's work and output are batch-proportional by construction
+    val cold = Corpus.cmsHeavyHitterProbe(sketch,
+      d.filter($"doc_id" >= 4L), "text", n = 3,
+      depth = 4, width = 1 << 16, phiNum = 1, phiDen = 5)
+    assert(cold.count() === 0L)
+  }
+
   test("cmsCommonGramStats: per-doc common-gram counts match the exact " +
     "computation when collision-free; membership = all-rows test") {
     // "t t t" appears in 5 docs (cnt 5 ≥ minCount 4); every other gram

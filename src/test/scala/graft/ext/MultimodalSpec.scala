@@ -148,4 +148,50 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(frames.map(_._3).distinct.length === frames.length) // unique fps
   }
+
+  test("mp4Meta: walks real ISO-BMFF boxes — brand, timescale, duration, " +
+    "tracks round-trip encodeMp4; v1 mvhd and malformed payloads handled") {
+    for (id <- Seq(2L, 5L, 8L, 11L, 119L)) {
+      val got = Multimodal.mp4Meta(Multimodal.encodeMp4(id))
+      assert(got === Some(("isom", 600L, Multimodal.mp4Duration(id),
+        Multimodal.mp4Tracks(id))))
+    }
+    // version-1 mvhd (64-bit creation/modification/duration): hand-built
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def box(t: String, b: Array[Byte]) =
+      be32(8 + b.length) ++ t.getBytes("US-ASCII") ++ b
+    val mvhd1 = box("mvhd", be32(0x01000000) ++ be64(0L) ++ be64(0L) ++
+      be32(90000) ++ be64(4503599627370496L) ++ be32(0x10000) ++
+      new Array[Byte](12) ++ new Array[Byte](36) ++ new Array[Byte](24) ++
+      be32(2))
+    val v1 = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", mvhd1 ++ box("trak", Array.emptyByteArray))
+    assert(Multimodal.mp4Meta(v1) ===
+      Some(("mp42", 90000L, 4503599627370496L, 1)))
+    // malformed: not BMFF, truncated box, child size overrunning moov —
+    // all verdicts (None or best-effort), never exceptions
+    assert(Multimodal.mp4Meta(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.mp4Meta("ABCDEFGHIJKL".getBytes("US-ASCII")) === None)
+    val truncated = Multimodal.encodeMp4(2L).take(40)
+    assert(Multimodal.mp4Meta(truncated).isEmpty ||
+      Multimodal.mp4Meta(truncated).nonEmpty) // total: no throw
+    val badChild = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", be32(9999) ++ "trak".getBytes("US-ASCII"))
+    assert(Multimodal.mp4Meta(badChild) === None) // no mvhd parsed
+  }
+
+  test("mp4MetaTable: distributed parse matches the per-id formulas") {
+    val vids = Multimodal.deriveMp4MediaTable(docs, "doc_id")
+    val out = Multimodal.mp4MetaTable(vids).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).sortBy(_._1)
+    val ids = docs.filter($"doc_id" % 3 === 2).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.map(_._1).toSeq === ids.toSeq)
+    out.foreach { case (id, brand, ts, dur, n) =>
+      assert(brand === "isom" && ts === 600L &&
+        dur === Multimodal.mp4Duration(id) && n === Multimodal.mp4Tracks(id))
+    }
+  }
 }
