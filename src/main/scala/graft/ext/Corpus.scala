@@ -1591,7 +1591,9 @@ object Corpus {
     * other cluster (the corpus keys are never rewritten; one-step
     * closure, not a transitive re-closure). Such rows are surfaced with
     * `bridging = true` in the output so callers can quarantine them or
-    * re-close the corpus keys offline. Batch-internal near-dups are
+    * re-close the corpus keys offline with [[recloseSplitKeys]] (which
+    * rewrites the keys table from the maintained union signature table
+    * and re-unifies exactly these clusters). Batch-internal near-dups are
     * closed with [[Dedup.dupClusters]] over the batch's own pairs, and a
     * batch cluster where ANY member matched the corpus adopts the
     * smallest matched corpus key. Unmatched singletons key on their own
@@ -1642,6 +1644,40 @@ object Corpus {
       .withColumn("bridging", coalesce(col("_nck") > 1, lit(false)))
       .drop("_bc", "_corpusKey", "_nck")
     hashSplit(keyed, "split_key", valFrac, testFrac, salt)
+  }
+
+  /** OFFLINE re-closure of split keys — the repair routine
+    * [[splitRouteAgainst]]'s `bridging = true` rows point at. Re-derives
+    * every document's split key from the MAINTAINED union signature table
+    * (corpus signatures ∪ every routed batch's signatures, the table
+    * production keeps anyway — text is never re-signatured; only
+    * candidate-pair members are re-shingled for exact verification),
+    * closing near-dup components TRANSITIVELY across all loads:
+    * `Dedup.minhashNearDupsFromSigs` → [[graft.ext.Dedup.dupClusters]] →
+    * [[hashSplit]] on the canonical key. The result is IDENTICAL to
+    * running [[leakageSafeSplit]] over the whole corpus at once
+    * (signatures are a pure function of the text), so after the caller
+    * atomically rewrites the keys table with this output, NO verified
+    * near-dup pair straddles train/val/test — including the bridging
+    * case, whose two corpus clusters merge into one component here
+    * (spec-proved). Re-closure CAN move documents between splits (merging
+    * clusters must — they now share one key); that is why it runs offline
+    * between training epochs, not inline at ingest.
+    *
+    * Scale shape: one banded self-join over the signature table (band
+    * equi-join, never pairs²), exact verification ∝ candidate pairs,
+    * [[graft.ext.Dedup.dupClusters]]' O(diameter) checkpointed closure
+    * over the sparse verified pair list, one key attach, and the O(1)/row
+    * md5 split rule.
+    */
+  def recloseSplitKeys(docs: DataFrame, sigs: DataFrame, textCol: String,
+      idCol: String, valFrac: Double, testFrac: Double,
+      salt: String = "split", k: Int = 8, bands: Int = 4,
+      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): DataFrame = {
+    val pairs = Dedup.minhashNearDupsFromSigs(sigs, docs, textCol, idCol,
+        k, bands, shingleLen, thNum, thDen)
+      .select(col("doc_a"), col("doc_b"))
+    leakageSafeSplit(docs, idCol, pairs, valFrac, testFrac, salt)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR 2009) of N

@@ -515,6 +515,31 @@ object Dedup {
     incrementalNearDups(newDocs, corpusDocs, lshBuckets(corpusSigs, idCol, k, bands),
       textCol, idCol, k, bands, shingleLen, thNum, thDen)
 
+  /** [[minhashNearDups]] with signatures read from a MAINTAINED table —
+    * the corpus-wide re-closure feed
+    * ([[graft.ext.Corpus.recloseSplitKeys]]): banding, candidate
+    * generation, and exact-Jaccard verification run exactly as the
+    * fresh-signature pipeline, but the corpus TEXT is only touched to
+    * build shingle sets for candidate-pair members. Signatures are a pure
+    * function of the text, so the verified pair set is identical to
+    * [[minhashNearDups]] over the same corpus (spec-proved) — at 100 TB
+    * the difference is re-reading a k-longs-per-doc table versus
+    * re-hashing every shingle of every document.
+    */
+  def minhashNearDupsFromSigs(sigs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, k: Int = 8, bands: Int = 4,
+      shingleLen: Int = 5, thNum: Int = 4, thDen: Int = 5): DataFrame = {
+    val cands = lshCandidates(lshBuckets(sigs, idCol, k, bands), idCol).persist()
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+    val sets = shingleSets(docs.join(candIds, Seq(idCol), "left_semi"),
+      textCol, idCol, shingleLen)
+    Caching.materializeAndRelease(
+      jaccardFromSets(sets, cands)
+        .filter(col("inter") * thDen >= col("uni") * thNum),
+      cands)
+  }
+
   /** Shared incremental-near-dup core: new-side signatures are always
     * computed fresh (they ARE the delta); the corpus side arrives as an
     * already-banded bucket frame — from a fresh signature pass

@@ -97,6 +97,27 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // OFFLINE split-key re-closure — the bridging repair x102's
+    // `bridging = true` rows point at: keys re-derived from the
+    // MAINTAINED union signature table (corpus sigs ∪ routed batches'
+    // sigs; text only re-shingled for candidate-pair members) and closed
+    // TRANSITIVELY across loads. Result ≡ leakageSafeSplit over the whole
+    // corpus, so after the atomic keys rewrite no verified near-dup pair
+    // straddles train/val/test — including bridged clusters (spec-proved)
+    "x142_reclose_split" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sigs = Dedup.minhashSignatures(d.filter(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", k = 16, shingleLen = 7)
+        .unionByName(Dedup.minhashSignatures(
+          d.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+          k = 16, shingleLen = 7))
+      Corpus.recloseSplitKeys(d, sigs, "text", "doc_id",
+        valFrac = 0.1, testFrac = 0.1, k = 16, bands = 4, shingleLen = 7,
+        thNum = 4, thDen = 5)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprint (48-bit, md5-nibble votes over token occurrences)
     "x4_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 48)
@@ -3010,6 +3031,28 @@ object ExtensionQueries {
          |       FROM wb w LEFT JOIN mk ON mk.doc_id = w.doc_id),
          |keyed AS (SELECT doc_id, coalesce(cluster_ck, bc) AS split_key
          |          FROM gk)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN sl < 429496729 THEN 'val'
+         |       WHEN sl < 858993459 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT *,
+         |        CAST(concat('0x', substr(md5('split|' || CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) AS sl
+         |      FROM keyed)
+         |ORDER BY doc_id""".stripMargin,
+    "x142_reclose_split" ->
+      // one LSH core over ALL pairs (the union signature table's view of
+      // the corpus), one recursive closure, x63's md5-slice split rule —
+      // the reclose invariant IS "leakageSafeSplit over the whole corpus"
+      s"""WITH RECURSIVE
+         |pr AS (${minhashLshCoreSql("a.doc_id < b.doc_id")}),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT s AS id, s AS r FROM e
+         |          UNION
+         |          SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+         |canon AS (SELECT id, min(r) AS canon FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS split_key
+         |          FROM documents d LEFT JOIN canon c ON c.id = d.doc_id)
          |SELECT doc_id, split_key,
          |  CASE WHEN sl < 429496729 THEN 'val'
          |       WHEN sl < 858993459 THEN 'test'

@@ -618,6 +618,75 @@ class CorpusSpec extends SparkSpec {
     assert(row.getAs[Boolean]("bridging"))          // ...and is surfaced
   }
 
+  test("recloseSplitKeys: re-unifies the bridging case — post-reclose no " +
+    "verified near-dup pair straddles splits, and output = leakageSafeSplit") {
+    // same non-transitive fixture as the bridging spec: A(10) and B(13)
+    // are distinct corpus clusters; the routed batch doc D(20) bridges
+    val core = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronauts calibrate spectral instruments aboard the " +
+      "orbital platform during routine maintenance windows every " +
+      "alternate morning before dawn"
+    val corpus = Seq((10L, core + " and later they archived burnt clay"),
+      (13L, core + " then quietly mapped frozen deltas"),
+      (14L, "entirely unrelated prose about tide tables and lighthouses"))
+      .toDF("doc_id", "text")
+    val (k, bands, sh, tn, td) = (16, 8, 7, 4, 5)
+    val corpusSigs = Dedup.minhashSignatures(corpus, "text", "doc_id", k, sh)
+    val corpusKeys = Seq((10L, 10L), (13L, 13L), (14L, 14L))
+      .toDF("doc_id", "split_key")
+    val batch = Seq((20L, core)).toDF("doc_id", "text")
+    val routed = Corpus.splitRouteAgainst(batch, corpusSigs, corpus,
+      corpusKeys, "text", "doc_id", 0.25, 0.25, k = k, bands = bands,
+      shingleLen = sh, thNum = tn, thDen = td).collect().head
+    assert(routed.getAs[Boolean]("bridging")) // the defect to repair
+    // the maintained state after routing: union signature table
+    val union = corpus.unionByName(batch)
+    val sigs = corpusSigs.unionByName(
+      Dedup.minhashSignatures(batch, "text", "doc_id", k, sh))
+    val reclosed = Corpus.recloseSplitKeys(union, sigs, "text", "doc_id",
+      0.25, 0.25, k = k, bands = bands, shingleLen = sh, thNum = tn,
+      thDen = td)
+    val out = reclosed.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    // the bridged component {10, 13, 20} is ONE cluster under one key —
+    // including the pair (13, 20) that routing had split apart
+    assert(out(10L)._1 === 10L && out(13L)._1 === 10L && out(20L)._1 === 10L)
+    assert(Set(out(10L)._2, out(13L)._2, out(20L)._2).size === 1)
+    assert(out(14L)._1 === 14L) // untouched singleton
+    // no verified near-dup pair straddles splits
+    val pairs = Dedup.minhashNearDupsFromSigs(sigs, union, "text",
+      "doc_id", k, bands, sh, tn, td).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(out(p.getAs[Long]("doc_a"))._2 === out(p.getAs[Long]("doc_b"))._2)
+    }
+    // invariant: identical to leakageSafeSplit over the whole corpus
+    val fresh = Corpus.leakageSafeSplit(union, "doc_id",
+      Dedup.minhashNearDups(union, "text", "doc_id", k, bands, sh, tn, td)
+        .select(col("doc_a"), col("doc_b")), 0.25, 0.25)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    assert(out === fresh)
+  }
+
+  test("minhashNearDupsFromSigs: identical verified pairs to the " +
+    "fresh-signature pipeline") {
+    val tmpl = "large language models are trained on vast corpora of text " +
+      "data scraped from across the public web %s"
+    val docs = Seq((1L, tmpl.format("aa")), (2L, tmpl.format("ab")),
+      (3L, "unrelated writing about glacial moraines and drumlins"),
+      (4L, tmpl.format("ac"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 7)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val fromSigs = key(Dedup.minhashNearDupsFromSigs(sigs, docs, "text",
+      "doc_id", 16, 4, 7, 4, 5))
+    val fresh = key(Dedup.minhashNearDups(docs, "text", "doc_id",
+      16, 4, 7, 4, 5))
+    assert(fromSigs === fresh && fromSigs.nonEmpty)
+  }
+
   test("numericDistributionDrift: exact-integer TV over fixed bins, " +
     "negative values floor correctly, NULLs excluded") {
     val ref = Seq(Option(-150.0), Option(-50.0), Option(50.0),
