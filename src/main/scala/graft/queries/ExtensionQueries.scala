@@ -1421,6 +1421,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // x131's RESCORE composition — JL routes the cells (outDims-long
+    // routing compare + outDims-wide centroid broadcast), ORIGINAL cosine
+    // ranks the probed members: recall back at the full-precision IVF
+    // ceiling (clustered probe: x131 0.24 → x143 0.96 at outDims 16,
+    // nprobe 2) while
+    // full-width vectors are only read inside probed cells
+    "x143_jl_ivf_rescore" -> ((s, dir) => {
+      Similarity.jlIvfRescoreTopK(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5, outDims = 16, inDims = 64, nCells = 16,
+        nprobe = 2).orderBy("query_id", "rank")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -2309,6 +2321,41 @@ object ExtensionQueries {
        |r AS (SELECT query_id, neighbor_id, c,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
        |      FROM p)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of x143: jlIvfSql's routing (assignment and probe list
+    * in the projected space) but the pair cosine over the ORIGINAL
+    * embeddings — the rescore contract.
+    */
+  private def jlIvfRescoreSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${jlFromQ(16, "p16")},
+       |pd AS (SELECT vec_id, CAST(pv AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[]))) AS n
+       |       FROM p16),
+       |cent AS (SELECT vec_id AS cid, v AS cvec, n AS cn
+       |         FROM pd ORDER BY vec_id LIMIT 16),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |             list_dot_product(e.v, c.cvec) / (e.n * c.cn) AS s
+       |           FROM pd e CROSS JOIN cent c),
+       |rk AS (SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |       FROM scored),
+       |corpus AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= 2),
+       |fp AS (SELECT pa.vec_id AS query_id, pb.vec_id AS neighbor_id, $cosSql AS c
+       |       FROM probes pa JOIN corpus pb
+       |         ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+       |       JOIN embeddings a ON a.vec_id = pa.vec_id
+       |       JOIN embeddings b ON b.vec_id = pb.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM fp)
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -4017,6 +4064,7 @@ object ExtensionQueries {
          |FROM p16 ORDER BY vec_id""".stripMargin,
     "x130_jl_recall_report" -> jlRecallSql,
     "x131_jl_ivf_topk" -> jlIvfSql,
+    "x143_jl_ivf_rescore" -> jlIvfRescoreSql,
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),

@@ -79,6 +79,9 @@ class PlanAuditSpec extends SparkSpec {
     // JL-projected vectors (ivfTopKProbed's exact plan — the pairing
     // itself is the cell equi-join)
     "x131_jl_ivf_topk",
+    // x143: same single-row centroid attach as x131; ranking reads only
+    // the probed cells' members via the cell equi-join
+    "x143_jl_ivf_rescore",
     // x132: the same single-row centroid attach on both the corpus and
     // eval sides; the contamination pairing is the cell equi-join
     "x132_semantic_decontam",

@@ -117,6 +117,30 @@ class JlProjectionSpec extends SparkSpec {
     assert(q1.length === 1 && q1.head._2 === 2L && q1.head._3 === 1.0)
   }
 
+  test("jlIvfRescoreTopK: routing in JL space, cosines in ORIGINAL space " +
+    "(= bruteForceTopK values on returned pairs); nCells=1 = exact top-k") {
+    // single cell: candidate set is all pairs, so rescore == brute force
+    val rescored = Similarity.jlIvfRescoreTopK(vecs, "vec_id", "embedding",
+      k = 4, outDims = 8, inDims = dims, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rescored === exact)
+    // multi-cell: every returned cosine is the true full-precision cosine
+    // (the rescore contract), unlike jlIvfTopK's projected-space scores
+    val multi = Similarity.jlIvfRescoreTopK(vecs, "vec_id", "embedding",
+      k = 2, outDims = 8, inDims = dims, nCells = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val trueCos = exact.map(t => (t._1, t._2) -> t._3).toMap
+    multi.foreach { case (pair, c) => assert(c === trueCos(pair), s"$pair") }
+    // the duplicate is recovered at rank 1, cosine exactly 1.0
+    val q1 = Similarity.jlIvfRescoreTopK(vecs, "vec_id", "embedding",
+      k = 2, outDims = 8, inDims = dims, nCells = 2, nprobe = 2)
+      .filter(col("query_id") === 1L && col("rank") === 1).collect()
+    assert(q1.length === 1 && q1.head.getLong(1) === 2L &&
+      q1.head.getDouble(2) === 1.0)
+  }
+
   test("jlProject rejects an expansion (outDims > inDims)") {
     val e = intercept[IllegalArgumentException](
       Similarity.jlProject(vecs, "vec_id", "embedding", outDims = 16, inDims = dims))
