@@ -546,6 +546,48 @@ object Corpus {
         col("lm_mass").cast("double") / col("n_pairs")))
   }
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al., LREC
+    * 2020 — the head/middle/tail split CCNet publishes its corpus in):
+    * each language's scored documents split into `nBuckets` equal-count
+    * fluency buckets of the backoff-LM score — `head` = most fluent (the
+    * slice CCNet keeps for pretraining), then `middle`, `tail`.
+    * Unscorable documents (no pairs / null text) land in a NULL bucket
+    * rather than skewing a tercile. Deterministic: the ranking key is
+    * (score desc, id) — score is `lm_mass / n_pairs`, ONE IEEE division
+    * of exact longs, engine-exact — and the bucket boundary is exact
+    * integer arithmetic (`(rank−1)·nBuckets div n`).
+    *
+    * Scale shape: scoring is x137's pass (vocab-bounded broadcast count
+    * tables, pair stream never shuffles); ranking is [[Ranks.byValue]]'s
+    * range-partitioned two-pass rank, so ONE language (at 100 TB: most
+    * of the corpus) never collapses onto a single reducer the way a
+    * per-lang NTILE window would.
+    */
+  def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, trainPred: Column, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 1, "need nBuckets > 1")
+    val scored = lmScoreBackoff(docs, textCol, idCol, trainPred)
+      .select(col(idCol), col("n_pairs"), col("lm_score"))
+    val base = docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol), "left")
+    val rankable = base.filter(col("n_pairs") > 0)
+      .withColumn("_v",
+        struct((-col("lm_score")).as("_neg"), col(idCol).as("_tid")))
+    val labels = array(lit("head"), lit("middle"), lit("tail"))
+    val ranked = Ranks.byValue(rankable, langCol)
+      .withColumn("_idx", expr(s"((_rn - 1) * $nBuckets) div _n"))
+      .withColumn("bucket",
+        if (nBuckets == 3) element_at(labels, col("_idx").cast("int") + 1)
+        else concat(lit("b"), col("_idx")))
+      .select(col(idCol), col(langCol), col("n_pairs"),
+        round(col("lm_score"), 9).as("score"), col("bucket"))
+    val unscored = base.filter(coalesce(col("n_pairs"), lit(0L)) === 0)
+      .select(col(idCol), col(langCol), lit(0L).as("n_pairs"),
+        lit(null).cast("double").as("score"),
+        lit(null).cast("string").as("bucket"))
+    ranked.unionByName(unscored)
+  }
+
   /** Per-stratum embedding centroid: the element-wise mean vector of each
     * stratum's embeddings (class prototypes for data audits / classifier
     * init), emitted long-form as (stratum, pos, mean) so the result is

@@ -1324,6 +1324,17 @@ object ExtensionQueries {
         trainPred = col("lang") === "en").orderBy("doc_id")
     }),
 
+    // CCNet's head/middle/tail publication split (Wenzek et al. 2020):
+    // per-language fluency terciles of x137's backoff-LM score — the
+    // ranking runs on Ranks' range-partitioned two-pass rank so one
+    // language never collapses onto a single reducer; unscorable docs
+    // land in a NULL bucket instead of skewing a tercile
+    "x144_ccnet_buckets" -> ((s, dir) => {
+      Corpus.ccnetBuckets(Tables(s, dir, "documents"), "text", "doc_id",
+        "lang", trainPred = col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
     // x137's production contract: training counts read from MERGED
     // per-slice tables (the additive law — table(a) ⊕ table(b) =
     // table(a ∪ b), x112/x136's algebra) instead of re-counting train
@@ -2947,6 +2958,31 @@ object ExtensionQueries {
        |       FROM q GROUP BY 1)""".stripMargin
   }
 
+  /** x144: the lmBackoffCtes chain through sc, then the per-lang tercile
+    * rule — row_number over (score desc, doc_id) and the exact integer
+    * boundary; unscorable docs under a NULL bucket.
+    */
+  private def ccnetBucketsSql: String =
+    s"""WITH $lmBackoffCtes,
+       |b AS (SELECT d.doc_id, d.lang, sc.n_pairs,
+       |        CAST(sc.lm_mass AS DOUBLE) / sc.n_pairs AS s
+       |      FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+       |      WHERE sc.n_pairs > 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY s DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY lang) AS n FROM b)
+       |SELECT doc_id, lang, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  round(s, 9) AS score,
+       |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+       |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r
+       |UNION ALL
+       |SELECT d.doc_id, d.lang, CAST(0 AS BIGINT) AS n_pairs,
+       |  CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS bucket
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |WHERE coalesce(sc.n_pairs, 0) = 0
+       |ORDER BY doc_id""".stripMargin
+
   private def lmBackoffSql: String =
     s"""WITH $lmBackoffCtes
        |SELECT a.doc_id, CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
@@ -3017,6 +3053,7 @@ object ExtensionQueries {
     "x135b_cms_hh_probe" -> cmsHhProbeSql,
     "x136_cms_incr" -> cmsSketchSql,
     "x137_lm_backoff_score" -> lmBackoffSql,
+    "x144_ccnet_buckets" -> ccnetBucketsSql,
     "x138_lm_incr" -> lmBackoffSql,
     "x139_lm_curation_e2e" -> lmCurationSql,
     "x140_coverage_audit" ->

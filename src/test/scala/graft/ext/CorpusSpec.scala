@@ -618,6 +618,46 @@ class CorpusSpec extends SparkSpec {
     assert(row.getAs[Boolean]("bridging"))          // ...and is surfaced
   }
 
+  test("ccnetBuckets: per-lang fluency terciles — head=most fluent, " +
+    "equal-count boundaries, unscorable docs in a NULL bucket") {
+    // en train slice: "a b" dominates, so docs repeating "a b" score
+    // highest; doc 7 has one token (no pairs), doc 8 null text
+    val docs = Seq(
+      (1L, "a b a b a b a b", "en"), // all pairs high-prob
+      (2L, "a b a b x y", "en"),     // mixed
+      (3L, "x y z w q r", "en"),     // low-prob pairs
+      (4L, "a b a b", "fr"),
+      (5L, "x y z w", "fr"),
+      (6L, "q r s t", "fr"),
+      (7L, "solo", "en"),
+      (8L, null.asInstanceOf[String], "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.ccnetBuckets(docs, "text", "doc_id", "lang",
+      trainPred = col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), Option(r.get(4)).map(_.toString)))
+      .toMap
+    // en terciles: 3 scored docs → one per bucket, ordered by score desc.
+    // Scores (hand-checked): doc3 0.900 (its pairs are rare but ALWAYS
+    // follow their head token — q = c2/c1 per pair), doc1 0.857 (the b→a
+    // back-pairs dilute), doc2 0.767
+    assert(out(3L)._3 === Some("head"))
+    assert(out(1L)._3 === Some("middle"))
+    assert(out(2L)._3 === Some("tail"))
+    // fr docs scored by the SAME en-trained LM; 3 scored → 3 buckets
+    assert(Seq(4L, 5L, 6L).flatMap(out(_)._3).toSet ===
+      Set("head", "middle", "tail"))
+    assert(out(4L)._3 === Some("head")) // "a b" pairs score highest
+    // unscorable: no pairs / null text → NULL bucket, n_pairs 0
+    assert(out(7L) === (("en", 0L, None)))
+    assert(out(8L) === (("fr", 0L, None)))
+    // deterministic: same input → same buckets
+    val again = Corpus.ccnetBuckets(docs, "text", "doc_id", "lang",
+      trainPred = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.toString)).toMap
+    assert(again === out.map { case (k, v) => k -> v._3 })
+  }
+
   test("recloseSplitKeys: re-unifies the bridging case — post-reclose no " +
     "verified near-dup pair straddles splits, and output = leakageSafeSplit") {
     // same non-transitive fixture as the bridging spec: A(10) and B(13)
