@@ -568,8 +568,11 @@ object Corpus {
     require(nBuckets > 1, "need nBuckets > 1")
     val scored = lmScoreBackoff(docs, textCol, idCol, trainPred)
       .select(col(idCol), col("n_pairs"), col("lm_score"))
+    // persisted: the scored frame feeds BOTH the ranked branch and the
+    // unscored branch — unpersisted, the whole LM pass (count tables +
+    // pair scoring) runs twice (the x139 sketch lesson)
     val base = docs.select(col(idCol), col(langCol))
-      .join(scored, Seq(idCol), "left")
+      .join(scored, Seq(idCol), "left").persist()
     val rankable = base.filter(col("n_pairs") > 0)
       .withColumn("_v",
         struct((-col("lm_score")).as("_neg"), col(idCol).as("_tid")))

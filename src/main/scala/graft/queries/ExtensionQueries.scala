@@ -118,6 +118,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Video release gate + frame-sample PLAN from PARSED container
+    // metadata (x141's box walk made load-bearing): keep clips ≥ 0.2 s
+    // with ≥ 2 tracks; for kept clips plan a 30 fps-proxy frame count and
+    // an every-2nd-frame sample budget — all exact integer arithmetic
+    // over mvhd fields. The 100 TB point: duration/track gating and
+    // sample budgeting run on METADATA (bytes never decoded, payloads
+    // never shuffled) — frame decode happens downstream only for clips
+    // that survive, on the n_sampled budget planned here
+    "x145_video_gate" -> ((s, dir) => {
+      val meta = Multimodal.mp4MetaTable(
+        Multimodal.deriveMp4MediaTable(Tables(s, dir, "documents"), "doc_id"))
+      meta
+        .withColumn("kept",
+          col("duration") * 5 >= col("timescale") && col("n_tracks") >= 2)
+        .withColumn("n_frames",
+          when(col("kept"), expr("(duration * 30) div timescale"))
+            .otherwise(lit(0L)))
+        .withColumn("n_sampled", expr("(n_frames + 1) div 2"))
+        .select(col("media_id"), col("duration"), col("n_tracks"),
+          col("kept"), col("n_frames"), col("n_sampled"))
+        .orderBy("media_id")
+    }),
+
     // SimHash fingerprint (48-bit, md5-nibble votes over token occurrences)
     "x4_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables(s, dir, "documents"), "text", "doc_id", bits = 48)
@@ -4206,6 +4229,21 @@ object ExtensionQueries {
     "x15_decode_resize" -> decodeResizeSql,
     "x120_png_decode" -> pngDecodeSql,
     "x124_wav_decode" -> wavDecodeSql,
+    // x145: the x141 metadata formulas + the exact-integer gate/budget
+    "x145_video_gate" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(600 AS BIGINT) AS timescale,
+        |    CAST(doc_id % 240 + 60 AS BIGINT) AS duration,
+        |    CAST((doc_id // 3) % 3 + 1 AS INT) AS n_tracks
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT *, (duration * 5 >= timescale AND n_tracks >= 2) AS kept FROM m),
+        |f AS (SELECT *, CASE WHEN kept THEN (duration * 30) // timescale
+        |                     ELSE 0 END AS n_frames FROM g)
+        |SELECT media_id, duration, n_tracks, kept,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled
+        |FROM f ORDER BY media_id""".stripMargin,
+
     // mirrors encodeMp4's deterministic mvhd/trak contents (the Spark
     // side parses real ISO-BMFF bytes; the oracle recomputes them)
     "x141_mp4_meta" ->
