@@ -591,6 +591,85 @@ object Corpus {
     ranked.unionByName(unscored)
   }
 
+  /** Frozen per-language bucket thresholds — the score at each tercile
+    * boundary of [[ccnetBuckets]]'s ranking over a REFERENCE corpus,
+    * long-form (`langCol`, `k` = 1..nBuckets−1, `bscore`). The boundary
+    * rank is ⌈k·n/nBuckets⌉ (the LAST member of bucket k−1), so for
+    * distinct scores routing by threshold reproduces [[ccnetBuckets]]'s
+    * membership exactly (spec-proved). The table is (languages ×
+    * (nBuckets−1)) rows — broadcast state, the CCNet production shape:
+    * quantiles are computed ONCE on the reference corpus and arrivals are
+    * gated O(1)/row against the frozen boundaries ([[ccnetRoute]]),
+    * never re-ranking the corpus per batch.
+    */
+  def ccnetThresholds(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, trainPred: Column, nBuckets: Int = 3): DataFrame =
+    ccnetThresholdsFromCounts(docs,
+      lmCountTable(Par.spread(docs).filter(trainPred), textCol),
+      textCol, idCol, langCol, nBuckets)
+
+  /** [[ccnetThresholds]] scoring against an existing (MAINTAINED) count
+    * table — so a deployment computes/merges counts once ([[lmCountTable]]
+    * additivity) and derives both the thresholds and the per-batch routing
+    * ([[ccnetRoute]]) from the same state, zero train-text re-reads.
+    */
+  def ccnetThresholdsFromCounts(docs: DataFrame, counts: DataFrame,
+      textCol: String, idCol: String, langCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 1, "need nBuckets > 1")
+    val scored = lmScoreBackoffFromCounts(counts, docs, textCol, idCol)
+      .select(col(idCol), col("n_pairs"), col("lm_score"))
+    val rankable = docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol)).filter(col("n_pairs") > 0)
+      .withColumn("_v",
+        struct((-col("lm_score")).as("_neg"), col(idCol).as("_tid")))
+    Ranks.byValue(rankable, langCol)
+      .withColumn("k", explode(array((1 until nBuckets).map(lit(_)): _*)))
+      .filter(col("_rn") ===
+        expr(s"(k * _n + ${nBuckets - 1}) div $nBuckets"))
+      .select(col(langCol), col("k"), col("lm_score").as("bscore"))
+  }
+
+  /** Route an arriving batch into CCNet buckets against FROZEN state —
+    * the maintained LM count table ([[lmCountTable]], x138's contract)
+    * scores the batch, and the [[ccnetThresholds]] broadcast gates each
+    * score: bucket index = #{boundaries strictly above the score}
+    * (ties at a boundary stay in the better bucket, matching the
+    * boundary-rank definition). Per-batch work ∝ batch: one scoring pass
+    * against broadcast counts + one broadcast threshold join — the corpus
+    * is never re-ranked, its text never re-read. Batch languages with no
+    * threshold row and unscorable documents route to a NULL bucket
+    * (quarantine, not a guess). Output (`idCol`, `langCol`, `score`,
+    * `bucket`).
+    */
+  def ccnetRoute(newDocs: DataFrame, counts: DataFrame,
+      thresholds: DataFrame, textCol: String, idCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 1, "need nBuckets > 1")
+    val scored = lmScoreBackoffFromCounts(counts, newDocs, textCol, idCol)
+      .select(col(idCol), col("n_pairs"), col("lm_score"))
+    val base = newDocs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol), "left")
+    val lbl = array(lit("head"), lit("middle"), lit("tail"))
+    val routed = base.filter(col("n_pairs") > 0)
+      .join(broadcast(thresholds), Seq(langCol), "left")
+      .groupBy(col(idCol), col(langCol), col("lm_score"))
+      .agg(count(when(col("bscore") > col("lm_score"), 1)).as("_ix"),
+        count(col("k")).as("_nthr"))
+      .withColumn("bucket",
+        when(col("_nthr") === 0, lit(null).cast("string"))
+          .otherwise(
+            if (nBuckets == 3) element_at(lbl, col("_ix").cast("int") + 1)
+            else concat(lit("b"), col("_ix"))))
+      .select(col(idCol), col(langCol),
+        round(col("lm_score"), 9).as("score"), col("bucket"))
+    val unscored = base.filter(coalesce(col("n_pairs"), lit(0L)) === 0)
+      .select(col(idCol), col(langCol),
+        lit(null).cast("double").as("score"),
+        lit(null).cast("string").as("bucket"))
+    routed.unionByName(unscored)
+  }
+
   /** Per-stratum embedding centroid: the element-wise mean vector of each
     * stratum's embeddings (class prototypes for data audits / classifier
     * init), emitted long-form as (stratum, pos, mean) so the result is

@@ -1358,6 +1358,27 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // x144's production contract — route-at-ingest against FROZEN state:
+    // thresholds computed ONCE on the corpus slice, arrivals scored by
+    // the maintained count table and gated O(1)/row by the broadcast
+    // boundaries; the corpus is never re-ranked per batch. Unroutable
+    // rows (unscorable, or a language with no threshold) → NULL bucket
+    "x146_ccnet_route_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      // persisted: the ONE maintained count table feeds the threshold
+      // derivation AND the batch scoring (both consume it as broadcast
+      // joins — unpersisted, the count aggregation runs once per build)
+      val counts = Corpus.lmCountTable(
+        graft.util.Par.spread(corpus.filter(col("lang") === "en")), "text")
+        .persist()
+      val thr = Corpus.ccnetThresholdsFromCounts(corpus, counts,
+        "text", "doc_id", "lang")
+      Corpus.ccnetRoute(d.filter(col("doc_id") % 7 === 0), counts, thr,
+        "text", "doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // x137's production contract: training counts read from MERGED
     // per-slice tables (the additive law — table(a) ⊕ table(b) =
     // table(a ∪ b), x112/x136's algebra) instead of re-counting train
@@ -2946,10 +2967,15 @@ object ExtensionQueries {
     * lm_mass)` — shared by the standalone scoring query, its incremental
     * twin, and the x139 curation composition.
     */
-  private def lmBackoffCtes: String = {
+  private def lmBackoffCtes: String = lmBackoffCtesWhere("lang = 'en'")
+
+  /** [[lmBackoffCtes]] with a parameterized TRAIN slice (the scoring side
+    * `sc` still covers every document; consumers subset it).
+    */
+  private def lmBackoffCtesWhere(trainWhere: String): String = {
     val norm = normSql("text")
     s"""tr AS (SELECT string_split($norm, ' ') AS l
-       |            FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+       |            FROM documents WHERE text IS NOT NULL AND ($trainWhere)),
        |c1 AS (SELECT w, count(*) AS c
        |       FROM (SELECT unnest(l) AS w FROM tr) GROUP BY 1),
        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
@@ -2980,6 +3006,42 @@ object ExtensionQueries {
        |         CAST(sum(q) AS BIGINT) AS lm_mass
        |       FROM q GROUP BY 1)""".stripMargin
   }
+
+  /** x146: corpus-trained LM + frozen tercile boundaries (score at rank
+    * ⌈k·n/3⌉ per lang over the corpus slice), then the batch routed by
+    * strict-greater boundary counting; unroutable rows under NULL.
+    */
+  private def ccnetRouteSql: String =
+    s"""WITH ${lmBackoffCtesWhere("lang = 'en' AND doc_id % 7 <> 0")},
+       |cb AS (SELECT d.doc_id, d.lang, CAST(sc.lm_mass AS DOUBLE) / sc.n_pairs AS s
+       |       FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+       |       WHERE sc.n_pairs > 0 AND d.doc_id % 7 <> 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY s DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY lang) AS n FROM cb),
+       |thr AS (SELECT lang, gs.k AS k,
+       |          max(CASE WHEN rn = (gs.k * n + 2) // 3 THEN s END) AS bscore
+       |        FROM r, unnest(generate_series(1, 2)) AS gs(k)
+       |        GROUP BY 1, 2),
+       |bb AS (SELECT d.doc_id, d.lang, CAST(sc.lm_mass AS DOUBLE) / sc.n_pairs AS s
+       |       FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+       |       WHERE sc.n_pairs > 0 AND d.doc_id % 7 = 0),
+       |ix AS (SELECT b.doc_id, b.lang, b.s,
+       |         count(CASE WHEN t.bscore > b.s THEN 1 END) AS i,
+       |         count(t.k) AS nthr
+       |       FROM bb b LEFT JOIN thr t ON t.lang = b.lang
+       |       GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, round(s, 9) AS score,
+       |  CASE WHEN nthr = 0 THEN NULL
+       |       WHEN i = 0 THEN 'head' WHEN i = 1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM ix
+       |UNION ALL
+       |SELECT d.doc_id, d.lang, CAST(NULL AS DOUBLE) AS score,
+       |  CAST(NULL AS VARCHAR) AS bucket
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |WHERE d.doc_id % 7 = 0 AND coalesce(sc.n_pairs, 0) = 0
+       |ORDER BY doc_id""".stripMargin
 
   /** x144: the lmBackoffCtes chain through sc, then the per-lang tercile
     * rule — row_number over (score desc, doc_id) and the exact integer
@@ -3077,6 +3139,7 @@ object ExtensionQueries {
     "x136_cms_incr" -> cmsSketchSql,
     "x137_lm_backoff_score" -> lmBackoffSql,
     "x144_ccnet_buckets" -> ccnetBucketsSql,
+    "x146_ccnet_route_incr" -> ccnetRouteSql,
     "x138_lm_incr" -> lmBackoffSql,
     "x139_lm_curation_e2e" -> lmCurationSql,
     "x140_coverage_audit" ->

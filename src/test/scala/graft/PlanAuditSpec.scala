@@ -91,8 +91,8 @@ class PlanAuditSpec extends SparkSpec {
     // row; x138 reads T off the merged maintained table)
     "x135_cms_heavy_hitters", "x135b_cms_hh_probe",
     "x137_lm_backoff_score", "x138_lm_incr",
-    // x144 composes x137's scoring leg (the same one-row T attach)
-    "x144_ccnet_buckets",
+    // x144/x146 compose x137's scoring leg (the same one-row T attach)
+    "x144_ccnet_buckets", "x146_ccnet_route_incr",
     // x139 composes x137's scoring leg (the same T attach)
     "x139_lm_curation_e2e")
 

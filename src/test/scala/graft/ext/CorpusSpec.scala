@@ -658,6 +658,45 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.map { case (k, v) => k -> v._3 })
   }
 
+  test("ccnetThresholds/ccnetRoute: frozen-boundary routing reproduces " +
+    "ccnetBuckets on the reference corpus; unroutable rows → NULL bucket") {
+    val corpus = Seq(
+      (1L, "a b a b a b a b", "en"), (2L, "a b a b x y", "en"),
+      (3L, "x y z w q r", "en"),
+      (4L, "a b a b", "fr"), (5L, "x y z w", "fr"), (6L, "q r s t", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val pred = col("lang") === "en"
+    val thr = Corpus.ccnetThresholds(corpus, "text", "doc_id", "lang", pred)
+    // one boundary row per (lang, k): 2 langs × 2 boundaries
+    val trows = thr.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(trows.keySet === Set(("en", 1), ("en", 2), ("fr", 1), ("fr", 2)))
+    // boundaries descend with k
+    assert(trows(("en", 1)) >= trows(("en", 2)))
+    val counts = Corpus.lmCountTable(corpus.filter(pred), "text")
+    // invariant (distinct scores): routing the corpus against its own
+    // frozen thresholds = ccnetBuckets' membership
+    val routed = Corpus.ccnetRoute(corpus, counts, thr, "text", "doc_id",
+        "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString)).toMap
+    val direct = Corpus.ccnetBuckets(corpus, "text", "doc_id", "lang", pred)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.toString)).toMap
+    assert(routed === direct)
+    // arrivals: a fluent en doc routes head; a language with no
+    // threshold row and an unscorable doc both quarantine to NULL
+    // doc 10 "a b": its one pair scores 1.0 > the en head boundary (0.9,
+    // doc 3's score — rank-1 of 3). "a b a b a b" would score 0.867 and
+    // route middle: the b→a back-pairs dilute below the boundary
+    val batch = Seq((10L, "a b", "en"), (11L, "a b a b", "zz"),
+      (12L, "solo", "en")).toDF("doc_id", "text", "lang")
+    val out = Corpus.ccnetRoute(batch, counts, thr, "text", "doc_id", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString)).toMap
+    assert(out(10L) === Some("head"))
+    assert(out(11L) === None && out(12L) === None)
+  }
+
   test("recloseSplitKeys: re-unifies the bridging case — post-reclose no " +
     "verified near-dup pair straddles splits, and output = leakageSafeSplit") {
     // same non-transitive fixture as the bridging spec: A(10) and B(13)
