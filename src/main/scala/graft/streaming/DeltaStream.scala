@@ -602,6 +602,56 @@ object DeltaStream {
       .start()
   }
 
+  /** Streaming CCNet routing — x144/x146 mounted at ingest. The LM count
+    * table and the per-language tercile thresholds are FROZEN reference
+    * state, seeded once from `refDocs` (CCNet's contract: published
+    * bucket boundaries don't drift with arrivals — a corpus routed today
+    * and re-routed tomorrow lands in the same bucket). Every arriving
+    * micro-batch is scored against the broadcast counts and gated
+    * O(1)/row by the broadcast thresholds
+    * ([[graft.ext.Corpus.ccnetRoute]]); per-batch work ∝ batch — the
+    * reference corpus is never re-read or re-ranked. Unroutable rows
+    * (unscorable, or a language absent from the reference) quarantine to
+    * a NULL bucket. Refreshing the boundaries for a new reference epoch
+    * is an OFFLINE rebuild of the two seed tables (delete `stateDir`,
+    * reseed — the [[graft.ext.Corpus.recloseSplitKeys]] pattern of
+    * periodic offline repair), never a per-batch mutation.
+    * Overwrite-per-batch output makes foreachBatch retries idempotent
+    * with no append machinery at all.
+    */
+  def startCcnetRouting(spark: SparkSession, docsDir: String,
+      refDocs: DataFrame, trainPred: Column, stateDir: String,
+      outDir: String, checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang",
+      nBuckets: Int = 3): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+      .add(langCol, org.apache.spark.sql.types.StringType)
+    val countsDir = s"$stateDir/counts"
+    val thrDir = s"$stateDir/thresholds"
+    if (!new java.io.File(countsDir).exists()) {
+      graft.ext.Corpus.lmCountTable(
+          graft.util.Par.spread(refDocs.filter(trainPred)), textCol)
+        .write.mode("overwrite").parquet(countsDir)
+      graft.ext.Corpus.ccnetThresholdsFromCounts(refDocs,
+          spark.read.parquet(countsDir), textCol, idCol, langCol, nBuckets)
+        .write.mode("overwrite").parquet(thrDir)
+    }
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.ext.Corpus.ccnetRoute(graft.util.Par.spread(batch),
+              s.read.parquet(countsDir), s.read.parquet(thrDir),
+              textCol, idCol, langCol, nBuckets)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Streaming φ-heavy-hitter monitor — x134/x135 mounted at ingest. The
     * Count-Min sketch lives as a MAINTAINED `_src`-tagged table (seeded
     * once from `corpusDocs`, one per-batch sketch appended per arriving

@@ -700,6 +700,67 @@ class DeltaStreamSpec extends SparkSpec {
     assert(view === full)
   }
 
+  test("startCcnetRouting: frozen reference thresholds route arrivals; " +
+    "buckets match the batch-form ccnetRoute; replay-idempotent") {
+    import spark.implicits._
+    val root = tmpDir("ccnet-routing")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    // the CorpusSpec fixture: en scores 0.9 / 0.857 / 0.767 → boundaries
+    // b1=0.9, b2=0.857 frozen at seed time
+    val ref = Seq(
+      (1L, "a b a b a b a b", "en"), (2L, "a b a b x y", "en"),
+      (3L, "x y z w q r", "en")).toDF("doc_id", "text", "lang")
+    def jsonl(path: String, docs: (Long, String, String)*): Unit =
+      Files.write(Paths.get(path), docs.map { case (id, t, l) =>
+        s"""{"doc_id": $id, "text": "$t", "lang": "$l"}"""
+      }.asJava)
+    def run(): Unit = {
+      val q = DeltaStream.startCcnetRouting(spark, docsDir, ref,
+        col("lang") === "en", s"$root/state", s"$root/out", s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: "a b" scores 1.0 > b1 → head; zz has no thresholds → NULL
+    jsonl(s"$docsDir/b1.json", (20L, "a b", "en"), (21L, "a b", "zz"))
+    run()
+    def read(n: Int) = spark.read.parquet(s"$root/out/batch-$n")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString))
+      .toMap
+    assert(read(0) === Map(20L -> Some("head"), 21L -> None))
+    // batch 2: 0.857 ≤ s < 0.9 → middle (the frozen boundary, not a
+    // re-rank over ref ∪ batch1); unscorable → NULL
+    jsonl(s"$docsDir/b2.json", (30L, "a b a b a b", "en"), (31L, "solo", "en"))
+    run()
+    assert(read(1) === Map(30L -> Some("middle"), 31L -> None))
+    // batch outputs = the batch-form ccnetRoute on the same frozen state
+    val counts = spark.read.parquet(s"$root/state/counts")
+    val thr = spark.read.parquet(s"$root/state/thresholds")
+    val direct = graft.ext.Corpus.ccnetRoute(
+        Seq((30L, "a b a b a b", "en"), (31L, "solo", "en"))
+          .toDF("doc_id", "text", "lang"),
+        counts, thr, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString))
+      .toMap
+    assert(read(1) === direct)
+    // replay from scratch: wipe the checkpoint and re-run — both files
+    // arrive as ONE micro-batch now, but the union of outputs routes
+    // identically (frozen thresholds don't depend on batching) and the
+    // frozen state is untouched (no append machinery to corrupt)
+    val thrBefore = thr.collect().map(_.toSeq).toSet
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rmTree(Paths.get(s"$root/ckpt"))
+    run()
+    val replayed = spark.read.parquet(s"$root/out/batch-*")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString))
+      .toMap
+    assert(replayed === Map(20L -> Some("head"), 21L -> None,
+      30L -> Some("middle"), 31L -> None))
+    assert(spark.read.parquet(s"$root/state/thresholds")
+      .collect().map(_.toSeq).toSet === thrBefore)
+  }
+
   test("startCmsHeavyHitterMonitor: maintained sketch adds per batch; a " +
     "gram is flagged on the arrival that makes it φ-heavy") {
     import spark.implicits._
