@@ -9,29 +9,42 @@ import org.apache.spark.sql.functions._
   * `Window.partitionBy(group).orderBy(value)` assigns each GROUP to one
   * reducer: correct at any size, but parallelism is bounded by group count —
   * five language strata over a 100 TB corpus means five tasks each sorting
-  * ~20 TB. The two-pass shape here keeps parallelism bounded by the shuffle
-  * partition count instead:
+  * ~20 TB. The shape here keeps parallelism bounded by the shuffle
+  * partition count, and the corpus crosses the wire ONCE:
   *
   *  1. range-partition rows on `(group, value)` — Spark's RangePartitioner
   *     samples boundaries, so a single group spreads over many partitions
   *     while rows with EQUAL `(group, value)` keys always co-locate (range
-  *     boundary assignment is a binary search on the full sort key);
-  *  2. rank locally inside each `(partition, group)` slice — the slice
-  *     window's key includes the partition id, so one group yields as many
-  *     window groups as it spans range partitions;
-  *  3. add per-slice prefix-sum offsets (a tiny `partitions × groups`
-  *     aggregate, broadcast back) to turn local ranks into global ranks.
+  *     boundary assignment is a binary search on the full sort key) — and
+  *     sort within partitions, PERSISTED so both consumers below read the
+  *     one shuffle;
+  *  2. per-row ordinals from `monotonically_increasing_id()` over the
+  *     sorted partitions: a `(partition, group)` slice is contiguous after
+  *     the sort and the id increments by one per row within a partition,
+  *     so `_mid − min(_mid in slice) + 1` IS the slice-local rank — no
+  *     window, no second corpus-sized exchange;
+  *  3. per-slice counts/minima (a tiny `partitions × groups` aggregate)
+  *     prefix-summed and broadcast back turn local ranks into global ones.
+  *
+  * Measured (`graft.RanksProbe`, 1 M rows): the earlier window-based
+  * two-pass shuffled the corpus THREE times — the range exchange was built
+  * once per consumer (column pruning gives the two branches different
+  * payloads, so ReuseExchange never fires) plus a hash exchange the
+  * `row_number` window demanded because Catalyst cannot know
+  * `spark_partition_id` rows are already co-located. This shape shuffles
+  * it once: 3,000,020 → 1,000,020 shuffle-write records.
   *
   * The offset table's own prefix-sum window IS per-group single-task, but
   * over `partitions` rows per group, not corpus rows — driver-side-small by
   * construction. Equal values may receive their tied ranks in a different
   * permutation than a single global window would produce; any consumer that
   * reads a VALUE at a rank (quantiles) is unaffected because permuted ties
-  * are equal values.
+  * are equal values, and order-sensitive callers pass a total-order `_v`
+  * struct (md5/id tie-broken) anyway.
   */
 private[graft] object Ranks {
 
-  /** Rank `df`'s rows by `_v` ascending within `groupCol`, two-pass.
+  /** Rank `df`'s rows by `_v` ascending within `groupCol`, one shuffle.
     *
     * Input: columns (`groupCol`, `_v`), `_v` non-null. Output adds
     * `_pid` (range partition id — kept so callers/probes can assert the
@@ -41,28 +54,29 @@ private[graft] object Ranks {
   def byValue(df: DataFrame, groupCol: String): DataFrame = {
     val nParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted: the offsets aggregate AND the rank attach both consume
+    // this frame — unpersisted, each builds its own (differently-pruned,
+    // hence never reused) copy of the range exchange
     val parted = df
       .repartitionByRange(nParts, col(groupCol).asc, col("_v").asc)
+      .sortWithinPartitions(col(groupCol).asc, col("_v").asc)
       .withColumn("_pid", spark_partition_id())
-    // per-slice row counts: ≤ nParts × groups rows, aggregated map-side on
-    // the range exchange's output (the exchange is shared with the ranked
-    // branch via ReuseExchange — the corpus is range-shuffled once)
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist()
+    // per-slice row counts and ordinal bases: ≤ nParts × groups rows
     val offsets = parted
       .groupBy(col("_pid"), col(groupCol))
-      .agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"))
       .withColumn("_off", coalesce(
         sum(col("_c")).over(Window.partitionBy(col(groupCol))
           .orderBy(col("_pid").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_n", sum(col("_c"))
         .over(Window.partitionBy(col(groupCol))))
-      .select(col("_pid"), col(groupCol), col("_off"), col("_n"))
-    val slice = Window.partitionBy(col("_pid"), col(groupCol))
-      .orderBy(col("_v").asc)
+      .select(col("_pid"), col(groupCol), col("_m0"), col("_off"), col("_n"))
     parted
-      .withColumn("_lrn", row_number().over(slice))
       .join(broadcast(offsets), Seq("_pid", groupCol))
-      .withColumn("_rn", col("_lrn") + col("_off"))
-      .drop("_lrn", "_off")
+      .withColumn("_rn", col("_mid") - col("_m0") + 1 + col("_off"))
+      .drop("_mid", "_m0", "_off")
   }
 }
