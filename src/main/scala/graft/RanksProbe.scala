@@ -1,8 +1,9 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
 /** Mechanism probe for Ranks.byValue's exchange-reuse claim: the range
@@ -23,6 +24,12 @@ object RanksProbe {
         (col("id") % 3).cast("string").as("g"))
       .withColumn("_v", struct(col("id").as("_a")))
     val recs = new AtomicLong
+    // listener-drain barrier: events for a listener arrive in order on one
+    // queue, so once the SENTINEL job's end event is observed, every stage
+    // event from the measured jobs has already been delivered — a fixed
+    // sleep silently undercounted under load (round-11 advice)
+    val sentinelJob = new AtomicInteger(-1)
+    val drained = new CountDownLatch(1)
     val lis = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val w = s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
@@ -32,11 +39,23 @@ object RanksProbe {
             s"(${s.stageInfo.name.takeWhile(_ != '\n').take(80)})")
         ()
       }
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.job.description") == "ranks-probe-sentinel"))
+          sentinelJob.set(j.jobId)
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (j.jobId == sentinelJob.get()) drained.countDown()
     }
     spark.sparkContext.addSparkListener(lis)
     graft.ext.Ranks.byValue(df, "g")
       .write.format("noop").mode("overwrite").save()
-    Thread.sleep(2000)
+    spark.sparkContext.setJobDescription("ranks-probe-sentinel")
+    // collect on a 1-row range: single result stage, ZERO shuffle writes —
+    // the sentinel must not contribute to the record count it flushes
+    spark.range(1).collect()
+    spark.sparkContext.setJobDescription(null)
+    if (!drained.await(30, TimeUnit.SECONDS))
+      println("[ranks-probe] WARNING: listener queue not drained in 30 s — count may be low")
     spark.sparkContext.removeSparkListener(lis)
     println(s"[ranks-probe] n=$n totalShuffleRecords=${recs.get} " +
       s"(reused ≈ n + offsets; duplicated ≈ 2n)")

@@ -50,8 +50,22 @@ private[graft] object Ranks {
     * `_pid` (range partition id — kept so callers/probes can assert the
     * spread), `_n` (group size) and `_rn` (1-based global rank in the
     * group).
+    *
+    * Cache lifecycle: the range-partitioned frame is operator-local and
+    * corpus-sized; leaving it cached for the session would leak one
+    * MEMORY_AND_DISK corpus copy per invocation (quantiles, shards,
+    * packing, CCNet buckets all ride this). So the result is EAGER:
+    * `finish(ranked)` — the caller's projection of the ranked frame,
+    * usually far narrower than the input — is materialized into its own
+    * cache via [[graft.util.Caching.materializeAndRelease]] and the
+    * parted frame (plus any caller-supplied `alsoRelease` intermediates)
+    * is unpersisted before this returns. Callers whose final result is a
+    * reduction (quantile rows, boundaries) pass it as `finish` so the
+    * only surviving cache is rows-not-corpus sized.
     */
-  def byValue(df: DataFrame, groupCol: String): DataFrame = {
+  def byValue(df: DataFrame, groupCol: String,
+      finish: DataFrame => DataFrame = identity,
+      alsoRelease: Seq[DataFrame] = Nil): DataFrame = {
     val nParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // persisted: the offsets aggregate AND the rank attach both consume
@@ -74,9 +88,11 @@ private[graft] object Ranks {
       .withColumn("_n", sum(col("_c"))
         .over(Window.partitionBy(col(groupCol))))
       .select(col("_pid"), col(groupCol), col("_m0"), col("_off"), col("_n"))
-    parted
+    val ranked = parted
       .join(broadcast(offsets), Seq("_pid", groupCol))
       .withColumn("_rn", col("_mid") - col("_m0") + 1 + col("_off"))
       .drop("_mid", "_m0", "_off")
+    graft.util.Caching.materializeAndRelease(
+      finish(ranked), (parted +: alsoRelease): _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.{Blocklist, Corpus, Dedup, Multimodal, Privacy, Similarity, TextAnalysis}
-import graft.util.{Maintained, Tables}
+import graft.util.{Caching, Maintained, Tables}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline extension operators (SURVEY §7.5), each exercising
@@ -1315,13 +1315,18 @@ object ExtensionQueries {
     "x135b_cms_hh_probe" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       // persisted: the sketch feeds the broadcast estimate build AND the
-      // total-mass agg — unpersisted, each consumer replays the gram scan
+      // total-mass agg — unpersisted, each consumer replays the gram scan.
+      // The verdict list is tiny (≤ 1/φ grams): materialize it and release
+      // the depth×width sketch cache before returning (round-11 advice —
+      // no query leaves an operator-local cache for the session to carry)
       val sketch = Corpus.cmsSketch(d, "text", n = 3, depth = 4,
         width = 131072).persist()
-      Corpus.cmsHeavyHitterProbe(sketch,
-          d.filter(col("doc_id") % 10 === 7), "text", n = 3, depth = 4,
-          width = 131072, phiNum = 1, phiDen = 16384)
-        .orderBy("gram")
+      Caching.materializeAndRelease(
+        Corpus.cmsHeavyHitterProbe(sketch,
+            d.filter(col("doc_id") % 10 === 7), "text", n = 3, depth = 4,
+            width = 131072, phiNum = 1, phiDen = 16384)
+          .orderBy("gram"),
+        sketch)
     }),
 
     // CMS merge law: per-batch sketches ADD per (row, bucket) —
@@ -1374,9 +1379,13 @@ object ExtensionQueries {
         .persist()
       val thr = Corpus.ccnetThresholdsFromCounts(corpus, counts,
         "text", "doc_id", "lang")
-      Corpus.ccnetRoute(d.filter(col("doc_id") % 7 === 0), counts, thr,
-        "text", "doc_id", "lang")
-        .orderBy("doc_id")
+      // the routed batch is narrow (id, lang, score, bucket): materialize
+      // it and release the vocab-bounded count cache before returning
+      Caching.materializeAndRelease(
+        Corpus.ccnetRoute(d.filter(col("doc_id") % 7 === 0), counts, thr,
+            "text", "doc_id", "lang")
+          .orderBy("doc_id"),
+        counts)
     }),
 
     // x137's production contract: training counts read from MERGED
@@ -1413,16 +1422,20 @@ object ExtensionQueries {
         width = 131072).persist()
       val tpl = Corpus.cmsCommonGramStats(d, "text", "doc_id", sketch,
         n = 3, depth = 4, width = 131072, minCount = 4)
-      lm.join(tpl, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_pairs"), col("lm_mass"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_common"), lit(0L)).as("n_common"))
-        .withColumn("lm_ok", col("n_pairs") > 0L &&
-          col("lm_mass") * 30L >= col("n_pairs") * 1000000L)
-        .withColumn("template_heavy",
-          col("n_common") * 5L >= col("n_grams") && col("n_grams") > 0L)
-        .withColumn("kept", col("lm_ok") && !col("template_heavy"))
-        .orderBy("doc_id")
+      // per-doc verdict frame is narrow longs/bools: materialize it and
+      // release the depth×width sketch cache before returning
+      Caching.materializeAndRelease(
+        lm.join(tpl, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_pairs"), col("lm_mass"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .withColumn("lm_ok", col("n_pairs") > 0L &&
+            col("lm_mass") * 30L >= col("n_pairs") * 1000000L)
+          .withColumn("template_heavy",
+            col("n_common") * 5L >= col("n_grams") && col("n_grams") > 0L)
+          .withColumn("kept", col("lm_ok") && !col("template_heavy"))
+          .orderBy("doc_id"),
+        sketch)
     }),
 
     // assembly QA: per-lang doc↔embedding coverage + orphaned vectors

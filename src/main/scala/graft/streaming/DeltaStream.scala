@@ -25,6 +25,47 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
   */
 object DeltaStream {
 
+  /** Guard for the overwrite-per-batch output contract. `batch-<id>` dirs
+    * are retry-idempotent WITHIN one checkpoint lineage, but after a
+    * checkpoint reset micro-batch numbering restarts at 0 while stale
+    * `batch-N` dirs from the prior lineage survive beside the replayed
+    * output as duplicates (round-11 advice). A FRESH lineage — no
+    * checkpoint dir yet — with leftover batch dirs is exactly that case,
+    * so they are removed here; an existing checkpoint keeps its dirs
+    * (restart-resume must never destroy committed output). Equivalent
+    * contract for callers: wipe `outDir` whenever wiping the checkpoint.
+    */
+  private def cleanStaleBatchDirs(checkpointDir: String,
+      outDir: String): Unit =
+    if (!new java.io.File(checkpointDir).exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        .foreach(rm)
+    }
+
+  /** Run a mount's seed writes once per state lifetime, gated on a marker
+    * created only AFTER every seed table commits. Gating on a table dir's
+    * existence was crash-unsafe: parquet creates the directory before
+    * committing, so a crash mid-seed (or between two seed writes) left the
+    * gate dir present, the seed permanently skipped, and every later start
+    * reading missing/partial state (round-11 advice). Re-running `seed`
+    * after such a crash is safe — every seed write is mode("overwrite").
+    * The marker lives INSIDE the last-written table dir (underscore-
+    * prefixed, so parquet readers ignore it) and vanishes with the state
+    * on an epoch wipe, which is exactly the reseed trigger.
+    */
+  private def seedOnce(lastSeededDir: String)(seed: => Unit): Unit = {
+    val marker = new java.io.File(lastSeededDir, "_GRAFT_SEEDED")
+    if (!marker.exists()) {
+      seed
+      marker.createNewFile(); ()
+    }
+  }
+
   /** Landing-dir CSV stream → parsed, null-normalized staging stream.
     * Pure column transforms shared with the batch path
     * ([[Staging.parseRawLines]], [[Staging.normalizeNulls]]).
@@ -146,6 +187,7 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -192,10 +234,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(sigsDir).exists())
+    seedOnce(sigsDir) {
       graft.ext.Dedup.minhashSignatures(
           graft.util.Par.spread(corpusDocs), textCol, idCol, k, shingleLen)
         .write.mode("overwrite").parquet(sigsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -244,10 +288,12 @@ object DeltaStream {
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(vecCol, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType))
-    if (!new java.io.File(bucketsDir).exists())
+    seedOnce(bucketsDir) {
       graft.ext.Similarity.bandedSignTable(
           graft.util.Par.spread(corpusEmb), idCol, vecCol, nPlanes, bands, dims)
         .write.mode("overwrite").parquet(bucketsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(vecsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -298,7 +344,7 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(dfsDir).exists()) {
+    seedOnce(pfxIdxDir) {
       val idx = Dedup.containmentIndex(corpusDocs, textCol, idCol, n,
         thNum, thDen, maxDf)
       idx.dfs.write.mode("overwrite").parquet(dfsDir)
@@ -306,6 +352,7 @@ object DeltaStream {
       idx.gramIdx.write.mode("overwrite").parquet(gramIdxDir)
       idx.pfxIdx.write.mode("overwrite").parquet(pfxIdxDir)
     }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -391,16 +438,20 @@ object DeltaStream {
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(vecCol, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType))
-    if (!new java.io.File(centsDir).exists())
+    seedOnce(centsDir) {
       Similarity.centroidTable(corpusEmb, idCol, vecCol, nCells)
         .write.mode("overwrite").parquet(centsDir)
-    if (!new java.io.File(vecTblDir).exists())
+    }
+    seedOnce(vecTblDir) {
       corpusEmb.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(vecTblDir)
-    if (!new java.io.File(occDir).exists())
+    }
+    seedOnce(occDir) {
       Similarity.cellOccupancy(corpusEmb, idCol, vecCol,
           spark.read.parquet(centsDir))
         .write.mode("overwrite").parquet(occDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(vecsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -469,10 +520,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(segsDir).exists())
+    seedOnce(segsDir) {
       graft.ext.Dedup.segmentHashTable(
           graft.util.Par.spread(corpusDocs), textCol, idCol, segTokens)
         .write.mode("overwrite").parquet(segsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -517,10 +570,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(countsDir).exists())
+    seedOnce(countsDir) {
       graft.ext.Corpus.termCountTable(corpusDocs, textCol)
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(countsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -570,10 +625,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(countsDir).exists())
+    seedOnce(countsDir) {
       graft.ext.Corpus.lmCountTable(refDocs, textCol)
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(countsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -630,7 +687,7 @@ object DeltaStream {
       .add(langCol, org.apache.spark.sql.types.StringType)
     val countsDir = s"$stateDir/counts"
     val thrDir = s"$stateDir/thresholds"
-    if (!new java.io.File(countsDir).exists()) {
+    seedOnce(thrDir) {
       graft.ext.Corpus.lmCountTable(
           graft.util.Par.spread(refDocs.filter(trainPred)), textCol)
         .write.mode("overwrite").parquet(countsDir)
@@ -638,6 +695,7 @@ object DeltaStream {
           spark.read.parquet(countsDir), textCol, idCol, langCol, nBuckets)
         .write.mode("overwrite").parquet(thrDir)
     }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -680,10 +738,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(sketchDir).exists())
+    seedOnce(sketchDir) {
       graft.ext.Corpus.cmsSketch(corpusDocs, textCol, n, depth, width)
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(sketchDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -740,9 +800,11 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(gramsDir).exists())
+    seedOnce(gramsDir) {
       graft.ext.Dedup.evalSetGramTable(evalDocs, setCol, textCol, idCol, n)
         .write.mode("overwrite").parquet(gramsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -793,13 +855,14 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(bucketsDir).exists()) {
+    seedOnce(s"$bucketsDir/raw") {
       graft.ext.Corpus.hashedBucketTable(corpus.filter(targetPred),
           textCol, buckets)
         .write.mode("overwrite").parquet(s"$bucketsDir/target")
       graft.ext.Corpus.hashedBucketTable(corpus, textCol, buckets)
         .write.mode("overwrite").parquet(s"$bucketsDir/raw")
     }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -838,10 +901,12 @@ object DeltaStream {
       .add(typeCol, org.apache.spark.sql.types.StringType)
       .add(tsCol, org.apache.spark.sql.types.StringType)
     import graft.analytics.EventOps
-    if (!new java.io.File(countsDir).exists())
+    seedOnce(countsDir) {
       EventOps.dailyCounts(corpusEvents, typeCol, tsCol)
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(countsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(eventsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -891,10 +956,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(keyCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(refDir).exists())
+    seedOnce(refDir) {
       corpus.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
         .agg(count(lit(1)).as("c_ref"))
         .write.mode("overwrite").parquet(refDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -945,11 +1012,12 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(sigsDir).exists())
+    seedOnce(sigsDir) {
       graft.ext.Dedup.minhashSignatures(
           graft.util.Par.spread(corpusDocs), textCol, idCol, k, shingleLen)
         .write.mode("overwrite").parquet(sigsDir)
-    if (!new java.io.File(keysDir).exists()) {
+    }
+    seedOnce(keysDir) {
       val pairs = graft.ext.Dedup.minhashNearDups(corpusDocs, textCol,
         idCol, k, bands, shingleLen, thNum, thDen)
         .select(col("doc_a"), col("doc_b"))
@@ -960,9 +1028,11 @@ object DeltaStream {
           coalesce(col("canonical_id"), col(idCol)).as("split_key"))
         .write.mode("overwrite").parquet(keysDir)
     }
-    if (!new java.io.File(textsDir).exists())
+    seedOnce(textsDir) {
       corpusDocs.select(col(idCol), col(textCol))
         .write.mode("overwrite").parquet(textsDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1028,10 +1098,11 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    if (!new java.io.File(postingsDir).exists()) {
+    seedOnce(postingsDir) {
       graft.ext.Corpus.postingsTable(corpus, textCol, idCol)
         .write.mode("overwrite").parquet(postingsDir)
     }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(queriesDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1068,12 +1139,15 @@ object DeltaStream {
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(vecCol, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType))
-    if (!new java.io.File(centsDir).exists())
+    seedOnce(centsDir) {
       Similarity.centroidTable(corpusEmb, idCol, vecCol, nCells)
         .write.mode("overwrite").parquet(centsDir)
-    if (!new java.io.File(evalDir).exists())
+    }
+    seedOnce(evalDir) {
       evalEmb.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(evalDir)
+    }
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(vecsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1109,6 +1183,7 @@ object DeltaStream {
       keyCol: String = "doc_id"): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(keyCol, org.apache.spark.sql.types.LongType)
+    cleanStaleBatchDirs(checkpointDir, outDir)
     spark.readStream.schema(schema).json(feedDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
