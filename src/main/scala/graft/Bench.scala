@@ -130,7 +130,17 @@ object Bench {
     // bloating the driver's one-line JSON.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // per-query exchange-width overrides (SparkEntry.initialParts): applied
+    // around BOTH the warm-ups and the timed reps, restored to the session
+    // default after — AQE reads the conf at stage execution, so setting it
+    // here (not inside the lazy query fn) is what actually takes effect
+    val partsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val defaultParts = spark.conf.get(partsKey)
     val results = queries.map { case (name, fn) =>
+      SparkEntry.initialParts.get(name) match {
+        case Some(n) => spark.conf.set(partsKey, n.toString)
+        case None => spark.conf.set(partsKey, defaultParts)
+      }
       // Untimed warm-up run IMMEDIATELY before the query's timed reps — a
       // single suite-level warm-up pass decayed by the time a late query's
       // reps ran (JIT code cache evicted, file cache cold, previous
