@@ -56,6 +56,11 @@ object ClusteredRecallProbe {
       overall(s"x143 jl(16)-route + rescore nprobe=$np",
         Similarity.jlIvfRescoreTopK(emb, "vec_id", "embedding", k = 5,
           outDims = 16, inDims = 64, nCells = nClusters, nprobe = np))
+    for (od <- Seq(16, 32); it <- Seq(1, 3); np <- Seq(1, 2, 4, 8))
+      overall(s"x147 jl($od) Lloyd($it)-route + rescore nprobe=$np",
+        Similarity.jlIvfRescoreRefinedTopK(emb, "vec_id", "embedding",
+          k = 5, outDims = od, inDims = 64, nCells = nClusters,
+          nprobe = np, iters = it))
     spark.stop()
   }
 }

@@ -783,6 +783,61 @@ object Similarity {
       col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** [[jlIvfRescoreTopK]] over LLOYD-REFINED JL-space cells — the
+    * composition the clustered recall harness motivates (round-11 verdict
+    * item 4): on OVERLAPPING clusters the smallest-id seeding leaves
+    * several true clusters sharing one cell and recall capped at
+    * 0.17–0.42 even with full-precision rescore, while x125 measured one
+    * Lloyd step worth +35 recall points on exactly that geometry. Here
+    * [[kmeansCentroids]] refines the cell centroids IN THE PROJECTED
+    * SPACE (`iters` Lloyd rounds over outDims-long vectors — each round
+    * one broadcast-assign pass + one O(cells·outDims) decimal-mean
+    * aggregate, nothing corpus-wide), then routing and rescoring proceed
+    * exactly as [[jlIvfRescoreTopK]]: probe list from the refined
+    * broadcast row, ranking by ORIGINAL cosine inside probed cells.
+    * `iters = 0` reproduces [[jlIvfRescoreTopK]] bit-for-bit (the seed
+    * table IS [[centroidTable]]'s smallest-id row — spec-proved).
+    * Deterministic end to end: JL components are exact longs, the Lloyd
+    * mean is a decimal(28,10) sum with one double division (the x20
+    * arithmetic), so the DuckDB oracle reproduces every centroid,
+    * assignment and score bit-for-bit.
+    */
+  def jlIvfRescoreRefinedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, outDims: Int, inDims: Int, nCells: Int,
+      nprobe: Int = 1, iters: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells, "nprobe must be in 1..nCells")
+    require(iters >= 0, "need iters >= 0")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(JlScale)))
+    val base = spread(emb
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("_n"), qv.as("_qv"))
+      .select(col("_id"), col("_v"), col("_n"),
+        transform(jlArray(outDims, inDims), x => x.cast("double")).as("_jv"))
+      .select(col("_id"), col("_v"), col("_n"), col("_jv"),
+        sqrt(dot(col("_jv"), col("_jv"))).as("_jn")))
+    val cents = kmeansCentroids(base.select(col("_id"), col("_jv")),
+        "_id", "_jv", nCells, iters)
+      .agg(collect_list(struct(col("_cid"), col("_cvec"), col("_cn")))
+        .as("_cents"))
+    val withC = base.join(broadcast(cents))
+    val corpus = withC.select(col("_id").as("neighbor_id"),
+      col("_v").as("_vb"), col("_n").as("_nb"),
+      assignedCell(col("_jv"), col("_jn")).as("_cell2"))
+    val probes =
+      if (nprobe == 1)
+        withC.select(col("_id").as("query_id"), col("_v").as("_va"),
+          col("_n").as("_na"),
+          assignedCell(col("_jv"), col("_jn")).as("_cell"))
+      else
+        withC.select(col("_id").as("query_id"), col("_v").as("_va"),
+          col("_n").as("_na"),
+          explode(transform(slice(scoredCells(col("_jv"), col("_jn")), 1, nprobe),
+            s => s.getField("_cid"))).as("_cell"))
+    rankTopK(probes.join(corpus,
+      col("_cell") === col("_cell2") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Semantic decontamination: for every CORPUS vector, its maximum cosine
     * against an EVAL set and a `contaminated` verdict at `threshold` —
     * the embedding-level complement of the n-gram overlap scans

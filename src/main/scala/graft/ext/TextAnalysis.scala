@@ -125,6 +125,63 @@ object TextAnalysis {
   val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
   def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
+  /** Word-boundary sentinel for [[bpeApply]]: merges never contain it, so
+    * merges can never cross a word boundary. */
+  val BpeBoundary = "\u0001"
+
+  /** BPE tokenization of a corpus against a TRAINED merge table — the
+    * apply step of byte-pair encoding (Sennrich et al., ACL 2016), the
+    * pass a training-data pipeline runs over every byte it ships (x85
+    * computes one training round's pair statistic; this replays the
+    * learned ranks). Semantics, mirrored 1:1 by the DuckDB oracle:
+    *
+    *  1. [[normalize]] the text; word boundaries become the [[BpeBoundary]]
+    *     sentinel token (merges never cross words);
+    *  2. every character becomes one token (`" c1 c2 … "`, space-joined);
+    *  3. each merge `(left, right)` in RANK order rewrites all
+    *     non-overlapping left-to-right occurrences of the adjacent token
+    *     pair into the concatenation ([[graft.functions.BpeMerge]] — one
+    *     fused codegen'd expression, not a merges-deep column tree).
+    *
+    * Output: (`idCol`, `n_tokens` = final subword count excluding
+    * boundary sentinels, `bpe_tokens` = the space-joined final token
+    * string). Scale shape: MAP-ONLY — the merge table is collected once
+    * on the driver (vocab state, bounded by `maxMerges`; production BPE
+    * vocabularies are 30-50k merges) and rides the expression as a
+    * broadcast-by-value reference; the corpus is never shuffled and
+    * per-row work is O(merges × len) with constant-time rejection of
+    * absent merges.
+    */
+  def bpeApply(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, merges: org.apache.spark.sql.DataFrame,
+      maxMerges: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val rows = merges
+      .select(col("rank").cast("long").as("rank"),
+        col("left").cast("string").as("left"),
+        col("right").cast("string").as("right"))
+      .orderBy(col("rank").asc).limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"merge table exceeds maxMerges=$maxMerges — raise the bound " +
+        "explicitly if the vocabulary is genuinely that large")
+    require(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "merge ranks must be unique (rank order IS the apply order)")
+    val pairs = rows.toSeq.map(r => (r.getString(1), r.getString(2)))
+    pairs.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty &&
+        !(l + r).contains(" ") && !(l + r).contains(BpeBoundary),
+        s"merge tokens must be non-empty and free of space/boundary: ($l, $r)") }
+    // " c1 c2 … cn " — every char one token, boundaries sentinel tokens
+    val spreadTokens = concat(lit(" "), regexp_replace(
+      translate(normalize(col(textCol)), " ", BpeBoundary), "(.)", "$1 "))
+    val merged = trim(shim.column(graft.functions.BpeMerge(
+      shim.expression(spreadTokens), pairs)))
+    docs.select(col(idCol),
+      size(filter(split(merged, " "),
+        t => t =!= lit(BpeBoundary) && t =!= lit("")))
+        .cast("long").as("n_tokens"),
+      merged.as("bpe_tokens"))
+  }
+
   /** Context-window chunking: overlapping token windows of `chunkTokens`
     * tokens starting every `chunkTokens - overlap` tokens — the
     * training/RAG window splitter. The final window clamps to the document

@@ -1501,6 +1501,17 @@ object ExtensionQueries {
         nprobe = 2).orderBy("query_id", "rank")
     }),
 
+    // x143 over LLOYD-REFINED JL-space cells — the remaining recall lever
+    // the clustered harness priced (smallest-id seeding leaves overlapping
+    // clusters sharing a cell: x143 recall 0.17–0.42 at spread 6 where one
+    // Lloyd step is worth +35 pts); one projected-space Lloyd round, then
+    // route + original-cosine rescore at the same exchange shape
+    "x147_jl_ivf_rescore_refined" -> ((s, dir) => {
+      Similarity.jlIvfRescoreRefinedTopK(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, outDims = 16, inDims = 64,
+        nCells = 16, nprobe = 2, iters = 1).orderBy("query_id", "rank")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -2413,6 +2424,58 @@ object ExtensionQueries {
        |rk AS (SELECT vec_id, cid,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
        |       FROM scored),
+       |corpus AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= 2),
+       |fp AS (SELECT pa.vec_id AS query_id, pb.vec_id AS neighbor_id, $cosSql AS c
+       |       FROM probes pa JOIN corpus pb
+       |         ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+       |       JOIN embeddings a ON a.vec_id = pa.vec_id
+       |       JOIN embeddings b ON b.vec_id = pb.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY c DESC, neighbor_id) AS INT) AS rank
+       |      FROM fp)
+       |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of x147: jlIvfRescoreSql with ONE Lloyd round between
+    * seeding and routing — cent0 = 16 smallest-id PROJECTED vectors,
+    * asn0 under cent0, cent1 = per-cell decimal(28,10) means of the
+    * projected components (annIvfKmeansSql's arithmetic — exact-integer
+    * sums, one double division per element), then assignment/probe list
+    * under cent1 and the pair cosine over the ORIGINAL embeddings.
+    */
+  private def jlIvfRescoreRefinedSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${jlFromQ(16, "p16")},
+       |pd AS (SELECT vec_id, CAST(pv AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[]))) AS n
+       |       FROM p16),
+       |cent0 AS (SELECT vec_id AS cid, v AS cvec, n AS cn
+       |          FROM pd ORDER BY vec_id LIMIT 16),
+       |s0 AS (SELECT e.vec_id, e.v, c.cid,
+       |         list_dot_product(e.v, c.cvec) / (e.n * c.cn) AS s
+       |       FROM pd e CROSS JOIN cent0 c),
+       |asn0 AS (SELECT vec_id, v, cid AS cell FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |            FROM s0) WHERE rn = 1),
+       |sums AS (SELECT cell, CAST(i AS INT) AS pos,
+       |           sum(CAST(v[CAST(i AS INT)] AS DECIMAL(28,10))) AS sm,
+       |           count(*) AS cnt
+       |         FROM asn0 t, unnest(generate_series(1, len(v))) AS u(i)
+       |         GROUP BY 1, 2),
+       |cent1 AS (SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn FROM
+       |            (SELECT cell AS cid, list(CAST(sm AS DOUBLE) / cnt ORDER BY pos) AS cvec
+       |             FROM sums GROUP BY cell)),
+       |s1 AS (SELECT e.vec_id, c.cid,
+       |         list_dot_product(e.v, c.cvec) / (e.n * c.cn) AS s
+       |       FROM pd e CROSS JOIN cent1 c),
+       |rk AS (SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |       FROM s1),
        |corpus AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
        |probes AS (SELECT vec_id, cid AS cell FROM rk WHERE rn <= 2),
        |fp AS (SELECT pa.vec_id AS query_id, pb.vec_id AS neighbor_id, $cosSql AS c
@@ -4201,6 +4264,7 @@ object ExtensionQueries {
     "x130_jl_recall_report" -> jlRecallSql,
     "x131_jl_ivf_topk" -> jlIvfSql,
     "x143_jl_ivf_rescore" -> jlIvfRescoreSql,
+    "x147_jl_ivf_rescore_refined" -> jlIvfRescoreRefinedSql,
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),

@@ -141,6 +141,27 @@ class JlProjectionSpec extends SparkSpec {
       q1.head.getDouble(2) === 1.0)
   }
 
+  test("jlIvfRescoreRefinedTopK: iters=0 reproduces jlIvfRescoreTopK " +
+    "bit-for-bit; iters=1 keeps true-cosine scores and the duplicate") {
+    val plain = Similarity.jlIvfRescoreTopK(vecs, "vec_id", "embedding",
+      k = 2, outDims = 8, inDims = dims, nCells = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val it0 = Similarity.jlIvfRescoreRefinedTopK(vecs, "vec_id", "embedding",
+      k = 2, outDims = 8, inDims = dims, nCells = 2, nprobe = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(it0 === plain)
+    // one Lloyd round: scores stay ORIGINAL-space cosines and the exact
+    // duplicate still lands at rank 1 with cosine exactly 1.0
+    val it1 = Similarity.jlIvfRescoreRefinedTopK(vecs, "vec_id", "embedding",
+      k = 2, outDims = 8, inDims = dims, nCells = 2, nprobe = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val trueCos = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    it1.foreach(t => assert(t._3 === trueCos((t._1, t._2)), s"(${t._1},${t._2})"))
+    val q1 = it1.filter(t => t._1 == 1L && t._4 == 1)
+    assert(q1.length === 1 && q1.head._2 === 2L && q1.head._3 === 1.0)
+  }
+
   test("jlProject rejects an expansion (outDims > inDims)") {
     val e = intercept[IllegalArgumentException](
       Similarity.jlProject(vecs, "vec_id", "embedding", outDims = 16, inDims = dims))
