@@ -138,10 +138,15 @@ object TextAnalysis {
     *  1. [[normalize]] the text; word boundaries become the [[BpeBoundary]]
     *     sentinel token (merges never cross words);
     *  2. every character becomes one token (`" c1 c2 … "`, space-joined);
-    *  3. each merge `(left, right)` in RANK order rewrites all
-    *     non-overlapping left-to-right occurrences of the adjacent token
-    *     pair into the concatenation ([[graft.functions.BpeMerge]] — one
-    *     fused codegen'd expression, not a merges-deep column tree).
+    *  3. each merge `(left, right)` in RANK order runs one LEFTMOST-GREEDY
+    *     pass over the token sequence: every adjacent `(left, right)` pair
+    *     becomes the concatenation and the scan resumes after the merged
+    *     token, so runs pair from the left (`a a a a` → `aa aa`, not the
+    *     `aa a a` a non-overlapping string replace would give)
+    *     ([[graft.functions.BpeMerge]] — one fused codegen'd expression,
+    *     not a merges-deep column tree; the DuckDB oracle reproduces the
+    *     greedy pass exactly via the doubled-delimiter replace chain
+    *     documented there).
     *
     * Output: (`idCol`, `n_tokens` = final subword count excluding
     * boundary sentinels, `bpe_tokens` = the space-joined final token
@@ -149,8 +154,7 @@ object TextAnalysis {
     * on the driver (vocab state, bounded by `maxMerges`; production BPE
     * vocabularies are 30-50k merges) and rides the expression as a
     * broadcast-by-value reference; the corpus is never shuffled and
-    * per-row work is O(merges × len) with constant-time rejection of
-    * absent merges.
+    * per-row work is O(merges × tokens).
     */
   def bpeApply(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, merges: org.apache.spark.sql.DataFrame,

@@ -16,6 +16,17 @@ object ExtensionQueries {
 
   private val highNibbles = "('8','9','a','b','c','d','e','f')"
 
+  /** x148 fixture: a trained merge table replayed in RANK order by both
+    * engines. Exercises chained ranks (t+h then th+e; e+r then er+g; a+l
+    * then v+al), rank competition (rank 2's (a,l) consumes "small"'s a·l
+    * before rank 4's (l,l) can pair — apply order IS rank order), and
+    * same-char pairs, which pair leftmost-greedily within runs.
+    */
+  private val BpeFixture: Seq[(Long, String, String)] = Seq(
+    (0L, "t", "h"), (1L, "th", "e"), (2L, "a", "l"), (3L, "v", "al"),
+    (4L, "l", "l"), (5L, "g", "g"), (6L, "e", "r"), (7L, "er", "g"),
+    (8L, "s", "c"), (9L, "a", "a"))
+
   val all: Map[String, Q] = Map(
     // exact dedup: one survivor per distinct text (min doc_id), digest-keyed
     "x1_dedup_exact" -> ((s, dir) => {
@@ -1512,6 +1523,19 @@ object ExtensionQueries {
         nCells = 16, nprobe = 2, iters = 1).orderBy("query_id", "rank")
     }),
 
+    // BPE apply: replay the trained merge fixture in rank order over every
+    // document — the tokenization pass a training pipeline runs over every
+    // byte it ships (x85 is one training round's statistic; this is the
+    // apply step). Leftmost-greedy per rank, never across the word-boundary
+    // sentinel; MAP-ONLY — the merge table rides the fused BpeMerge
+    // expression as a driver-collected reference, the corpus never shuffles
+    "x148_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val merges = BpeFixture.toDF("rank", "left", "right")
+      TextAnalysis.bpeApply(Tables(s, dir, "documents"), "text", "doc_id",
+        merges).orderBy("doc_id")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -2437,6 +2461,36 @@ object ExtensionQueries {
        |      FROM fp)
        |SELECT query_id, neighbor_id, round(c, 9) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of x148 — the doubled-delimiter replace chain that
+    * reproduces BpeMerge's leftmost-greedy pass exactly (see the proof in
+    * [[graft.functions.BpeMerge]]'s scaladoc): spread the normalized text
+    * to the canonical one-char-per-token form (word boundaries become the
+    * chr(1) sentinel), DOUBLE every delimiter space so adjacent pair
+    * occurrences are disjoint in string space, then one non-overlapping
+    * `replace(' l  r ', ' lr ')` per merge in rank order — each match
+    * consumes only the inner space of its outer delimiters, so replace's
+    * left-to-right scan selects exactly the greedy pairing and one pass
+    * per rank is complete (lr can never recreate its own pair). Halve the
+    * spaces at the end. A PLAIN single-space replace chain would
+    * under-merge runs (`' a a a a '` → `' aa a a '`, not greedy
+    * `' aa aa '`) — that bug class is exactly what this oracle exists to
+    * catch, so it must not mirror it.
+    */
+  private def bpeApplySql: String = {
+    val spread = "' ' || regexp_replace(replace(" + normSql("text") +
+      ", ' ', chr(1)), '(.)', '\\1 ', 'g')"
+    val chained = BpeFixture.foldLeft(s"replace($spread, ' ', '  ')") {
+      case (acc, (_, l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+    }
+    s"""WITH b AS (SELECT doc_id, trim(replace($chained, '  ', ' ')) AS s
+       |           FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split(s, ' '),
+       |       t -> t <> chr(1) AND t <> '')) AS BIGINT) AS n_tokens,
+       |  s AS bpe_tokens
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of x147: jlIvfRescoreSql with ONE Lloyd round between
     * seeding and routing — cent0 = 16 smallest-id PROJECTED vectors,
@@ -4265,6 +4319,7 @@ object ExtensionQueries {
     "x131_jl_ivf_topk" -> jlIvfSql,
     "x143_jl_ivf_rescore" -> jlIvfRescoreSql,
     "x147_jl_ivf_rescore_refined" -> jlIvfRescoreRefinedSql,
+    "x148_bpe_apply" -> bpeApplySql,
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),

@@ -82,6 +82,11 @@ class PlanAuditSpec extends SparkSpec {
     // x143: same single-row centroid attach as x131; ranking reads only
     // the probed cells' members via the cell equi-join
     "x143_jl_ivf_rescore",
+    // x147: x143's shape plus one projected-space Lloyd refinement round —
+    // the refinement aggregates cells·outDims (nothing corpus-wide) and
+    // re-attaches the refined single-row centroid array via the same
+    // broadcast one-row attach (Similarity.scala kmeansCentroids/centRow)
+    "x147_jl_ivf_rescore_refined",
     // x132: the same single-row centroid attach on both the corpus and
     // eval sides; the contamination pairing is the cell equi-join
     "x132_semantic_decontam",

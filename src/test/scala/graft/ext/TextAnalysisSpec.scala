@@ -57,6 +57,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(oneSeq(TextAnalysis.chunks(col("text"), 3, 1), "") === Seq(""))
   }
 
+  private def applyBpe(text: String,
+      merges: Seq[(Long, String, String)]): (Long, String) = {
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeApply(docs, "text", "doc_id",
+      merges.toDF("rank", "left", "right")).head()
+    (r.getAs[Long]("n_tokens"), r.getAs[String]("bpe_tokens"))
+  }
+
+  test("bpeApply: leftmost-greedy run pairing (the string-replace bug class)") {
+    // runs pair from the left: a non-overlapping string replace on the
+    // single-space form strands the second pair of every adjacent pair
+    // of occurrences (" aaaa " -> " aa a a "); greedy yields " aa aa "
+    assert(applyBpe("aaaa", Seq((0L, "a", "a"))) === ((2L, "aa aa")))
+    assert(applyBpe("aaaaa", Seq((0L, "a", "a"))) === ((3L, "aa aa a")))
+    assert(applyBpe("aaa", Seq((0L, "a", "a"))) === ((2L, "aa a")))
+    // alternating occurrences share their delimiter space too
+    assert(applyBpe("abab", Seq((0L, "a", "b"))) === ((2L, "ab ab")))
+  }
+
+  test("bpeApply: rank order IS apply order") {
+    assert(applyBpe("the", Seq((0L, "t", "h"), (1L, "th", "e")))
+      === ((1L, "the")))
+    // reversed ranks: (h,e) fires first, (t,h) never finds its pair
+    assert(applyBpe("the", Seq((0L, "h", "e"), (1L, "t", "h")))
+      === ((2L, "t he")))
+    // competition: rank 0's (a,l) consumes the a·l before (l,l) can pair
+    assert(applyBpe("small", Seq((0L, "a", "l"), (1L, "l", "l")))
+      === ((4L, "s m al l")))
+  }
+
+  test("bpeApply: merges never cross the word-boundary sentinel") {
+    assert(applyBpe("a a", Seq((0L, "a", "a")))
+      === ((2L, s"a ${TextAnalysis.BpeBoundary} a")))
+  }
+
+  test("bpeApply: guard rails — unique ranks, clean tokens, maxMerges") {
+    intercept[IllegalArgumentException] {
+      applyBpe("x", Seq((0L, "a", "b"), (0L, "c", "d")))
+    }
+    intercept[IllegalArgumentException] {
+      applyBpe("x", Seq((0L, "a b", "c")))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeApply(Seq((1L, "x")).toDF("doc_id", "text"),
+        "text", "doc_id",
+        Seq((0L, "a", "b"), (1L, "c", "d")).toDF("rank", "left", "right"),
+        maxMerges = 1)
+    }
+  }
+
   test("redactPii: typed placeholders, non-PII text untouched") {
     val df = Seq(
       "mail bob@example.com or call +1 (555) 123-4567 from 10.0.0.1 now",
