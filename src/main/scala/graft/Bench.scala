@@ -67,7 +67,34 @@ object Bench {
     oome
   }
 
+  /** First three /proc/loadavg fields — the run's weather report. */
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
+  /** Host-steal ticks (/proc/stat cpu field 8) — a large delta across the
+    * run means the hypervisor stole cycles and the numbers are suspect.
+    */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().find(_.startsWith("cpu "))
+          .getOrElse("").trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
+    // machine-state capture bracketing the whole run (r12 verdict item 3:
+    // the official artifact must carry its own weather report — a loaded
+    // box produced phantom 2-6x regressions the driver record could not
+    // self-adjudicate); per-rep 1-min loads go to target/bench_load.json
+    val load0 = loadavg()
+    val steal0 = stealTicks()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -136,10 +163,16 @@ object Bench {
     // here (not inside the lazy query fn) is what actually takes effect
     val partsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val defaultParts = spark.conf.get(partsKey)
+    // SPARK_GRAFT_INITIAL_PARTS wins over the per-query map: an A/B run
+    // requesting a width must actually measure it, including for the
+    // queries the map covers (round-12 advice — the override silently
+    // measured 256 vs 256 for exactly the x96/x99/x137/x138 family)
+    val envParts = sys.env.contains("SPARK_GRAFT_INITIAL_PARTS")
+    val loads = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val results = queries.map { case (name, fn) =>
       SparkEntry.initialParts.get(name) match {
-        case Some(n) => spark.conf.set(partsKey, n.toString)
-        case None => spark.conf.set(partsKey, defaultParts)
+        case Some(n) if !envParts => spark.conf.set(partsKey, n.toString)
+        case _ => spark.conf.set(partsKey, defaultParts)
       }
       // Untimed warm-up run IMMEDIATELY before the query's timed reps — a
       // single suite-level warm-up pass decayed by the time a late query's
@@ -164,8 +197,10 @@ object Bench {
       }
       spark.catalog.clearCache()
       System.gc()
+      val repLoads = scala.collection.mutable.ArrayBuffer[String]()
       val times = (1 to reps).map { rep =>
         System.err.println(s"[bench] $name rep $rep start")
+        repLoads += loadavg().split(" ").headOption.getOrElse("")
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast one — record it
         try { force(fn(spark, sfDir)) } catch {
@@ -185,7 +220,13 @@ object Bench {
         dt
       }
       runs(name) = times
+      loads(name) = repLoads.toSeq
       name -> times.sorted.apply((times.size - 1) / 2)
+    }
+    val load1 = loadavg()
+    val stealDelta = {
+      val s1 = stealTicks()
+      if (steal0 < 0 || s1 < 0) -1L else s1 - steal0
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -213,16 +254,24 @@ object Bench {
     // stdout keeps the original compact shape (the driver's tail window
     // truncates long lines — rounds 1 AND 2 lost the whole JSON to that);
     // queries_min rides only in target/bench.json, which has no size limit
+    val machine = s""""load_before":${jstr(load0)},"load_after":${jstr(load1)},"steal_delta":$stealDelta"""
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"pretouch_oome":$pretouchOome,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"pretouch_oome":$pretouchOome,$machine,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val jsonFull =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"pretouch_oome":$pretouchOome,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"pretouch_oome":$pretouchOome,$machine,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
     val runsJson = runs.map { case (k, ts) =>
       jstr(k) + ":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val runsOut = java.nio.file.Paths.get("target/bench_runs.json")
     java.nio.file.Files.createDirectories(runsOut.getParent)
     java.nio.file.Files.write(runsOut, runsJson.getBytes("UTF-8"))
+    // per-rep 1-min loadavg at rep start, parallel to bench_runs.json —
+    // a wild outlier rep (r12: a 76 s rep on a ~2 s query) self-annotates
+    val loadJson = loads.map { case (k, ls) =>
+      jstr(k) + ":" + ls.map(jstr).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_load.json"),
+      loadJson.getBytes("UTF-8"))
     // a known file for the driver, plus stdout — printed TWICE so any tail
     // window at least one full line long contains a complete parseable copy
     // even when the window boundary falls mid-line

@@ -47,7 +47,9 @@ object RanksProbe {
         if (j.jobId == sentinelJob.get()) drained.countDown()
     }
     spark.sparkContext.addSparkListener(lis)
-    graft.ext.Ranks.byValue(df, "g")
+    // eager = false: identity finish — the probe wants the raw ranked
+    // frame's shuffle profile, with no result cache in the measurement
+    graft.ext.Ranks.byValue(df, "g", eager = false)
       .write.format("noop").mode("overwrite").save()
     spark.sparkContext.setJobDescription("ranks-probe-sentinel")
     // collect on a 1-row range: single result stage, ZERO shuffle writes —

@@ -1903,11 +1903,17 @@ object Corpus {
     // rank < 2^53, so the double division truncates exactly
     val pass = (p / nShards).cast("long")
     val idx = pmod(p, lit(nShards))
+    // eager = false: the layout is corpus-sized and consumed once by the
+    // caller's terminal action — forcing an eager pass here splits that
+    // action into two queries and re-executes every upstream subtree the
+    // halves share (x62's mixture stage ran twice: +1.0 s at sf0.1,
+    // round-12 adjudication); the parted cache releases at the next
+    // cache-managed operator entry instead
     Ranks.byValue(keyed, "_g", finish = _
       .select(col(idCol), col("_w").as(weightCol),
         when(pass % 2 === 0, idx).otherwise(lit(nShards) - 1 - idx)
           .cast("int").as("shard"),
-        pass.as("shard_pos")))
+        pass.as("shard_pos")), eager = false)
   }
 
   /** Source/domain-level reputation gate — the curation stage that filters

@@ -54,18 +54,31 @@ private[graft] object Ranks {
     * Cache lifecycle: the range-partitioned frame is operator-local and
     * corpus-sized; leaving it cached for the session would leak one
     * MEMORY_AND_DISK corpus copy per invocation (quantiles, shards,
-    * packing, CCNet buckets all ride this). So the result is EAGER:
-    * `finish(ranked)` — the caller's projection of the ranked frame,
-    * usually far narrower than the input — is materialized into its own
-    * cache via [[graft.util.Caching.materializeAndRelease]] and the
-    * parted frame (plus any caller-supplied `alsoRelease` intermediates)
-    * is unpersisted before this returns. Callers whose final result is a
-    * reduction (quantile rows, boundaries) pass it as `finish` so the
-    * only surviving cache is rows-not-corpus sized.
+    * packing, CCNet buckets all ride this). Two modes:
+    *
+    *  - `eager = true` (default): `finish(ranked)` — the caller's
+    *    projection, which MUST be a compact reduction (quantile rows,
+    *    boundary tables) — is materialized into its own cache via
+    *    [[graft.util.Caching.materializeAndRelease]] and the parted frame
+    *    (plus `alsoRelease`) is unpersisted before this returns. Passing a
+    *    corpus-sized `finish` (or omitting it) here would persist a full
+    *    corpus copy AND split the caller's query in two — pass
+    *    `eager = false` for that shape instead.
+    *  - `eager = false`: no job runs and the result is NOT persisted — the
+    *    caller's own terminal action materializes everything as one fused
+    *    query (full exchange reuse across sibling branches); the parted
+    *    cache is registered via [[graft.util.Caching.releaseWhenUsed]] and
+    *    released at the next cache-managed operator entry after that
+    *    action has run. The right mode when the result is corpus-sized and
+    *    consumed once (shard layouts, packing). A caller that re-consumes
+    *    the result after the deferred release recomputes it from lineage —
+    *    correct (offsets are tie-permutation-invariant: per-slice counts
+    *    and min-ids over contiguous sorted runs), just unaided by cache.
     */
   def byValue(df: DataFrame, groupCol: String,
       finish: DataFrame => DataFrame = identity,
-      alsoRelease: Seq[DataFrame] = Nil): DataFrame = {
+      alsoRelease: Seq[DataFrame] = Nil,
+      eager: Boolean = true): DataFrame = {
     val nParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // persisted: the offsets aggregate AND the rank attach both consume
@@ -92,7 +105,12 @@ private[graft] object Ranks {
       .join(broadcast(offsets), Seq("_pid", groupCol))
       .withColumn("_rn", col("_mid") - col("_m0") + 1 + col("_off"))
       .drop("_mid", "_m0", "_off")
-    graft.util.Caching.materializeAndRelease(
-      finish(ranked), (parted +: alsoRelease): _*)
+    if (eager)
+      graft.util.Caching.materializeAndRelease(
+        finish(ranked), (parted +: alsoRelease): _*)
+    else {
+      graft.util.Caching.releaseWhenUsed((parted +: alsoRelease): _*)
+      finish(ranked)
+    }
   }
 }

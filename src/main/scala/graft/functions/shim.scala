@@ -23,4 +23,26 @@ object shim {
       table: String): String =
     spark.sessionState.catalog.defaultTablePath(
       spark.sessionState.sqlParser.parseTableIdentifier(table)).toString
+
+  /** Whether `df` is currently registered in the session's cache manager
+    * (i.e. persisted and not yet unpersisted/cleared). */
+  def isCacheRegistered(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
+  }
+
+  /** Whether `df`'s persisted cache has MATERIALIZED column buffers — true
+    * only after some action has computed through the cached plan. Lets a
+    * cache-lifecycle manager release upstream intermediates exactly when
+    * they have served their purpose, instead of forcing an eager pass
+    * (`count()`) to find out. False when `df` is not cached at all.
+    */
+  def isCacheMaterialized(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .exists(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
+  }
 }
