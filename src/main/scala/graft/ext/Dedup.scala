@@ -1323,4 +1323,93 @@ object Dedup {
         when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
           .as("contained_id"))
   }
+
+  /** Cross-document EXACT substring duplicates of at least `minTokens`
+    * tokens (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" §3 — the exact-substring pass their suffix array
+    * computes globally over the concatenated corpus), in the bounded
+    * screened form: winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]], `k`-token grams, window
+    * `w = minTokens − k + 1`) are a SOUND candidate screen — any shared
+    * substring of ≥ k + w − 1 = minTokens tokens is GUARANTEED to share a
+    * selected fingerprint at corresponding positions (Schleimer's coverage
+    * guarantee; window contents inside the shared region are identical in
+    * both documents, so the rightmost-min pick lands on the same gram) —
+    * and every anchor pair is then verified by EXACT token comparison, so
+    * the output EQUALS the ground truth a global suffix array would find:
+    * one row per maximal cross-doc shared run (`doc_a` < `doc_b`,
+    * `a_pos`/`b_pos` 1-based token starts, `match_len` ≥ minTokens).
+    * Fingerprint hash collisions and sub-minimum overlaps only ever ADD
+    * candidate anchors; extension measures the true run and the length
+    * filter drops them — the screen affects cost, never the result (the
+    * DuckDB oracle computes the same set from raw minTokens-gram equality
+    * with no winnowing at all).
+    *
+    * Extension arithmetic: from an anchor (pa, pb), `fwd` = index of the
+    * first mismatching token on the shared diagonal going right (array
+    * ends stop the run), `bk` = the same going left; the maximal run is
+    * (pa − bk, pb − bk, len = bk + fwd). Every anchor inside one maximal
+    * run — and any anchor immediately right of it — extends to the SAME
+    * tuple, so `distinct` collapses candidates to the maximal-run set.
+    *
+    * Scale shape: picks are ~2/(w+1) of the gram stream and the anchor
+    * join is an 8-byte-hash equi-join (bucketed, never all-pairs);
+    * extension carries the two token arrays per CANDIDATE pair only. The
+    * quadratic hazard is one fingerprint shared by m documents (m²
+    * anchors): the `maxAnchorDf` guard fails fast naming the boilerplate
+    * strip (x84) instead of silently launching the blowup — a span THAT
+    * corpus-frequent is boilerplate to remove, not duplication to
+    * measure. (The guard is the [[Similarity]] `maxExactRows` discipline:
+    * one bounded driver check, a 0-or-1-row collect.)
+    */
+  def exactSubstringDups(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50, k: Int = 25,
+      maxAnchorDf: Long = 256L): DataFrame = {
+    require(k >= 1 && minTokens > k,
+      "need 1 <= k < minTokens (window w = minTokens - k + 1 >= 2)")
+    val w = minTokens - k + 1
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+    val picks = TextAnalysis.winnowFingerprints(docs, textCol, idCol, k, w)
+    val hot = picks.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxAnchorDf)
+      .limit(1).collect()
+    require(hot.isEmpty,
+      s"a winnow fingerprint is shared by ${if (hot.isEmpty) 0 else hot.head.getLong(1)}" +
+        s" documents > maxAnchorDf=$maxAnchorDf - strip corpus-frequent" +
+        " spans first (Dedup.boilerplateStrip, x84) or raise maxAnchorDf" +
+        " to accept the quadratic anchor cost on that span.")
+    val lhs = picks.select(col(idCol).as("_ida"), col("pos").as("_pa"), col("fp"))
+    val rhs = picks.select(col(idCol).as("_idb"), col("pos").as("_pb"), col("fp"))
+    val anchors = lhs.join(rhs, Seq("fp")).filter(col("_ida") < col("_idb"))
+      .select(col("_ida"), col("_pa"), col("_idb"), col("_pb")).distinct()
+    val withT = anchors
+      .join(toks.select(col(idCol).as("_ida"), col("_t").as("_ta")), Seq("_ida"))
+      .join(toks.select(col(idCol).as("_idb"), col("_t").as("_tb")), Seq("_idb"))
+    def tok(arr: Column, i: Column) = element_at(arr, i.cast("int"))
+    val maxF = (least(size(col("_ta")) - col("_pa"),
+      size(col("_tb")) - col("_pb")) + lit(1)).cast("long")
+    val maxB = (least(col("_pa"), col("_pb")) - lit(1)).cast("long")
+    // try_element_at: the filtered mismatch list is EMPTY when the run
+    // reaches the array end — ANSI element_at would throw there
+    val fwd = coalesce(
+      try_element_at(filter(sequence(lit(0L), maxF - 1), t =>
+        tok(col("_ta"), col("_pa") + t) =!= tok(col("_tb"), col("_pb") + t)),
+        lit(1)),
+      maxF)
+    val bk = when(maxB < 1, lit(0L)).otherwise(coalesce(
+      try_element_at(filter(sequence(lit(1L), maxB), t =>
+        tok(col("_ta"), col("_pa") - t) =!= tok(col("_tb"), col("_pb") - t)),
+        lit(1)) - 1,
+      maxB))
+    withT
+      .withColumn("_fwd", fwd).withColumn("_bk", bk)
+      .filter(col("_bk") + col("_fwd") >= minTokens)
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+        (col("_pa") - col("_bk")).cast("long").as("a_pos"),
+        (col("_pb") - col("_bk")).cast("long").as("b_pos"),
+        (col("_bk") + col("_fwd")).cast("long").as("match_len"))
+      .distinct()
+  }
 }

@@ -377,8 +377,13 @@ object ExtensionQueries {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.whitespaceTokenCount(col("text")).as("n_toks"))
+      // kept feeds BOTH layout branches, which prune it differently, so
+      // ReuseExchange never fires across them — persist it once (narrow:
+      // 4 columns) instead of running the mixture stage per branch; the
+      // deferred registry releases it after the terminal action
       val kept = Corpus.mixtureSample(d, "lang", "doc_id", "n_toks",
-        Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+        Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3)).persist()
+      graft.util.Caching.releaseWhenUsed(kept)
       val packed = Corpus.packSequences(
         kept.select(col("doc_id"), col("lang"), col("n_toks")),
         "lang", "doc_id", "n_toks", 1024L)
@@ -1536,6 +1541,17 @@ object ExtensionQueries {
         merges).orderBy("doc_id")
     }),
 
+    // exact-substring dedup (Lee et al. 2022 §3): every maximal cross-doc
+    // shared run of >= 8 tokens, found through the winnowing screen (k=4,
+    // w=5 — coverage guarantee makes the screen sound) and verified by
+    // exact token extension; the oracle computes the same set from raw
+    // 8-gram equality with no winnowing, so the screen itself is under test
+    "x149_exact_substring_dups" -> ((s, dir) => {
+      Dedup.exactSubstringDups(Tables(s, dir, "documents"), "text", "doc_id",
+        minTokens = 8, k = 4)
+        .orderBy("doc_a", "doc_b", "a_pos", "b_pos")
+    }),
+
     // temperature mixture at α=½: stratum weights √T_s (IEEE sqrt —
     // engine-exact, unlike pow) derived from the corpus itself, then the
     // same exact mixture fill as x58 — the XLM-R/mT5 low-resource
@@ -2490,6 +2506,43 @@ object ExtensionQueries {
        |       t -> t <> chr(1) AND t <> '')) AS BIGINT) AS n_tokens,
        |  s AS bpe_tokens
        |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of x149 — ground truth with NO winnowing: anchors are
+    * raw L-gram string equality across documents, extended to maximal
+    * runs by the same first-mismatch diagonal arithmetic the Spark side
+    * uses. The Spark result must equal this set exactly, which puts the
+    * winnow screen's coverage guarantee itself under test.
+    */
+  private def exactSubstringSql(l: Int): String = {
+    val norm = normSql("text")
+    s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |           FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, i,
+       |        list_aggr(l[CAST(i AS INT):CAST(i AS INT) + $l - 1],
+       |          'string_agg', ' ') AS gram
+       |      FROM t, unnest(generate_series(1, len(l) - $l + 1)) AS u(i)
+       |      WHERE len(l) >= $l),
+       |a AS (SELECT ga.doc_id AS da, ga.i AS pa, gb.doc_id AS db, gb.i AS pb
+       |      FROM g ga JOIN g gb ON ga.gram = gb.gram
+       |        AND ga.doc_id < gb.doc_id),
+       |e AS (SELECT da, db, pa, pb, ta.l AS la, tb.l AS lb,
+       |        least(len(ta.l) - pa, len(tb.l) - pb) + 1 AS maxf,
+       |        least(pa, pb) - 1 AS maxb
+       |      FROM a JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db),
+       |x AS (SELECT da, db, pa, pb,
+       |        coalesce(list_filter(range(0, maxf),
+       |          t -> la[CAST(pa + t AS INT)] <> lb[CAST(pb + t AS INT)])[1],
+       |          maxf) AS fwd,
+       |        coalesce(list_filter(range(1, maxb + 1),
+       |          t -> la[CAST(pa - t AS INT)] <> lb[CAST(pb - t AS INT)])[1]
+       |          - 1, maxb) AS bk
+       |      FROM e)
+       |SELECT DISTINCT da AS doc_a, db AS doc_b,
+       |  CAST(pa - bk AS BIGINT) AS a_pos, CAST(pb - bk AS BIGINT) AS b_pos,
+       |  CAST(bk + fwd AS BIGINT) AS match_len
+       |FROM x WHERE bk + fwd >= $l
+       |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
   }
 
   /** DuckDB mirror of x147: jlIvfRescoreSql with ONE Lloyd round between
@@ -4320,6 +4373,7 @@ object ExtensionQueries {
     "x143_jl_ivf_rescore" -> jlIvfRescoreSql,
     "x147_jl_ivf_rescore_refined" -> jlIvfRescoreRefinedSql,
     "x148_bpe_apply" -> bpeApplySql,
+    "x149_exact_substring_dups" -> exactSubstringSql(8),
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),

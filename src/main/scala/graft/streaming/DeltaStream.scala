@@ -34,18 +34,27 @@ object DeltaStream {
     * so they are removed here; an existing checkpoint keeps its dirs
     * (restart-resume must never destroy committed output). Equivalent
     * contract for callers: wipe `outDir` whenever wiping the checkpoint.
+    *
+    * Existence and deletion both resolve through Hadoop's FileSystem on
+    * each path's OWN filesystem — the same resolution the stream itself
+    * uses to write them. A `java.io.File` probe would report any
+    * non-local checkpoint URI (hdfs://, s3a://) as permanently missing
+    * and destroy committed output on every restart of a live lineage
+    * (round-12 advice).
     */
-  private def cleanStaleBatchDirs(checkpointDir: String,
-      outDir: String): Unit =
-    if (!new java.io.File(checkpointDir).exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(); ()
-      }
-      Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
-        .foreach(rm)
+  private def cleanStaleBatchDirs(spark: SparkSession, checkpointDir: String,
+      outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ckpt = new Path(checkpointDir)
+    if (!ckpt.getFileSystem(conf).exists(ckpt)) {
+      val out = new Path(outDir)
+      val fs = out.getFileSystem(conf)
+      if (fs.exists(out))
+        fs.listStatus(out).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+          .foreach(s => fs.delete(s.getPath, true))
     }
+  }
 
   /** Run a mount's seed writes once per state lifetime, gated on a marker
     * created only AFTER every seed table commits. Gating on a table dir's
@@ -58,12 +67,23 @@ object DeltaStream {
     * prefixed, so parquet readers ignore it) and vanishes with the state
     * on an epoch wipe, which is exactly the reseed trigger.
     */
-  private def seedOnce(lastSeededDir: String)(seed: => Unit): Unit = {
-    val marker = new java.io.File(lastSeededDir, "_GRAFT_SEEDED")
-    if (!marker.exists()) {
+  private def seedOnce(lastSeededDir: String)(seed: => Unit): Unit =
+    if (!new java.io.File(lastSeededDir, "_GRAFT_SEEDED").exists()) {
       seed
-      marker.createNewFile(); ()
+      markSeeded(lastSeededDir)
     }
+
+  /** Re-create the seed marker after a REFRESH overwrites a seedOnce-gated
+    * table: parquet `overwrite` deletes the directory — marker included —
+    * so without this a restart after a refresh would silently re-seed the
+    * table from the corpus and revert the refreshed state. A crash in the
+    * narrow window between the overwrite and this marker re-seeds on
+    * restart, and the checkpoint then REPLAYS the batch: drift re-measures
+    * against the reverted reference, re-triggers, and the tables converge
+    * to the refreshed state again (the x123 convergence argument).
+    */
+  private def markSeeded(dir: String): Unit = {
+    new java.io.File(dir, "_GRAFT_SEEDED").createNewFile(); ()
   }
 
   /** Landing-dir CSV stream → parsed, null-normalized staging stream.
@@ -187,7 +207,7 @@ object DeltaStream {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(idCol, org.apache.spark.sql.types.LongType)
       .add(textCol, org.apache.spark.sql.types.StringType)
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -239,7 +259,7 @@ object DeltaStream {
           graft.util.Par.spread(corpusDocs), textCol, idCol, k, shingleLen)
         .write.mode("overwrite").parquet(sigsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -293,7 +313,7 @@ object DeltaStream {
           graft.util.Par.spread(corpusEmb), idCol, vecCol, nPlanes, bands, dims)
         .write.mode("overwrite").parquet(bucketsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(vecsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -352,7 +372,7 @@ object DeltaStream {
       idx.gramIdx.write.mode("overwrite").parquet(gramIdxDir)
       idx.pfxIdx.write.mode("overwrite").parquet(pfxIdxDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -451,7 +471,7 @@ object DeltaStream {
           spark.read.parquet(centsDir))
         .write.mode("overwrite").parquet(occDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(vecsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -478,16 +498,156 @@ object DeltaStream {
                 .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
               if (refreshed) {
                 nc.write.mode("overwrite").parquet(centsDir)
+                markSeeded(centsDir)
                 // the refreshed snapshot occupancy IS the new reference:
                 // later batches drift against the new normal
                 Similarity.cellOccupancy(snapshot, idCol, vecCol, nc)
                   .write.mode("overwrite").parquet(occDir)
+                markSeeded(occDir)
               }
             } finally nc.unpersist()
             val present = s.read.parquet(vecTblDir).select(col(idCol))
             b.select(col(idCol), col(vecCol))
               .join(present, Seq(idCol), "left_anti")
               .write.mode("append").parquet(vecTblDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
+  /** Streaming CCNet bucket routing against MAINTAINED state WITH the
+    * drift-triggered threshold refresh policy — the x146 + x127
+    * composition mounted at ingest (the CCNet sibling of
+    * [[startCellRoutingMaintained]]). Arriving documents are scored by
+    * the FROZEN maintained LM count table and gated O(1)/row by the
+    * current broadcast boundaries; each batch first answers "do these
+    * scores still look like the reference distribution" via the
+    * exact-integer TV distance ([[graft.ext.Corpus.driftFromCounts]])
+    * over fixed-width score bins — `tv > tau` triggers an offline
+    * [[graft.ext.Corpus.ccnetThresholdsFromCounts]] re-seed from the
+    * full document snapshot (corpus ∪ every arrived doc, kept as a
+    * maintained table) before routing. Four maintained tables:
+    * `countsDir` (the scoring LM — seeded once from the `trainPred`
+    * corpus slice, FROZEN: refreshing the LM itself is x138's additive
+    * merge contract, orthogonal to boundary drift), `thDir` (the
+    * routing boundaries — overwritten on refresh), `refDir` (the
+    * REFERENCE score histogram the drift compares against —
+    * re-referenced on refresh so later drift is measured against the
+    * new normal), and `docTblDir` (the appended document snapshot the
+    * re-seed draws from). Batch outputs carry (`idCol`, `langCol`,
+    * `score`, `bucket`, `refreshed`).
+    *
+    * Retry idempotence (the x123 standard): snapshot reads exclude the
+    * current batch's ids and the document append excludes ids already
+    * present, so the re-seed input — prior snapshot ∪ batch — is the
+    * same SET on a retry even after a crash past the append. A retry
+    * after the threshold overwrite re-measures drift against the
+    * refreshed reference; whether it then decides keep or
+    * refresh-again, the resulting boundaries are the same pure function
+    * of the same snapshot (ccnetThresholdsFromCounts ranks on a
+    * total-order `(−score, id)` key), so the routing output and all
+    * four tables converge to the identical state.
+    *
+    * Scale shape per batch: two batch scoring passes (drift histogram +
+    * routing) against the broadcast count table plus a ≤ bins-row drift
+    * algebra (one 1-row collect) on the no-refresh path; a refresh adds
+    * two snapshot scoring passes (boundary rank + new reference
+    * histogram) — the corpus is touched ONLY when drift demands it,
+    * never per batch.
+    */
+  def startCcnetRoutingMaintained(spark: SparkSession, docsDir: String,
+      corpusDocs: DataFrame, countsDir: String, thDir: String,
+      refDir: String, docTblDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang",
+      trainPred: Column = lit(true), nBuckets: Int = 3,
+      tau: Double = 0.2, binWidth: Double = 1000.0): StreamingQuery = {
+    import graft.ext.Corpus
+    require(binWidth > 0.0, "need binWidth > 0")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(langCol, org.apache.spark.sql.types.StringType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    def scoreHist(scored: DataFrame, out: String): DataFrame =
+      scored.filter(col("n_pairs") > 0)
+        .groupBy(floor(col("lm_score") / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as(out))
+    seedOnce(countsDir) {
+      Corpus.lmCountTable(
+          graft.util.Par.spread(corpusDocs.filter(trainPred)), textCol)
+        .write.mode("overwrite").parquet(countsDir)
+    }
+    seedOnce(docTblDir) {
+      corpusDocs.select(col(idCol), col(langCol), col(textCol))
+        .write.mode("overwrite").parquet(docTblDir)
+    }
+    seedOnce(thDir) {
+      Corpus.ccnetThresholdsFromCounts(corpusDocs,
+          spark.read.parquet(countsDir), textCol, idCol, langCol, nBuckets)
+        .write.mode("overwrite").parquet(thDir)
+    }
+    seedOnce(refDir) {
+      scoreHist(Corpus.lmScoreBackoffFromCounts(
+          spark.read.parquet(countsDir), corpusDocs, textCol, idCol), "c_ref")
+        .write.mode("overwrite").parquet(refDir)
+    }
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val counts = s.read.parquet(countsDir)
+            val batchIds = b.select(col(idCol))
+            val curHist = scoreHist(
+              Corpus.lmScoreBackoffFromCounts(counts, b, textCol, idCol),
+              "c_cur")
+            // exact-integer TV of batch scores vs the reference histogram:
+            // ≤ bins rows, ONE bounded 1-row collect (null when the batch
+            // has no scorable rows → no drift signal → keep)
+            val tvRow = Corpus.driftFromCounts(
+                s.read.parquet(refDir), curHist, "bin")
+              .agg(sum(col("drift_share")).as("tv")).head()
+            val refresh = !tvRow.isNullAt(0) && tvRow.getDouble(0) > tau
+            if (refresh) {
+              val snapshot = s.read.parquet(docTblDir)
+                .join(broadcast(batchIds), Seq(idCol), "left_anti")
+                .unionByName(b.select(col(idCol), col(langCol), col(textCol)))
+                .persist()
+              try {
+                // already materialized-eager (byValue's compact-finish
+                // contract), so routing, the overwrite and the new
+                // reference all read one computed copy
+                val newThr = Corpus.ccnetThresholdsFromCounts(
+                  snapshot, counts, textCol, idCol, langCol, nBuckets)
+                Corpus.ccnetRoute(b, counts, newThr, textCol, idCol,
+                    langCol, nBuckets)
+                  .withColumn("refreshed", lit(true))
+                  .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+                newThr.write.mode("overwrite").parquet(thDir)
+                markSeeded(thDir)
+                // the refreshed snapshot's histogram IS the new reference:
+                // later batches drift against the new normal
+                scoreHist(Corpus.lmScoreBackoffFromCounts(
+                    counts, snapshot, textCol, idCol), "c_ref")
+                  .write.mode("overwrite").parquet(refDir)
+                markSeeded(refDir)
+                newThr.unpersist()
+                ()
+              } finally snapshot.unpersist()
+            } else {
+              Corpus.ccnetRoute(b, counts, s.read.parquet(thDir), textCol,
+                  idCol, langCol, nBuckets)
+                .withColumn("refreshed", lit(false))
+                .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            }
+            val present = s.read.parquet(docTblDir).select(col(idCol))
+            b.select(col(idCol), col(langCol), col(textCol))
+              .join(present, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(docTblDir)
           } finally b.unpersist()
         }
       }
@@ -525,7 +685,7 @@ object DeltaStream {
           graft.util.Par.spread(corpusDocs), textCol, idCol, segTokens)
         .write.mode("overwrite").parquet(segsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -575,7 +735,7 @@ object DeltaStream {
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(countsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -630,7 +790,7 @@ object DeltaStream {
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(countsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -695,7 +855,7 @@ object DeltaStream {
           spark.read.parquet(countsDir), textCol, idCol, langCol, nBuckets)
         .write.mode("overwrite").parquet(thrDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -743,7 +903,7 @@ object DeltaStream {
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(sketchDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -804,7 +964,7 @@ object DeltaStream {
       graft.ext.Dedup.evalSetGramTable(evalDocs, setCol, textCol, idCol, n)
         .write.mode("overwrite").parquet(gramsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -862,7 +1022,7 @@ object DeltaStream {
       graft.ext.Corpus.hashedBucketTable(corpus, textCol, buckets)
         .write.mode("overwrite").parquet(s"$bucketsDir/raw")
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -906,7 +1066,7 @@ object DeltaStream {
         .withColumn("_src", lit("corpus"))
         .write.mode("overwrite").parquet(countsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(eventsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -961,7 +1121,7 @@ object DeltaStream {
         .agg(count(lit(1)).as("c_ref"))
         .write.mode("overwrite").parquet(refDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1032,7 +1192,7 @@ object DeltaStream {
       corpusDocs.select(col(idCol), col(textCol))
         .write.mode("overwrite").parquet(textsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(docsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1102,7 +1262,7 @@ object DeltaStream {
       graft.ext.Corpus.postingsTable(corpus, textCol, idCol)
         .write.mode("overwrite").parquet(postingsDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(queriesDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1147,7 +1307,7 @@ object DeltaStream {
       evalEmb.select(col(idCol), col(vecCol))
         .write.mode("overwrite").parquet(evalDir)
     }
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(vecsDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1183,7 +1343,7 @@ object DeltaStream {
       keyCol: String = "doc_id"): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add(keyCol, org.apache.spark.sql.types.LongType)
-    cleanStaleBatchDirs(checkpointDir, outDir)
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
     spark.readStream.schema(schema).json(feedDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

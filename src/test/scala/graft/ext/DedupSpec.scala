@@ -15,6 +15,50 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy cat")   // near-dup of 1
   ).toDF("doc_id", "text")
 
+  test("exactSubstringDups: maximal cross-doc runs >= minTokens, exact " +
+    "positions, sub-minimum and absent overlaps excluded") {
+    val d = Seq(
+      // docs 1/2 share the maximal 8-token run "c1 .. c8" at different
+      // offsets (doc 1 tokens 3-10, doc 2 tokens 1-8); the surrounding
+      // tokens differ so the run must not extend past 8
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 c7 c8 a3 a4"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 b1 b2 b3 b4"),
+      // doc 3 shares only 7 tokens of the run — below minTokens
+      (3L, "d1 c1 c2 c3 c4 c5 c6 c7 d2 d3 d4 d5"),
+      // doc 4 is unrelated
+      (4L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDups(d, "text", "doc_id",
+        minTokens = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 1L, 8L)))
+  }
+
+  test("exactSubstringDups: whole-document copies extend to full length; " +
+    "every pair of the copy group is reported") {
+    val copy = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val d = Seq((1L, copy), (2L, copy), (3L, copy)).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDups(d, "text", "doc_id",
+        minTokens = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set((1L, 2L, 1L, 1L, 10L), (1L, 3L, 1L, 1L, 10L),
+      (2L, 3L, 1L, 1L, 10L)))
+  }
+
+  test("exactSubstringDups: maxAnchorDf guard fails fast on a " +
+    "boilerplate-grade fingerprint") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = (1L to 5L).map(i => (i, s"u${i}a $span u${i}b"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactSubstringDups(d, "text", "doc_id", minTokens = 8, k = 4,
+        maxAnchorDf = 3L)
+    }
+    assert(e.getMessage.contains("boilerplateStrip"))
+  }
+
   test("dupSpans: shifted copies caught at any alignment; within-doc " +
     "repeats and short docs are not 'shared'") {
     val d = Seq(

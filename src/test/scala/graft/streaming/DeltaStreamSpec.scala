@@ -1028,6 +1028,77 @@ class DeltaStreamSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
   }
 
+  test("startCcnetRoutingMaintained: stable batches route against the " +
+    "seeded boundaries; a score-drifted batch triggers the threshold " +
+    "re-base and re-references the drift baseline; replay idempotent") {
+    import spark.implicits._
+    val root = tmpDir("ccnetroute")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    // corpus: one language, three exact score strata under an LM trained
+    // on the hi docs only (trainPred): hi = fully-covered bigrams (score
+    // 6.25e6/7), mid = half-covered (2.75e6/7), lo = all-OOV (0). 12 docs,
+    // 4 per stratum.
+    val hi = "a b a b a b a b"
+    val mid = "a b a b q r q r"
+    val lo = "q r q r q r q r"
+    val corpus = (0L until 12L)
+      .map(i => (i, "en", Seq(hi, mid, lo)((i % 3L).toInt)))
+      .toDF("doc_id", "lang", "text")
+    def jsonl(path: String, ds: (Long, String)*): Unit =
+      Files.write(Paths.get(path), ds.map { case (id, t) =>
+        s"""{"doc_id": $id, "lang": "en", "text": "$t"}"""
+      }.asJava)
+    def mount() = DeltaStream.startCcnetRoutingMaintained(spark, docsDir,
+      corpus, s"$root/counts", s"$root/th", s"$root/ref", s"$root/dtbl",
+      s"$root/out", s"$root/ckpt", trainPred = col("doc_id") % 3 === 0,
+      tau = 0.5, binWidth = 0.001)
+    // batch 1: the corpus's own mixture — each score bin already in the
+    // reference histogram at the same shares ⇒ TV 0 ⇒ no refresh, and the
+    // routing reproduces the seeded tercile buckets
+    jsonl(s"$docsDir/b1.json",
+      100L -> hi, 101L -> hi, 102L -> mid, 103L -> mid, 104L -> lo, 105L -> lo)
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+    assert(b0.select("refreshed").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+    val buckets0 = b0.select("doc_id", "bucket").as[(Long, String)]
+      .collect().toMap
+    assert(buckets0(100L) === "head" && buckets0(101L) === "head")
+    assert(buckets0(102L) === "middle" && buckets0(103L) === "middle")
+    assert(buckets0(104L) === "tail" && buckets0(105L) === "tail")
+    val thSeed = spark.read.parquet(s"$root/th")
+      .select("k", "bscore").as[(Int, Double)].collect().toSet
+    // batch 2: every doc scores in a bin the reference has never seen
+    // (3.4e6/11 — covered bigrams + backoff (r,a) pairs) ⇒ TV 1 > τ ⇒
+    // re-base from the full snapshot, new reference histogram
+    val novel = "a b q r a b q r a b q r"
+    jsonl(s"$docsDir/b2.json",
+      (200L until 206L).map(i => i -> novel): _*)
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+    assert(b1.select("refreshed").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true))
+    assert(b1.filter(col("bucket").isNull).count() === 0L)
+    // boundaries genuinely re-based (24-doc snapshot ranks ≠ 12-doc seed)
+    val thNew = spark.read.parquet(s"$root/th")
+      .select("k", "bscore").as[(Int, Double)].collect().toSet
+    assert(thNew !== thSeed)
+    // the new reference is the refreshed snapshot's histogram (24 docs,
+    // all scorable) and the snapshot table carries corpus + both batches
+    assert(spark.read.parquet(s"$root/ref")
+      .agg(sum(col("c_ref"))).head().getLong(0) === 24L)
+    assert(spark.read.parquet(s"$root/dtbl").count() === 24L)
+    // restart with no new data reprocesses nothing and rewrites no state
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
+    assert(spark.read.parquet(s"$root/th")
+      .select("k", "bscore").as[(Int, Double)].collect().toSet === thNew)
+  }
+
   test("startCellRoutingMaintained: stable batches route against the " +
     "seeded table; a drifted batch triggers the Lloyd re-seed and " +
     "re-references the drift baseline") {
@@ -1076,9 +1147,18 @@ class DeltaStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/occ")
       .agg(sum(col("c"))).head().getLong(0) === 48L)
     assert(spark.read.parquet(s"$root/vtbl").count() === 48L)
-    // restart with no new data reprocesses nothing
+    // restart with no new data reprocesses nothing — and must NOT
+    // re-seed over the refreshed tables (the refresh overwrite re-creates
+    // the seed markers its own `overwrite` wiped)
     val q3 = mount()
     q3.processAllAvailable(); q3.stop()
     assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
+    val cvecs3 = spark.read.parquet(s"$root/cents").select("_cvec")
+      .collect().map(_.getSeq[Double](0))
+    assert(cvecs3.exists(v => v(1) > 0.5),
+      "restart reverted the refreshed centroid table to the corpus seed")
+    assert(spark.read.parquet(s"$root/occ")
+      .agg(sum(col("c"))).head().getLong(0) === 48L,
+      "restart reverted the refreshed drift reference")
   }
 }
