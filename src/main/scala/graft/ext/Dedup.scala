@@ -1368,9 +1368,10 @@ object Dedup {
     require(k >= 1 && minTokens > k,
       "need 1 <= k < minTokens (window w = minTokens - k + 1 >= 2)")
     val w = minTokens - k + 1
-    val toks = docs.filter(col(textCol).isNotNull)
+    val spread = Par.spread(docs)
+    val toks = spread.filter(col(textCol).isNotNull)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
-    val picks = TextAnalysis.winnowFingerprints(docs, textCol, idCol, k, w)
+    val picks = TextAnalysis.winnowFingerprints(spread, textCol, idCol, k, w)
     val hot = picks.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("_df"))
       .filter(col("_df") > maxAnchorDf)

@@ -153,8 +153,11 @@ object TextAnalysis {
     * string). Scale shape: MAP-ONLY — the merge table is collected once
     * on the driver (vocab state, bounded by `maxMerges`; production BPE
     * vocabularies are 30-50k merges) and rides the expression as a
-    * broadcast-by-value reference; the corpus is never shuffled and
-    * per-row work is O(merges × tokens).
+    * broadcast-by-value reference; per-row work is O(merges × tokens).
+    * [[graft.util.Par.spread]] lifts a few-split input to full
+    * parallelism (a no-op at scale, where splits ≥ cores — measured:
+    * unspread, sf0.1's single-split documents ran the whole pass on one
+    * task, slower than 10× the data on 32).
     */
   def bpeApply(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, merges: org.apache.spark.sql.DataFrame,
@@ -179,7 +182,7 @@ object TextAnalysis {
       translate(normalize(col(textCol)), " ", BpeBoundary), "(.)", "$1 "))
     val merged = trim(shim.column(graft.functions.BpeMerge(
       shim.expression(spreadTokens), pairs)))
-    docs.select(col(idCol),
+    graft.util.Par.spread(docs).select(col(idCol),
       size(filter(split(merged, " "),
         t => t =!= lit(BpeBoundary) && t =!= lit("")))
         .cast("long").as("n_tokens"),

@@ -1541,6 +1541,24 @@ object ExtensionQueries {
         merges).orderBy("doc_id")
     }),
 
+    // FLAGSHIP tokenizer-aware layout: BPE-apply the trained merges (x148)
+    // and pack training sequences by the TRUE subword counts (x51's
+    // concat-then-chunk offsets) — the layout a loader actually consumes
+    // is in tokenizer units, not whitespace words; both stages the
+    // standalone library calls, composed and hash-verified
+    "x150_bpe_layout_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val merges = BpeFixture.toDF("rank", "left", "right")
+      val docs = Tables(s, dir, "documents")
+      val tok = TextAnalysis.bpeApply(docs, "text", "doc_id", merges)
+        .select(col("doc_id"), col("n_tokens"))
+      val d = docs.select(col("doc_id"), col("lang")).join(tok, Seq("doc_id"))
+      Corpus.packSequences(d, "lang", "doc_id", "n_tokens", 1024L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("tok_offset"), col("seq_idx"), col("seq_pos"))
+        .orderBy("doc_id")
+    }),
+
     // exact-substring dedup (Lee et al. 2022 §3): every maximal cross-doc
     // shared run of >= 8 tokens, found through the winnowing screen (k=4,
     // w=5 — coverage guarantee makes the screen sound) and verified by
@@ -2493,20 +2511,41 @@ object ExtensionQueries {
     * `' aa aa '`) — that bug class is exactly what this oracle exists to
     * catch, so it must not mirror it.
     */
-  private def bpeApplySql: String = {
+  /** The trimmed merged-token string of the BpeFixture chain (see the
+    * equivalence proof referenced in [[bpeApplySql]]). */
+  private def bpeMergedExpr: String = {
     val spread = "' ' || regexp_replace(replace(" + normSql("text") +
       ", ' ', chr(1)), '(.)', '\\1 ', 'g')"
     val chained = BpeFixture.foldLeft(s"replace($spread, ' ', '  ')") {
       case (acc, (_, l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
     }
-    s"""WITH b AS (SELECT doc_id, trim(replace($chained, '  ', ' ')) AS s
-       |           FROM documents)
-       |SELECT doc_id,
-       |  CAST(len(list_filter(string_split(s, ' '),
-       |       t -> t <> chr(1) AND t <> '')) AS BIGINT) AS n_tokens,
-       |  s AS bpe_tokens
-       |FROM b ORDER BY doc_id""".stripMargin
+    s"trim(replace($chained, '  ', ' '))"
   }
+
+  private def bpeTokenCountExpr(s: String): String =
+    s"CAST(len(list_filter(string_split($s, ' '), " +
+      s"t -> t <> chr(1) AND t <> '')) AS BIGINT)"
+
+  private def bpeApplySql: String =
+    s"""WITH b AS (SELECT doc_id, $bpeMergedExpr AS s FROM documents)
+       |SELECT doc_id, ${bpeTokenCountExpr("s")} AS n_tokens, s AS bpe_tokens
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of x150: the x148 chain's subword count feeding x51's
+    * md5-ordered concat-then-chunk packing window. */
+  private def bpeLayoutSql: String =
+    s"""WITH b AS (SELECT doc_id, lang, $bpeMergedExpr AS s FROM documents),
+       |n AS (SELECT doc_id, lang, ${bpeTokenCountExpr("s")} AS n_tokens
+       |      FROM b),
+       |o AS (SELECT doc_id, lang, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS tok_offset
+       |      FROM n)
+       |SELECT doc_id, lang, n_tokens, tok_offset,
+       |  tok_offset // 1024 AS seq_idx, tok_offset % 1024 AS seq_pos
+       |FROM o ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of x149 — ground truth with NO winnowing: anchors are
     * raw L-gram string equality across documents, extended to maximal
@@ -4374,6 +4413,7 @@ object ExtensionQueries {
     "x147_jl_ivf_rescore_refined" -> jlIvfRescoreRefinedSql,
     "x148_bpe_apply" -> bpeApplySql,
     "x149_exact_substring_dups" -> exactSubstringSql(8),
+    "x150_bpe_layout_e2e" -> bpeLayoutSql,
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),
