@@ -586,10 +586,12 @@ object Corpus {
       .select(col(idCol), col(langCol), lit(0L).as("n_pairs"),
         lit(null).cast("double").as("score"),
         lit(null).cast("string").as("bucket"))
-    // finish runs inside byValue's materialize step so BOTH operator-local
-    // caches (base here, the range-partitioned frame there) are released
-    // before this returns; the surviving cache is the final narrow frame
-    Ranks.byValue(rankable, langCol, finish = { r =>
+    // eager = false: the bucketed corpus is corpus-sized and consumed once
+    // by the caller's terminal action (x62's lesson — an eager pass splits
+    // that action in two and re-executes the shared scoring subtree); both
+    // operator-local caches (base here, the range-partitioned frame in
+    // byValue) release at the next cache-managed operator entry
+    Ranks.byValue(rankable, langCol, eager = false, finish = { r =>
       r.withColumn("_idx", expr(s"((_rn - 1) * $nBuckets) div _n"))
         .withColumn("bucket",
           if (nBuckets == 3) element_at(labels, col("_idx").cast("int") + 1)
@@ -2025,7 +2027,9 @@ object Corpus {
       .filter(col(metricCol).isNotNull)
       .withColumn("_v", struct(col(metricCol).cast("double").as("_m"),
         col(idCol).as("_tid")))
-    Ranks.byValue(vals, strataCol, finish = _
+    // eager = false: the kept fraction is corpus-scale (q·n rows) and
+    // consumed once downstream — same deferred-release shape as shardAssign
+    Ranks.byValue(vals, strataCol, eager = false, finish = _
       .filter(col("_rn") > col("_n") - ceil(col("_n") * lit(q)))
       .select(col(strataCol), col(idCol), col(metricCol),
         (col("_rn").cast("double") / col("_n")).as("pct_rank")))

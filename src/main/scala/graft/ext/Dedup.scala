@@ -1413,4 +1413,52 @@ object Dedup {
         (col("_bk") + col("_fwd")).cast("long").as("match_len"))
       .distinct()
   }
+
+  /** The REMOVAL step of exact-substring dedup (Lee et al. 2022 §3 keep
+    * one occurrence, drop the rest): every [[exactSubstringDups]] run is
+    * owned by its smaller-id document — the larger-id side's tokens in
+    * `[b_pos, b_pos + match_len)` are removed, first-occurrence-wins like
+    * the segment dedup (x53) but at EXACT maximal-run granularity instead
+    * of fixed tiles. Per document: `n_tokens`, `n_removed`, and
+    * `text_kept` — the surviving tokens in order, NULL when nothing
+    * survives (the x53 output convention). Documents with NULL text are
+    * excluded (they have no tokens to keep or remove).
+    *
+    * A document in a copy GROUP keeps its text only if it is the group's
+    * smallest id: pair rows remove via `doc_b` only, and every non-minimal
+    * member is `doc_b` of its pair with the minimum — no cluster pass
+    * needed for the removal semantics.
+    *
+    * Scale shape: [[exactSubstringDups]]'s cost plus one doc-keyed join of
+    * the corpus against the per-doc span lists (span rows = dup runs ≪
+    * corpus; collect_list groups them doc-locally) and a pure per-row
+    * kept-token HOF — no token-level explode, no extra corpus shuffle.
+    */
+  def exactSubstringStrip(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50, k: Int = 25,
+      maxAnchorDf: Long = 256L): DataFrame = {
+    val spans = exactSubstringDups(docs, textCol, idCol, minTokens, k,
+        maxAnchorDf)
+      .select(col("doc_b").as(idCol),
+        struct(col("b_pos").as("_p0"), col("match_len").as("_ln")).as("_s"))
+      .groupBy(col(idCol)).agg(collect_list(col("_s")).as("_spans"))
+    val kept = filter(
+      transform(sequence(lit(1), size(col("_t"))),
+        i => struct(i.as("_i"), element_at(col("_t"), i).as("_tok"))),
+      x => !exists(col("_spans"),
+        s => x("_i").cast("long") >= s("_p0") &&
+          x("_i").cast("long") < s("_p0") + s("_ln")))
+    Par.spread(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("_spans", coalesce(col("_spans"),
+        array().cast("array<struct<_p0:long,_ln:long>>")))
+      .withColumn("_kept", kept)
+      .select(col(idCol),
+        size(col("_t")).cast("long").as("n_tokens"),
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("n_removed"),
+        when(size(col("_kept")) === 0, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(col("_kept"), x => x("_tok")))).as("text_kept"))
+  }
 }

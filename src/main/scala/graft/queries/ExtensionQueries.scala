@@ -1559,6 +1559,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // the REMOVAL step of exact-substring dedup: every >= 8-token maximal
+    // run keeps only its smallest-id owner's occurrence; per doc the
+    // surviving text + removal counts (x53's convention at exact
+    // maximal-run granularity)
+    "x151_exact_substring_strip" -> ((s, dir) => {
+      Dedup.exactSubstringStrip(Tables(s, dir, "documents"), "text",
+        "doc_id", minTokens = 8, k = 4)
+        .orderBy("doc_id")
+    }),
+
     // exact-substring dedup (Lee et al. 2022 §3): every maximal cross-doc
     // shared run of >= 8 tokens, found through the winnowing screen (k=4,
     // w=5 — coverage guarantee makes the screen sound) and verified by
@@ -2553,10 +2563,10 @@ object ExtensionQueries {
     * uses. The Spark result must equal this set exactly, which puts the
     * winnow screen's coverage guarantee itself under test.
     */
-  private def exactSubstringSql(l: Int): String = {
+  private def exactSubstringCtes(l: Int): String = {
     val norm = normSql("text")
-    s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
-       |           FROM documents WHERE text IS NOT NULL),
+    s"""t AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |      FROM documents WHERE text IS NOT NULL),
        |g AS (SELECT doc_id, i,
        |        list_aggr(l[CAST(i AS INT):CAST(i AS INT) + $l - 1],
        |          'string_agg', ' ') AS gram
@@ -2576,13 +2586,39 @@ object ExtensionQueries {
        |        coalesce(list_filter(range(1, maxb + 1),
        |          t -> la[CAST(pa - t AS INT)] <> lb[CAST(pb - t AS INT)])[1]
        |          - 1, maxb) AS bk
-       |      FROM e)
-       |SELECT DISTINCT da AS doc_a, db AS doc_b,
-       |  CAST(pa - bk AS BIGINT) AS a_pos, CAST(pb - bk AS BIGINT) AS b_pos,
-       |  CAST(bk + fwd AS BIGINT) AS match_len
-       |FROM x WHERE bk + fwd >= $l
-       |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+       |      FROM e),
+       |runs AS (SELECT DISTINCT da AS doc_a, db AS doc_b,
+       |           CAST(pa - bk AS BIGINT) AS a_pos,
+       |           CAST(pb - bk AS BIGINT) AS b_pos,
+       |           CAST(bk + fwd AS BIGINT) AS match_len
+       |         FROM x WHERE bk + fwd >= $l)""".stripMargin
   }
+
+  private def exactSubstringSql(l: Int): String =
+    s"""WITH ${exactSubstringCtes(l)}
+       |SELECT doc_a, doc_b, a_pos, b_pos, match_len
+       |FROM runs ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+
+  /** DuckDB mirror of x151: x149's runs, removal charged to the
+    * larger-id side (`doc_b`), per-token covered test, kept text
+    * reassembled in order (all-removed → NULL, the x53 convention).
+    */
+  private def exactSubstringStripSql(l: Int): String =
+    s"""WITH ${exactSubstringCtes(l)},
+       |sp AS (SELECT DISTINCT doc_b AS doc_id, b_pos, match_len FROM runs),
+       |tok AS (SELECT t.doc_id, i, l[CAST(i AS INT)] AS tk
+       |        FROM t, unnest(generate_series(1, len(l))) AS u(i)),
+       |mk AS (SELECT tok.doc_id, i, tk,
+       |         EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id
+       |                AND i >= sp.b_pos
+       |                AND i < sp.b_pos + sp.match_len) AS rm
+       |       FROM tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CASE WHEN sum(CASE WHEN rm THEN 0 ELSE 1 END) = 0 THEN NULL
+       |       ELSE string_agg(CASE WHEN NOT rm THEN tk END, ' ' ORDER BY i)
+       |  END AS text_kept
+       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of x147: jlIvfRescoreSql with ONE Lloyd round between
     * seeding and routing — cent0 = 16 smallest-id PROJECTED vectors,
@@ -4414,6 +4450,7 @@ object ExtensionQueries {
     "x148_bpe_apply" -> bpeApplySql,
     "x149_exact_substring_dups" -> exactSubstringSql(8),
     "x150_bpe_layout_e2e" -> bpeLayoutSql,
+    "x151_exact_substring_strip" -> exactSubstringStripSql(8),
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),

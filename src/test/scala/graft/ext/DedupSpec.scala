@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
       (2L, 3L, 1L, 1L, 10L)))
   }
 
+  test("exactSubstringStrip: smaller id keeps, larger id loses the run; " +
+    "unaffected and sub-minimum docs intact; full copies strip to NULL") {
+    val copy = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val d = Seq(
+      (1L, s"a1 a2 $copy a3"),  // first owner — keeps everything
+      (2L, s"$copy b1 b2"),     // loses tokens 1-8
+      (3L, "d1 c1 c2 c3 c4 c5 c6 c7"), // 7-token overlap only — intact
+      (4L, copy)                // vs doc 1/2: whole doc removed -> NULL
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringStrip(d, "text", "doc_id",
+        minTokens = 8, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(1L) === ((11L, 0L, Some(s"a1 a2 $copy a3"))))
+    assert(out(2L) === ((10L, 8L, Some("b1 b2"))))
+    assert(out(3L) === ((8L, 0L, Some("d1 c1 c2 c3 c4 c5 c6 c7"))))
+    assert(out(4L) === ((8L, 8L, None)))
+  }
+
   test("exactSubstringDups: maxAnchorDf guard fails fast on a " +
     "boilerplate-grade fingerprint") {
     val span = "s1 s2 s3 s4 s5 s6 s7 s8"
