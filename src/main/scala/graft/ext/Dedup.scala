@@ -1385,9 +1385,19 @@ object Dedup {
     val rhs = picks.select(col(idCol).as("_idb"), col("pos").as("_pb"), col("fp"))
     val anchors = lhs.join(rhs, Seq("fp")).filter(col("_ida") < col("_idb"))
       .select(col("_ida"), col("_pa"), col("_idb"), col("_pb")).distinct()
+    extendAnchors(anchors, toks, toks, idCol, minTokens)
+  }
+
+  /** Verify-and-maximize shared by the exact-substring family: attach both
+    * sides' token arrays per CANDIDATE anchor, extend to the maximal equal
+    * run on the anchor's diagonal (first-mismatch arithmetic both ways),
+    * keep runs >= minTokens, collapse duplicate discoveries of one run.
+    */
+  private def extendAnchors(anchors: DataFrame, toksA: DataFrame,
+      toksB: DataFrame, idCol: String, minTokens: Int): DataFrame = {
     val withT = anchors
-      .join(toks.select(col(idCol).as("_ida"), col("_t").as("_ta")), Seq("_ida"))
-      .join(toks.select(col(idCol).as("_idb"), col("_t").as("_tb")), Seq("_idb"))
+      .join(toksA.select(col(idCol).as("_ida"), col("_t").as("_ta")), Seq("_ida"))
+      .join(toksB.select(col(idCol).as("_idb"), col("_t").as("_tb")), Seq("_idb"))
     def tok(arr: Column, i: Column) = element_at(arr, i.cast("int"))
     val maxF = (least(size(col("_ta")) - col("_pa"),
       size(col("_tb")) - col("_pb")) + lit(1)).cast("long")
@@ -1412,6 +1422,58 @@ object Dedup {
         (col("_pb") - col("_bk")).cast("long").as("b_pos"),
         (col("_bk") + col("_fwd")).cast("long").as("match_len"))
       .distinct()
+  }
+
+  /** The INCREMENTAL form of [[exactSubstringDups]] — an arriving batch
+    * screened against a CORPUS (the x60/x92 maintained contract for the
+    * exact-substring family): batch winnow picks anchor against the
+    * corpus's pick table, extension verifies against the candidate corpus
+    * documents' texts, output is every maximal batch↔corpus shared run —
+    * (`doc_a` = the owning CORPUS doc, `doc_b` = the batch doc, `a_pos`,
+    * `b_pos`, `match_len` >= minTokens). Within-batch duplication is
+    * [[exactSubstringDups]]'s concern; id spaces must be disjoint.
+    *
+    * Scale shape: per-batch work is the batch's own fused winnow pass +
+    * one 8-byte-fp equi-join against the maintained pick table + the
+    * extension join, which touches only CANDIDATE documents' token
+    * arrays (id-keyed equi-join; the anchor side is batch-bounded, AQE
+    * broadcasts it, and a range-clustered corpus text table prunes files
+    * under it — `util/Compaction.compact(sortCols)`). In a deployment the
+    * pick table is maintained x60-style: seeded once, each batch appends
+    * its OWN picks after screening — the corpus is never re-winnowed.
+    * The same coverage guarantee applies: any batch↔corpus shared run of
+    * >= k + w − 1 = minTokens tokens MUST share a pick, and extension
+    * makes the output exact (the oracle computes it from raw gram
+    * equality across the two sides).
+    */
+  def exactSubstringAgainst(newDocs: DataFrame, corpusDocs: DataFrame,
+      textCol: String, idCol: String, minTokens: Int = 50, k: Int = 25,
+      maxAnchorDf: Long = 256L): DataFrame = {
+    require(k >= 1 && minTokens > k,
+      "need 1 <= k < minTokens (window w = minTokens - k + 1 >= 2)")
+    val w = minTokens - k + 1
+    val nd = Par.spread(newDocs)
+    val cd = Par.spread(corpusDocs)
+    val corpusPicks = TextAnalysis.winnowFingerprints(cd, textCol, idCol, k, w)
+    val batchPicks = TextAnalysis.winnowFingerprints(nd, textCol, idCol, k, w)
+    val hot = corpusPicks.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxAnchorDf)
+      .limit(1).collect()
+    require(hot.isEmpty,
+      s"a corpus winnow fingerprint is shared by ${if (hot.isEmpty) 0 else hot.head.getLong(1)}" +
+        s" documents > maxAnchorDf=$maxAnchorDf - strip corpus-frequent" +
+        " spans first (Dedup.boilerplateStrip, x84) or raise maxAnchorDf" +
+        " to accept the quadratic anchor cost on that span.")
+    val anchors = corpusPicks
+      .select(col(idCol).as("_ida"), col("pos").as("_pa"), col("fp"))
+      .join(batchPicks
+        .select(col(idCol).as("_idb"), col("pos").as("_pb"), col("fp")),
+        Seq("fp"))
+      .select(col("_ida"), col("_pa"), col("_idb"), col("_pb")).distinct()
+    def toks(d: DataFrame) = d.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+    extendAnchors(anchors, toks(cd), toks(nd), idCol, minTokens)
   }
 
   /** The REMOVAL step of exact-substring dedup (Lee et al. 2022 §3 keep

@@ -1559,6 +1559,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental exact-substring screen: the arriving batch (doc_id % 7
+    // = 0) anchored against the corpus slice's maintained winnow picks,
+    // extension verified against candidate corpus texts only — per-batch
+    // work ∝ batch, the corpus never re-winnowed (x60/x92's contract for
+    // the exact-substring family)
+    "x152_exact_substring_incr" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Dedup.exactSubstringAgainst(d.filter(col("doc_id") % 7 === 0),
+        d.filter(col("doc_id") % 7 =!= 0), "text", "doc_id",
+        minTokens = 8, k = 4)
+        .orderBy("doc_a", "doc_b", "a_pos", "b_pos")
+    }),
+
     // the REMOVAL step of exact-substring dedup: every >= 8-token maximal
     // run keeps only its smallest-id owner's occurrence; per doc the
     // surviving text + removal counts (x53's convention at exact
@@ -2598,6 +2611,42 @@ object ExtensionQueries {
     s"""WITH ${exactSubstringCtes(l)}
        |SELECT doc_a, doc_b, a_pos, b_pos, match_len
        |FROM runs ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+
+  /** DuckDB mirror of x152 — the two-sided form of [[exactSubstringSql]]:
+    * anchors are raw L-gram equality between the corpus side (doc_a) and
+    * the batch side (doc_b), no winnowing, same extension arithmetic.
+    */
+  private def exactSubstringIncrSql(l: Int, corpusPred: String,
+      batchPred: String): String = {
+    val norm = normSql("text")
+    s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS l
+       |           FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, i,
+       |        list_aggr(l[CAST(i AS INT):CAST(i AS INT) + $l - 1],
+       |          'string_agg', ' ') AS gram
+       |      FROM t, unnest(generate_series(1, len(l) - $l + 1)) AS u(i)
+       |      WHERE len(l) >= $l),
+       |a AS (SELECT ga.doc_id AS da, ga.i AS pa, gb.doc_id AS db, gb.i AS pb
+       |      FROM g ga JOIN g gb ON ga.gram = gb.gram
+       |      WHERE ga.doc_id $corpusPred AND gb.doc_id $batchPred),
+       |e AS (SELECT da, db, pa, pb, ta.l AS la, tb.l AS lb,
+       |        least(len(ta.l) - pa, len(tb.l) - pb) + 1 AS maxf,
+       |        least(pa, pb) - 1 AS maxb
+       |      FROM a JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db),
+       |x AS (SELECT da, db, pa, pb,
+       |        coalesce(list_filter(range(0, maxf),
+       |          t -> la[CAST(pa + t AS INT)] <> lb[CAST(pb + t AS INT)])[1],
+       |          maxf) AS fwd,
+       |        coalesce(list_filter(range(1, maxb + 1),
+       |          t -> la[CAST(pa - t AS INT)] <> lb[CAST(pb - t AS INT)])[1]
+       |          - 1, maxb) AS bk
+       |      FROM e)
+       |SELECT DISTINCT da AS doc_a, db AS doc_b,
+       |  CAST(pa - bk AS BIGINT) AS a_pos, CAST(pb - bk AS BIGINT) AS b_pos,
+       |  CAST(bk + fwd AS BIGINT) AS match_len
+       |FROM x WHERE bk + fwd >= $l
+       |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+  }
 
   /** DuckDB mirror of x151: x149's runs, removal charged to the
     * larger-id side (`doc_b`), per-token covered test, kept text
@@ -4451,6 +4500,8 @@ object ExtensionQueries {
     "x149_exact_substring_dups" -> exactSubstringSql(8),
     "x150_bpe_layout_e2e" -> bpeLayoutSql,
     "x151_exact_substring_strip" -> exactSubstringStripSql(8),
+    "x152_exact_substring_incr" ->
+      exactSubstringIncrSql(8, "% 7 <> 0", "% 7 = 0"),
     "x132_semantic_decontam" -> semanticDecontamSql,
     "x133_repetition_plan" ->
       """WITH w(lang, w) AS (VALUES ('en', 5), ('de', 3), ('fr', 1), ('zh', 1)),

@@ -66,6 +66,25 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((8L, 8L, None)))
   }
 
+  test("exactSubstringAgainst: batch runs found only vs the corpus side; " +
+    "within-batch duplication not reported; positions exact") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val corpus = Seq(
+      (1L, s"x1 $run x2"),      // owns the run at tokens 2-9
+      (2L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$run z1"),        // hits corpus doc 1
+      (11L, s"$run z2"),        // also hits doc 1 — but NOT doc 10
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringAgainst(batch, corpus, "text", "doc_id",
+        minTokens = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set((1L, 10L, 2L, 1L, 8L), (1L, 11L, 2L, 1L, 8L)))
+  }
+
   test("exactSubstringDups: maxAnchorDf guard fails fast on a " +
     "boilerplate-grade fingerprint") {
     val span = "s1 s2 s3 s4 s5 s6 s7 s8"
