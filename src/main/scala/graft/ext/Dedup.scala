@@ -1451,12 +1451,37 @@ object Dedup {
       maxAnchorDf: Long = 256L): DataFrame = {
     require(k >= 1 && minTokens > k,
       "need 1 <= k < minTokens (window w = minTokens - k + 1 >= 2)")
+    val cd = Par.spread(corpusDocs)
+    val corpusPicks = TextAnalysis.winnowFingerprints(cd, textCol, idCol,
+      k, minTokens - k + 1)
+    exactSubstringAgainstPicks(newDocs, corpusPicks, cd, textCol, idCol,
+      minTokens, k, maxAnchorDf)
+  }
+
+  /** [[exactSubstringAgainst]] with a PRE-BUILT corpus pick table — the
+    * maintained deployment's entry point (the pick table is seeded once
+    * and appended per batch; the corpus is never re-winnowed): anchors =
+    * batch picks ⋈ table on the 8-byte fp, extension reads only the
+    * candidate corpus documents' texts. `corpusPicks` columns:
+    * (`idCol`, `pos`, `fp`) — [[TextAnalysis.winnowFingerprints]]'s
+    * output at the SAME (k, w = minTokens − k + 1) the seed used.
+    */
+  def exactSubstringAgainstPicks(newDocs: DataFrame, corpusPicks: DataFrame,
+      corpusDocs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50, k: Int = 25,
+      maxAnchorDf: Long = 256L): DataFrame = {
+    require(k >= 1 && minTokens > k,
+      "need 1 <= k < minTokens (window w = minTokens - k + 1 >= 2)")
     val w = minTokens - k + 1
     val nd = Par.spread(newDocs)
-    val cd = Par.spread(corpusDocs)
-    val corpusPicks = TextAnalysis.winnowFingerprints(cd, textCol, idCol, k, w)
     val batchPicks = TextAnalysis.winnowFingerprints(nd, textCol, idCol, k, w)
-    val hot = corpusPicks.groupBy(col("fp"))
+    // guard only the fingerprints THIS batch touches (semi-join keeps the
+    // check batch-bounded — a per-batch scan of the whole pick table would
+    // break the per-batch ∝ batch contract); exactly those fps anchor this
+    // batch's join, so the blowup the guard exists for is fully covered
+    val touched = corpusPicks.join(batchPicks.select(col("fp")).distinct(),
+      Seq("fp"), "left_semi")
+    val hot = touched.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("_df"))
       .filter(col("_df") > maxAnchorDf)
       .limit(1).collect()
@@ -1473,7 +1498,7 @@ object Dedup {
       .select(col("_ida"), col("_pa"), col("_idb"), col("_pb")).distinct()
     def toks(d: DataFrame) = d.filter(col(textCol).isNotNull)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
-    extendAnchors(anchors, toks(cd), toks(nd), idCol, minTokens)
+    extendAnchors(anchors, toks(corpusDocs), toks(nd), idCol, minTokens)
   }
 
   /** The REMOVAL step of exact-substring dedup (Lee et al. 2022 §3 keep

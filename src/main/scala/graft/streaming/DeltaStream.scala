@@ -673,6 +673,86 @@ object DeltaStream {
     * already present. Id spaces must be disjoint across the corpus and
     * every stream file.
     */
+  /** Streaming exact-substring screening against a MAINTAINED winnow pick
+    * table — the x152 batch contract mounted at ingest (the exact-run
+    * sibling of [[startSegmentDedupMaintained]] and the mount that closes
+    * the Lee et al. 2022 §3 family):
+    *
+    *  1. Two maintained tables seed once from the static corpus: the pick
+    *     table ([[graft.ext.TextAnalysis.winnowFingerprints]] at
+    *     (k, w = minTokens − k + 1)) and the document text table the
+    *     extension verifies against.
+    *  2. Each arriving batch screens against the CURRENT tables with
+    *     [[graft.ext.Dedup.exactSubstringAgainstPicks]] — every maximal
+    *     batch↔corpus shared run of ≥ minTokens tokens, exact positions
+    *     and lengths, with the corpus never re-winnowed (per-batch work =
+    *     the batch's own winnow pass + the batch-fp-bounded anchor join +
+    *     candidate extensions).
+    *  3. The batch appends its OWN picks and texts, becoming corpus for
+    *     every later batch — a run shared only with an earlier BATCH
+    *     document is still caught.
+    *
+    * Retry idempotence mirrors the segment mount: screening excludes the
+    * current batch's table rows (a retry after the appends would
+    * otherwise anchor the batch against itself) and both appends exclude
+    * ids already present. Id spaces must be disjoint across the corpus
+    * and every stream file.
+    */
+  def startExactSubstringScreenMaintained(spark: SparkSession,
+      docsDir: String, corpusDocs: DataFrame, picksDir: String,
+      docTblDir: String, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 50, k: Int = 25,
+      maxAnchorDf: Long = 256L): StreamingQuery = {
+    require(k >= 1 && minTokens > k,
+      "need 1 <= k < minTokens (window w = minTokens - k + 1 >= 2)")
+    val w = minTokens - k + 1
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(textCol, org.apache.spark.sql.types.StringType)
+    seedOnce(picksDir) {
+      graft.ext.TextAnalysis.winnowFingerprints(
+          graft.util.Par.spread(corpusDocs), textCol, idCol, k, w)
+        .write.mode("overwrite").parquet(picksDir)
+    }
+    seedOnce(docTblDir) {
+      corpusDocs.select(col(idCol), col(textCol))
+        .write.mode("overwrite").parquet(docTblDir)
+    }
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
+    spark.readStream.schema(schema).json(docsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val batchIds = b.select(col(idCol))
+            val picks = s.read.parquet(picksDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            val docTbl = s.read.parquet(docTblDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+            graft.ext.Dedup.exactSubstringAgainstPicks(b, picks, docTbl,
+                textCol, idCol, minTokens, k, maxAnchorDf)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            // each append gates on ITS OWN table's ids — a crash between
+            // the two appends must not duplicate pick rows on the retry
+            val pickPresent = s.read.parquet(picksDir)
+              .select(col(idCol)).distinct()
+            graft.ext.TextAnalysis.winnowFingerprints(
+                b.join(pickPresent, Seq(idCol), "left_anti"), textCol,
+                idCol, k, w)
+              .write.mode("append").parquet(picksDir)
+            val txtPresent = s.read.parquet(docTblDir).select(col(idCol))
+            b.select(col(idCol), col(textCol))
+              .join(txtPresent, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(docTblDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   def startSegmentDedupMaintained(spark: SparkSession, docsDir: String,
       corpusDocs: DataFrame, segsDir: String, outDir: String,
       checkpointDir: String, textCol: String = "text",

@@ -176,4 +176,50 @@ class PropertiesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(ivf === brute)
   }
+
+  /** Independent naive BPE apply: per merge rank, repeatedly merge the
+    * LEFTMOST adjacent (l, r) pair until none remains — the textbook
+    * Sennrich semantics, O(n²) and obviously correct, against which the
+    * production single-pass token scan is checked.
+    */
+  private def naiveBpe(tokens: List[String],
+      merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(tokens) { case (ts, (l, r)) =>
+      var cur = ts
+      var i = cur.indexOfSlice(List(l, r))
+      while (i >= 0) {
+        cur = cur.take(i) ::: (l + r) :: cur.drop(i + 2)
+        // resume AFTER the merged token: leftmost-greedy non-overlap
+        val j = cur.indexOfSlice(List(l, r), i + 1)
+        i = j
+      }
+      cur
+    }
+
+  test("property: BpeMerge single-pass token scan equals the naive " +
+    "leftmost-greedy reference on random token streams and merge tables") {
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val docGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, tokGen))
+    val mergeGen = Gen.zip(Gen.oneOf("a", "b", "c", "ab"),
+      Gen.oneOf("a", "b", "c", "bc"))
+    val docs = sample(docGen, 120)
+    val merges = sample(mergeGen, 6, seed = 7L).distinct
+    val df = docs.zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts.mkString(" "))
+    }.toDF("doc_id", "text")
+    // bypass bpeApply's char-spreading: feed the token stream directly
+    // through the expression in its canonical " t1 t2 … " form
+    val merged = df.select(col("doc_id"),
+      org.apache.spark.sql.graftshim.shim.column(
+        graft.functions.BpeMerge(
+          org.apache.spark.sql.graftshim.shim.expression(
+            concat(lit(" "), col("text"), lit(" "))), merges))
+        .as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    docs.zipWithIndex.foreach { case (ts, i) =>
+      val want = naiveBpe(ts, merges).mkString(" ")
+      assert(merged(i.toLong) === want,
+        s"doc=$ts merges=$merges")
+    }
+  }
 }

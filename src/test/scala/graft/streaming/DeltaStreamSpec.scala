@@ -1028,6 +1028,54 @@ class DeltaStreamSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
   }
 
+  test("startExactSubstringScreenMaintained: corpus runs caught with exact " +
+    "positions; later batches match EARLIER batches' novel runs via the " +
+    "grown tables; replay idempotent") {
+    import spark.implicits._
+    val root = tmpDir("xsubstr")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq(
+      (10L, "p1 p2 c1 c2 c3 c4 c5 c6 c7 c8"),
+      (11L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")
+    ).toDF("doc_id", "text")
+    def jsonl(path: String, ds: (Long, String)*): Unit =
+      Files.write(Paths.get(path), ds.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}"""
+      }.asJava)
+    def mount() = DeltaStream.startExactSubstringScreenMaintained(spark,
+      docsDir, corpus, s"$root/picks", s"$root/dtbl", s"$root/out",
+      s"$root/ckpt", minTokens = 8, k = 4)
+    // batch 1: one corpus-run copy (shifted), one novel run
+    jsonl(s"$docsDir/b1.json",
+      20L -> "c1 c2 c3 c4 c5 c6 c7 c8 z1",
+      21L -> "n1 n2 n3 n4 n5 n6 n7 n8")
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(b0 === Set((10L, 20L, 3L, 1L, 8L)))
+    // batch 2: copies BATCH-1's novel run — findable only through the
+    // grown pick/text tables (novel to the frozen corpus)
+    jsonl(s"$docsDir/b2.json", 30L -> "y0 n1 n2 n3 n4 n5 n6 n7 n8")
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(b1 === Set((21L, 30L, 1L, 2L, 8L)))
+    // both tables grew by every screened doc, exactly once
+    assert(spark.read.parquet(s"$root/dtbl").select("doc_id")
+      .as[Long].collect().toSet === Set(10L, 11L, 20L, 21L, 30L))
+    assert(spark.read.parquet(s"$root/picks").select("doc_id").distinct()
+      .as[Long].collect().toSet === Set(10L, 11L, 20L, 21L, 30L))
+    // restart with no new data reprocesses nothing
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(!Files.exists(Paths.get(s"$root/out/batch-2")))
+  }
+
   test("startCcnetRoutingMaintained: stable batches route against the " +
     "seeded boundaries; a score-drifted batch triggers the threshold " +
     "re-base and re-references the drift baseline; replay idempotent") {
