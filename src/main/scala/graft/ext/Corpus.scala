@@ -1918,6 +1918,67 @@ object Corpus {
         pass.as("shard_pos")), eager = false)
   }
 
+  /** Z-ORDER (Morton-curve) layout over two integer dimensions — the
+    * multi-column locality step of lakehouse file clustering (Delta's
+    * `OPTIMIZE ... ZORDER`, here with exact engine-agnostic arithmetic):
+    * rows written in `zvalue` order give every parquet row group a tight
+    * min/max envelope on BOTH dimensions, so a 2-d predicate prunes files
+    * on either column — the property a single-column sort ([[graft.util
+    * .Compaction]]'s 1-D case) can only give one of them.
+    *
+    * Arithmetic (bit-exact in both engines, overflow-free for ANY long
+    * inputs):
+    *
+    *  - bounds: global `min`/`max` of each dimension (one aggregate, a
+    *    1-row broadcast attach — the x131/x143 pattern);
+    *  - cells: `cell = (v − min) div (((max − min) >> bits) + 1)` — an
+    *    integer division by a shifted width, no product that can
+    *    overflow; lands in `[0, 2^bits)`, using at least `2^(bits−1)`
+    *    distinct cells whenever the value range is ≥ `2^bits`;
+    *  - `zvalue`: bit-interleave of the two cells (x even bits, y odd
+    *    bits), unrolled into `2·bits` shift/mask terms inside one
+    *    codegen'd projection;
+    *  - `shard = (zvalue · nShards) >> (2·bits)` — contiguous equal-width
+    *    curve ranges, map-side arithmetic, no global sort or window.
+    *
+    * NULL in either dimension propagates to NULL cell/zvalue/shard — the
+    * caller routes those rows explicitly rather than having them silently
+    * clustered somewhere.
+    *
+    * Scale shape: one min/max aggregate over two longs (map-side
+    * combined), then a pure per-row projection — no shuffle at all beyond
+    * the caller's terminal write. To materialize the layout:
+    * `repartitionByRange(nShards, col("shard"), col("zvalue"))
+    * .sortWithinPartitions("zvalue")` and write — the range exchange is
+    * the one corpus shuffle, same budget as any layout pass.
+    */
+  def zorderLayout(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      bits: Int = 16, nShards: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 16, "need 1 <= bits <= 16")
+    require(nShards >= 1 && nShards <= (1 << 30), "need 1 <= nShards <= 2^30")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val bounds = broadcast(df.agg(
+      min(x).as("_xmin"), max(x).as("_xmax"),
+      min(y).as("_ymin"), max(y).as("_ymax")))
+    def intDiv(n: Column, d: Column): Column =
+      shim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        shim.expression(n), shim.expression(d)))
+    def cell(v: Column, lo: Column, hi: Column): Column =
+      intDiv(v - lo, shiftright(hi - lo, bits) + 1L)
+    val cx = cell(x, col("_xmin"), col("_xmax"))
+    val cy = cell(y, col("_ymin"), col("_ymax"))
+    val zvalue = (0 until bits).map { i =>
+      shiftleft(shiftright(col("cell_x"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("cell_y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    df.crossJoin(bounds)
+      .select(col(idCol), cx.as("cell_x"), cy.as("cell_y"))
+      .withColumn("zvalue", zvalue)
+      .withColumn("shard", shiftright(col("zvalue") * nShards, 2 * bits)
+        .cast("int"))
+  }
+
   /** Source/domain-level reputation gate — the curation stage that filters
     * by PROVENANCE statistics rather than per-document content (the C4 /
     * RefinedWeb "domain filtering" step): a source whose output is mostly

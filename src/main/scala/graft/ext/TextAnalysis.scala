@@ -189,6 +189,104 @@ object TextAnalysis {
       merged.as("bpe_tokens"))
   }
 
+  /** BPE merge-table TRAINING (Sennrich et al., ACL 2016 — `learn_bpe`):
+    * the step that produces the table [[bpeApply]] replays. Completes the
+    * repo's BPE story: x85 measures one round's pair statistic, this
+    * learns the full rank-ordered table, x148 applies it, x150 lays out
+    * by its token counts.
+    *
+    * Semantics (mirrored 1:1 by the DuckDB oracle):
+    *
+    *  1. [[normalize]] the corpus, split on spaces, count word
+    *     frequencies — merges never cross word boundaries, so training
+    *     state is the word-frequency table, NOT the corpus (exactly how
+    *     reference trainers work: Sennrich's `learn_bpe` iterates a
+    *     `Counter` of words);
+    *  2. keep the `topWords` most frequent words (frequency desc, word
+    *     asc — a total order, so the cut is deterministic). The tail's
+    *     pair mass is negligible by construction (each dropped word
+    *     contributes < the kept minimum);
+    *  3. each word starts as its character sequence; `nMerges` times:
+    *     count every ADJACENT token pair position weighted by word
+    *     frequency (the canonical overlap-counting `get_stats` — a run
+    *     `a a a` contributes (a,a) twice), pick the max (count desc,
+    *     then lhs asc, rhs asc — Sennrich breaks ties arbitrarily; both
+    *     engines here must agree), merge it LEFTMOST-GREEDILY into every
+    *     word (same pass as [[graft.functions.BpeMerge]]), stop early if
+    *     no pair remains.
+    *
+    * Output: (`rank`, `lhs`, `rhs`, `pair_count`) — feed straight into
+    * [[bpeApply]] as (rank, left, right).
+    *
+    * Scale shape: the corpus-scale leg is ONE word-count shuffle (plus
+    * the `topWords` cut); the merge loop runs on the collected
+    * word-frequency table — bounded VOCAB state (topWords × avg word
+    * length chars), the same adjudicated class as [[bpeApply]]'s
+    * merge-table collect. At 100 TB the word count is a
+    * map-side-combined aggregation over the scan, the loop cost is
+    * unchanged (it never touches the corpus again).
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, topWords: Int = 65536)
+      : org.apache.spark.sql.DataFrame = {
+    require(nMerges > 0 && topWords > 0, "need nMerges > 0 and topWords > 0")
+    val spark = docs.sparkSession
+    val wf = graft.util.Par.spread(docs)
+      .select(explode(split(normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(topWords)
+      .collect()
+    // vocab state: word as token array + its corpus frequency. Split by
+    // CODE POINT (not UTF-16 unit) — the regex '(.)' spread in bpeApply
+    // and the oracle both treat a supplementary character as one token
+    var vocab: Array[(Array[String], Long)] =
+      wf.map(r => (r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 0L
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      vocab.foreach { case (toks, f) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, c))
+        vocab = vocab.map { case (toks, f) => (greedyMerge(toks, l, r), f) }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** One leftmost-greedy merge pass over a token array — the scan
+    * [[graft.functions.BpeMerge]] runs per row, here on driver-side vocab
+    * state: each adjacent (l, r) becomes l+r and the scan resumes AFTER
+    * the merged token, so runs pair from the left. */
+  private def greedyMerge(toks: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Context-window chunking: overlapping token windows of `chunkTokens`
     * tokens starting every `chunkTokens - overlap` tokens — the
     * training/RAG window splitter. The final window clamps to the document

@@ -1541,6 +1541,31 @@ object ExtensionQueries {
         merges).orderBy("doc_id")
     }),
 
+    // BPE merge-table TRAINING (Sennrich learn_bpe): ONE word-count
+    // shuffle builds the frequency table, the merge loop runs on that
+    // bounded vocab state — 8 ranks learned here, each the argmax
+    // adjacent-pair count (ties lhs/rhs asc) merged leftmost-greedily.
+    // Completes the BPE story: x85 one round's statistic → THIS learns
+    // the table → x148 applies it → x150 lays out by its counts
+    "x153_bpe_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(Tables(s, dir, "documents"), "text",
+        nMerges = 8).orderBy("rank")
+    }),
+
+    // Z-order (Morton) layout over (user_id, event time): bit-interleaved
+    // curve cells + contiguous curve-range shards — the 2-d file
+    // clustering pass that gives parquet row groups tight min/max
+    // envelopes on BOTH columns; one min/max aggregate (1-row broadcast
+    // attach) + a pure map-side projection
+    "x154_zorder_layout" -> ((s, dir) => {
+      // ts is TIMESTAMP_NTZ; the session TZ is UTC, so the cast matches
+      // DuckDB's epoch_us over the same naive values exactly
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      Corpus.zorderLayout(e, "event_id", "user_id", "ts_us",
+        bits = 16, nShards = 64).orderBy("event_id")
+    }),
+
     // FLAGSHIP tokenizer-aware layout: BPE-apply the trained merges (x148)
     // and pack training sequences by the TRUE subword counts (x51's
     // concat-then-chunk offsets) — the layout a loader actually consumes
@@ -2553,6 +2578,76 @@ object ExtensionQueries {
     s"""WITH b AS (SELECT doc_id, $bpeMergedExpr AS s FROM documents)
        |SELECT doc_id, ${bpeTokenCountExpr("s")} AS n_tokens, s AS bpe_tokens
        |FROM b ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of x153 — BPE training as `nMerges` chained CTE
+    * blocks. Word frequencies once (the corpus leg), then per rank:
+    * enumerate every adjacent token position of the current vocab
+    * (canonical overlap counting — `get_stats`), argmax with the
+    * count-desc/lhs-asc/rhs-asc tie-break, and apply the winner via the
+    * x148 doubled-delimiter replace (the proven leftmost-greedy form).
+    * Vocab strings stay in doubled-space form throughout: each replace
+    * consumes only its pair's inner spaces, so gaps remain exactly two
+    * spaces and the next rank's pattern still matches.
+    */
+  private def bpeTrainSql(nMerges: Int, topWords: Int): String = {
+    val norm = normSql("text")
+    val head =
+      s"""WITH wf AS (
+         |  SELECT word, freq FROM (
+         |    SELECT w AS word, count(*) AS freq
+         |    FROM (SELECT string_split($norm, ' ') AS l
+         |          FROM documents WHERE text IS NOT NULL) t,
+         |         unnest(t.l) AS u(w)
+         |    WHERE w <> '' GROUP BY w)
+         |  ORDER BY freq DESC, word LIMIT $topWords),
+         |v0 AS (SELECT freq,
+         |  replace(' ' || regexp_replace(word, '(.)', '\\1 ', 'g'),
+         |    ' ', '  ') AS d FROM wf)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      s"""t$i AS (SELECT freq,
+         |  list_filter(string_split(d, ' '), x -> x <> '') AS t
+         |  FROM v${i - 1}),
+         |p$i AS (SELECT t[CAST(k AS INT)] AS lhs,
+         |    t[CAST(k AS INT) + 1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM t$i, unnest(generate_series(1, len(t) - 1)) AS u(k)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, cnt FROM p$i
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$i AS (SELECT freq,
+         |  replace(d, ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |    ' ' || b.lhs || b.rhs || ' ') AS d
+         |  FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges).map { i =>
+      s"SELECT CAST(${i - 1} AS BIGINT) AS rank, lhs, rhs, " +
+        s"cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"$head,\n$rounds\n$union\nORDER BY rank"
+  }
+
+  /** DuckDB mirror of x154 — the same overflow-free z-order arithmetic:
+    * shifted-width integer division into cells, an unrolled 2·bits-term
+    * bit interleave, curve-range shards. */
+  private def zorderSql(bits: Int, nShards: Int): String = {
+    val terms = (0 until bits).map { i =>
+      s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH s AS (SELECT event_id, user_id AS x, epoch_us(ts) AS y
+       |           FROM events),
+       |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |             min(y) AS ymin, max(y) AS ymax FROM s),
+       |c AS (SELECT event_id,
+       |        (x - xmin) // (((xmax - xmin) >> $bits) + 1) AS cx,
+       |        (y - ymin) // (((ymax - ymin) >> $bits) + 1) AS cy
+       |      FROM s, b),
+       |z AS (SELECT event_id, cx AS cell_x, cy AS cell_y,
+       |        $terms AS zvalue
+       |      FROM c)
+       |SELECT event_id, cell_x, cell_y, zvalue,
+       |  CAST((zvalue * $nShards) >> ${2 * bits} AS INT) AS shard
+       |FROM z ORDER BY event_id""".stripMargin
+  }
 
   /** DuckDB mirror of x150: the x148 chain's subword count feeding x51's
     * md5-ordered concat-then-chunk packing window. */
@@ -4497,6 +4592,8 @@ object ExtensionQueries {
     "x143_jl_ivf_rescore" -> jlIvfRescoreSql,
     "x147_jl_ivf_rescore_refined" -> jlIvfRescoreRefinedSql,
     "x148_bpe_apply" -> bpeApplySql,
+    "x153_bpe_train" -> bpeTrainSql(8, 65536),
+    "x154_zorder_layout" -> zorderSql(16, 64),
     "x149_exact_substring_dups" -> exactSubstringSql(8),
     "x150_bpe_layout_e2e" -> bpeLayoutSql,
     "x151_exact_substring_strip" -> exactSubstringStripSql(8),

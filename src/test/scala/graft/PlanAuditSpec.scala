@@ -99,7 +99,10 @@ class PlanAuditSpec extends SparkSpec {
     // x144/x146 compose x137's scoring leg (the same one-row T attach)
     "x144_ccnet_buckets", "x146_ccnet_route_incr",
     // x139 composes x137's scoring leg (the same T attach)
-    "x139_lm_curation_e2e")
+    "x139_lm_curation_e2e",
+    // x154: the single-row min/max BOUNDS attach (one aggregate row of
+    // four longs broadcast under every input row — Corpus.zorderLayout)
+    "x154_zorder_layout")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

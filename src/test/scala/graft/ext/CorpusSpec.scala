@@ -1274,4 +1274,36 @@ class CorpusSpec extends SparkSpec {
       .collect().head
     assert((tied.getLong(1), tied.getLong(2)) === ((2L, 1L)))
   }
+
+  test("zorderLayout: bit interleave, cell bounds, curve-range shards, " +
+      "null propagation, partition invariance") {
+    // 4 corners + center of a [0,300]×[0,3000] box at bits=2 (cells 0-3):
+    // widths: x (300>>2)+1 = 76, y (3000>>2)+1 = 751
+    val rows = Seq(
+      (1L, 0L, 0L),        // cells (0,0) → z 0
+      (2L, 300L, 0L),      // cells (3,0) → interleave(11, 00) = 0b0101 = 5
+      (3L, 0L, 3000L),     // cells (0,3) → 0b1010 = 10
+      (4L, 300L, 3000L),   // cells (3,3) → 0b1111 = 15
+      (5L, 150L, 1500L),   // cells (1,1) → 0b0011 = 3
+      (6L, 76L, 751L))     // cells (1,1) → 3 (width boundary)
+      .toDF("id", "x", "y")
+    val out = Corpus.zorderLayout(rows, "id", "x", "y", bits = 2, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out === Map(
+      1L -> (0L, 0L, 0L, 0), 2L -> (3L, 0L, 5L, 1), 3L -> (0L, 3L, 10L, 2),
+      4L -> (3L, 3L, 15L, 3), 5L -> (1L, 1L, 3L, 0), 6L -> (1L, 1L, 3L, 0)))
+    // nulls propagate, never cluster
+    val withNull = Corpus.zorderLayout(
+      Seq((1L, Some(5L), Some(9L)), (2L, None, Some(3L)))
+        .toDF("id", "x", "y"), "id", "x", "y", bits = 2, nShards = 4)
+      .orderBy("id").collect()
+    assert(withNull(1).isNullAt(1) && withNull(1).isNullAt(3) &&
+      withNull(1).isNullAt(4))
+    // degenerate range (min = max) → cell 0 everywhere, and the layout
+    // is partitioning-invariant
+    val flat = Seq((1L, 7L, 1L), (2L, 7L, 2L)).toDF("id", "x", "y")
+    assert(Corpus.zorderLayout(flat.repartition(3), "id", "x", "y")
+      .collect().map(_.getLong(1)).toSet === Set(0L))
+  }
 }

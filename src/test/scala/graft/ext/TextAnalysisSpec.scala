@@ -107,6 +107,58 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  private def train(texts: Seq[String], nMerges: Int,
+      topWords: Int = 65536): Seq[(Long, String, String, Long)] =
+    TextAnalysis.bpeTrain(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "text", nMerges, topWords)
+      .orderBy("rank").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("bpeTrain: Sennrich loop — argmax, tie-break, greedy re-merge") {
+    // words: the×3, cat×1, hat×1. Round 1 ties (t,h)=3 with (h,e)=3 →
+    // lhs asc picks (h,e); round 2 merges (t,he); round 3 (a,t)=2;
+    // round 4 ties (c,at)=1 with (h,at)=1 → (c,at).
+    assert(train(Seq("the the cat", "the hat"), 4) === Seq(
+      (0L, "h", "e", 3L), (1L, "t", "he", 3L),
+      (2L, "a", "t", 2L), (3L, "c", "at", 1L)))
+  }
+
+  test("bpeTrain: overlap counting (get_stats), greedy application") {
+    // canonical counting: run 'aaa' contributes (a,a) TWICE, beating
+    // (x,y)=2 only on the tie-break; greedy counting would give (a,a)=1
+    // and (x,y) would win outright — this pins the overlap semantic
+    val m = train(Seq("aaa", "xy", "xy"), 1)
+    assert(m === Seq((0L, "a", "a", 2L)))
+    // and the APPLICATION of that merge is greedy: aaa -> aa a, so the
+    // next round's top pair is (aa,a)=1 tying with (x,y)=2 → (x,y) wins
+    assert(train(Seq("aaa", "xy", "xy"), 2)(1) === ((1L, "x", "y", 2L)))
+  }
+
+  test("bpeTrain: stops early when no pair remains") {
+    assert(train(Seq("a b c"), 3) === Seq.empty)
+    assert(train(Seq("ab c"), 3) === Seq((0L, "a", "b", 1L)))
+  }
+
+  test("bpeTrain: topWords cut is freq-desc word-asc deterministic") {
+    // both words freq 1 → tie broken word asc: keep "aa", drop "bb"
+    assert(train(Seq("bb aa"), 1, topWords = 1) === Seq((0L, "a", "a", 1L)))
+  }
+
+  test("bpeTrain feeds bpeApply: learned table round-trips") {
+    val docs = Seq((1L, "the the cat"), (2L, "the hat")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .select(col("rank"), col("lhs").as("left"), col("rhs").as("right"))
+    val out = TextAnalysis.bpeApply(docs, "text", "doc_id", merges)
+      .orderBy("doc_id").collect()
+    // ranks (h,e),(t,he),(a,t),(c,at): "cat" merges fully, "hat" stops at
+    // "h at" — (h,at) lost its round-4 tie to (c,at)
+    assert(out.map(_.getAs[String]("bpe_tokens")).toSeq === Seq(
+      s"the ${TextAnalysis.BpeBoundary} the ${TextAnalysis.BpeBoundary} cat",
+      s"the ${TextAnalysis.BpeBoundary} h at"))
+  }
+
   test("redactPii: typed placeholders, non-PII text untouched") {
     val df = Seq(
       "mail bob@example.com or call +1 (555) 123-4567 from 10.0.0.1 now",
