@@ -1931,10 +1931,19 @@ object Corpus {
     *
     *  - bounds: global `min`/`max` of each dimension (one aggregate, a
     *    1-row broadcast attach — the x131/x143 pattern);
-    *  - cells: `cell = (v − min) div (((max − min) >> bits) + 1)` — an
-    *    integer division by a shifted width, no product that can
-    *    overflow; lands in `[0, 2^bits)`, using at least `2^(bits−1)`
-    *    distinct cells whenever the value range is ≥ `2^bits`;
+    *  - cells, range ≥ 2^bits: `cell = (v − min) div
+    *    (((max − min) >> bits) + 1)` — integer division by a shifted
+    *    width, no product that can overflow; lands in `[0, 2^bits)`,
+    *    using at least `2^(bits−1)` distinct cells;
+    *  - cells, range < 2^bits: `cell = (v − min)·(2^bits − 1) div
+    *    max(range, 1)` — the product is ≤ range·2^bits < 2^(2·bits),
+    *    safely small. This SCALE-UP leg is load-bearing: a dimension
+    *    whose raw range is narrower than its partner's (user ids vs
+    *    epoch micros) would otherwise leave its high cell bits always
+    *    zero, the top interleaved bits would be the wide dimension
+    *    alone, and the curve would degenerate to a 1-D sort on it
+    *    (measured: the unscaled layout pruned NOTHING on the narrow
+    *    dimension — ZorderProbe);
     *  - `zvalue`: bit-interleave of the two cells (x even bits, y odd
     *    bits), unrolled into `2·bits` shift/mask terms inside one
     *    codegen'd projection;
@@ -1953,30 +1962,163 @@ object Corpus {
     * the one corpus shuffle, same budget as any layout pass.
     */
   def zorderLayout(df: DataFrame, idCol: String, xCol: String, yCol: String,
-      bits: Int = 16, nShards: Int = 64): DataFrame = {
-    require(bits >= 1 && bits <= 16, "need 1 <= bits <= 16")
-    require(nShards >= 1 && nShards <= (1 << 30), "need 1 <= nShards <= 2^30")
+      bits: Int = 16, nShards: Int = 64,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
-    val bounds = broadcast(df.agg(
+    val bounds = df.agg(
       min(x).as("_xmin"), max(x).as("_xmax"),
-      min(y).as("_ymin"), max(y).as("_ymax")))
+      min(y).as("_ymin"), max(y).as("_ymax"))
+    zorderLayoutAgainst(df, bounds, idCol, xCol, yCol, bits, nShards,
+      keepCols)
+  }
+
+  /** [[zorderLayout]] against a FROZEN bounds table — the at-ingest form:
+    * the curve's coordinate frame comes from a maintained 1-row bounds
+    * table (seeded from the corpus once), so an arriving batch is
+    * assigned cells/zvalue/shard by a pure map-side pass and lands in
+    * the existing shard files WITHOUT re-scanning the corpus — the same
+    * frozen-reference-state convention as the CCNet threshold router
+    * (x146): assignments stay mutually consistent across batches because
+    * everyone uses the same frame. Batch values OUTSIDE the frozen
+    * bounds clamp to the edge cells (an out-of-range arrival is still
+    * routed deterministically, to the curve's boundary); when drift
+    * makes edge cells hot, re-base offline and rewrite — the x123
+    * drift-then-reseed pattern.
+    *
+    * `bounds` is one row of `(_xmin, _xmax, _ymin, _ymax)` longs — what
+    * [[zorderLayout]] computes internally, and what a maintained bounds
+    * table stores.
+    */
+  def zorderLayoutAgainst(df: DataFrame, bounds: DataFrame, idCol: String,
+      xCol: String, yCol: String, bits: Int = 16, nShards: Int = 64,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    require(bits >= 1 && bits <= 16, "need 1 <= bits <= 16")
+    require(nShards >= 1 && nShards <= (1 << 30), "need 1 <= nShards <= 2^30")
     def intDiv(n: Column, d: Column): Column =
       shim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         shim.expression(n), shim.expression(d)))
-    def cell(v: Column, lo: Column, hi: Column): Column =
-      intDiv(v - lo, shiftright(hi - lo, bits) + 1L)
-    val cx = cell(x, col("_xmin"), col("_xmax"))
-    val cy = cell(y, col("_ymin"), col("_ymax"))
+    def cell(v0: Column, lo: Column, hi: Column): Column = {
+      // clamp into the frozen frame; when/otherwise (NOT least/greatest,
+      // which SKIP nulls) so a NULL dimension stays NULL
+      val v = when(v0 < lo, lo).when(v0 > hi, hi).otherwise(v0)
+      val range = hi - lo
+      when(range < (1L << bits),
+        intDiv((v - lo) * ((1L << bits) - 1), greatest(range, lit(1L))))
+        .otherwise(intDiv(v - lo, shiftright(range, bits) + 1L))
+    }
+    val cx = cell(col(xCol).cast("long"), col("_xmin"), col("_xmax"))
+    val cy = cell(col(yCol).cast("long"), col("_ymin"), col("_ymax"))
     val zvalue = (0 until bits).map { i =>
       shiftleft(shiftright(col("cell_x"), i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(col("cell_y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
-    df.crossJoin(bounds)
-      .select(col(idCol), cx.as("cell_x"), cy.as("cell_y"))
+    // keepCols ride along so a consumer (stats manifest, bloom index,
+    // the layout write itself) never re-joins the corpus onto its own
+    // annotations by id — at scale that self-join is a full exchange
+    df.crossJoin(broadcast(bounds))
+      .select((col(idCol) +: keepCols.map(col)) ++
+        Seq(cx.as("cell_x"), cy.as("cell_y")): _*)
       .withColumn("zvalue", zvalue)
       .withColumn("shard", shiftright(col("zvalue") * nShards, 2 * bits)
         .cast("int"))
+  }
+
+  /** Per-shard statistics MANIFEST — the sidecar a lakehouse scan
+    * consults to skip files without opening them (Delta/Iceberg
+    * `add_file` stats: row count, per-column min/max, shard-local NDV).
+    * Completes the layout story: [[zorderLayout]] makes the per-shard
+    * envelopes tight, this RECORDS them. Per `shardCol` group and each
+    * stats column: `<c>_min`, `<c>_max`, `<c>_ndv` (exact shard-local
+    * distinct — the shard is the unit of work, so at 100 TB the manifest
+    * job is one aggregate, embarrassingly parallel per shard with
+    * map-side combine; rows out = shards, KBs).
+    */
+  def shardStats(df: DataFrame, shardCol: String, statCols: Seq[String])
+      : DataFrame = {
+    require(statCols.nonEmpty, "need at least one stats column")
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        countDistinct(col(c)).as(s"${c}_ndv"))
+    }
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Per-shard BLOOM INDEX over a point-lookup key, plus its measured
+    * use: for equality predicates on a column the sort order does NOT
+    * cover, min/max envelopes skip nothing — a tiny per-shard Bloom
+    * filter routes the lookup to candidate shards instead (the
+    * file-skipping index Parquet stores as a bloom per column chunk;
+    * cf. [[graft.ext.Blocklist.bloomAntiJoin]], which uses a bloom to
+    * route ROWS — this one is a persisted MANIFEST that routes SCANS).
+    *
+    * Deterministic and engine-agnostic: `k` positions per key, position
+    * `j` = 32-bit md5 slice `j` of `"bloom|<key>"` mod `m` — the repo's
+    * md5-slice hash family, exactly mirrorable in SQL. Per shard the
+    * index row is (`n_keys` distinct keys, `n_bits_set`, `bits_md5` —
+    * a digest of the sorted bit list, so the whole index hash-compares
+    * without shipping `m` bits per row).
+    *
+    * The second output measures the index doing its job: for each
+    * `probeKeys` value, `n_candidate_shards` (bloom says maybe) vs
+    * `n_true_shards` (key actually present — no false negatives by
+    * construction, so candidates ⊇ true and the gap IS the false-positive
+    * rate). Returns (index, probeReport).
+    *
+    * Scale shape: one (shard,key)-distinct aggregate + one position
+    * explode (k rows per distinct key) folded back to shards — manifest
+    * rows = shards; the probe side is |probeKeys| × shards arithmetic
+    * over the broadcast-size index.
+    */
+  def bloomShardIndex(df: DataFrame, shardCol: String, keyCol: String,
+      probeKeys: Seq[Long], m: Int = 4096, k: Int = 3)
+      : (DataFrame, DataFrame) = {
+    require(m > 0 && k >= 1 && k <= 4, "need m > 0 and 1 <= k <= 4")
+    def positions(key: Column): Column = array((0 until k).map { j =>
+      conv(substring(md5(concat(lit("bloom|"), key.cast("string"))),
+        1 + 8 * j, 8), 16, 10).cast("long") % m
+    }: _*)
+    val spark = df.sparkSession
+    val keys = df.select(col(shardCol).as("shard"),
+      col(keyCol).cast("long").as("_k")).distinct()
+    // ONE shard-keyed aggregate builds the whole manifest row:
+    // collect_set dedups positions inside the aggregate (map-side
+    // partials included) and countDistinct recovers n_keys from the
+    // exploded rows — no second aggregation, no 64-row self-join
+    val shardAgg = keys
+      .select(col("shard"), col("_k"),
+        explode(positions(col("_k"))).as("pos"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("_k")).as("n_keys"),
+        sort_array(collect_set(col("pos"))).as("_bits"))
+    val bits = shardAgg.select(col("shard"), col("_bits"))
+    val index = shardAgg
+      .select(col("shard"), col("n_keys"),
+        size(col("_bits")).cast("long").as("n_bits_set"),
+        md5(concat_ws(",", transform(col("_bits"), _.cast("string"))))
+          .as("bits_md5"))
+    import spark.implicits._
+    val probes = probeKeys.toDF("probe_key")
+      .withColumn("_pp", positions(col("probe_key")))
+    // probes × shard-index: |probeKeys| rows against a shards-sized
+    // broadcast — the only sound shape for "which shards might hold this
+    // key" (documented 1-row-class BNLJ, cf. PlanAuditSpec)
+    val cand = probes.crossJoin(broadcast(bits))
+      .filter(size(array_except(col("_pp"), col("_bits"))) === 0)
+      .groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("n_candidate_shards"))
+    val truth = probes.join(keys, col("probe_key") === col("_k"))
+      .groupBy(col("probe_key"))
+      .agg(count(lit(1)).as("n_true_shards"))
+    val report = probes.select("probe_key")
+      .join(cand, Seq("probe_key"), "left")
+      .join(truth, Seq("probe_key"), "left")
+      .select(col("probe_key"),
+        coalesce(col("n_candidate_shards"), lit(0L))
+          .as("n_candidate_shards"),
+        coalesce(col("n_true_shards"), lit(0L)).as("n_true_shards"))
+    (index, report)
   }
 
   /** Source/domain-level reputation gate — the curation stage that filters

@@ -27,6 +27,20 @@ object ExtensionQueries {
     (4L, "l", "l"), (5L, "g", "g"), (6L, "e", "r"), (7L, "er", "g"),
     (8L, "s", "c"), (9L, "a", "a"))
 
+  /** Shared build for x157/x158: z-order shard the events, index user_id
+    * per shard, probe five keys (1,7,42,123 present at every sf;
+    * 10000000 absent by construction). */
+  private def BloomIndexParts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val e = Tables(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val z = Corpus.zorderLayout(e, "event_id", "user_id", "ts_us",
+      bits = 16, nShards = 64, keepCols = Seq("user_id"))
+    Corpus.bloomShardIndex(z, "shard", "user_id",
+      probeKeys = Seq(1L, 7L, 42L, 123L, 10000000L))
+  }
+
   val all: Map[String, Q] = Map(
     // exact dedup: one survivor per distinct text (min doc_id), digest-keyed
     "x1_dedup_exact" -> ((s, dir) => {
@@ -1566,6 +1580,51 @@ object ExtensionQueries {
         bits = 16, nShards = 64).orderBy("event_id")
     }),
 
+    // z-order at INGEST: the arriving batch (event_id % 7 = 0) is
+    // assigned cells/zvalue/shard against the corpus slice's FROZEN
+    // bounds (maintained 1-row frame, seeded once) — pure map-side pass,
+    // the corpus never re-scanned, out-of-frame arrivals clamp to edge
+    // cells; the frozen-reference convention of the x146 router
+    "x155_zorder_incr" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val corpus = e.filter(col("event_id") % 7 =!= 0)
+      val bounds = corpus.agg(
+        min(col("user_id").cast("long")).as("_xmin"),
+        max(col("user_id").cast("long")).as("_xmax"),
+        min(col("ts_us")).as("_ymin"), max(col("ts_us")).as("_ymax"))
+      Corpus.zorderLayoutAgainst(e.filter(col("event_id") % 7 === 0),
+        bounds, "event_id", "user_id", "ts_us", bits = 16, nShards = 64)
+        .orderBy("event_id")
+    }),
+
+    // the layout's MANIFEST: per-shard row count + per-column min/max/NDV
+    // over the z-order shards — the sidecar stats a scan consults to skip
+    // files without opening them; one shard-keyed aggregate, rows = shards
+    "x156_shard_stats" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val z = Corpus.zorderLayout(e, "event_id", "user_id", "ts_us",
+        bits = 16, nShards = 64, keepCols = Seq("user_id", "ts_us"))
+      Corpus.shardStats(z, "shard", Seq("user_id", "ts_us"))
+        .orderBy("shard")
+    }),
+
+    // per-shard bloom INDEX over user_id (m=4096, k=3 md5-slice hashes):
+    // the equality-predicate skip for a column the curve order doesn't
+    // cover — manifest rows hash-compared via a sorted-bit-list digest
+    "x157_bloom_index" -> ((s, dir) => {
+      BloomIndexParts(s, dir)._1.orderBy("shard")
+    }),
+
+    // the index DOING ITS JOB: candidate shards (bloom says maybe) vs
+    // true shards per probe key — candidates ⊇ true (no false negatives),
+    // the gap is the measured false-positive rate; key 10000000 is absent
+    // by construction, its candidate count is pure fp
+    "x158_bloom_probe" -> ((s, dir) => {
+      BloomIndexParts(s, dir)._2.orderBy("probe_key")
+    }),
+
     // FLAGSHIP tokenizer-aware layout: BPE-apply the trained merges (x148)
     // and pack training sequences by the TRUE subword counts (x51's
     // concat-then-chunk offsets) — the layout a loader actually consumes
@@ -2627,26 +2686,126 @@ object ExtensionQueries {
   }
 
   /** DuckDB mirror of x154 — the same overflow-free z-order arithmetic:
-    * shifted-width integer division into cells, an unrolled 2·bits-term
-    * bit interleave, curve-range shards. */
-  private def zorderSql(bits: Int, nShards: Int): String = {
+    * scale-up multiply for narrow ranges / shifted-width integer division
+    * for wide ones, an unrolled 2·bits-term bit interleave, curve-range
+    * shards. */
+  private def zorderSql(bits: Int, nShards: Int): String =
+    s"""WITH ${zorderCtes(bits, boundsFrom = "s", assign = "s")}
+       |SELECT event_id, cell_x, cell_y, zvalue,
+       |  ${zorderShardSql(bits, nShards)} AS shard
+       |FROM z ORDER BY event_id""".stripMargin
+
+  private def zorderShardSql(bits: Int, nShards: Int): String =
+    s"CAST((zvalue * $nShards) >> ${2 * bits} AS INT)"
+
+  /** Shared z-order CTE body ending in `z(event_id, cell_x, cell_y,
+    * zvalue)`: bounds from one slice, assignment over another (x154:
+    * both the full table `s`; x155: corpus bounds `sb`, batch `sa` with
+    * edge-cell clamping). `s` keeps (x, y) so downstream stats CTEs can
+    * join the raw dimensions back by event_id. */
+  private def zorderCtes(bits: Int, boundsFrom: String,
+      assign: String): String = {
+    val m = (1L << bits) - 1
     val terms = (0 until bits).map { i =>
       s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
-    s"""WITH s AS (SELECT event_id, user_id AS x, epoch_us(ts) AS y
+    def cellSql(v0: String, lo: String, hi: String): String = {
+      val v = s"least(greatest($v0, $lo), $hi)"
+      s"CASE WHEN $v0 IS NULL THEN NULL WHEN $hi - $lo < ${m + 1} THEN " +
+        s"(($v - $lo) * $m) // greatest($hi - $lo, 1) " +
+        s"ELSE ($v - $lo) // ((($hi - $lo) >> $bits) + 1) END"
+    }
+    s"""s AS (SELECT event_id, user_id AS x, epoch_us(ts) AS y
        |           FROM events),
+       |sb AS (SELECT * FROM s WHERE event_id % 7 <> 0),
+       |sa AS (SELECT * FROM s WHERE event_id % 7 = 0),
        |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
-       |             min(y) AS ymin, max(y) AS ymax FROM s),
+       |             min(y) AS ymin, max(y) AS ymax FROM $boundsFrom),
        |c AS (SELECT event_id,
-       |        (x - xmin) // (((xmax - xmin) >> $bits) + 1) AS cx,
-       |        (y - ymin) // (((ymax - ymin) >> $bits) + 1) AS cy
-       |      FROM s, b),
+       |        ${cellSql("x", "xmin", "xmax")} AS cx,
+       |        ${cellSql("y", "ymin", "ymax")} AS cy
+       |      FROM $assign, b),
        |z AS (SELECT event_id, cx AS cell_x, cy AS cell_y,
        |        $terms AS zvalue
-       |      FROM c)
+       |      FROM c)""".stripMargin
+  }
+
+  private def zorderSqlWith(bits: Int, nShards: Int, boundsFrom: String,
+      assign: String): String =
+    s"""WITH ${zorderCtes(bits, boundsFrom, assign)}
        |SELECT event_id, cell_x, cell_y, zvalue,
-       |  CAST((zvalue * $nShards) >> ${2 * bits} AS INT) AS shard
+       |  ${zorderShardSql(bits, nShards)} AS shard
        |FROM z ORDER BY event_id""".stripMargin
+
+  /** DuckDB mirror of x156 — the z-order shards' stats manifest: per
+    * shard n_rows + min/max/exact-NDV of each dimension. */
+  private def shardStatsSql(bits: Int, nShards: Int): String =
+    s"""WITH ${zorderCtes(bits, "s", "s")},
+       |zs AS (SELECT event_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(x) AS user_id_min, max(x) AS user_id_max,
+       |  CAST(count(DISTINCT x) AS BIGINT) AS user_id_ndv,
+       |  min(y) AS ts_us_min, max(y) AS ts_us_max,
+       |  CAST(count(DISTINCT y) AS BIGINT) AS ts_us_ndv
+       |FROM zs JOIN s USING (event_id)
+       |GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Shared x157/x158 CTE tail: distinct (shard, key) and the per-shard
+    * sorted bloom bit list (k md5-slice positions mod m per key). */
+  private def bloomCtes(bits: Int, nShards: Int, m: Int, k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""${zorderCtes(bits, "s", "s")},
+       |zs AS (SELECT event_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |keys AS (SELECT DISTINCT shard, x AS kk
+       |         FROM zs JOIN s USING (event_id)),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' ||
+       |            CAST(kk AS VARCHAR)), 1 + 8 * j, 8)) AS BIGINT) % $m
+       |            AS p
+       |        FROM keys, unnest([$hashes]) AS u(j)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard)""".stripMargin
+  }
+
+  /** DuckDB mirror of x157 — the per-shard bloom index manifest. */
+  private def bloomIndexSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String =
+    s"""WITH ${bloomCtes(bits, nShards, m, k)}
+       |SELECT shard, nk.n_keys, CAST(len(bits) AS BIGINT) AS n_bits_set,
+       |  md5(array_to_string(list_transform(bits,
+       |    v -> CAST(v AS VARCHAR)), ',')) AS bits_md5
+       |FROM bl JOIN (SELECT shard, CAST(count(*) AS BIGINT) AS n_keys
+       |              FROM keys GROUP BY shard) nk USING (shard)
+       |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of x158 — candidate (bloom-maybe) vs true shards per
+    * probe key; the gap is the measured false-positive rate. */
+  private def bloomProbeSql(bits: Int, nShards: Int, m: Int, k: Int,
+      probeKeys: Seq[Long]): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    val pks = probeKeys.mkString(", ")
+    s"""WITH ${bloomCtes(bits, nShards, m, k)},
+       |probe AS (SELECT CAST(unnest([$pks]) AS BIGINT) AS probe_key),
+       |ppos AS (SELECT probe_key, list_transform([$hashes],
+       |           j -> CAST(concat('0x', substr(md5('bloom|' ||
+       |             CAST(probe_key AS VARCHAR)), 1 + 8 * j, 8))
+       |             AS BIGINT) % $m) AS pp
+       |         FROM probe),
+       |cand AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS c
+       |         FROM ppos, bl
+       |         WHERE len(list_filter(pp,
+       |           q -> NOT list_contains(bits, q))) = 0
+       |         GROUP BY probe_key),
+       |tr AS (SELECT probe_key, CAST(count(*) AS BIGINT) AS t
+       |       FROM probe JOIN keys ON kk = probe_key GROUP BY probe_key)
+       |SELECT probe_key,
+       |  coalesce(c, 0) AS n_candidate_shards,
+       |  coalesce(t, 0) AS n_true_shards
+       |FROM probe LEFT JOIN cand USING (probe_key)
+       |  LEFT JOIN tr USING (probe_key)
+       |ORDER BY probe_key""".stripMargin
   }
 
   /** DuckDB mirror of x150: the x148 chain's subword count feeding x51's
@@ -4594,6 +4753,12 @@ object ExtensionQueries {
     "x148_bpe_apply" -> bpeApplySql,
     "x153_bpe_train" -> bpeTrainSql(8, 65536),
     "x154_zorder_layout" -> zorderSql(16, 64),
+    "x155_zorder_incr" ->
+      zorderSqlWith(16, 64, boundsFrom = "sb", assign = "sa"),
+    "x156_shard_stats" -> shardStatsSql(16, 64),
+    "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
+    "x158_bloom_probe" ->
+      bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),
     "x149_exact_substring_dups" -> exactSubstringSql(8),
     "x150_bpe_layout_e2e" -> bpeLayoutSql,
     "x151_exact_substring_strip" -> exactSubstringStripSql(8),

@@ -100,9 +100,15 @@ class PlanAuditSpec extends SparkSpec {
     "x144_ccnet_buckets", "x146_ccnet_route_incr",
     // x139 composes x137's scoring leg (the same T attach)
     "x139_lm_curation_e2e",
-    // x154: the single-row min/max BOUNDS attach (one aggregate row of
-    // four longs broadcast under every input row — Corpus.zorderLayout)
-    "x154_zorder_layout")
+    // x154/x155: the single-row min/max BOUNDS attach (one aggregate row
+    // of four longs broadcast under every input row — Corpus.zorderLayout
+    // / zorderLayoutAgainst's frozen frame)
+    "x154_zorder_layout", "x155_zorder_incr",
+    // x156/x157 compose the x154 layout (the same bounds attach); x158
+    // additionally pairs |probeKeys| rows against the shards-sized
+    // broadcast bloom index — "which shards might hold this key" has no
+    // equi-key by construction (Corpus.bloomShardIndex)
+    "x156_shard_stats", "x157_bloom_index", "x158_bloom_probe")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -1305,5 +1305,72 @@ class CorpusSpec extends SparkSpec {
     val flat = Seq((1L, 7L, 1L), (2L, 7L, 2L)).toDF("id", "x", "y")
     assert(Corpus.zorderLayout(flat.repartition(3), "id", "x", "y")
       .collect().map(_.getLong(1)).toSet === Set(0L))
+    // a range NARROWER than 2^bits scales UP to the full cell domain
+    // (v·(2^bits−1) div range) — without this the narrow dimension's high
+    // cell bits stay zero and the curve degenerates to a 1-D sort on the
+    // wide dimension: x ∈ {0,1,2} at bits=2 spreads to cells {0,1,3}
+    val narrow = Seq((1L, 0L, 5L), (2L, 1L, 5L), (3L, 2L, 5L))
+      .toDF("id", "x", "y")
+    val nout = Corpus.zorderLayout(narrow, "id", "x", "y", bits = 2,
+      nShards = 4).orderBy("id").collect()
+    assert(nout.map(_.getLong(1)).toSeq === Seq(0L, 1L, 3L))
+    assert(nout.map(_.getLong(3)).toSeq === Seq(0L, 1L, 5L))
+  }
+
+  test("zorderLayoutAgainst: frozen frame reproduces the full layout, " +
+      "out-of-frame arrivals clamp to edge cells, nulls still propagate") {
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("id", "x", "y")
+    val bounds = corpus.agg(
+      min(col("x")).as("_xmin"), max(col("x")).as("_xmax"),
+      min(col("y")).as("_ymin"), max(col("y")).as("_ymax"))
+    // same frame → same assignment as the batch-self layout over corpus
+    val self = Corpus.zorderLayout(corpus, "id", "x", "y", bits = 2,
+      nShards = 4).orderBy("id").collect().toSeq
+    val against = Corpus.zorderLayoutAgainst(corpus, bounds, "id", "x",
+      "y", bits = 2, nShards = 4).orderBy("id").collect().toSeq
+    assert(self === against)
+    // arrivals beyond the frozen frame clamp to the boundary cells
+    val batch = Seq((10L, Some(-50L), Some(9999L)),
+      (11L, Option.empty[Long], Some(5L))).toDF("id", "x", "y")
+    val out = Corpus.zorderLayoutAgainst(batch, bounds, "id", "x", "y",
+      bits = 2, nShards = 4).orderBy("id").collect()
+    // x=-50 clamps to xmin → cell 0; y=9999 clamps to ymax → cell 3
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((0L, 3L)))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
+  test("shardStats: per-shard row count, min/max, exact shard-local NDV") {
+    val df = Seq((0, 10L, 100L), (0, 10L, 200L), (0, 30L, 100L),
+      (1, 5L, 900L)).toDF("shard", "a", "b")
+    val got = Corpus.shardStats(df, "shard", Seq("a", "b"))
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // (shard, n_rows, a_min, a_max, a_ndv, b_min, b_max, b_ndv)
+    assert(got === Seq((0, 3L, 10L, 30L, 2L, 100L, 200L, 2L),
+      (1, 1L, 5L, 5L, 1L, 900L, 900L, 1L)))
+  }
+
+  test("bloomShardIndex: no false negatives, absent key yields fp-only " +
+      "candidates, index rows = shards") {
+    val df = Seq((0, 1L), (0, 2L), (0, 1L), (1, 3L), (1, 4L), (2, 1L))
+      .toDF("shard", "k")
+    val (index, report) = Corpus.bloomShardIndex(df, "shard", "k",
+      probeKeys = Seq(1L, 3L, 999L), m = 4096, k = 3)
+    val idx = index.orderBy("shard").collect()
+    assert(idx.length === 3)
+    // shard 0 has 2 distinct keys → at most 6 bits set (3 hashes each)
+    assert(idx(0).getAs[Long]("n_keys") === 2L &&
+      idx(0).getAs[Long]("n_bits_set") <= 6L)
+    val rep = report.orderBy("probe_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // key 1 is truly in shards {0,2}: candidates must cover both (no
+    // false negatives); key 3 in {1}; key 999 absent → n_true 0, and at
+    // m=4096 with ≤6 bits/shard a 3-hash fp is (6/4096)³-unlikely → 0
+    assert(rep.map(t => (t._1, t._3)) ===
+      Seq((1L, 2L), (3L, 1L), (999L, 0L)))
+    assert(rep(0)._2 >= 2L && rep(1)._2 >= 1L)
+    assert(rep(2)._2 === 0L)
   }
 }
