@@ -2045,6 +2045,70 @@ object Corpus {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** MERGEABLE shard-stats manifest — [[shardStats]]'s maintained form.
+    * Exact per-shard NDV is not merge-maintainable (distinct counts
+    * don't add), so the NDV column becomes a bottom-k KMV sketch of the
+    * column's 60-bit md5 key hashes (the x110 hash family): per shard
+    * and stats column, `<c>_min`, `<c>_max`, `<c>_kmv` (the sorted k
+    * smallest distinct hashes), plus `n_rows`. KMV's defining algebra —
+    * bottom-k of a union is computable from the two sides' bottom-ks —
+    * makes the manifest ADDITIVE: sketch each batch at ingest, merge
+    * with [[mergeShardStats]], never re-read the corpus. The registered
+    * query proves the law the x74 way: merged corpus-slice + batch-slice
+    * manifests hash-compared against the full-table oracle.
+    *
+    * Scale shape: one shard-keyed aggregate for rows/min/max + per stats
+    * column a distinct-(shard,hash) exchange and a per-shard bottom-k
+    * window; everything after the distinct is ≤ shards×k rows.
+    */
+  def shardStatsSketch(df: DataFrame, shardCol: String,
+      statCols: Seq[String], k: Int = 16): DataFrame = {
+    require(statCols.nonEmpty && k > 0, "need stats columns and k > 0")
+    val base = df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))): _*)
+    statCols.foldLeft(base) { (acc, c) =>
+      val h = conv(substring(md5(concat(lit("kmv|"),
+        col(c).cast("long").cast("string"))), 1, 15), 16, 10).cast("long")
+      val w = Window.partitionBy(col(shardCol)).orderBy(col("_h"))
+      val kmv = df.select(col(shardCol), h.as("_h"))
+        .filter(col("_h").isNotNull)
+        .distinct()
+        .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+        .groupBy(col(shardCol))
+        .agg(sort_array(collect_list(col("_h"))).as(s"${c}_kmv"))
+      acc.join(kmv, Seq(shardCol), "left")
+    }
+  }
+
+  /** Merge two [[shardStatsSketch]] manifests over DISJOINT row sets:
+    * `merge(sketch(A), sketch(B)) = sketch(A ∪ B)` exactly — counts add,
+    * min/max fold, and the union's bottom-k is the bottom-k of the two
+    * sides' concatenated sketches (every union hash small enough to make
+    * the cut is in one side's bottom-k). Shards present on one side only
+    * pass through. Work: one full-outer join of two manifests (rows =
+    * shards) + per-row array arithmetic.
+    */
+  def mergeShardStats(a: DataFrame, b: DataFrame, shardCol: String,
+      statCols: Seq[String], k: Int = 16): DataFrame = {
+    val bb = b.columns.foldLeft(b)((d, c) =>
+      if (c == shardCol) d else d.withColumnRenamed(c, s"_b_$c"))
+    val empty = array().cast("array<long>")
+    a.join(bb, Seq(shardCol), "full_outer")
+      .select(col(shardCol) +:
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("_b_n_rows"), lit(0L))).as("n_rows") +:
+        statCols.flatMap { c =>
+          Seq(least(col(s"${c}_min"), col(s"_b_${c}_min")).as(s"${c}_min"),
+            greatest(col(s"${c}_max"), col(s"_b_${c}_max")).as(s"${c}_max"),
+            slice(array_sort(array_distinct(concat(
+              coalesce(col(s"${c}_kmv"), empty),
+              coalesce(col(s"_b_${c}_kmv"), empty)))), 1, k)
+              .as(s"${c}_kmv"))
+        }: _*)
+  }
+
   /** Per-shard BLOOM INDEX over a point-lookup key, plus its measured
     * use: for equality predicates on a column the sort order does NOT
     * cover, min/max envelopes skip nothing — a tiny per-shard Bloom

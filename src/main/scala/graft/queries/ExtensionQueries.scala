@@ -1625,6 +1625,40 @@ object ExtensionQueries {
       BloomIndexParts(s, dir)._2.orderBy("probe_key")
     }),
 
+    // the manifest MAINTAINED: corpus and batch slices each sketched
+    // once (KMV-NDV instead of exact — distinct counts don't add, bottom-k
+    // hash sketches do), merged additively — proves merge(sketch(A),
+    // sketch(B)) = sketch(A∪B) against the full-table oracle (the x74
+    // law pattern); both slices assigned against the corpus's frozen
+    // frame so shard spaces agree
+    "x159_shard_stats_incr" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val corpus = e.filter(col("event_id") % 7 =!= 0)
+      val batch = e.filter(col("event_id") % 7 === 0)
+      val bounds = corpus.agg(
+        min(col("user_id").cast("long")).as("_xmin"),
+        max(col("user_id").cast("long")).as("_xmax"),
+        min(col("ts_us")).as("_ymin"), max(col("ts_us")).as("_ymax"))
+      val sc = Seq("user_id", "ts_us")
+      def assign(df: org.apache.spark.sql.DataFrame) =
+        Corpus.zorderLayoutAgainst(df, bounds, "event_id", "user_id",
+          "ts_us", bits = 16, nShards = 64, keepCols = sc)
+      val merged = Corpus.mergeShardStats(
+        Corpus.shardStatsSketch(assign(corpus), "shard", sc),
+        Corpus.shardStatsSketch(assign(batch), "shard", sc), "shard", sc)
+      def digest(c: String) = Seq(
+        md5(concat_ws(",", transform(col(s"${c}_kmv"), _.cast("string"))))
+          .as(s"${c}_kmv_md5"),
+        element_at(col(s"${c}_kmv"), -1).as(s"${c}_kmv_kth"),
+        size(col(s"${c}_kmv")).cast("long").as(s"${c}_kmv_n"))
+      merged.select(Seq(col("shard"), col("n_rows"),
+        col("user_id_min"), col("user_id_max"),
+        col("ts_us_min"), col("ts_us_max")) ++
+        digest("user_id") ++ digest("ts_us"): _*)
+        .orderBy("shard")
+    }),
+
     // FLAGSHIP tokenizer-aware layout: BPE-apply the trained merges (x148)
     // and pack training sequences by the TRUE subword counts (x51's
     // concat-then-chunk offsets) — the layout a loader actually consumes
@@ -2767,6 +2801,44 @@ object ExtensionQueries {
        |        FROM keys, unnest([$hashes]) AS u(j)),
        |bl AS (SELECT shard, list_sort(list(p)) AS bits
        |       FROM pos GROUP BY shard)""".stripMargin
+  }
+
+  /** DuckDB mirror of x159 — the FULL-TABLE manifest computed directly
+    * (all events assigned against the corpus slice's frame), which the
+    * Spark side must reproduce by MERGING the two slices' sketches: the
+    * additive-manifest law under test. */
+  private def shardStatsIncrSql(bits: Int, nShards: Int, k: Int): String = {
+    def kmvCtes(tag: String, v: String, outCol: String): String =
+      s"""h$tag AS (SELECT DISTINCT shard,
+         |    CAST(concat('0x', substr(md5('kmv|' || CAST($v AS VARCHAR)),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM j WHERE $v IS NOT NULL),
+         |r$tag AS (SELECT shard, h,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h) AS rk
+         |  FROM h$tag),
+         |k$tag AS (SELECT shard, list_sort(list(h)) AS kmv
+         |  FROM r$tag WHERE rk <= $k GROUP BY shard),
+         |d$tag AS (SELECT shard,
+         |    md5(array_to_string(list_transform(kmv,
+         |      v -> CAST(v AS VARCHAR)), ',')) AS ${outCol}_kmv_md5,
+         |    kmv[-1] AS ${outCol}_kmv_kth,
+         |    CAST(len(kmv) AS BIGINT) AS ${outCol}_kmv_n
+         |  FROM k$tag)""".stripMargin
+    s"""WITH ${zorderCtes(bits, boundsFrom = "sb", assign = "s")},
+       |zs AS (SELECT event_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT shard, x, y FROM zs JOIN s USING (event_id)),
+       |base AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(x) AS user_id_min, max(x) AS user_id_max,
+       |    min(y) AS ts_us_min, max(y) AS ts_us_max
+       |  FROM j GROUP BY shard),
+       |${kmvCtes("x", "x", "user_id")},
+       |${kmvCtes("y", "y", "ts_us")}
+       |SELECT base.*, dx.user_id_kmv_md5, dx.user_id_kmv_kth,
+       |  dx.user_id_kmv_n, dy.ts_us_kmv_md5, dy.ts_us_kmv_kth,
+       |  dy.ts_us_kmv_n
+       |FROM base JOIN dx USING (shard) JOIN dy USING (shard)
+       |ORDER BY shard""".stripMargin
   }
 
   /** DuckDB mirror of x157 — the per-shard bloom index manifest. */
@@ -4756,6 +4828,7 @@ object ExtensionQueries {
     "x155_zorder_incr" ->
       zorderSqlWith(16, 64, boundsFrom = "sb", assign = "sa"),
     "x156_shard_stats" -> shardStatsSql(16, 64),
+    "x159_shard_stats_incr" -> shardStatsIncrSql(16, 64, 16),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),

@@ -969,6 +969,68 @@ object DeltaStream {
     * reads exclude the current batch tag, the per-batch output
     * overwrites, and the append is guarded by a bounded existence probe.
     */
+  /** Streaming z-order shard assignment against a MAINTAINED bounds
+    * frame — the x155 batch contract mounted at ingest (the layout leg of
+    * the maintained-state family):
+    *
+    *  1. The 1-row bounds frame (`_xmin/_xmax/_ymin/_ymax`) seeds once
+    *     from the static corpus.
+    *  2. Each arriving batch is assigned cells/zvalue/shard with
+    *     [[graft.ext.Corpus.zorderLayoutAgainst]] against the FROZEN
+    *     frame — a pure map-side pass, the corpus never re-read; because
+    *     the frame never changes, every batch's assignment is mutually
+    *     consistent with the corpus layout and with every other batch,
+    *     and replay is idempotent BY CONSTRUCTION (overwrite-per-batch
+    *     output, no state appends at all — the simplest member of the
+    *     maintained family).
+    *  3. Each output row carries `out_of_frame` — whether either
+    *     dimension was clamped to an edge cell. The clamped fraction is
+    *     the mount's DRIFT SIGNAL: when arrivals increasingly fall
+    *     outside the seeded frame, re-base the bounds offline and rewrite
+    *     the layout (the x123 drift-then-reseed pattern). A NULL
+    *     dimension is unroutable (NULL shard), not out-of-frame.
+    */
+  def startZorderShardingMaintained(spark: SparkSession, eventsDir: String,
+      corpusEvents: DataFrame, boundsDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "event_id",
+      xCol: String = "user_id", yCol: String = "ts_us",
+      bits: Int = 16, nShards: Int = 64): StreamingQuery = {
+    import graft.ext.Corpus
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(xCol, org.apache.spark.sql.types.LongType)
+      .add(yCol, org.apache.spark.sql.types.LongType)
+    seedOnce(boundsDir) {
+      corpusEvents.agg(
+          min(col(xCol).cast("long")).as("_xmin"),
+          max(col(xCol).cast("long")).as("_xmax"),
+          min(col(yCol).cast("long")).as("_ymin"),
+          max(col(yCol).cast("long")).as("_ymax"))
+        .write.mode("overwrite").parquet(boundsDir)
+    }
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
+    spark.readStream.schema(schema).json(eventsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val bounds = s.read.parquet(boundsDir)
+          // 1-row bounded collect: the frame as literals for the flag
+          val f = bounds.head()
+          def out(v: String, lo: String, hi: String) =
+            col(v) < f.getAs[Long](lo) || col(v) > f.getAs[Long](hi)
+          Corpus.zorderLayoutAgainst(batch, bounds, idCol, xCol, yCol,
+              bits, nShards, keepCols = Seq(xCol, yCol))
+            .withColumn("out_of_frame", coalesce(
+              out(xCol, "_xmin", "_xmax") || out(yCol, "_ymin", "_ymax"),
+              lit(false)))
+            .drop(xCol, yCol)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
   def startCmsHeavyHitterMonitor(spark: SparkSession, docsDir: String,
       corpusDocs: DataFrame, sketchDir: String, outDir: String,
       checkpointDir: String, textCol: String = "text",

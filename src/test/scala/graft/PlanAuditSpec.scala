@@ -108,7 +108,10 @@ class PlanAuditSpec extends SparkSpec {
     // additionally pairs |probeKeys| rows against the shards-sized
     // broadcast bloom index — "which shards might hold this key" has no
     // equi-key by construction (Corpus.bloomShardIndex)
-    "x156_shard_stats", "x157_bloom_index", "x158_bloom_probe")
+    "x156_shard_stats", "x157_bloom_index", "x158_bloom_probe",
+    // x159 composes the x155 frozen-frame assignment on both slices
+    // (the same bounds attach)
+    "x159_shard_stats_incr")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -1352,6 +1352,35 @@ class CorpusSpec extends SparkSpec {
       (1, 1L, 5L, 5L, 1L, 900L, 900L, 1L)))
   }
 
+  test("shardStatsSketch + mergeShardStats: merge(sketch(A), sketch(B)) " +
+      "= sketch(A ∪ B) exactly, incl. bottom-k truncation and one-side " +
+      "shards") {
+    // shard 0: 20 distinct keys split across the sides (k=4 forces real
+    // truncation on both sides AND the union); shard 1: A-only; shard 2:
+    // B-only — the one-side pass-through legs
+    val aRows = ((1L to 12L).map(v => (0, v)) :+ ((1, 100L))).toDF("sh", "v")
+    val bRows = ((9L to 20L).map(v => (0, v)) :+ ((2, 200L))).toDF("sh", "v")
+    val k = 4
+    val direct = Corpus.shardStatsSketch(aRows.unionByName(bRows), "sh",
+      Seq("v"), k).orderBy("sh").collect()
+    val merged = Corpus.mergeShardStats(
+      Corpus.shardStatsSketch(aRows, "sh", Seq("v"), k),
+      Corpus.shardStatsSketch(bRows, "sh", Seq("v"), k),
+      "sh", Seq("v"), k).orderBy("sh").collect()
+    assert(merged.length === direct.length)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getInt(0) === d.getInt(0))
+      assert(m.getAs[Long]("v_min") === d.getAs[Long]("v_min"))
+      assert(m.getAs[Long]("v_max") === d.getAs[Long]("v_max"))
+      assert(m.getSeq[Long](m.fieldIndex("v_kmv")).toSeq ===
+        d.getSeq[Long](d.fieldIndex("v_kmv")).toSeq)
+    }
+    // n_rows: union counts (9..12 overlap is rows, not distinct — 13+13)
+    assert(merged.find(_.getInt(0) === 0).get.getAs[Long]("n_rows") ===
+      direct.find(_.getInt(0) === 0).get.getAs[Long]("n_rows"))
+    assert(merged.map(_.getAs[Long]("n_rows")).sum === 26L)
+  }
+
   test("bloomShardIndex: no false negatives, absent key yields fp-only " +
       "candidates, index rows = shards") {
     val df = Seq((0, 1L), (0, 2L), (0, 1L), (1, 3L), (1, 4L), (2, 1L))

@@ -1209,4 +1209,42 @@ class DeltaStreamSpec extends SparkSpec {
       .agg(sum(col("c"))).head().getLong(0) === 48L,
       "restart reverted the refreshed drift reference")
   }
+
+  test("startZorderShardingMaintained: batch assignment equals the x155 " +
+    "batch contract on the frozen frame; out-of-frame arrivals clamp and " +
+    "flag; replay idempotent") {
+    import spark.implicits._
+    val root = tmpDir("zorder")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    // corpus frame: x [0,300], y [0,3000] — the CorpusSpec fixture
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def jsonl(path: String, rows: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, x, y) =>
+        s"""{"event_id": $id, "user_id": $x, "ts_us": $y}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderShardingMaintained(spark,
+      eventsDir, corpus, s"$root/bounds", s"$root/out", s"$root/ckpt",
+      bits = 2, nShards = 4)
+    // batch 1: two in-frame rows + one out-of-frame (x beyond xmax)
+    jsonl(s"$eventsDir/b1.json",
+      (10L, 300L, 0L), (11L, 150L, 1500L), (12L, 999L, 0L))
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+      .orderBy("event_id").collect()
+    // in-frame rows match the direct batch-contract assignment:
+    // (300,0) → cells (3,0) z 5; (150,1500) → (1,1) z 3
+    assert(b0.map(r => (r.getLong(0), r.getLong(3),
+      r.getBoolean(5))).toSeq === Seq((10L, 5L, false), (11L, 3L, false),
+      (12L, 5L, true)))   // x=999 clamps to xmax → same cells as (300,0)
+    // the frame stayed frozen (no appends anywhere)
+    assert(spark.read.parquet(s"$root/bounds").head()
+      .getAs[Long]("_xmax") === 300L)
+    // restart with no new data reprocesses nothing
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    assert(!Files.exists(Paths.get(s"$root/out/batch-1")))
+  }
 }
