@@ -2064,15 +2064,22 @@ object Corpus {
   def shardStatsSketch(df: DataFrame, shardCol: String,
       statCols: Seq[String], k: Int = 16): DataFrame = {
     require(statCols.nonEmpty && k > 0, "need stats columns and k > 0")
-    val base = df.groupBy(col(shardCol))
+    // the input is consumed by 1 + |statCols| passes, and when it carries
+    // a computed layout (the x159 shape: z-order assignment = a 2·bits-
+    // term interleave over CASE cells, inlined per reference by project
+    // collapse) re-running that projection per pass dominates — measured
+    // 6× the whole-query floor at 100× data. Persist once, reduce to the
+    // compact manifest, release eagerly (rows out = shards).
+    val in = df.select(col(shardCol) +: statCols.map(col): _*).persist()
+    val base = in.groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"),
         statCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
           max(col(c)).as(s"${c}_max"))): _*)
-    statCols.foldLeft(base) { (acc, c) =>
+    val out = statCols.foldLeft(base) { (acc, c) =>
       val h = conv(substring(md5(concat(lit("kmv|"),
         col(c).cast("long").cast("string"))), 1, 15), 16, 10).cast("long")
       val w = Window.partitionBy(col(shardCol)).orderBy(col("_h"))
-      val kmv = df.select(col(shardCol), h.as("_h"))
+      val kmv = in.select(col(shardCol), h.as("_h"))
         .filter(col("_h").isNotNull)
         .distinct()
         .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
@@ -2080,6 +2087,7 @@ object Corpus {
         .agg(sort_array(collect_list(col("_h"))).as(s"${c}_kmv"))
       acc.join(kmv, Seq(shardCol), "left")
     }
+    Caching.materializeAndRelease(out, in)
   }
 
   /** Merge two [[shardStatsSketch]] manifests over DISJOINT row sets:
