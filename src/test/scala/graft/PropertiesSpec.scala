@@ -222,4 +222,76 @@ class PropertiesSpec extends SparkSpec {
         s"doc=$ts merges=$merges")
     }
   }
+
+  /** Independent Sennrich `learn_bpe` reference: runs over the raw word
+    * OCCURRENCE stream (no frequency grouping — structurally unlike the
+    * engine's word-frequency table), overlap-counts adjacent positions,
+    * argmax with the count-desc/lhs-asc/rhs-asc tie-break, applies each
+    * winner with the naive greedy pass. */
+  private def naiveTrain(texts: Seq[String],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var occs: Seq[List[String]] = texts
+      .map(_.toLowerCase.replaceAll("\\s+", " ").trim)
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .map(_.map(_.toString).toList)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      occs.foreach { ts =>
+        ts.zip(ts.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + 1L)
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, c))
+        occs = occs.map(ts => naiveBpe(ts, Seq((l, r))))
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("property: bpeTrain equals the occurrence-stream Sennrich " +
+    "reference on random corpora") {
+    val wordGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val docGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = sample(docGen, 40, seed = 11L)
+    val got = graft.ext.TextAnalysis.bpeTrain(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "text", nMerges = 6)
+      .orderBy("rank").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got === naiveTrain(texts, 6), s"corpus=$texts")
+  }
+
+  test("property: mergeShardStats law on random splits — " +
+    "merge(sketch(A), sketch(B)) = sketch(A ∪ B), k-truncated") {
+    import graft.ext.Corpus
+    val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(-50L, 50L),
+      Gen.oneOf(true, false))
+    val rows = sample(rowGen, 200, seed = 23L)
+    val a = rows.filter(_._3).map(t => (t._1, t._2)).toDF("sh", "v")
+    val b = rows.filterNot(_._3).map(t => (t._1, t._2)).toDF("sh", "v")
+    val all = rows.map(t => (t._1, t._2)).toDF("sh", "v")
+    val k = 4
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sh").collect().toSeq.map(r =>
+        (r.getInt(0), r.getAs[Long]("n_rows"), r.getAs[Long]("v_min"),
+          r.getAs[Long]("v_max"),
+          r.getSeq[Long](r.fieldIndex("v_kmv")).toSeq))
+    val direct = rowsOf(Corpus.shardStatsSketch(all, "sh", Seq("v"), k))
+    val merged = rowsOf(Corpus.mergeShardStats(
+      Corpus.shardStatsSketch(a, "sh", Seq("v"), k),
+      Corpus.shardStatsSketch(b, "sh", Seq("v"), k), "sh", Seq("v"), k))
+    assert(merged === direct)
+  }
 }
