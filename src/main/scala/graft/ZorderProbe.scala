@@ -56,21 +56,6 @@ object ZorderProbe {
       .sortWithinPartitions("ts_us")
       .write.mode("overwrite").parquet(tDir)
 
-    // rows the parquet reader actually materialized, counted from task
-    // input metrics — robust to AQE query-stage wrapping, and exactly the
-    // row-group-skipping signal: a skipped row group's rows are never read
-    val recs = new java.util.concurrent.atomic.AtomicLong
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null) {
-            recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
-            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
-          }
-      })
-
     val total = spark.read.parquet(zDir).count()
     val preds = Seq(
       "both-dims" -> (col("user_id").between(u1, u2) &&
@@ -80,18 +65,18 @@ object ZorderProbe {
     for ((ptag, pred) <- preds; (tag, d) <- Seq("zorder" -> zDir,
         "timesort" -> tDir)) {
       val runs = (1 to reps).map { _ =>
-        val q = spark.read.parquet(d).filter(pred).groupBy().count()
-        Thread.sleep(300); recs.set(0L); bytes.set(0L)
-        val t0 = System.nanoTime()
-        val n = q.head().getLong(0)
-        val el = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // let straggling TaskEnd events drain
-        (el, n, recs.get(), bytes.get())
+        Probe.measureScan(spark) {
+          spark.read.parquet(d).filter(pred).groupBy().count()
+            .head().getLong(0)
+        }
       }
       val med = runs.map(_._1).sorted.apply((reps - 1) / 2)
+      // median rows_read across reps (not rep 1's), counters isolated
+      // per rep by measureScan's fresh listener — no straggler bleed
+      val medRows = runs.map(_._3).sorted.apply((reps - 1) / 2)
       println(f"[zorder-probe] $ptag%-9s $tag%-8s " +
-        f"matches=${runs.head._2}%8d rows_read=${runs.head._3}%10d " +
-        f"(${runs.head._3 * 100.0 / total}%5.1f%%) median=$med%6.3f s reps=" +
+        f"matches=${runs.head._2}%8d rows_read=$medRows%10d " +
+        f"(${medRows * 100.0 / total}%5.1f%%) median=$med%6.3f s reps=" +
         runs.map(r => f"${r._1}%.3f").mkString("[", ", ", "]"))
     }
     spark.stop()

@@ -38,7 +38,25 @@ object Merge {
     * that were not yet written). If it throws, the target is untouched.
     */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
-      preSwap: () => Unit = () => ()): Unit = {
+      preSwap: () => Unit = () => ()): Unit =
+    atomicOverwriteDir(spark, path, preSwap) { tmp =>
+      df.write.mode("overwrite").parquet(tmp)
+    }
+
+  /** [[atomicOverwrite]]'s general form: `write` produces the new table
+    * version into the tmp directory it is handed (a partitioned write, a
+    * data write plus sidecar manifests — anything), and the rename-pair
+    * swap then publishes everything it wrote as one visible unit. Readers
+    * of `path` never observe a partial version; a crash mid-`write` leaves
+    * the target untouched. One recovery nuance for multi-write `write`
+    * bodies: [[recover]] promotes a tmp dir once the FIRST parquet write's
+    * `_SUCCESS` exists, so a crash between that write and a later sidecar
+    * write can recover the data without its sidecars — sidecar consumers
+    * must treat a missing sidecar as "recompute" (see
+    * [[graft.util.Scan.refreshManifests]]), not as corruption.
+    */
+  def atomicOverwriteDir(spark: SparkSession, path: String,
+      preSwap: () => Unit = () => ())(write: String => Unit): Unit = {
     recover(spark, path)
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,7 +64,7 @@ object Merge {
     val old = new Path(path + "__swap_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    write(tmp.toString)
     preSwap()
     if (fs.exists(target)) {
       require(fs.rename(target, old), s"rename $target -> $old failed")

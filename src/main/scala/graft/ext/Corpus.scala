@@ -109,18 +109,44 @@ object Corpus {
     val schema = hashed.schema
     val gIdx = schema.fieldIndex(groupCol)
     val hIdx = schema.fieldIndex("h")
-    val pruned = hashed.mapPartitions { it =>
-      val groups = mutable.HashMap.empty[Any, mutable.TreeSet[Long]]
-      it.foreach { r =>
-        val s = groups.getOrElseUpdate(r.get(gIdx), mutable.TreeSet.empty[Long])
-        s += r.getLong(hIdx)
-        if (s.size > k) s -= s.last
-      }
-      groups.iterator.flatMap { case (g, s) => s.iterator.map(h => Row(g, h)) }
-    }(Encoders.row(schema))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    bottomKPerGroup(hashed, groupCol, "h", k, "rank")
+  }
+
+  /** Per-group bottom-k of a hash stream WITHOUT an unbounded per-group
+    * window: a per-partition bounded TreeSet prune first (no sort, no
+    * shuffle — a global bottom-k member is necessarily in its partition's
+    * bottom-k), then the exact `row_number` window over the ≤
+    * partitions×k survivors. This is the shape that keeps every KMV-style
+    * sketch scalable: the exchange feeding the window is capped at
+    * partitions×k rows, so per-group work never grows with the column's
+    * NDV (the unpruned window sorts each group's ENTIRE distinct set on a
+    * single reducer — parallelism capped at group count, work linear in
+    * NDV). Shared by [[kmvSketch]] and [[shardStatsSketch]].
+    *
+    * Input: (`groupCol`, `hCol` long) rows, possibly with duplicates
+    * (the prune tolerates them; a trailing distinct dedups survivors).
+    * Output: (`groupCol`, `hCol`, `rankCol` 1..k) — the k smallest
+    * DISTINCT hashes per group.
+    */
+  private[graft] def bottomKPerGroup(hashed: DataFrame, groupCol: String,
+      hCol: String, k: Int, rankCol: String): DataFrame = {
+    val schema = hashed.select(col(groupCol), col(hCol)).schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val hIdx = schema.fieldIndex(hCol)
+    val pruned = hashed.select(col(groupCol), col(hCol))
+      .mapPartitions { it =>
+        val groups = mutable.HashMap.empty[Any, mutable.TreeSet[Long]]
+        it.foreach { r =>
+          val s = groups.getOrElseUpdate(r.get(gIdx),
+            mutable.TreeSet.empty[Long])
+          s += r.getLong(hIdx)
+          if (s.size > k) s -= s.last
+        }
+        groups.iterator.flatMap { case (g, s) => s.iterator.map(h => Row(g, h)) }
+      }(Encoders.row(schema))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(hCol))
     pruned.distinct()
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
   /** Merge [[kmvSketch]] tables: bottom-k of the unioned sketch rows per
@@ -1926,8 +1952,13 @@ object Corpus {
     * on either column — the property a single-column sort ([[graft.util
     * .Compaction]]'s 1-D case) can only give one of them.
     *
-    * Arithmetic (bit-exact in both engines, overflow-free for ANY long
-    * inputs):
+    * Arithmetic (bit-exact in both engines, overflow-free for any bounds
+    * whose span `max − min` is representable as a non-negative long; a
+    * dimension spanning more than the signed-long range — min near
+    * `Long.MinValue` AND max near `Long.MaxValue` — wraps that
+    * subtraction, which [[zorderLayoutAgainstN]] detects and fails fast
+    * on rather than silently diverging from an engine that raises on
+    * BIGINT overflow):
     *
     *  - bounds: global `min`/`max` of each dimension (one aggregate, a
     *    1-row broadcast attach — the x131/x143 pattern);
@@ -1993,34 +2024,91 @@ object Corpus {
   def zorderLayoutAgainst(df: DataFrame, bounds: DataFrame, idCol: String,
       xCol: String, yCol: String, bits: Int = 16, nShards: Int = 64,
       keepCols: Seq[String] = Nil): DataFrame = {
-    require(bits >= 1 && bits <= 16, "need 1 <= bits <= 16")
-    require(nShards >= 1 && nShards <= (1 << 30), "need 1 <= nShards <= 2^30")
-    def intDiv(n: Column, d: Column): Column =
+    val b = bounds.select(
+      col("_xmin").as(s"_min_$xCol"), col("_xmax").as(s"_max_$xCol"),
+      col("_ymin").as(s"_min_$yCol"), col("_ymax").as(s"_max_$yCol"))
+    zorderLayoutAgainstN(df, b, idCol, Seq(xCol, yCol), bits, nShards,
+        keepCols)
+      .withColumnRenamed(s"cell_$xCol", "cell_x")
+      .withColumnRenamed(s"cell_$yCol", "cell_y")
+  }
+
+  /** N-DIMENSIONAL [[zorderLayout]] — Delta/Iceberg's `OPTIMIZE ZORDER BY
+    * (c1, …, cn)` takes arbitrary column lists (real curation tables
+    * cluster on 3+: source, time, length), and the Morton interleave
+    * generalizes directly: bit `i` of dimension `j`'s cell lands at
+    * position `i·D + j`, so every dimension contributes equally to every
+    * prefix of the curve and each per-file envelope tightens as
+    * ~1/2^(groups-log / D) per dimension. Bounds are computed here (one
+    * min/max aggregate, 1-row broadcast attach); the frozen-frame form is
+    * [[zorderLayoutAgainstN]]. Output: `idCol`, `keepCols`, one
+    * `cell_<dim>` per dimension, `zvalue`, `shard`.
+    */
+  def zorderLayoutN(df: DataFrame, idCol: String, dimCols: Seq[String],
+      bits: Int = 16, nShards: Int = 64,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    require(dimCols.nonEmpty, "need at least one dimension")
+    val aggs = dimCols.flatMap { c =>
+      Seq(min(col(c).cast("long")).as(s"_min_$c"),
+        max(col(c).cast("long")).as(s"_max_$c"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    zorderLayoutAgainstN(df, bounds, idCol, dimCols, bits, nShards, keepCols)
+  }
+
+  /** [[zorderLayoutN]] against a FROZEN bounds row of `_min_<dim>` /
+    * `_max_<dim>` longs — the at-ingest form (see [[zorderLayoutAgainst]]
+    * for the frozen-frame contract: clamped edge-cell routing for
+    * out-of-frame arrivals, NULL dimensions propagate to NULL shard).
+    * A bounds row whose span wraps the signed-long range (`max − min`
+    * negative — only possible when a dimension covers more than half the
+    * long domain) fails fast with `raise_error` rather than silently
+    * diverging between engines on the wrapped arithmetic.
+    */
+  def zorderLayoutAgainstN(df: DataFrame, bounds: DataFrame, idCol: String,
+      dimCols: Seq[String], bits: Int = 16, nShards: Int = 64,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val d = dimCols.length
+    require(d >= 1 && dimCols.distinct.length == d, "need distinct dims")
+    require(bits >= 1 && d * bits <= 48, "need 1 <= bits and dims*bits <= 48")
+    require(nShards >= 1 && nShards <= (1L << (62 - d * bits)),
+      s"need 1 <= nShards <= 2^${62 - d * bits} at $d dims x $bits bits")
+    def intDiv(n: Column, dd: Column): Column =
       shim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        shim.expression(n), shim.expression(d)))
+        shim.expression(n), shim.expression(dd)))
     def cell(v0: Column, lo: Column, hi: Column): Column = {
       // clamp into the frozen frame; when/otherwise (NOT least/greatest,
       // which SKIP nulls) so a NULL dimension stays NULL
       val v = when(v0 < lo, lo).when(v0 > hi, hi).otherwise(v0)
-      val range = hi - lo
+      // a wrapped span (hi − lo negative despite hi ≥ lo) means the
+      // dimension covers more than the signed-long range — fail fast,
+      // an engine with checked BIGINT arithmetic would raise here
+      val range = when(hi - lo >= 0, hi - lo)
+        .otherwise(raise_error(concat(lit("zorder bounds span wrapped ("),
+          lo.cast("string"), lit(" .. "), hi.cast("string"),
+          lit(") — dimension spans more than the signed-long range")))
+          .cast("long"))
       when(range < (1L << bits),
         intDiv((v - lo) * ((1L << bits) - 1), greatest(range, lit(1L))))
         .otherwise(intDiv(v - lo, shiftright(range, bits) + 1L))
     }
-    val cx = cell(col(xCol).cast("long"), col("_xmin"), col("_xmax"))
-    val cy = cell(col(yCol).cast("long"), col("_ymin"), col("_ymax"))
-    val zvalue = (0 until bits).map { i =>
-      shiftleft(shiftright(col("cell_x"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("cell_y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    val cells = dimCols.map { c =>
+      cell(col(c).cast("long"), col(s"_min_$c"), col(s"_max_$c"))
+        .as(s"cell_$c")
+    }
+    val zvalue = (0 until bits).flatMap { i =>
+      dimCols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(col(s"cell_$c"), i).bitwiseAND(lit(1L)),
+          d * i + j)
+      }
     }.reduce(_ + _)
     // keepCols ride along so a consumer (stats manifest, bloom index,
     // the layout write itself) never re-joins the corpus onto its own
     // annotations by id — at scale that self-join is a full exchange
     df.crossJoin(broadcast(bounds))
-      .select((col(idCol) +: keepCols.map(col)) ++
-        Seq(cx.as("cell_x"), cy.as("cell_y")): _*)
+      .select((col(idCol) +: keepCols.map(col)) ++ cells: _*)
       .withColumn("zvalue", zvalue)
-      .withColumn("shard", shiftright(col("zvalue") * nShards, 2 * bits)
+      .withColumn("shard", shiftright(col("zvalue") * nShards, d * bits)
         .cast("int"))
   }
 
@@ -2078,14 +2166,22 @@ object Corpus {
     val out = statCols.foldLeft(base) { (acc, c) =>
       val h = conv(substring(md5(concat(lit("kmv|"),
         col(c).cast("long").cast("string"))), 1, 15), 16, 10).cast("long")
-      val w = Window.partitionBy(col(shardCol)).orderBy(col("_h"))
-      val kmv = in.select(col(shardCol), h.as("_h"))
-        .filter(col("_h").isNotNull)
-        .distinct()
-        .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      // bounded per-partition prune BEFORE the per-shard window: the
+      // distinct (shard, hash) exchange is capped at partitions×k rows,
+      // so a high-NDV stats column cannot turn the window into a
+      // per-shard full-NDV sort (the kmvSketch shape, shared helper)
+      val kmv = bottomKPerGroup(
+          in.select(col(shardCol), h.as("_h")).filter(col("_h").isNotNull),
+          shardCol, "_h", k, "_rk")
         .groupBy(col(shardCol))
         .agg(sort_array(collect_list(col("_h"))).as(s"${c}_kmv"))
+      // coalesce: a shard whose stats column is entirely NULL gets an
+      // EMPTY sketch, not a NULL one — keeps the mergeShardStats law
+      // `merge(sketch(A), sketch(B)) = sketch(A ∪ B)` exact for all-NULL
+      // shards (the merge side coalesces to [] too)
       acc.join(kmv, Seq(shardCol), "left")
+        .withColumn(s"${c}_kmv", coalesce(col(s"${c}_kmv"),
+          array().cast("array<long>")))
     }
     Caching.materializeAndRelease(out, in)
   }
@@ -2117,13 +2213,51 @@ object Corpus {
         }: _*)
   }
 
+  /** The `k` bloom bit positions of a key — 32-bit md5 slices of
+    * `"bloom|<key>"` mod `m`, the repo's md5-slice hash family (exactly
+    * mirrorable in SQL, and reused by [[graft.util.Scan]] so a probe
+    * computed anywhere agrees with the persisted index bit-for-bit). */
+  private[graft] def bloomPositions(key: Column, m: Int, k: Int): Column =
+    array((0 until k).map { j =>
+      conv(substring(md5(concat(lit("bloom|"), key.cast("string"))),
+        1 + 8 * j, 8), 16, 10).cast("long") % m
+    }: _*)
+
+  /** The per-shard bloom BIT TABLE behind [[bloomShardIndex]] — `shard`,
+    * `n_keys` (distinct keys in the shard), `_bits` (the sorted set bit
+    * positions), plus the self-describing `m`/`k` parameters. This is the
+    * form a scan PERSISTS and consults ([[graft.util.Scan]]'s bloom
+    * sidecar): candidate shards for an equality predicate are the rows
+    * whose bit set covers the probe key's positions. Rows = shards; the
+    * bit array is ≤ min(m, k·n_keys) longs.
+    */
+  def bloomBitsTable(df: DataFrame, shardCol: String, keyCol: String,
+      m: Int = 4096, k: Int = 3): DataFrame = {
+    require(m > 0 && k >= 1 && k <= 4, "need m > 0 and 1 <= k <= 4")
+    val keys = df.select(col(shardCol).as("shard"),
+      col(keyCol).cast("long").as("_k")).distinct()
+    // ONE shard-keyed aggregate builds the whole manifest row:
+    // collect_set dedups positions inside the aggregate (map-side
+    // partials included) and countDistinct recovers n_keys from the
+    // exploded rows — no second aggregation, no 64-row self-join
+    keys
+      .select(col("shard"), col("_k"),
+        explode(bloomPositions(col("_k"), m, k)).as("pos"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("_k")).as("n_keys"),
+        sort_array(collect_set(col("pos"))).as("_bits"))
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+  }
+
   /** Per-shard BLOOM INDEX over a point-lookup key, plus its measured
     * use: for equality predicates on a column the sort order does NOT
     * cover, min/max envelopes skip nothing — a tiny per-shard Bloom
     * filter routes the lookup to candidate shards instead (the
     * file-skipping index Parquet stores as a bloom per column chunk;
     * cf. [[graft.ext.Blocklist.bloomAntiJoin]], which uses a bloom to
-    * route ROWS — this one is a persisted MANIFEST that routes SCANS).
+    * route ROWS — this one is a persisted MANIFEST that routes SCANS;
+    * [[graft.util.Scan.readPrunedByKey]] is the consumer that turns the
+    * candidate set into actual skipped files).
     *
     * Deterministic and engine-agnostic: `k` positions per key, position
     * `j` = 32-bit md5 slice `j` of `"bloom|<key>"` mod `m` — the repo's
@@ -2146,24 +2280,8 @@ object Corpus {
   def bloomShardIndex(df: DataFrame, shardCol: String, keyCol: String,
       probeKeys: Seq[Long], m: Int = 4096, k: Int = 3)
       : (DataFrame, DataFrame) = {
-    require(m > 0 && k >= 1 && k <= 4, "need m > 0 and 1 <= k <= 4")
-    def positions(key: Column): Column = array((0 until k).map { j =>
-      conv(substring(md5(concat(lit("bloom|"), key.cast("string"))),
-        1 + 8 * j, 8), 16, 10).cast("long") % m
-    }: _*)
     val spark = df.sparkSession
-    val keys = df.select(col(shardCol).as("shard"),
-      col(keyCol).cast("long").as("_k")).distinct()
-    // ONE shard-keyed aggregate builds the whole manifest row:
-    // collect_set dedups positions inside the aggregate (map-side
-    // partials included) and countDistinct recovers n_keys from the
-    // exploded rows — no second aggregation, no 64-row self-join
-    val shardAgg = keys
-      .select(col("shard"), col("_k"),
-        explode(positions(col("_k"))).as("pos"))
-      .groupBy(col("shard"))
-      .agg(countDistinct(col("_k")).as("n_keys"),
-        sort_array(collect_set(col("pos"))).as("_bits"))
+    val shardAgg = bloomBitsTable(df, shardCol, keyCol, m, k)
     val bits = shardAgg.select(col("shard"), col("_bits"))
     val index = shardAgg
       .select(col("shard"), col("n_keys"),
@@ -2172,7 +2290,7 @@ object Corpus {
           .as("bits_md5"))
     import spark.implicits._
     val probes = probeKeys.toDF("probe_key")
-      .withColumn("_pp", positions(col("probe_key")))
+      .withColumn("_pp", bloomPositions(col("probe_key"), m, k))
     // probes × shard-index: |probeKeys| rows against a shards-sized
     // broadcast — the only sound shape for "which shards might hold this
     // key" (documented 1-row-class BNLJ, cf. PlanAuditSpec)
@@ -2180,7 +2298,10 @@ object Corpus {
       .filter(size(array_except(col("_pp"), col("_bits"))) === 0)
       .groupBy(col("probe_key"))
       .agg(count(lit(1)).as("n_candidate_shards"))
-    val truth = probes.join(keys, col("probe_key") === col("_k"))
+    val truth = probes.join(
+        df.select(col(shardCol).as("shard"),
+          col(keyCol).cast("long").as("_k")).distinct(),
+        col("probe_key") === col("_k"))
       .groupBy(col("probe_key"))
       .agg(count(lit(1)).as("n_true_shards"))
     val report = probes.select("probe_key")

@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.collection.mutable
+
 import graft.functions.{Md5Slices, QualityScores}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -210,10 +212,15 @@ object TextAnalysis {
     *     count every ADJACENT token pair position weighted by word
     *     frequency (the canonical overlap-counting `get_stats` — a run
     *     `a a a` contributes (a,a) twice), pick the max (count desc,
-    *     then lhs asc, rhs asc — Sennrich breaks ties arbitrarily; both
-    *     engines here must agree), merge it LEFTMOST-GREEDILY into every
+    *     then lhs asc, rhs asc BY CODE POINT — Sennrich breaks ties
+    *     arbitrarily; both engines here must agree, and code-point
+    *     order IS UTF-8 byte order, the oracle's binary collation —
+    *     Java's UTF-16 `compareTo` would diverge on supplementary vs
+    *     U+E000..U+FFFF ties), merge it LEFTMOST-GREEDILY into every
     *     word (same pass as [[graft.functions.BpeMerge]]), stop early if
-    *     no pair remains.
+    *     no pair remains. (The `topWords` cut's word-asc leg needs no
+    *     such care: Spark's string ordering compares UTF8String bytes —
+    *     already code-point order, same as the oracle.)
     *
     * Output: (`rank`, `lhs`, `rhs`, `pair_count`) — feed straight into
     * [[bpeApply]] as (rank, left, right).
@@ -225,6 +232,25 @@ object TextAnalysis {
     * merge-table collect. At 100 TB the word count is a
     * map-side-combined aggregation over the scan, the loop cost is
     * unchanged (it never touches the corpus again).
+    *
+    * The loop itself runs at PRODUCTION settings (30–50k merges over a
+    * 65k vocab, `graft.BpeTrainProbe` prices it): Sennrich's
+    * incremental structures, not a per-round recount —
+    *
+    *  - `stats`: current weighted count per adjacent pair;
+    *  - `indices`: pair → (word → #positions), so a merge touches ONLY
+    *    the words actually containing the winning pair (re-deriving
+    *    their pair multisets before/after the merge), never the vocab;
+    *  - argmax via a lazy-deletion max-heap ordered by the engine
+    *    tie-break: every count change pushes a fresh entry, pops
+    *    discard entries whose count no longer matches `stats` — the
+    *    current version of every live pair is always present, so the
+    *    popped top IS the `get_stats` argmax without an O(|pairs|)
+    *    scan per round.
+    *
+    * Net: O(total tokens) init, then per merge O(affected-word tokens ·
+    * log heap) — the naive O(nMerges × vocab-tokens) recount is what
+    * made 30k-merge training driver-minutes; this is seconds.
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int, topWords: Int = 65536)
@@ -241,34 +267,112 @@ object TextAnalysis {
     // vocab state: word as token array + its corpus frequency. Split by
     // CODE POINT (not UTF-16 unit) — the regex '(.)' spread in bpeApply
     // and the oracle both treat a supplementary character as one token
-    var vocab: Array[(Array[String], Long)] =
-      wf.map(r => (r.getString(0).codePoints().toArray
-        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
+    val vocab: Array[Array[String]] =
+      wf.map(r => r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
+    val freqs: Array[Long] = wf.map(_.getLong(1))
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val indices =
+      mutable.HashMap.empty[(String, String), mutable.HashMap[Int, Int]]
+    var idx = 0
+    while (idx < vocab.length) {
+      val toks = vocab(idx); val f = freqs(idx)
+      var i = 0
+      while (i < toks.length - 1) {
+        val p = (toks(i), toks(i + 1))
+        stats.update(p, stats.getOrElse(p, 0L) + f)
+        val m = indices.getOrElseUpdate(p, mutable.HashMap.empty)
+        m.update(idx, m.getOrElse(idx, 0) + 1)
+        i += 1
+      }
+      idx += 1
+    }
+    // max-heap: count desc, then lhs/rhs asc by CODE POINT (bigger
+    // priority = higher count or code-point-smaller pair)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val l = codePointCompare(y._2, x._2)
+          if (l != 0) l else codePointCompare(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var rank = 0L
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      vocab.foreach { case (toks, f) =>
-        var i = 0
-        while (i < toks.length - 1) {
-          val k = (toks(i), toks(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
+      // lazy deletion: discard entries whose count is no longer current
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (e._1 > 0L && stats.getOrElse((e._2, e._3), 0L) == e._1)
+          top = e
       }
-      if (counts.isEmpty) exhausted = true
+      if (top == null) exhausted = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val (c, l, r) = top
         merges += ((rank, l, r, c))
-        vocab = vocab.map { case (toks, f) => (greedyMerge(toks, l, r), f) }
+        val pair = (l, r)
+        val affected =
+          indices.getOrElse(pair, mutable.HashMap.empty).keysIterator.toArray
+        val changed = mutable.HashSet.empty[(String, String)]
+        affected.foreach { w =>
+          val toks = vocab(w); val f = freqs(w)
+          var i = 0
+          while (i < toks.length - 1) {
+            val p = (toks(i), toks(i + 1))
+            stats.update(p, stats(p) - f)
+            val m = indices(p)
+            val n = m(w) - 1
+            if (n == 0) m.remove(w) else m.update(w, n)
+            changed += p
+            i += 1
+          }
+          val nt = greedyMerge(toks, l, r)
+          vocab(w) = nt
+          i = 0
+          while (i < nt.length - 1) {
+            val p = (nt(i), nt(i + 1))
+            stats.update(p, stats.getOrElse(p, 0L) + f)
+            val m = indices.getOrElseUpdate(p, mutable.HashMap.empty)
+            m.update(w, m.getOrElse(w, 0) + 1)
+            changed += p
+            i += 1
+          }
+        }
+        changed.foreach { p =>
+          val c2 = stats.getOrElse(p, 0L)
+          if (c2 <= 0L) { stats.remove(p); indices.remove(p) }
+          else heap.enqueue((c2, p._1, p._2))
+        }
         rank += 1
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Lexicographic comparison by Unicode CODE POINT — identical to
+    * comparing the two strings' UTF-8 bytes, i.e. the oracle engine's
+    * binary collation and Spark's own UTF8String ordering. Java's
+    * `String.compareTo` compares UTF-16 code UNITS instead, which
+    * disagrees exactly when a supplementary code point (surrogate pair,
+    * units 0xD800–0xDFFF) meets a char in U+E000–U+FFFF. */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
   }
 
   /** One leftmost-greedy merge pass over a token array — the scan

@@ -41,6 +41,34 @@ object ExtensionQueries {
       probeKeys = Seq(1L, 7L, 42L, 123L, 10000000L))
   }
 
+  /** Shared build for x161/x162: publish the z-ordered events table
+    * shard-partitioned WITH its stats + bloom manifests (one atomic
+    * swap, [[graft.util.Scan.writeSharded]]), and return the table path
+    * plus the deterministic mid-~10% predicate bounds on each dimension
+    * (the ZorderProbe selectivity, integer arithmetic mirrored exactly
+    * by the oracle). Idempotent: both queries rebuild the same bytes,
+    * so their order never matters.
+    */
+  private def PrunedTableBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, (Long, Long), (Long, Long)) = {
+    val table =
+      s"target/scan/${new java.io.File(dir).getName}/events_z"
+    val e = Tables(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val laid = Corpus.zorderLayout(e, "event_id", "user_id", "ts_us",
+      bits = 16, nShards = 64,
+      keepCols = Seq("user_id", "ts_us", "event_type"))
+      .drop("cell_x", "cell_y")
+    graft.util.Scan.writeSharded(s, laid, table,
+      statCols = Seq("user_id", "ts_us"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("user_id"))
+    val b = e.agg(min(col("user_id")), max(col("user_id")),
+      min(col("ts_us")), max(col("ts_us"))).head()
+    def mid(lo: Long, hi: Long): (Long, Long) =
+      (lo + (hi - lo) * 45 / 100, lo + (hi - lo) * 55 / 100)
+    (table, mid(b.getLong(0), b.getLong(1)), mid(b.getLong(2), b.getLong(3)))
+  }
+
   val all: Map[String, Q] = Map(
     // exact dedup: one survivor per distinct text (min doc_id), digest-keyed
     "x1_dedup_exact" -> ((s, dir) => {
@@ -1659,6 +1687,62 @@ object ExtensionQueries {
         .orderBy("shard")
     }),
 
+    // N-DIM z-order (here 3-d: user, time, payload length) — Delta's
+    // OPTIMIZE ZORDER BY (c1..cn) generalized: bit i of dim j lands at
+    // curve position i·3+j, so every dimension prunes; same one-aggregate
+    // + map-side-projection shape as x154
+    "x160_zorder_3d" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("props_len", length(col("props")).cast("long"))
+      Corpus.zorderLayoutN(e, "event_id",
+        Seq("user_id", "ts_us", "props_len"), bits = 16, nShards = 64)
+        .orderBy("event_id")
+    }),
+
+    // the manifests ROUTING A REAL READ (the toolkit's consumer): the
+    // z-ordered table is PUBLISHED shard-partitioned with its stats
+    // manifest in one atomic swap, then a 2-d range scan enumerates
+    // candidate shards from the manifest alone and hands the parquet
+    // reader ONLY those directories — the untouched shards are never
+    // opened. Hash-equal to the full-scan oracle (pruning lost nothing),
+    // and the candidate/total shard counts ride in the output so the
+    // skip itself is under hash check
+    "x161_pruned_scan" -> ((s, dir) => {
+      val (table, (u1, u2), (t1, t2)) = PrunedTableBuild(s, dir)
+      val ranges = Seq(("user_id", u1, u2), ("ts_us", t1, t2))
+      val cands = graft.util.Scan.candidateShardsByStats(
+        graft.util.Scan.statsManifest(s, table), ranges)
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPrunedByRange(s, table, ranges)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("user_id").as("sum_uid"),
+          min("ts_us").as("min_ts"), max("ts_us").as("max_ts"))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("event_type")
+    }),
+
+    // bloom-pruned POINT LOOKUP: equality on a key the curve order does
+    // not cover — the stats envelopes skip nothing, the bloom sidecar
+    // routes the read to candidate shards instead (x157's index finally
+    // consuming real I/O); probe key = the smallest user_id at or above
+    // mid-range, deterministic and present at every sf
+    "x162_pruned_point" -> ((s, dir) => {
+      val (table, (u1, _), _) = PrunedTableBuild(s, dir)
+      val e = Tables(s, dir, "events")
+      val key = e.filter(col("user_id") >= u1)
+        .agg(min(col("user_id"))).head().getLong(0)
+      val cands = graft.util.Scan.candidateShardsByKey(
+        graft.util.Scan.bloomManifest(s, table), key)
+      graft.util.Scan.readPrunedByKey(s, table, "user_id", key)
+        .agg(count(lit(1)).as("n_events"),
+          sum("event_id").as("sum_eid"))
+        .withColumn("probe_key", lit(key))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .orderBy("probe_key")
+    }),
+
     // FLAGSHIP tokenizer-aware layout: BPE-apply the trained merges (x148)
     // and pack training sequences by the TRUE subword counts (x51's
     // concat-then-chunk offsets) — the layout a loader actually consumes
@@ -2737,18 +2821,26 @@ object ExtensionQueries {
     * both the full table `s`; x155: corpus bounds `sb`, batch `sa` with
     * edge-cell clamping). `s` keeps (x, y) so downstream stats CTEs can
     * join the raw dimensions back by event_id. */
+  /** The engine-shared cell arithmetic (scale-up multiply for narrow
+    * ranges, shifted-width integer division for wide ones, NULL
+    * propagation, edge clamp) as SQL — one definition for the 2-d and
+    * N-d mirrors. */
+  private def zorderCellSql(bits: Int)(v0: String, lo: String,
+      hi: String): String = {
+    val m = (1L << bits) - 1
+    val v = s"least(greatest($v0, $lo), $hi)"
+    s"CASE WHEN $v0 IS NULL THEN NULL WHEN $hi - $lo < ${m + 1} THEN " +
+      s"(($v - $lo) * $m) // greatest($hi - $lo, 1) " +
+      s"ELSE ($v - $lo) // ((($hi - $lo) >> $bits) + 1) END"
+  }
+
   private def zorderCtes(bits: Int, boundsFrom: String,
       assign: String): String = {
-    val m = (1L << bits) - 1
     val terms = (0 until bits).map { i =>
       s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
-    def cellSql(v0: String, lo: String, hi: String): String = {
-      val v = s"least(greatest($v0, $lo), $hi)"
-      s"CASE WHEN $v0 IS NULL THEN NULL WHEN $hi - $lo < ${m + 1} THEN " +
-        s"(($v - $lo) * $m) // greatest($hi - $lo, 1) " +
-        s"ELSE ($v - $lo) // ((($hi - $lo) >> $bits) + 1) END"
-    }
+    def cellSql(v0: String, lo: String, hi: String): String =
+      zorderCellSql(bits)(v0, lo, hi)
     s"""s AS (SELECT event_id, user_id AS x, epoch_us(ts) AS y
        |           FROM events),
        |sb AS (SELECT * FROM s WHERE event_id % 7 <> 0),
@@ -2839,6 +2931,93 @@ object ExtensionQueries {
        |  dy.ts_us_kmv_n
        |FROM base JOIN dx USING (shard) JOIN dy USING (shard)
        |ORDER BY shard""".stripMargin
+  }
+
+  /** DuckDB mirror of x160 — the 3-d Morton interleave: bit `i` of
+    * dimension `j` lands at curve position `i·3 + j`; dims are (user_id,
+    * event epoch-micros, props length), cells by the shared engine-exact
+    * arithmetic. */
+  private def zorder3dSql(bits: Int, nShards: Int): String = {
+    val cell = zorderCellSql(bits) _
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((cx >> $i) & 1) << ${3 * i})",
+        s"(((cy >> $i) & 1) << ${3 * i + 1})",
+        s"(((cw >> $i) & 1) << ${3 * i + 2})")
+    }.mkString(" + ")
+    s"""WITH s3 AS (SELECT event_id, user_id AS x, epoch_us(ts) AS y,
+       |        CAST(length(props) AS BIGINT) AS w FROM events),
+       |b3 AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |       min(y) AS ymin, max(y) AS ymax,
+       |       min(w) AS wmin, max(w) AS wmax FROM s3),
+       |c3 AS (SELECT event_id,
+       |        ${cell("x", "xmin", "xmax")} AS cx,
+       |        ${cell("y", "ymin", "ymax")} AS cy,
+       |        ${cell("w", "wmin", "wmax")} AS cw
+       |       FROM s3, b3),
+       |z3 AS (SELECT event_id, cx, cy, cw, $terms AS zvalue FROM c3)
+       |SELECT event_id, cx AS cell_user_id, cy AS cell_ts_us,
+       |  cw AS cell_props_len, zvalue,
+       |  CAST((zvalue * $nShards) >> ${3 * bits} AS INT) AS shard
+       |FROM z3 ORDER BY event_id""".stripMargin
+  }
+
+  /** DuckDB mirror of x161 — the manifest-pruned 2-d range scan: the
+    * oracle computes the SAME per-shard min/max manifest and candidate
+    * count the Spark side prunes with (so the skip is under hash check),
+    * but aggregates over the FULL table — hash equality proves the
+    * pruned read lost nothing. */
+  private def prunedScanSql(bits: Int, nShards: Int): String =
+    s"""WITH ${zorderCtes(bits, "s", "s")},
+       |zs AS (SELECT event_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, s.x, s.y, e.event_type
+       |      FROM zs JOIN s USING (event_id)
+       |      JOIN events e USING (event_id)),
+       |man AS (SELECT shard, min(x) AS xmin_s, max(x) AS xmax_s,
+       |               min(y) AS ymin_s, max(y) AS ymax_s
+       |        FROM j GROUP BY shard),
+       |pb AS (SELECT xmin + (xmax - xmin) * 45 // 100 AS u1,
+       |              xmin + (xmax - xmin) * 55 // 100 AS u2,
+       |              ymin + (ymax - ymin) * 45 // 100 AS t1,
+       |              ymin + (ymax - ymin) * 55 // 100 AS t2 FROM b),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM man, pb
+       |         WHERE xmin_s <= u2 AND xmax_s >= u1
+       |           AND ymin_s <= t2 AND ymax_s >= t1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM man)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(x) AS BIGINT) AS sum_uid,
+       |  min(y) AS min_ts, max(y) AS max_ts,
+       |  n_cand AS n_candidate_shards, n_tot AS n_total_shards
+       |FROM j, pb, cand, tot
+       |WHERE x BETWEEN u1 AND u2 AND y BETWEEN t1 AND t2
+       |GROUP BY event_type, n_cand, n_tot
+       |ORDER BY event_type""".stripMargin
+
+  /** DuckDB mirror of x162 — the bloom-pruned point lookup: probe key =
+    * smallest user_id at or above the 45% point; candidate count from
+    * the same bloom arithmetic; aggregate over the full table at
+    * `x = probe_key`. */
+  private def prunedPointSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ${bloomCtes(bits, nShards, m, k)},
+       |pb AS (SELECT min(x) + (max(x) - min(x)) * 45 // 100 AS u1 FROM s),
+       |pk AS (SELECT min(x) AS probe_key FROM s, pb WHERE x >= u1),
+       |ppos AS (SELECT probe_key, list_transform([$hashes],
+       |           j -> CAST(concat('0x', substr(md5('bloom|' ||
+       |             CAST(probe_key AS VARCHAR)), 1 + 8 * j, 8))
+       |             AS BIGINT) % $m) AS pp
+       |         FROM pk),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand
+       |         FROM ppos, bl
+       |         WHERE len(list_filter(pp,
+       |           q -> NOT list_contains(bits, q))) = 0),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+       |          CAST(sum(event_id) AS BIGINT) AS sum_eid
+       |        FROM s, pk WHERE x = probe_key)
+       |SELECT pk.probe_key, agg.n_events, agg.sum_eid,
+       |  cand.n_cand AS n_candidate_shards
+       |FROM pk, agg, cand ORDER BY probe_key""".stripMargin
   }
 
   /** DuckDB mirror of x157 — the per-shard bloom index manifest. */
@@ -4829,6 +5008,9 @@ object ExtensionQueries {
       zorderSqlWith(16, 64, boundsFrom = "sb", assign = "sa"),
     "x156_shard_stats" -> shardStatsSql(16, 64),
     "x159_shard_stats_incr" -> shardStatsIncrSql(16, 64, 16),
+    "x160_zorder_3d" -> zorder3dSql(16, 64),
+    "x161_pruned_scan" -> prunedScanSql(16, 64),
+    "x162_pruned_point" -> prunedPointSql(16, 64, 4096, 3),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),

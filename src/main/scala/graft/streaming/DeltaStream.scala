@@ -1031,6 +1031,119 @@ object DeltaStream {
       .start()
   }
 
+  /** [[startZorderShardingMaintained]] WITH the drift-triggered RE-BASE
+    * policy — the x123 flag-fraction → offline-re-base → marker-safe
+    * overwrite composition for the layout leg (closing the "no mount
+    * acts on `out_of_frame`" gap): the clamped fraction of each batch's
+    * routable rows is the drift signal, and when it exceeds `tau` the
+    * bounds frame is RE-BASED to the min/max of the full event snapshot
+    * (corpus ∪ every arrived row, kept as a maintained appended table —
+    * the re-base never re-reads the source) before routing. Two
+    * maintained tables: `boundsDir` (the frame — overwritten on
+    * re-base, [[markSeeded]] so a restart keeps the REBASED frame, the
+    * seed-marker-wipe lesson), `evTblDir` (the appended (id, x, y)
+    * snapshot the re-base draws from). Batch outputs carry
+    * (`out_of_frame` — measured against the frame actually used, so a
+    * re-based batch flags clean — and `rebased`).
+    *
+    * Retry idempotence (the x123 standard): snapshot reads exclude the
+    * current batch's ids and the append excludes ids already present,
+    * so the re-base input — prior snapshot ∪ batch — is the same SET on
+    * a retry even after a crash past the append; the re-based frame is
+    * a pure function of that set, so routing and both tables converge.
+    * A retry AFTER the bounds overwrite re-measures the clamp fraction
+    * against the refreshed frame (typically → keep): assignments are
+    * identical either way, only the informational `rebased` flag can
+    * differ on such a retry — same contract as
+    * [[startCellRoutingMaintained]]'s `refreshed`.
+    *
+    * Scale shape per batch: map-only assignment + a 1-row clamp-count
+    * aggregate on the no-re-base path; a re-base adds one min/max
+    * aggregate over the snapshot table — the corpus-scale table is
+    * touched only when drift demands it, never per batch.
+    */
+  def startZorderShardingRebasing(spark: SparkSession, eventsDir: String,
+      corpusEvents: DataFrame, boundsDir: String, evTblDir: String,
+      outDir: String, checkpointDir: String, idCol: String = "event_id",
+      xCol: String = "user_id", yCol: String = "ts_us",
+      bits: Int = 16, nShards: Int = 64,
+      tau: Double = 0.2): StreamingQuery = {
+    import graft.ext.Corpus
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(xCol, org.apache.spark.sql.types.LongType)
+      .add(yCol, org.apache.spark.sql.types.LongType)
+    def boundsOf(df: DataFrame): DataFrame = df.agg(
+      min(col(xCol).cast("long")).as("_xmin"),
+      max(col(xCol).cast("long")).as("_xmax"),
+      min(col(yCol).cast("long")).as("_ymin"),
+      max(col(yCol).cast("long")).as("_ymax"))
+    seedOnce(boundsDir) {
+      boundsOf(corpusEvents).write.mode("overwrite").parquet(boundsDir)
+    }
+    seedOnce(evTblDir) {
+      corpusEvents.select(col(idCol), col(xCol), col(yCol))
+        .write.mode("overwrite").parquet(evTblDir)
+    }
+    cleanStaleBatchDirs(spark, checkpointDir, outDir)
+    spark.readStream.schema(schema).json(eventsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import s.implicits._
+          val b = graft.util.Par.spread(batch).persist()
+          try {
+            val f = s.read.parquet(boundsDir).head()
+            def outOf(v: String, lo: String, hi: String) =
+              col(v) < f.getAs[Long](lo) || col(v) > f.getAs[Long](hi)
+            val clamped = coalesce(
+              outOf(xCol, "_xmin", "_xmax") ||
+                outOf(yCol, "_ymin", "_ymax"), lit(false))
+            // drift signal: clamped fraction of ROUTABLE rows (NULL
+            // dims are unroutable, not out-of-frame) — one 1-row agg
+            val d = b.agg(
+              sum(when(clamped, 1L).otherwise(0L)).as("_nOut"),
+              sum(when(col(xCol).isNotNull && col(yCol).isNotNull, 1L)
+                .otherwise(0L)).as("_nRt")).head()
+            val nRt = d.getLong(1)
+            val rebase = nRt > 0 && d.getLong(0).toDouble / nRt > tau
+            val batchIds = b.select(col(idCol))
+            val snapshot = s.read.parquet(evTblDir)
+              .join(broadcast(batchIds), Seq(idCol), "left_anti")
+              .unionByName(b.select(col(idCol), col(xCol), col(yCol)))
+            // the frame actually used: re-based = pure function of
+            // snapshot ∪ batch (1-row collect, then a literal frame so
+            // output and bounds-table writes see the SAME values)
+            val uf = if (rebase) boundsOf(snapshot).head() else f
+            val useBounds = Seq((uf.getAs[Long]("_xmin"),
+              uf.getAs[Long]("_xmax"), uf.getAs[Long]("_ymin"),
+              uf.getAs[Long]("_ymax")))
+              .toDF("_xmin", "_xmax", "_ymin", "_ymax")
+            def outOfUsed(v: String, lo: String, hi: String) =
+              col(v) < uf.getAs[Long](lo) || col(v) > uf.getAs[Long](hi)
+            Corpus.zorderLayoutAgainst(b, useBounds, idCol, xCol, yCol,
+                bits, nShards, keepCols = Seq(xCol, yCol))
+              .withColumn("out_of_frame", coalesce(
+                outOfUsed(xCol, "_xmin", "_xmax") ||
+                  outOfUsed(yCol, "_ymin", "_ymax"), lit(false)))
+              .withColumn("rebased", lit(rebase))
+              .drop(xCol, yCol)
+              .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+            if (rebase) {
+              useBounds.write.mode("overwrite").parquet(boundsDir)
+              markSeeded(boundsDir)
+            }
+            val present = s.read.parquet(evTblDir).select(col(idCol))
+            b.select(col(idCol), col(xCol), col(yCol))
+              .join(present, Seq(idCol), "left_anti")
+              .write.mode("append").parquet(evTblDir)
+          } finally b.unpersist()
+        }
+      }
+      .start()
+  }
+
   def startCmsHeavyHitterMonitor(spark: SparkSession, docsDir: String,
       corpusDocs: DataFrame, sketchDir: String, outDir: String,
       checkpointDir: String, textCol: String = "text",

@@ -50,4 +50,68 @@ object Compaction {
     graft.dw.Merge.atomicOverwrite(spark, laid, dir)
     (nBefore, nTarget)
   }
+
+  /** Compaction for a SHARD-PARTITIONED table with manifest sidecars
+    * ([[graft.util.Scan]]'s layout): rewrites each `shard=N` directory's
+    * accumulated small files (streaming appends land a file per batch)
+    * back to one file per shard, sorted within the file by `sortCol`
+    * when given (the z-order curve position), and RECOMPUTES the stats +
+    * bloom manifests from the rewritten files INSIDE THE SAME atomic
+    * swap — data and manifests publish together, so a compacted table
+    * can never strand a stale sidecar describing files that no longer
+    * exist (the round-13 gap: `compact` alone silently invalidated the
+    * x156/x159 sidecars). Manifest configuration (stats columns, bloom
+    * key/m/k) is recovered from the existing sidecars — a compaction
+    * never changes what the manifests cover, only which files they
+    * describe.
+    *
+    * Skips (returns unchanged counts) when no shard directory holds more
+    * than one data file — idempotent-cheap on a schedule, like
+    * [[compact]]. Returns (dataFilesBefore, dataFilesAfter).
+    *
+    * Scale shape: one shard-keyed exchange + the per-shard manifest
+    * aggregates — all embarrassingly parallel per shard; the shard count
+    * (not the file count) bounds every post-shuffle stage.
+    */
+  def compactSharded(spark: SparkSession, dir: String,
+      shardCol: String = "shard",
+      sortCol: Option[String] = None): (Int, Int) = {
+    graft.dw.Merge.recover(spark, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(p).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$shardCol="))
+    val perShard = shardDirs.map { d =>
+      fs.listStatus(d.getPath).count(s => s.isFile
+        && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+    }
+    val nBefore = perShard.sum
+    if (!perShard.exists(_ > 1)) return (nBefore, nBefore)
+    val statCols = spark.read.parquet(s"$dir/${Scan.StatsSidecar}")
+      .columns.toSeq.filter(_.endsWith("_min")).map(_.dropRight(4))
+    val bloomCfg =
+      if (!fs.exists(new Path(s"$dir/${Scan.BloomSidecar}"))) None
+      else {
+        val r = spark.read.parquet(s"$dir/${Scan.BloomSidecar}")
+          .select("key_col", "m", "k").limit(1).head()
+        Some((r.getString(0), r.getInt(1), r.getInt(2)))
+      }
+    val df = spark.read.parquet(dir)
+    graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
+      val parted = df.repartition(
+        org.apache.spark.sql.functions.col(shardCol))
+      sortCol.fold(parted)(c => parted.sortWithinPartitions(shardCol, c))
+        .write.partitionBy(shardCol).mode("overwrite").parquet(tmp)
+      val back = spark.read.parquet(tmp)
+      graft.ext.Corpus.shardStats(back, shardCol, statCols)
+        .write.mode("overwrite").parquet(s"$tmp/${Scan.StatsSidecar}")
+      bloomCfg.foreach { case (kc, m, k) =>
+        graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
+          .withColumn("key_col", org.apache.spark.sql.functions.lit(kc))
+          .write.mode("overwrite").parquet(s"$tmp/${Scan.BloomSidecar}")
+      }
+    }
+    (nBefore, shardDirs.size)
+  }
 }

@@ -1,0 +1,217 @@
+package graft.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MANIFEST-PRUNED READS — the consumer side of the data-skipping toolkit
+  * (the piece that makes the sidecars route real I/O): a shard-partitioned
+  * parquet table written together with its per-shard stats manifest
+  * ([[graft.ext.Corpus.shardStats]] — n_rows, per-column min/max/NDV) and
+  * optional per-shard bloom index ([[graft.ext.Corpus.bloomBitsTable]]),
+  * and reads that consult ONLY those manifests to enumerate candidate
+  * shard directories and hand the parquet reader just those paths. This is
+  * the lakehouse scan-planning step (Delta/Iceberg `add_file` stats +
+  * bloom skipping) done engine-agnostically: predicate → candidate shards
+  * → read only those files, with the untouched shards never opened, never
+  * even listed past the manifest row.
+  *
+  * Layout on disk (all sidecars `_`-prefixed, so plain parquet reads of
+  * the table directory ignore them):
+  * {{{
+  *   table/
+  *     shard=0/part-*.parquet     — rows, zvalue-sorted within the file
+  *     shard=1/…
+  *     _graft_stats/              — shardStats manifest (rows = shards)
+  *     _graft_bloom/              — bloomBitsTable + key_col (optional)
+  * }}}
+  *
+  * Write and sidecars publish ATOMICALLY through
+  * [[graft.dw.Merge.atomicOverwriteDir]]'s rename-pair swap, so a reader
+  * never sees data without its manifests or a manifest describing files
+  * that are not there. The pruned-read contract is transparency:
+  * `readPrunedByRange(ranges)` ≡ full scan + the same conjunctive range
+  * filter (candidate enumeration over-approximates — min/max overlap for
+  * ranges, bloom maybe for equality — and the residual filter runs on the
+  * rows read, so over-approximation costs I/O, never correctness; rows
+  * whose predicate column is NULL match no predicate on either path).
+  *
+  * Scale shape: the manifests are rows = shards (KBs at 100 TB — Delta
+  * checkpoints are the existence proof); candidate enumeration is a
+  * driver-side filter-collect over that manifest — the scan-planning step
+  * every lakehouse reader performs, bounded by shard count, never by data.
+  * The data read is `|candidate shards| / |shards|` of the corpus; with a
+  * z-ordered layout underneath, a d-dimensional predicate keeps that
+  * fraction small on EVERY clustered dimension (measured: ZorderProbe).
+  */
+object Scan {
+
+  val StatsSidecar = "_graft_stats"
+  val BloomSidecar = "_graft_bloom"
+
+  /** Write `laid` — a frame already carrying `shardCol` (normally a
+    * [[graft.ext.Corpus.zorderLayoutN]] assignment with the payload in
+    * `keepCols`) — as a shard-partitioned parquet table with its stats
+    * manifest (over `statCols`) and optional bloom index (over
+    * `bloomKeyCol`), all published in ONE atomic swap. Rows are
+    * range-grouped one task per shard (1 file per shard directory here;
+    * at cluster scale add `maxRecordsPerFile` and the per-shard file set
+    * stays a directory listing) and sorted within files by `sortCol`
+    * when given (the z-order curve position), so every row group's
+    * min/max envelope is as tight as the layout allows.
+    *
+    * Manifests are computed from the frame AS WRITTEN (one extra pass
+    * over the tmp files, embarrassingly parallel per shard) — the
+    * manifest describes the files, not the plan that produced them.
+    */
+  def writeSharded(spark: SparkSession, laid: DataFrame, dir: String,
+      statCols: Seq[String], shardCol: String = "shard",
+      sortCol: Option[String] = None, bloomKeyCol: Option[String] = None,
+      bloomM: Int = 4096, bloomK: Int = 3): Unit = {
+    require(statCols.nonEmpty, "need at least one stats column")
+    graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
+      val parted = laid.repartition(col(shardCol))
+      sortCol.fold(parted)(c => parted.sortWithinPartitions(shardCol, c))
+        .write.partitionBy(shardCol).mode("overwrite").parquet(tmp)
+      writeManifests(spark, tmp, statCols, shardCol, bloomKeyCol,
+        bloomM, bloomK)
+    }
+  }
+
+  /** Recompute and atomically replace a table's manifest sidecars from
+    * its CURRENT files — the maintenance call after any rewrite that
+    * bypassed [[writeSharded]] (and the healer for the recovery window
+    * documented on [[graft.dw.Merge.atomicOverwriteDir]]). Stats columns
+    * and bloom parameters are recovered from the existing sidecars when
+    * not passed — a refresh never silently changes what the manifest
+    * covers.
+    */
+  def refreshManifests(spark: SparkSession, dir: String,
+      statCols: Seq[String] = Nil, shardCol: String = "shard",
+      bloomKeyCol: Option[String] = None, bloomM: Int = 4096,
+      bloomK: Int = 3): Unit = {
+    val sc =
+      if (statCols.nonEmpty) statCols
+      else spark.read.parquet(s"$dir/$StatsSidecar").columns.toSeq
+        .filter(_.endsWith("_min")).map(_.dropRight(4))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bloomCfg = bloomKeyCol.map((_, bloomM, bloomK)).orElse {
+      if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
+      else {
+        val r = spark.read.parquet(s"$dir/$BloomSidecar")
+          .select("key_col", "m", "k").limit(1).head()
+        Some((r.getString(0), r.getInt(1), r.getInt(2)))
+      }
+    }
+    // each sidecar swaps independently (sidecar paths are `_`-prefixed,
+    // so their own __swap_new dirs stay invisible to table readers)
+    val back = spark.read.parquet(dir)
+    graft.dw.Merge.atomicOverwrite(spark,
+      graft.ext.Corpus.shardStats(back, shardCol, sc),
+      s"$dir/$StatsSidecar")
+    bloomCfg.foreach { case (kc, m, k) =>
+      graft.dw.Merge.atomicOverwrite(spark,
+        graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
+          .withColumn("key_col", lit(kc)),
+        s"$dir/$BloomSidecar")
+    }
+  }
+
+  private def writeManifests(spark: SparkSession, tableDir: String,
+      statCols: Seq[String], shardCol: String,
+      bloomKeyCol: Option[String], bloomM: Int, bloomK: Int): Unit = {
+    val back = spark.read.parquet(tableDir)
+    graft.ext.Corpus.shardStats(back, shardCol, statCols)
+      .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
+    bloomKeyCol.foreach { kc =>
+      graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, bloomM, bloomK)
+        .withColumn("key_col", lit(kc))
+        .write.mode("overwrite").parquet(s"$tableDir/$BloomSidecar")
+    }
+  }
+
+  def statsManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$StatsSidecar")
+
+  def bloomManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$BloomSidecar")
+
+  /** Candidate shards for a conjunction of closed ranges
+    * `col ∈ [lo, hi]`: manifest rows whose `[min, max]` envelope
+    * intersects EVERY range. A shard whose stats column is entirely NULL
+    * has NULL min/max and is excluded — correct, since NULL matches no
+    * range predicate. Driver-side filter-collect over the shards-sized
+    * manifest (the scan-planning step, bounded by shard count).
+    */
+  def candidateShardsByStats(manifest: DataFrame,
+      ranges: Seq[(String, Long, Long)],
+      shardCol: String = "shard"): Seq[Int] = {
+    require(ranges.nonEmpty, "need at least one range")
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+    }.reduce(_ && _)
+    manifest.filter(overlap).select(col(shardCol).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Candidate shards for an equality predicate `keyCol = key`: bloom
+    * rows whose bit set covers all of the key's positions (no false
+    * negatives by construction — a shard containing the key set exactly
+    * these bits). Positions are computed with the SAME Catalyst
+    * expression that built the index ([[graft.ext.Corpus
+    * .bloomPositions]]), so probe and index can never disagree on the
+    * hash family. Driver-side filter-collect over the shards-sized
+    * manifest.
+    */
+  def candidateShardsByKey(bloom: DataFrame, key: Long,
+      shardCol: String = "shard"): Seq[Int] = {
+    val cfg = bloom.select("m", "k").limit(1).head()
+    val pp = graft.ext.Corpus.bloomPositions(lit(key), cfg.getInt(0),
+      cfg.getInt(1))
+    bloom.filter(size(array_except(pp, col("_bits"))) === 0)
+      .select(col(shardCol).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Read ONLY the given shard directories (`dir/shard=<s>`), keeping the
+    * partition column via `basePath`. The shards not named are never
+    * listed, opened, or footer-read — this is the actual skip. An empty
+    * candidate set returns the table's empty frame (schema intact, no
+    * data read at runtime).
+    */
+  def readShards(spark: SparkSession, dir: String, shards: Seq[Int],
+      shardCol: String = "shard"): DataFrame =
+    if (shards.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.option("basePath", dir)
+      .parquet(shards.map(s => s"$dir/$shardCol=$s"): _*)
+
+  /** Manifest-pruned range scan: candidate shards from the stats
+    * manifest, read only those, then the residual filter — by the
+    * transparency contract, row-identical to a full scan with the same
+    * conjunctive `lo <= col <= hi` filter, at the I/O cost of the
+    * candidate shards alone.
+    */
+  def readPrunedByRange(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)],
+      shardCol: String = "shard"): DataFrame = {
+    val cands = candidateShardsByStats(statsManifest(spark, dir), ranges,
+      shardCol)
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    readShards(spark, dir, cands, shardCol).filter(residual)
+  }
+
+  /** Manifest-pruned point lookup: candidate shards from the bloom
+    * sidecar, read only those, then the equality filter — row-identical
+    * to a full scan with `keyCol = key`, reading only the shards whose
+    * bloom says maybe (false-positive shards cost I/O, never rows).
+    */
+  def readPrunedByKey(spark: SparkSession, dir: String, keyCol: String,
+      key: Long, shardCol: String = "shard"): DataFrame = {
+    val cands = candidateShardsByKey(bloomManifest(spark, dir), key,
+      shardCol)
+    readShards(spark, dir, cands, shardCol).filter(col(keyCol) === key)
+  }
+}

@@ -111,7 +111,10 @@ class PlanAuditSpec extends SparkSpec {
     "x156_shard_stats", "x157_bloom_index", "x158_bloom_probe",
     // x159 composes the x155 frozen-frame assignment on both slices
     // (the same bounds attach)
-    "x159_shard_stats_incr")
+    "x159_shard_stats_incr",
+    // x160: the x154 bounds attach generalized to the 3-d frame (one
+    // aggregate row of six longs broadcast under every input row)
+    "x160_zorder_3d")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

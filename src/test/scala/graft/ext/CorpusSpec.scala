@@ -1340,6 +1340,49 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(3) && out(1).isNullAt(4))
   }
 
+  test("zorderLayoutN: 3-d interleave puts dim j's bit i at position " +
+      "3i+j; D=2 reproduces the 2-d layout; wrapped span fails fast") {
+    // cube corners at bits=2 over [0,300]×[0,3000]×[0,30] — widths
+    // 76 / 751 / 8 (the x/y fixtures of the 2-d test + a third dim)
+    val rows = Seq(
+      (1L, 0L, 0L, 0L),       // cells (0,0,0) → z 0
+      (2L, 300L, 0L, 0L),     // (3,0,0): x bits at 0,3 → z 0b001001 = 9
+      (3L, 0L, 3000L, 0L),    // (0,3,0): y bits at 1,4 → z 0b010010 = 18
+      (4L, 0L, 0L, 30L),      // (0,0,3): w bits at 2,5 → z 0b100100 = 36
+      (5L, 300L, 3000L, 30L)) // (3,3,3) → z 63
+      .toDF("id", "x", "y", "w")
+    val out = Corpus.zorderLayoutN(rows, "id", Seq("x", "y", "w"),
+      bits = 2, nShards = 8).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getInt(5))).toSeq === Seq(
+      (1L, 0L, 0L, 0L, 0L, 0), (2L, 3L, 0L, 0L, 9L, 1),
+      (3L, 0L, 3L, 0L, 18L, 2), (4L, 0L, 0L, 3L, 36L, 4),
+      (5L, 3L, 3L, 3L, 63L, 7)))
+    // cell column naming: cell_<dim>
+    assert(Corpus.zorderLayoutN(rows, "id", Seq("x", "y", "w"), bits = 2,
+      nShards = 8).columns.toSeq ===
+      Seq("id", "cell_x", "cell_y", "cell_w", "zvalue", "shard"))
+    // D=2 through the N-dim core = the 2-d layout exactly (the 2-d path
+    // now delegates; this pins the interleave convention)
+    val rows2 = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("id", "x", "y")
+    val via2 = Corpus.zorderLayout(rows2, "id", "x", "y", bits = 2,
+      nShards = 4).orderBy("id").collect().toSeq
+    val viaN = Corpus.zorderLayoutN(rows2, "id", Seq("x", "y"), bits = 2,
+      nShards = 4).orderBy("id").collect().toSeq
+    assert(via2.map(r => (r.getLong(3), r.getInt(4))) ===
+      viaN.map(r => (r.getLong(3), r.getInt(4))))
+    // a dimension spanning more than the signed-long range wraps hi−lo
+    // negative → raise_error, not silent engine-divergent arithmetic
+    val wrapped = Seq((1L, Long.MinValue + 1, 0L),
+      (2L, Long.MaxValue - 1, 1L)).toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      Corpus.zorderLayoutN(wrapped, "id", Seq("x", "y"), bits = 2,
+        nShards = 4).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("shardStats: per-shard row count, min/max, exact shard-local NDV") {
     val df = Seq((0, 10L, 100L), (0, 10L, 200L), (0, 30L, 100L),
       (1, 5L, 900L)).toDF("shard", "a", "b")

@@ -1247,4 +1247,62 @@ class DeltaStreamSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(!Files.exists(Paths.get(s"$root/out/batch-1")))
   }
+
+  test("startZorderShardingRebasing: clamp-fraction over tau re-bases " +
+    "the frame from the snapshot; restart KEEPS the rebased frame; " +
+    "in-frame batches keep it frozen") {
+    import spark.implicits._
+    val root = tmpDir("zorder-rebase")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    // corpus frame: x [0,300], y [0,3000]
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def jsonl(path: String, rows: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, x, y) =>
+        s"""{"event_id": $id, "user_id": $x, "ts_us": $y}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderShardingRebasing(spark,
+      eventsDir, corpus, s"$root/bounds", s"$root/evtbl", s"$root/out",
+      s"$root/ckpt", bits = 2, nShards = 4, tau = 0.2)
+    // batch 1: 2 of 3 rows out-of-frame → frac 2/3 > 0.2 → RE-BASE to
+    // the snapshot ∪ batch frame x [0,999], y [0,6000]; assignment runs
+    // against the NEW frame (wide legs: cx = x // 250, cy = y // 1501)
+    jsonl(s"$eventsDir/b1.json",
+      (10L, 999L, 6000L), (11L, 900L, 5000L), (12L, 150L, 1500L))
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val b0 = spark.read.parquet(s"$root/out/batch-0")
+      .orderBy("event_id").collect()
+    assert(b0.map(r => (r.getLong(0), r.getLong(3), r.getInt(4),
+      r.getBoolean(5), r.getBoolean(6))).toSeq === Seq(
+      (10L, 15L, 3, false, true),   // (999,6000) → cells (3,3), z 15
+      (11L, 15L, 3, false, true),   // (900,5000) → cells (3,3)
+      (12L, 0L, 0, false, true)))   // (150,1500) → cells (0,0)
+    assert(spark.read.parquet(s"$root/bounds").head()
+      .getAs[Long]("_xmax") === 999L)
+    // restart with no new data: nothing reprocessed, and the REBASED
+    // frame survives (markSeeded after the overwrite — a re-seed here
+    // would silently revert to the corpus frame)
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    assert(!Files.exists(Paths.get(s"$root/out/batch-1")))
+    assert(spark.read.parquet(s"$root/bounds").head()
+      .getAs[Long]("_xmax") === 999L)
+    // batch 2 inside the rebased frame: no re-base, frame untouched,
+    // assignment against the kept frame
+    jsonl(s"$eventsDir/b2.json", (20L, 500L, 3000L))
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    val b1 = spark.read.parquet(s"$root/out/batch-1").collect()
+    assert(b1.map(r => (r.getLong(0), r.getLong(3), r.getInt(4),
+      r.getBoolean(5), r.getBoolean(6))).toSeq === Seq(
+      (20L, 6L, 1, false, false)))  // cells (2,1) → z 6, shard 1
+    assert(spark.read.parquet(s"$root/bounds").head()
+      .getAs[Long]("_xmax") === 999L)
+    // the appended snapshot holds corpus ∪ arrivals exactly once
+    val ev = spark.read.parquet(s"$root/evtbl")
+    assert(ev.count() === 7L && ev.select("event_id").distinct()
+      .count() === 7L)
+  }
 }

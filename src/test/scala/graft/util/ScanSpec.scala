@@ -1,0 +1,154 @@
+package graft.util
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Manifest-pruned reads: transparency vs the full scan, candidate
+  * enumeration = the files actually opened, atomic publish of data +
+  * sidecars, bloom point routing, and compaction refreshing the
+  * manifests inside the same swap (a stale sidecar is shown to MISS
+  * rows first, proving the refresh is load-bearing).
+  */
+class ScanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("scan").toString
+    Files.delete(java.nio.file.Paths.get(d))
+    d
+  }
+
+  // 1000 rows in 10 known shards: shard i holds user_id [100i, 100i+99],
+  // ts_us = 10·user_id, zvalue = user_id (stand-in curve position)
+  private def laid = (0L until 1000L).map(i =>
+      (i, i, 10L * i, s"t${i % 3}", (i / 100).toInt, i))
+    .toDF("event_id", "user_id", "ts_us", "event_type", "shard", "zvalue")
+
+  private def publish(dir: String): Unit =
+    Scan.writeSharded(spark, laid, dir,
+      statCols = Seq("user_id", "ts_us"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("user_id"))
+
+  test("writeSharded publishes data + stats + bloom sidecars as one " +
+    "visible unit; table reads ignore the sidecars") {
+    val dir = freshDir()
+    publish(dir)
+    assert(spark.read.parquet(dir).count() === 1000L)
+    val man = Scan.statsManifest(spark, dir).orderBy("shard").collect()
+    assert(man.length === 10)
+    // shard 2's envelope: user_id [200,299], ts_us [2000,2990], 100 rows
+    val s2 = man(2)
+    assert(s2.getAs[Long]("n_rows") === 100L)
+    assert(s2.getAs[Long]("user_id_min") === 200L &&
+      s2.getAs[Long]("user_id_max") === 299L)
+    assert(s2.getAs[Long]("ts_us_min") === 2000L &&
+      s2.getAs[Long]("ts_us_max") === 2990L)
+    assert(s2.getAs[Long]("user_id_ndv") === 100L)
+    val bloom = Scan.bloomManifest(spark, dir)
+    assert(bloom.count() === 10L &&
+      bloom.head().getAs[String]("key_col") === "user_id")
+  }
+
+  test("readPrunedByRange: row-identical to full scan + filter; opens " +
+    "exactly the candidate shard files; empty candidates read nothing") {
+    val dir = freshDir()
+    publish(dir)
+    val ranges = Seq(("user_id", 250L, 349L), ("ts_us", 0L, 99999L))
+    val cands = Scan.candidateShardsByStats(
+      Scan.statsManifest(spark, dir), ranges)
+    assert(cands === Seq(2, 3)) // envelopes: shard2 [200,299], shard3 [300,399]
+    val pruned = Scan.readPrunedByRange(spark, dir, ranges)
+    val full = spark.read.parquet(dir)
+      .filter(col("user_id").between(250L, 349L) &&
+        col("ts_us").between(0L, 99999L))
+    assert(pruned.select("event_id").collect().map(_.getLong(0)).toSet ===
+      full.select("event_id").collect().map(_.getLong(0)).toSet)
+    assert(pruned.count() === 100L)
+    // the candidate read opens exactly the candidate shards' files
+    val opened = Scan.readShards(spark, dir, cands)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSeq
+    assert(opened.size === cands.size)
+    assert(opened.forall(p => cands.exists(c => p.contains(s"shard=$c/"))))
+    // a range outside every envelope: zero candidates, empty frame,
+    // schema intact
+    val none = Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 5000L, 6000L)))
+    assert(none.count() === 0L &&
+      none.columns.contains("event_type"))
+  }
+
+  test("readPrunedByKey: bloom candidates cover the true shard (no " +
+    "false negatives) and the read matches the full-scan lookup") {
+    val dir = freshDir()
+    publish(dir)
+    val cands = Scan.candidateShardsByKey(
+      Scan.bloomManifest(spark, dir), 777L)
+    assert(cands.contains(7)) // true shard — bloom can add fps, never drop
+    val got = Scan.readPrunedByKey(spark, dir, "user_id", 777L)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(777L))
+    // an absent key may bloom-hit shards; the residual filter drops all
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 123456L)
+      .count() === 0L)
+  }
+
+  test("compactSharded: a stale manifest MISSES appended rows; the " +
+    "compaction rewrites shard files AND refreshes the manifests in " +
+    "one swap, after which the pruned read is exact again") {
+    val dir = freshDir()
+    publish(dir)
+    // appends land in shard 9 with user_ids [2000,2004] — beyond the
+    // manifest's recorded envelope (max 999)
+    (0 until 5).map(i => (5000L + i, 2000L + i, 10L * (2000 + i),
+        "t9", 9, 2000L + i))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+      .coalesce(1)
+      .write.mode("append").partitionBy("shard").parquet(dir)
+    val ranges = Seq(("user_id", 2000L, 2004L))
+    // stale sidecar: no envelope covers [2000,2004] → the pruned read
+    // misses rows the table actually holds — exactly why compaction
+    // must refresh manifests
+    assert(Scan.readPrunedByRange(spark, dir, ranges).count() === 0L)
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id").between(2000L, 2004L)).count() === 5L)
+    val (before, after) = Compaction.compactSharded(spark, dir,
+      sortCol = Some("zvalue"))
+    assert(before === 11 && after === 10) // shard 9 had 2 files
+    // manifests describe the rewritten files: envelope now covers the
+    // appended rows and the pruned read is exact again
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      ranges) === Seq(9))
+    assert(Scan.readPrunedByRange(spark, dir, ranges)
+      .select("event_id").collect().map(_.getLong(0)).toSet ===
+      Set(5000L, 5001L, 5002L, 5003L, 5004L))
+    // bloom refreshed too: the appended key now routes
+    assert(Scan.candidateShardsByKey(Scan.bloomManifest(spark, dir),
+      2003L).contains(9))
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 2003L)
+      .count() === 1L)
+    // idempotent-cheap: a second run is a no-op
+    assert(Compaction.compactSharded(spark, dir) === ((10, 10)))
+  }
+
+  test("refreshManifests heals a missing sidecar (the recovery window) " +
+    "without changing coverage") {
+    val dir = freshDir()
+    publish(dir)
+    // simulate the crash window: data recovered, stats sidecar gone
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${Scan.StatsSidecar}"),
+      true)
+    Scan.refreshManifests(spark, dir, statCols = Seq("user_id", "ts_us"))
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      Seq(("user_id", 250L, 349L))) === Seq(2, 3))
+    // bloom config survived the refresh (recovered from its sidecar)
+    assert(Scan.candidateShardsByKey(Scan.bloomManifest(spark, dir),
+      777L).contains(7))
+  }
+}
