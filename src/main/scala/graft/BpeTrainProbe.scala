@@ -12,7 +12,11 @@ import graft.util.Tables
   * here at a small nMerges and extrapolated, because running it at 30k
   * is exactly the minutes-class cost the cache removes).
   *
-  * Usage: runMain graft.BpeTrainProbe [sfDir] [nMerges] [topWords]
+  * Usage: runMain graft.BpeTrainProbe [sfDir|synthetic:N] [nMerges]
+  * [topWords] — `synthetic:N` builds an N-word md5-hex vocabulary (the
+  * documents fixture's vocab exhausts after ~90 merges; a hex vocab of
+  * 65k 32-char words sustains the production 30–50k merge range, which
+  * is the regime this probe exists to price).
   */
 object BpeTrainProbe {
   def main(args: Array[String]): Unit = {
@@ -21,7 +25,12 @@ object BpeTrainProbe {
     val topWords = args.drop(2).headOption.map(_.toInt).getOrElse(65536)
     val spark = graft.util.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables(spark, dir, "documents")
+    val docs =
+      if (dir.startsWith("synthetic:")) {
+        val n = dir.stripPrefix("synthetic:").toLong
+        spark.range(n).selectExpr("id AS doc_id",
+          "md5(cast(id AS string)) AS text")
+      } else Tables(spark, dir, "documents")
 
     // warm the word-count leg once so the trained run isolates cleanly
     import org.apache.spark.sql.functions._

@@ -52,6 +52,10 @@ object PrunedScanProbe {
 
     def report(tag: String, mk: () => org.apache.spark.sql.DataFrame)
         : Unit = {
+      // files contributing surviving rows (for the pruned variants this
+      // equals the files LISTED; the full scan lists all of them and
+      // this counts only the matching ones — the listing skip itself is
+      // pinned by ScanSpec's opens-exactly-candidates case)
       val files = mk().select(input_file_name()).distinct().count()
       val runs = (1 to reps).map { _ =>
         Probe.measureScan(spark) {

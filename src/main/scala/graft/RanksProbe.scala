@@ -49,7 +49,7 @@ object RanksProbe {
     spark.sparkContext.addSparkListener(lis)
     // eager = false: identity finish — the probe wants the raw ranked
     // frame's shuffle profile, with no result cache in the measurement
-    graft.ext.Ranks.byValue(df, "g", eager = false)
+    graft.ext.Ranks.byValue(df, "g", finish = identity, eager = false)
       .write.format("noop").mode("overwrite").save()
     spark.sparkContext.setJobDescription("ranks-probe-sentinel")
     // collect on a 1-row range: single result stage, ZERO shuffle writes —

@@ -76,7 +76,11 @@ private[graft] object Ranks {
     *    and min-ids over contiguous sorted runs), just unaided by cache.
     */
   def byValue(df: DataFrame, groupCol: String,
-      finish: DataFrame => DataFrame = identity,
+      // no default: eager = true REQUIRES a compact reduction here (a
+      // defaulted identity would silently persist a corpus-sized copy
+      // and split the caller's query in two) — every caller states its
+      // finish, and `identity` is only legitimate alongside eager=false
+      finish: DataFrame => DataFrame,
       alsoRelease: Seq[DataFrame] = Nil,
       eager: Boolean = true): DataFrame = {
     val nParts =

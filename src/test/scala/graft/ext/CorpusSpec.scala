@@ -1006,7 +1006,7 @@ class CorpusSpec extends SparkSpec {
     val df = spark.range(0, 20000)
       .select((col("id") % 2).cast("string").as("g"),
         ((col("id") * 2654435761L) % 99991).cast("double").as("_v"))
-    val ranked = Ranks.byValue(df, "g", eager = false)
+    val ranked = Ranks.byValue(df, "g", finish = identity, eager = false)
     val spread = ranked.groupBy("g")
       .agg(countDistinct(col("_pid")).as("np"), count(lit(1)).as("n"),
         max(col("_rn")).as("maxrn"), min(col("_rn")).as("minrn"),
