@@ -1144,6 +1144,77 @@ object DeltaStream {
       .start()
   }
 
+  /** The full lakehouse loop mounted at ingest — a STREAMING-MAINTAINED
+    * SKIPPABLE TABLE: the z-ordered corpus seeds a shard-partitioned
+    * table WITH its stats + bloom manifests ([[graft.util.Scan
+    * .writeSharded]], one atomic swap); each arriving micro-batch is
+    * assigned against the table's FROZEN frame (map-side, the x155
+    * contract — frame fixed so batch and corpus shard spaces agree
+    * forever) and appended through [[graft.util.Scan.appendSharded]],
+    * whose manifest-first ordering keeps every manifest fresh at all
+    * times: a pruned read between ANY two batches sees exactly the rows
+    * landed so far, and a crash mid-append leaves envelopes wider than
+    * the data — over-approximate candidates, never missed rows. Small
+    * files accumulate one per batch per touched shard;
+    * [[graft.util.Compaction.compactSharded]] is the scheduled
+    * maintenance that folds them back and restores exact NDV.
+    *
+    * Replay idempotence: [[graft.util.Scan.appendSharded]]'s bounded
+    * per-touched-shard id probe drops rows already landed, so a
+    * checkpoint replay converges instead of duplicating — no separate
+    * output dir, the TABLE is the sink.
+    *
+    * Scale shape per batch: map-only assignment + work ∝ batch and its
+    * touched shards (the append's dedup probe and manifest folds);
+    * untouched shards are never read.
+    */
+  def startZorderTableMaintained(spark: SparkSession, eventsDir: String,
+      corpusEvents: DataFrame, tableDir: String, boundsDir: String,
+      checkpointDir: String, idCol: String = "event_id",
+      xCol: String = "user_id", yCol: String = "ts_us",
+      bits: Int = 16, nShards: Int = 64): StreamingQuery = {
+    import graft.ext.Corpus
+    import graft.util.Scan
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(xCol, org.apache.spark.sql.types.LongType)
+      .add(yCol, org.apache.spark.sql.types.LongType)
+    seedOnce(boundsDir) {
+      corpusEvents.agg(
+          min(col(xCol).cast("long")).as("_xmin"),
+          max(col(xCol).cast("long")).as("_xmax"),
+          min(col(yCol).cast("long")).as("_ymin"),
+          max(col(yCol).cast("long")).as("_ymax"))
+        .write.mode("overwrite").parquet(boundsDir)
+    }
+    seedOnce(tableDir) {
+      val laid = Corpus.zorderLayoutAgainst(corpusEvents,
+          spark.read.parquet(boundsDir), idCol, xCol, yCol, bits,
+          nShards, keepCols = Seq(xCol, yCol))
+        .drop("cell_x", "cell_y")
+      Scan.writeSharded(spark, laid, tableDir,
+        statCols = Seq(xCol, yCol), sortCol = Some("zvalue"),
+        bloomKeyCol = Some(xCol))
+    }
+    // no per-batch output dirs to guard (the table is the sink): a
+    // checkpoint reset replays batches INTO the surviving table, and
+    // appendSharded's id probe makes that converge instead of duplicate
+    spark.readStream.schema(schema).json(eventsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val laid = Corpus.zorderLayoutAgainst(
+              graft.util.Par.spread(batch), s.read.parquet(boundsDir),
+              idCol, xCol, yCol, bits, nShards,
+              keepCols = Seq(xCol, yCol))
+            .drop("cell_x", "cell_y")
+          Scan.appendSharded(s, laid, tableDir, idCol)
+        }
+      }
+      .start()
+  }
+
   def startCmsHeavyHitterMonitor(spark: SparkSession, docsDir: String,
       corpusDocs: DataFrame, sketchDir: String, outDir: String,
       checkpointDir: String, textCol: String = "text",

@@ -78,6 +78,115 @@ object Scan {
     }
   }
 
+  /** APPEND a laid-out batch into an existing sharded table, keeping the
+    * manifests fresh — the ingest leg of the lakehouse loop (write →
+    * append per batch → compact on schedule), and the close of the gap
+    * [[graft.util.Compaction.compactSharded]]'s spec exposes: a naive
+    * `mode("append")` strands the sidecars stale and the pruned read
+    * silently MISSES the appended rows.
+    *
+    * `laidBatch` carries `shardCol` (normally assigned against the
+    * table's frozen z-order frame — [[graft.ext.Corpus
+    * .zorderLayoutAgainstN]], so batch and corpus agree on shard
+    * spaces). Steps, in a deliberately safe order:
+    *
+    *  1. id-dedup: batch rows whose `idCol` already exists in the
+    *     TOUCHED shards' directories are dropped (a bounded per-shard
+    *     probe — only the shards the batch lands in are read, never the
+    *     table) — re-running a crashed append converges instead of
+    *     duplicating;
+    *  2. MANIFEST FIRST: the stats sidecar is atomically replaced with
+    *     the fold of old rows + batch-side stats (`n_rows` adds,
+    *     min/max folds; `<c>_ndv` becomes the sum — an UPPER BOUND, the
+    *     price of never re-reading untouched data; exact again at the
+    *     next [[refreshManifests]]/`compactSharded`), and the bloom
+    *     sidecar with the bitwise union of old bits + the batch keys'
+    *     bits (`n_keys` likewise an upper bound);
+    *  3. data lands via a plain partitioned append (Spark's job commit
+    *     publishes part files only on success).
+    *
+    * The ordering IS the crash-safety argument: a crash after 2 but
+    * before 3 leaves envelopes/bit sets strictly WIDER than the data —
+    * pruned reads over-approximate candidates and stay transparent
+    * (over-approximation costs I/O, never rows); the reverse order
+    * would leave data the manifest doesn't cover, i.e. reads that MISS.
+    *
+    * Scale shape: work ∝ batch + touched shards (the dedup probe reads
+    * only those directories); the manifest fold is shards-sized
+    * arithmetic. Untouched shards are never listed, read, or
+    * re-aggregated.
+    */
+  def appendSharded(spark: SparkSession, laidBatch: DataFrame,
+      dir: String, idCol: String, shardCol: String = "shard"): Unit = {
+    val statCols = spark.read.parquet(s"$dir/$StatsSidecar").columns
+      .toSeq.filter(_.endsWith("_min")).map(_.dropRight(4))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasBloom = fs.exists(new Path(s"$dir/$BloomSidecar"))
+    val b0 = laidBatch.persist()
+    try {
+      val touched = b0.select(col(shardCol).cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return
+      // 1. bounded idempotence probe: ids present in the touched shards
+      val present = readShards(spark, dir, touched, shardCol)
+        .select(col(idCol))
+      val batch = b0.join(present, Seq(idCol), "left_anti").persist()
+      try {
+        if (batch.isEmpty) return
+        // 2a. stats fold: old rows + batch-side exact stats per shard
+        val batchStats = graft.ext.Corpus.shardStats(batch, shardCol,
+          statCols)
+        val old = spark.read.parquet(s"$dir/$StatsSidecar")
+        val bb = batchStats.columns.foldLeft(batchStats)((d, c) =>
+          if (c == shardCol) d else d.withColumnRenamed(c, s"_b_$c"))
+        val merged = old.join(bb, Seq(shardCol), "full_outer")
+          .select(col(shardCol) +:
+            (coalesce(col("n_rows"), lit(0L)) +
+              coalesce(col("_b_n_rows"), lit(0L))).as("n_rows") +:
+            statCols.flatMap { c =>
+              Seq(
+                least(col(s"${c}_min"), col(s"_b_${c}_min"))
+                  .as(s"${c}_min"),
+                greatest(col(s"${c}_max"), col(s"_b_${c}_max"))
+                  .as(s"${c}_max"),
+                // additive upper bound; exact at next refresh/compact
+                (coalesce(col(s"${c}_ndv"), lit(0L)) +
+                  coalesce(col(s"_b_${c}_ndv"), lit(0L)))
+                  .as(s"${c}_ndv"))
+            }: _*)
+        graft.dw.Merge.atomicOverwrite(spark, merged,
+          s"$dir/$StatsSidecar")
+        // 2b. bloom fold: bitwise union per shard (wider = safe)
+        if (hasBloom) {
+          val ob = spark.read.parquet(s"$dir/$BloomSidecar")
+          val cfg = ob.select("key_col", "m", "k").limit(1).head()
+          val (kc, m, k) = (cfg.getString(0), cfg.getInt(1), cfg.getInt(2))
+          val nb = graft.ext.Corpus.bloomBitsTable(batch, shardCol, kc,
+              m, k)
+            .select(col("shard"), col("n_keys").as("_b_n_keys"),
+              col("_bits").as("_b_bits"))
+          val empty = array().cast("array<long>")
+          val mergedBloom = ob.join(nb, Seq("shard"), "full_outer")
+            .select(col("shard"),
+              (coalesce(col("n_keys"), lit(0L)) +
+                coalesce(col("_b_n_keys"), lit(0L))).as("n_keys"),
+              array_sort(array_distinct(concat(
+                coalesce(col("_bits"), empty),
+                coalesce(col("_b_bits"), empty)))).as("_bits"),
+              lit(m).as("m"), lit(k).as("k"), lit(kc).as("key_col"))
+          graft.dw.Merge.atomicOverwrite(spark, mergedBloom,
+            s"$dir/$BloomSidecar")
+        }
+        // 3. data lands last — the manifests already cover it; one file
+        // per touched shard per batch (shard-keyed exchange), so file
+        // growth is batches × touched shards, not × task parallelism
+        batch.repartition(col(shardCol))
+          .write.mode("append").partitionBy(shardCol).parquet(dir)
+      } finally batch.unpersist()
+    } finally b0.unpersist()
+  }
+
   /** Recompute and atomically replace a table's manifest sidecars from
     * its CURRENT files — the maintenance call after any rewrite that
     * bypassed [[writeSharded]] (and the healer for the recovery window

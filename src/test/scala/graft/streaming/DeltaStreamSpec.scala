@@ -1305,4 +1305,57 @@ class DeltaStreamSpec extends SparkSpec {
     assert(ev.count() === 7L && ev.select("event_id").distinct()
       .count() === 7L)
   }
+
+  test("startZorderTableMaintained: the table IS the sink — arrivals " +
+    "append with manifests folded, pruned reads see them between " +
+    "batches, replay converges") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-table")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    // corpus frame x [0,300], y [0,3000]; bits=2, 4 shards
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def jsonl(path: String, rows: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, x, y) =>
+        s"""{"event_id": $id, "user_id": $x, "ts_us": $y}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderTableMaintained(spark,
+      eventsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4)
+    // batch 1: two arrivals — (280,2800) → cells (3,3) z 15 shard 3;
+    // (10,100) → cells (0,0) z 0 shard 0
+    jsonl(s"$eventsDir/b1.json", (10L, 280L, 2800L), (11L, 10L, 100L))
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val table = s"$root/table"
+    assert(spark.read.parquet(table).count() === 5L)
+    // pruned range read sees corpus AND streamed rows, no maintenance
+    // call in between — appendSharded folded the manifests
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("user_id", 250L, 300L))).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 10L))
+    // bloom sees the streamed key
+    assert(Scan.readPrunedByKey(spark, table, "user_id", 10L)
+      .select("event_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(11L))
+    // restart, no new data: replay converges (no dup rows/counts)
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(table).count() === 5L)
+    assert(Scan.statsManifest(spark, table)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head()
+      .getLong(0) === 5L)
+    // batch 2 + compaction: files fold back, reads stay exact
+    jsonl(s"$eventsDir/b2.json", (20L, 160L, 1600L))
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(table).count() === 6L)
+    graft.util.Compaction.compactSharded(spark, table,
+      sortCol = Some("zvalue"))
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("user_id", 150L, 170L))).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 20L))
+  }
 }

@@ -135,6 +135,48 @@ class ScanSpec extends SparkSpec {
     assert(Compaction.compactSharded(spark, dir) === ((10, 10)))
   }
 
+  test("appendSharded: manifests stay fresh through appends (pruned " +
+    "reads see new rows immediately), re-append converges, NDV becomes " +
+    "an upper bound until compaction restores exact") {
+    val dir = freshDir()
+    publish(dir)
+    // batch extends shard 9 beyond its envelope AND adds new keys
+    val batch = (0 until 5).map(i => (5000L + i, 2000L + i,
+        10L * (2000 + i), "t9", 9, 2000L + i))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+    Scan.appendSharded(spark, batch, dir, "event_id")
+    val ranges = Seq(("user_id", 2000L, 2004L))
+    // the pruned read sees the appended rows with NO refresh/compact —
+    // the stats fold already widened shard 9's envelope
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      ranges) === Seq(9))
+    assert(Scan.readPrunedByRange(spark, dir, ranges)
+      .select("event_id").collect().map(_.getLong(0)).toSet ===
+      Set(5000L, 5001L, 5002L, 5003L, 5004L))
+    // bloom folded too: the new key routes without a rebuild
+    assert(Scan.candidateShardsByKey(Scan.bloomManifest(spark, dir),
+      2003L).contains(9))
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 2003L)
+      .count() === 1L)
+    // counts add exactly; per-shard NDV is an upper bound post-append
+    val s9 = Scan.statsManifest(spark, dir).filter(col("shard") === 9)
+      .head()
+    assert(s9.getAs[Long]("n_rows") === 105L)
+    assert(s9.getAs[Long]("user_id_ndv") === 105L) // 100 + 5, no dups here
+    // replaying the SAME batch converges: the touched-shard id probe
+    // drops every row, data and manifests unchanged
+    Scan.appendSharded(spark, batch, dir, "event_id")
+    assert(spark.read.parquet(dir).count() === 1005L)
+    assert(Scan.statsManifest(spark, dir).filter(col("shard") === 9)
+      .head().getAs[Long]("n_rows") === 105L)
+    // compaction folds the batch files back and restores exact stats
+    val (before, after) = Compaction.compactSharded(spark, dir,
+      sortCol = Some("zvalue"))
+    assert(before === 11 && after === 10)
+    assert(Scan.readPrunedByRange(spark, dir, ranges).count() === 5L)
+  }
+
   test("refreshManifests heals a missing sidecar (the recovery window) " +
     "without changing coverage") {
     val dir = freshDir()
