@@ -1700,6 +1700,25 @@ object ExtensionQueries {
         .orderBy("event_id")
     }),
 
+    // N-dim z-order at INGEST: the arriving batch assigned against the
+    // corpus slice's FROZEN 3-d frame — the x155 contract generalized;
+    // pure map-side pass, out-of-frame arrivals clamp to edge cells
+    "x163_zorder_3d_incr" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("props_len", length(col("props")).cast("long"))
+      val dims = Seq("user_id", "ts_us", "props_len")
+      val corpus = e.filter(col("event_id") % 7 =!= 0)
+      val aggs = dims.flatMap { c =>
+        Seq(min(col(c).cast("long")).as(s"_min_$c"),
+          max(col(c).cast("long")).as(s"_max_$c"))
+      }
+      val bounds = corpus.agg(aggs.head, aggs.tail: _*)
+      Corpus.zorderLayoutAgainstN(e.filter(col("event_id") % 7 === 0),
+        bounds, "event_id", dims, bits = 16, nShards = 64)
+        .orderBy("event_id")
+    }),
+
     // the manifests ROUTING A REAL READ (the toolkit's consumer): the
     // z-ordered table is PUBLISHED shard-partitioned with its stats
     // manifest in one atomic swap, then a 2-d range scan enumerates
@@ -2937,7 +2956,8 @@ object ExtensionQueries {
     * dimension `j` lands at curve position `i·3 + j`; dims are (user_id,
     * event epoch-micros, props length), cells by the shared engine-exact
     * arithmetic. */
-  private def zorder3dSql(bits: Int, nShards: Int): String = {
+  private def zorder3dSql(bits: Int, nShards: Int,
+      boundsFrom: String = "s3", assign: String = "s3"): String = {
     val cell = zorderCellSql(bits) _
     val terms = (0 until bits).flatMap { i =>
       Seq(s"(((cx >> $i) & 1) << ${3 * i})",
@@ -2946,14 +2966,16 @@ object ExtensionQueries {
     }.mkString(" + ")
     s"""WITH s3 AS (SELECT event_id, user_id AS x, epoch_us(ts) AS y,
        |        CAST(length(props) AS BIGINT) AS w FROM events),
+       |sb3 AS (SELECT * FROM s3 WHERE event_id % 7 <> 0),
+       |sa3 AS (SELECT * FROM s3 WHERE event_id % 7 = 0),
        |b3 AS (SELECT min(x) AS xmin, max(x) AS xmax,
        |       min(y) AS ymin, max(y) AS ymax,
-       |       min(w) AS wmin, max(w) AS wmax FROM s3),
+       |       min(w) AS wmin, max(w) AS wmax FROM $boundsFrom),
        |c3 AS (SELECT event_id,
        |        ${cell("x", "xmin", "xmax")} AS cx,
        |        ${cell("y", "ymin", "ymax")} AS cy,
        |        ${cell("w", "wmin", "wmax")} AS cw
-       |       FROM s3, b3),
+       |       FROM $assign, b3),
        |z3 AS (SELECT event_id, cx, cy, cw, $terms AS zvalue FROM c3)
        |SELECT event_id, cx AS cell_user_id, cy AS cell_ts_us,
        |  cw AS cell_props_len, zvalue,
@@ -5009,6 +5031,8 @@ object ExtensionQueries {
     "x156_shard_stats" -> shardStatsSql(16, 64),
     "x159_shard_stats_incr" -> shardStatsIncrSql(16, 64, 16),
     "x160_zorder_3d" -> zorder3dSql(16, 64),
+    "x163_zorder_3d_incr" ->
+      zorder3dSql(16, 64, boundsFrom = "sb3", assign = "sa3"),
     "x161_pruned_scan" -> prunedScanSql(16, 64),
     "x162_pruned_point" -> prunedPointSql(16, 64, 4096, 3),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),

@@ -112,9 +112,9 @@ class PlanAuditSpec extends SparkSpec {
     // x159 composes the x155 frozen-frame assignment on both slices
     // (the same bounds attach)
     "x159_shard_stats_incr",
-    // x160: the x154 bounds attach generalized to the 3-d frame (one
-    // aggregate row of six longs broadcast under every input row)
-    "x160_zorder_3d")
+    // x160/x163: the x154/x155 bounds attach generalized to the 3-d
+    // frame (one aggregate row of six longs broadcast under every row)
+    "x160_zorder_3d", "x163_zorder_3d_incr")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

@@ -177,6 +177,52 @@ class ScanSpec extends SparkSpec {
     assert(Scan.readPrunedByRange(spark, dir, ranges).count() === 5L)
   }
 
+  test("property: pruned-read transparency holds on an ADVERSARIAL " +
+    "layout (unclustered shards, overlapping envelopes) across many " +
+    "predicates, and survives appends") {
+    val dir = freshDir()
+    // shard = i % 7: every shard's envelope spans nearly the whole
+    // domain, so candidate sets are large — correctness must come from
+    // the residual filter, not from lucky clustering
+    val rnd = (0L until 2000L).map { i =>
+      val u = (i * 2654435761L) % 997
+      (i, u, (u * 31 + i) % 5000, s"t${i % 4}", (i % 7).toInt, i)
+    }.toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+      "zvalue")
+    Scan.writeSharded(spark, rnd, dir, Seq("user_id", "ts_us"),
+      sortCol = Some("zvalue"), bloomKeyCol = Some("user_id"))
+    def full = spark.read.parquet(dir)
+    def check(lo: Long, hi: Long, tlo: Long, thi: Long): Unit = {
+      val got = Scan.readPrunedByRange(spark, dir,
+          Seq(("user_id", lo, hi), ("ts_us", tlo, thi)))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val want = full.filter(col("user_id").between(lo, hi) &&
+          col("ts_us").between(tlo, thi))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"ranges=[$lo,$hi]x[$tlo,$thi]")
+    }
+    for (s <- 1 to 8) {
+      val lo = (s * 7919L) % 900
+      val tlo = (s * 104729L) % 4500
+      check(lo, lo + (s * 131L) % 300, tlo, tlo + (s * 37L) % 800)
+    }
+    // bloom equality: present and absent keys both match the full scan
+    for (k <- Seq(0L, 13L, 333L, 996L, 123456L)) {
+      assert(Scan.readPrunedByKey(spark, dir, "user_id", k).count() ===
+        full.filter(col("user_id") === k).count(), s"key=$k")
+    }
+    // an append folds the manifests; transparency must keep holding
+    val batch = (5000L until 5050L).map { i =>
+      (i, 960L + i % 40, 4900L + i % 120, "t9", (i % 7).toInt, i)
+    }.toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+      "zvalue")
+    Scan.appendSharded(spark, batch, dir, "event_id")
+    check(950L, 999L, 4800L, 5100L)
+    check(0L, 5000L, 0L, 99999L) // the everything-predicate
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 970L).count() ===
+      full.filter(col("user_id") === 970L).count())
+  }
+
   test("refreshManifests heals a missing sidecar (the recovery window) " +
     "without changing coverage") {
     val dir = freshDir()
