@@ -288,12 +288,23 @@ object Scan {
     * listed, opened, or footer-read — this is the actual skip. An empty
     * candidate set returns the table's empty frame (schema intact, no
     * data read at runtime).
+    *
+    * Candidate shards whose directory does not exist are silently
+    * skipped — legitimate, not an error: [[appendSharded]]'s
+    * manifest-first ordering can leave a manifest row for a NEW shard
+    * whose data never landed (the documented crash window), and "no
+    * directory yet" means exactly "no rows there yet".
     */
   def readShards(spark: SparkSession, dir: String, shards: Seq[Int],
-      shardCol: String = "shard"): DataFrame =
-    if (shards.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      shardCol: String = "shard"): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val existing = shards.filter(s =>
+      fs.exists(new Path(s"$dir/$shardCol=$s")))
+    if (existing.isEmpty) spark.read.parquet(dir).filter(lit(false))
     else spark.read.option("basePath", dir)
-      .parquet(shards.map(s => s"$dir/$shardCol=$s"): _*)
+      .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
+  }
 
   /** Manifest-pruned range scan: candidate shards from the stats
     * manifest, read only those, then the residual filter — by the

@@ -223,6 +223,35 @@ class ScanSpec extends SparkSpec {
       full.filter(col("user_id") === 970L).count())
   }
 
+  test("appendSharded into a shard with NO existing directory; and the " +
+    "crash window (manifest row, data never landed) reads as empty, " +
+    "not as an error") {
+    val dir = freshDir()
+    publish(dir)
+    // a batch landing entirely in shard 15 — no shard=15 dir exists
+    val batch = Seq((9000L, 3000L, 30000L, "tN", 15, 3000L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+    Scan.appendSharded(spark, batch, dir, "event_id")
+    assert(Scan.readPrunedByRange(spark, dir,
+        Seq(("user_id", 3000L, 3000L)))
+      .select("event_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(9000L))
+    // simulate the manifest-first crash window: a manifest row for
+    // shard 77 whose data never landed — candidates include 77, the
+    // read skips the missing directory and stays exact (empty)
+    val phantom = Scan.statsManifest(spark, dir).unionByName(
+      Seq((77, 1L, 7777L, 7778L, 1L, 70000L, 70001L, 1L))
+        .toDF("shard", "n_rows", "user_id_min", "user_id_max",
+          "user_id_ndv", "ts_us_min", "ts_us_max", "ts_us_ndv"))
+    graft.dw.Merge.atomicOverwrite(spark, phantom,
+      s"$dir/${Scan.StatsSidecar}")
+    val ranges = Seq(("user_id", 7777L, 7778L))
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      ranges) === Seq(77))
+    assert(Scan.readPrunedByRange(spark, dir, ranges).count() === 0L)
+  }
+
   test("refreshManifests heals a missing sidecar (the recovery window) " +
     "without changing coverage") {
     val dir = freshDir()
