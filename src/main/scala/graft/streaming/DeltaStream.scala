@@ -1168,11 +1168,21 @@ object DeltaStream {
     * touched shards (the append's dedup probe and manifest folds);
     * untouched shards are never read.
     */
+  /** `maxFilesPerShard > 0` arms the scheduled-OPTIMIZE leg: after each
+    * append, one FS metadata sweep counts data files per shard directory
+    * (no data read), and when any shard exceeds the threshold the batch
+    * runs [[graft.util.Compaction.compactSharded]] — inside the SAME
+    * foreachBatch, because the table has exactly one writer (this
+    * mount); a separate compaction daemon would race the appender's
+    * directory swap. The compact also restores exact per-shard NDV
+    * after the append folds' upper-bound drift.
+    */
   def startZorderTableMaintained(spark: SparkSession, eventsDir: String,
       corpusEvents: DataFrame, tableDir: String, boundsDir: String,
       checkpointDir: String, idCol: String = "event_id",
       xCol: String = "user_id", yCol: String = "ts_us",
-      bits: Int = 16, nShards: Int = 64): StreamingQuery = {
+      bits: Int = 16, nShards: Int = 64,
+      maxFilesPerShard: Int = 0): StreamingQuery = {
     import graft.ext.Corpus
     import graft.util.Scan
     val schema = new org.apache.spark.sql.types.StructType()
@@ -1210,6 +1220,20 @@ object DeltaStream {
               keepCols = Seq(xCol, yCol))
             .drop("cell_x", "cell_y")
           Scan.appendSharded(s, laid, tableDir, idCol)
+          if (maxFilesPerShard > 0) {
+            val p = new Path(tableDir)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            val over = fs.listStatus(p).exists(d =>
+              d.isDirectory && d.getPath.getName.startsWith("shard=") &&
+                fs.listStatus(d.getPath).count(f => f.isFile &&
+                  !f.getPath.getName.startsWith("_") &&
+                  !f.getPath.getName.startsWith(".")) > maxFilesPerShard)
+            if (over) {
+              graft.util.Compaction.compactSharded(s, tableDir,
+                sortCol = Some("zvalue"))
+              ()
+            }
+          }
         }
       }
       .start()

@@ -1358,4 +1358,48 @@ class DeltaStreamSpec extends SparkSpec {
       Seq(("user_id", 150L, 170L))).select("event_id")
       .collect().map(_.getLong(0)).toSet === Set(3L, 20L))
   }
+
+  test("startZorderTableMaintained with maxFilesPerShard: the scheduled " +
+    "compact folds per-batch files back and restores exact manifests, " +
+    "reads stay exact throughout") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-table-compact")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def jsonl(path: String, rows: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, x, y) =>
+        s"""{"event_id": $id, "user_id": $x, "ts_us": $y}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderTableMaintained(spark,
+      eventsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4, maxFilesPerShard = 1)
+    // two batches landing in shard 3 (cells (3,3)) — each append adds a
+    // file beside the corpus file there, tripping the threshold
+    jsonl(s"$eventsDir/b1.json", (10L, 280L, 2800L))
+    jsonl(s"$eventsDir/b2.json", (11L, 290L, 2900L))
+    val q = mount()
+    q.processAllAvailable(); q.stop()
+    val table = s"$root/table"
+    // every shard directory folded back to at most one data file
+    val shardDirs = new java.io.File(table).listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val n = d.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(n <= 1, s"${d.getName} has $n data files")
+    }
+    // reads exact, manifests exact (compact recomputed them)
+    assert(spark.read.parquet(table).count() === 5L)
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("user_id", 250L, 300L))).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 10L, 11L))
+    val s3 = Scan.statsManifest(spark, table)
+      .filter(col("shard") === 3).head()
+    assert(s3.getAs[Long]("n_rows") === 3L)
+    assert(s3.getAs[Long]("user_id_ndv") === 3L) // exact again post-compact
+  }
 }
