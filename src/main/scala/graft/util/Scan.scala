@@ -73,6 +73,18 @@ object Scan {
       val parted = laid.repartition(col(shardCol))
       sortCol.fold(parted)(c => parted.sortWithinPartitions(shardCol, c))
         .write.partitionBy(shardCol).mode("overwrite").parquet(tmp)
+      // NULL shards (a z-order layout's unroutable NULL-dim rows) land
+      // in Hive's default partition — a shard the int-keyed manifests
+      // cannot name, so pruned reads would silently never see those
+      // rows. Enforce the layout convention (the caller routes
+      // unroutables explicitly) with a free FS probe; throwing here
+      // aborts the swap and leaves the target untouched.
+      val fs = new Path(tmp).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new Path(
+        s"$tmp/$shardCol=__HIVE_DEFAULT_PARTITION__")),
+        s"writeSharded: rows with NULL $shardCol — route unroutable " +
+          "(NULL-dimension) rows explicitly before publishing")
       writeManifests(spark, tmp, statCols, shardCol, bloomKeyCol,
         bloomM, bloomK)
     }
@@ -125,8 +137,15 @@ object Scan {
     val hasBloom = fs.exists(new Path(s"$dir/$BloomSidecar"))
     val b0 = laidBatch.persist()
     try {
+      // NULL shards are rejected BEFORE anything lands (same contract
+      // as writeSharded — the int-keyed manifests cannot name them)
       val touched = b0.select(col(shardCol).cast("int")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
+        .collect().map { r =>
+          require(!r.isNullAt(0),
+            s"appendSharded: rows with NULL $shardCol — route " +
+              "unroutable (NULL-dimension) rows explicitly")
+          r.getInt(0)
+        }.toSeq.sorted
       if (touched.isEmpty) return
       // 1. bounded idempotence probe: ids present in the touched shards
       val present = readShards(spark, dir, touched, shardCol)

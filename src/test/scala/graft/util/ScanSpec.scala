@@ -252,6 +252,39 @@ class ScanSpec extends SparkSpec {
     assert(Scan.readPrunedByRange(spark, dir, ranges).count() === 0L)
   }
 
+  test("NULL-shard rows are rejected up front: writeSharded aborts its " +
+    "swap (target untouched), appendSharded refuses before anything " +
+    "lands") {
+    val dir = freshDir()
+    val withNull = laid.unionByName(
+      Seq((9999L, Option.empty[Long], Option.empty[Long], "tx",
+          Option.empty[Int], 9999L))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+          "zvalue"))
+    val e1 = intercept[IllegalArgumentException] {
+      Scan.writeSharded(spark, withNull, dir,
+        statCols = Seq("user_id", "ts_us"))
+    }
+    assert(e1.getMessage.contains("NULL shard"))
+    // the swap aborted: no table published
+    assert(!new java.io.File(dir).exists())
+    publish(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Scan.appendSharded(spark,
+        Seq((9999L, Option.empty[Long], 1L, "tx", Option.empty[Int],
+            9999L))
+          .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+            "zvalue"),
+        dir, "event_id")
+    }
+    assert(e2.getMessage.contains("NULL shard"))
+    // nothing landed, manifests untouched
+    assert(spark.read.parquet(dir).count() === 1000L)
+    assert(Scan.statsManifest(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head()
+      .getLong(0) === 1000L)
+  }
+
   test("refreshManifests heals a missing sidecar (the recovery window) " +
     "without changing coverage") {
     val dir = freshDir()
