@@ -189,7 +189,9 @@ class ScanSpec extends SparkSpec {
       (i, u, (u * 31 + i) % 5000, s"t${i % 4}", (i % 7).toInt, i)
     }.toDF("event_id", "user_id", "ts_us", "event_type", "shard",
       "zvalue")
-    Scan.writeSharded(spark, rnd, dir, Seq("user_id", "ts_us"),
+    // THREE stats columns: conjunctive pruning must compose across any
+    // number of manifest dimensions (the N-dim table shape)
+    Scan.writeSharded(spark, rnd, dir, Seq("user_id", "ts_us", "zvalue"),
       sortCol = Some("zvalue"), bloomKeyCol = Some("user_id"))
     def full = spark.read.parquet(dir)
     def check(lo: Long, hi: Long, tlo: Long, thi: Long): Unit = {
@@ -206,6 +208,16 @@ class ScanSpec extends SparkSpec {
       val tlo = (s * 104729L) % 4500
       check(lo, lo + (s * 131L) % 300, tlo, tlo + (s * 37L) % 800)
     }
+    // a 3-range conjunction over all manifest dimensions
+    val got3 = Scan.readPrunedByRange(spark, dir,
+        Seq(("user_id", 100L, 600L), ("ts_us", 500L, 3000L),
+          ("zvalue", 200L, 1500L)))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want3 = full.filter(col("user_id").between(100L, 600L) &&
+        col("ts_us").between(500L, 3000L) &&
+        col("zvalue").between(200L, 1500L))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got3 === want3 && got3.nonEmpty)
     // bloom equality: present and absent keys both match the full scan
     for (k <- Seq(0L, 13L, 333L, 996L, 123456L)) {
       assert(Scan.readPrunedByKey(spark, dir, "user_id", k).count() ===
