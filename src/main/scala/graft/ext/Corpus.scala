@@ -2048,13 +2048,53 @@ object Corpus {
       bits: Int = 16, nShards: Int = 64,
       keepCols: Seq[String] = Nil): DataFrame = {
     require(dimCols.nonEmpty, "need at least one dimension")
-    val aggs = dimCols.flatMap { c =>
+    // STRING dimensions ride the curve through a dictionary-rank
+    // embedding (see [[stringDimDict]]) — real curation tables cluster
+    // on categorical text (source, language, domain), and Delta's
+    // OPTIMIZE ZORDER BY takes string columns the same way. Numeric
+    // dims keep the direct long cast.
+    val strDims = dimCols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val dicts = strDims.map(c => c -> stringDimDict(df, c)).toMap
+    val numDims = dimCols.filterNot(dicts.contains)
+    val numAggs = numDims.flatMap { c =>
       Seq(min(col(c).cast("long")).as(s"_min_$c"),
         max(col(c).cast("long")).as(s"_max_$c"))
     }
-    val bounds = df.agg(aggs.head, aggs.tail: _*)
-    zorderLayoutAgainstN(df, bounds, idCol, dimCols, bits, nShards, keepCols)
+    // dict dims' bounds come from the dict itself (rank 0..n−1) — tiny
+    // aggregates cross-joined onto the 1-row numeric bounds frame
+    val numBounds =
+      if (numAggs.nonEmpty) df.agg(numAggs.head, numAggs.tail: _*)
+      else df.sparkSession.range(1).select()
+    val bounds = dicts.foldLeft(numBounds) { case (b, (c, dict)) =>
+      b.crossJoin(broadcast(dict.agg(
+        min(col("rank")).as(s"_min_$c"), max(col("rank")).as(s"_max_$c"))))
+    }
+    zorderLayoutAgainstN(df, bounds, idCol, dimCols, bits, nShards,
+      keepCols, dicts)
   }
+
+  /** Dictionary for a STRING z-order dimension: the column's distinct
+    * non-NULL values dense-ranked `0..n−1` in binary (UTF8) order — the
+    * order-preserving long embedding that lets a lexicographic dimension
+    * ride the Morton curve, and the frozen mapping an append path reuses
+    * so batch and corpus shard spaces agree
+    * ([[zorderLayoutAgainstN]]'s `dicts`). Output: `value`, `rank`.
+    *
+    * Scale shape: rows out = NDV — a dictionary dimension is a
+    * CATEGORICAL column (source, language, domain: NDV in the
+    * hundreds), so the dict broadcasts; the ranking itself is one range
+    * exchange over the DISTINCT values ([[Ranks.byValue]]), never a
+    * single-task global sort.
+    */
+  def stringDimDict(df: DataFrame, c: String): DataFrame =
+    Ranks.byValue(
+      df.select(col(c).cast("string").as("_v"))
+        .filter(col("_v").isNotNull).distinct()
+        .withColumn("_g", lit(1)),
+      "_g",
+      r => r.select(col("_v").as("value"),
+        (col("_rn") - 1).cast("long").as("rank")))
 
   /** [[zorderLayoutN]] against a FROZEN bounds row of `_min_<dim>` /
     * `_max_<dim>` longs — the at-ingest form (see [[zorderLayoutAgainst]]
@@ -2063,13 +2103,26 @@ object Corpus {
     * A bounds row whose span wraps the signed-long range (`max − min`
     * negative — only possible when a dimension covers more than half the
     * long domain) fails fast with `raise_error` rather than silently
-    * diverging between engines on the wrapped arithmetic.
+    * diverging between engines on the wrapped arithmetic; a dimension
+    * whose bounds are NULL (all-NULL column) propagates NULL cells to a
+    * NULL shard instead — the NULL-dimension contract, not an error.
+    *
+    * `dicts` maps STRING dimensions to their frozen value→rank
+    * dictionaries ([[stringDimDict]]): the dim's value column is
+    * broadcast-joined to its rank before entering the curve, and a value
+    * ABSENT from the dictionary (a new category arriving after the frame
+    * froze) gets a NULL rank → NULL shard — the same unroutable-row
+    * contract as a NULL dimension, and the honest answer: a frozen
+    * lexicographic frame has no position for an unseen string.
     */
   def zorderLayoutAgainstN(df: DataFrame, bounds: DataFrame, idCol: String,
       dimCols: Seq[String], bits: Int = 16, nShards: Int = 64,
-      keepCols: Seq[String] = Nil): DataFrame = {
+      keepCols: Seq[String] = Nil,
+      dicts: Map[String, DataFrame] = Map.empty): DataFrame = {
     val d = dimCols.length
     require(d >= 1 && dimCols.distinct.length == d, "need distinct dims")
+    require(dicts.keySet.subsetOf(dimCols.toSet),
+      "dicts must name z-order dimensions")
     require(bits >= 1 && d * bits <= 48, "need 1 <= bits and dims*bits <= 48")
     require(nShards >= 1 && nShards <= (1L << (62 - d * bits)),
       s"need 1 <= nShards <= 2^${62 - d * bits} at $d dims x $bits bits")
@@ -2080,10 +2133,16 @@ object Corpus {
       // clamp into the frozen frame; when/otherwise (NOT least/greatest,
       // which SKIP nulls) so a NULL dimension stays NULL
       val v = when(v0 < lo, lo).when(v0 > hi, hi).otherwise(v0)
-      // a wrapped span (hi − lo negative despite hi ≥ lo) means the
+      // NULL bounds (an all-NULL dimension aggregates to NULL min/max)
+      // propagate a NULL cell — the documented NULL-dimension contract
+      // (NULL shard, caller routes) — BEFORE the wrap check, which would
+      // otherwise read `hi - lo >= 0` as NULL and misfire the
+      // wrapped-span error on a frame that never wrapped.
+      // A wrapped span (hi − lo negative despite hi ≥ lo) means the
       // dimension covers more than the signed-long range — fail fast,
       // an engine with checked BIGINT arithmetic would raise here
-      val range = when(hi - lo >= 0, hi - lo)
+      val range = when(lo.isNull || hi.isNull, lit(null).cast("long"))
+        .when(hi - lo >= 0, hi - lo)
         .otherwise(raise_error(concat(lit("zorder bounds span wrapped ("),
           lo.cast("string"), lit(" .. "), hi.cast("string"),
           lit(") — dimension spans more than the signed-long range")))
@@ -2092,8 +2151,14 @@ object Corpus {
         intDiv((v - lo) * ((1L << bits) - 1), greatest(range, lit(1L))))
         .otherwise(intDiv(v - lo, shiftright(range, bits) + 1L))
     }
+    val mapped = dicts.foldLeft(df) { case (acc, (c, dict)) =>
+      acc.join(broadcast(dict.select(col("value").as(c),
+        col("rank").as(s"_zdict_$c"))), Seq(c), "left")
+    }
+    def dimVal(c: String): Column =
+      if (dicts.contains(c)) col(s"_zdict_$c") else col(c).cast("long")
     val cells = dimCols.map { c =>
-      cell(col(c).cast("long"), col(s"_min_$c"), col(s"_max_$c"))
+      cell(dimVal(c), col(s"_min_$c"), col(s"_max_$c"))
         .as(s"cell_$c")
     }
     val zvalue = (0 until bits).flatMap { i =>
@@ -2105,7 +2170,7 @@ object Corpus {
     // keepCols ride along so a consumer (stats manifest, bloom index,
     // the layout write itself) never re-joins the corpus onto its own
     // annotations by id — at scale that self-join is a full exchange
-    df.crossJoin(broadcast(bounds))
+    mapped.crossJoin(broadcast(bounds))
       .select((col(idCol) +: keepCols.map(col)) ++ cells: _*)
       .withColumn("zvalue", zvalue)
       .withColumn("shard", shiftright(col("zvalue") * nShards, d * bits)
@@ -2234,8 +2299,12 @@ object Corpus {
   def bloomBitsTable(df: DataFrame, shardCol: String, keyCol: String,
       m: Int = 4096, k: Int = 3): DataFrame = {
     require(m > 0 && k >= 1 && k <= 4, "need m > 0 and 1 <= k <= 4")
+    // keys hash NATIVE-typed through bloomPositions' string form —
+    // integral keys give the same digits they always did, and string
+    // keys (language, source — the predicates real curation scans
+    // carry) hash directly instead of casting to a NULL long
     val keys = df.select(col(shardCol).as("shard"),
-      col(keyCol).cast("long").as("_k")).distinct()
+      col(keyCol).as("_k")).distinct()
     // ONE shard-keyed aggregate builds the whole manifest row:
     // collect_set dedups positions inside the aggregate (map-side
     // partials included) and countDistinct recovers n_keys from the

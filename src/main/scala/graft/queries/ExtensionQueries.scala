@@ -61,12 +61,44 @@ object ExtensionQueries {
       .drop("cell_x", "cell_y")
     graft.util.Scan.writeSharded(s, laid, table,
       statCols = Seq("user_id", "ts_us"), sortCol = Some("zvalue"),
-      bloomKeyCol = Some("user_id"))
+      bloomKeyCol = Some("user_id"), zTotalBits = Some(32),
+      nShards = Some(64))
     val b = e.agg(min(col("user_id")), max(col("user_id")),
       min(col("ts_us")), max(col("ts_us"))).head()
     def mid(lo: Long, hi: Long): (Long, Long) =
       (lo + (hi - lo) * 45 / 100, lo + (hi - lo) * 55 / 100)
     (table, mid(b.getLong(0), b.getLong(1)), mid(b.getLong(2), b.getLong(3)))
+  }
+
+  /** Shared build for x165/x166/x168: publish the documents corpus laid
+    * out on a STRING dimension (`lang`, dictionary-ranked into the curve)
+    * × `n_chars`, with native-typed stats (string min/max envelopes) and
+    * a STRING-keyed bloom sidecar — the predicate surface real curation
+    * scans carry (language/source equality, length ranges). Also returns
+    * the deterministic probe value: the lexicographically-MEDIAN
+    * language (rank ⌊(n−1)/2⌋ of the dict — a dict-NDV-bounded driver
+    * read, the same class as candidate enumeration). Idempotent: every
+    * caller rebuilds the same bytes.
+    */
+  private def StringPrunedTableBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String, suffix: String = ""): (String, String) = {
+    val table =
+      s"target/scan/${new java.io.File(dir).getName}/documents_z$suffix"
+    val d = Tables(s, dir, "documents")
+    val laid = Corpus.zorderLayoutN(d, "doc_id", Seq("lang", "n_chars"),
+      bits = 8, nShards = 32,
+      keepCols = Seq("lang", "source", "n_chars"))
+      .drop("cell_lang", "cell_n_chars")
+    graft.util.Scan.writeSharded(s, laid, table,
+      statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("lang"), bloomM = 1024, bloomK = 3,
+      zTotalBits = Some(16), nShards = Some(32))
+    val dict = Corpus.stringDimDict(d, "lang")
+    val medianLang = dict
+      .join(dict.agg(((max(col("rank")) + 0L) / 2).cast("long")
+        .as("rank")), Seq("rank"))
+      .head().getAs[String]("value")
+    (table, medianLang)
   }
 
   val all: Map[String, Q] = Map(
@@ -1762,6 +1794,124 @@ object ExtensionQueries {
         .orderBy("probe_key")
     }),
 
+    // STRING z-order dimension: a lexicographic column rides the Morton
+    // curve through its dictionary-rank embedding (distinct values
+    // dense-ranked 0..n−1 — Delta's OPTIMIZE ZORDER BY over string
+    // columns), interleaved with a numeric dim; per-row cells/curve
+    // position/shard pinned against the oracle's dense_rank mirror
+    "x164_zorder_string_dim" -> ((s, dir) => {
+      Corpus.zorderLayoutN(Tables(s, dir, "documents"), "doc_id",
+        Seq("lang", "n_chars"), bits = 8, nShards = 32)
+        .orderBy("doc_id")
+    }),
+
+    // STRING-predicated pruned read — the gap a real user hits first
+    // (curation predicates are `lang = …`, `source = …`; even the
+    // reference's analytic surface filters on a string type label): the
+    // stats manifest's min/max envelopes are NATIVE-typed, so a string
+    // equality routes candidate enumeration directly as the degenerate
+    // range [v, v]; hash-equal to the full-scan oracle with the
+    // candidate counts riding in the output
+    "x165_pruned_scan_string" -> ((s, dir) => {
+      val (table, v) = StringPrunedTableBuild(s, dir)
+      val ranges: Seq[(String, Any, Any)] = Seq(("lang", v, v))
+      val cands = graft.util.Scan.candidateShardsByStats(
+        graft.util.Scan.statsManifest(s, table), ranges)
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPrunedByRange(s, table, ranges)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("lang_val", lit(v))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("source")
+    }),
+
+    // COMBINED-predicate pruned read — the shape real scans have
+    // (`key = X AND col BETWEEN lo AND hi`): the bloom sidecar's
+    // string-keyed maybe-set INTERSECTED with the stats envelopes'
+    // range candidates; both sidecars' counts and the intersection ride
+    // in the hashed output, so the conjunction's extra skip is itself
+    // under hash check
+    "x166_pruned_combined" -> ((s, dir) => {
+      val (table, v) = StringPrunedTableBuild(s, dir)
+      val d = Tables(s, dir, "documents")
+      val b = d.agg(min(col("n_chars")), max(col("n_chars"))).head()
+      val (cmin, cmax) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (cmin + (cmax - cmin) * 30 / 100,
+        cmin + (cmax - cmin) * 70 / 100)
+      val ranges: Seq[(String, Any, Any)] = Seq(("n_chars", lo, hi))
+      val statsCands = graft.util.Scan.candidateShardsByStats(
+        graft.util.Scan.statsManifest(s, table), ranges)
+      val keyCands = graft.util.Scan.candidateShardsByKeys(
+        graft.util.Scan.bloomManifest(s, table), Seq(v))
+      graft.util.Scan.readPruned(s, table, ranges, keys = Seq(v))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"),
+          sum("n_chars").as("sum_chars"))
+        .withColumn("lang_val", lit(v))
+        .withColumn("n_stats_cands", lit(statsCands.size.toLong))
+        .withColumn("n_key_cands", lit(keyCands.size.toLong))
+        .withColumn("n_candidate_shards",
+          lit(statsCands.intersect(keyCands).size.toLong))
+        .orderBy("lang_val")
+    }),
+
+    // the DW fact published through writeSharded and a DAX family
+    // answered OFF THE SHARDED FACT through a pruned read: the
+    // reference's measures are string-predicated (`LB_type =
+    // "earthquake"` — DAX Measures Used.txt:8-11), so the type label is
+    // a dictionary z-order dim with a string-keyed bloom, and the
+    // eq-stats measure (Q2-Q4 shape) reads only the bloom-maybe shards;
+    // hash-equal to the full-scan oracle, candidate count under hash
+    "x167_dax_sharded_fact" -> ((s, dir) => {
+      val table =
+        s"target/scan/${new java.io.File(dir).getName}/events_fact_z"
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val laid = Corpus.zorderLayoutN(e, "event_id",
+        Seq("event_type", "ts_us"), bits = 8, nShards = 32,
+        keepCols = Seq("event_type", "ts_us", "value"))
+        .drop("cell_event_type", "cell_ts_us")
+      graft.util.Scan.writeSharded(s, laid, table,
+        statCols = Seq("event_type", "ts_us"), sortCol = Some("zvalue"),
+        bloomKeyCol = Some("event_type"), bloomM = 1024, bloomK = 3,
+        zTotalBits = Some(16), nShards = Some(32))
+      val t = e.agg(min(col("event_type"))).head().getString(0)
+      val cands = graft.util.Scan.candidateShardsByKeys(
+        graft.util.Scan.bloomManifest(s, table), Seq(t))
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPrunedByKey(s, table, "event_type", t)
+        .agg(graft.util.Exact.davg(col("value")).as("avg_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n_events"))
+        .withColumn("lb_type", lit(t))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("lb_type")
+    }),
+
+    // SHARD-COUNT EVOLUTION under a pruned read: the published table
+    // re-laid-out to a different nShards from its PERSISTED curve
+    // positions (zvalue · newN >> z_total_bits — the meta sidecar
+    // carries the shift), manifests rebuilt in the same atomic swap;
+    // the same string-predicated scan stays hash-equal (transparency
+    // across the re-shard), with the NEW candidate counts under hash
+    "x168_pruned_after_reshard" -> ((s, dir) => {
+      val (table, v) = StringPrunedTableBuild(s, dir, suffix = "_r")
+      graft.util.Compaction.reshardSharded(s, table, newNShards = 8)
+      val ranges: Seq[(String, Any, Any)] = Seq(("lang", v, v))
+      val cands = graft.util.Scan.candidateShardsByStats(
+        graft.util.Scan.statsManifest(s, table), ranges)
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPrunedByRange(s, table, ranges)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("lang_val", lit(v))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("source")
+    }),
+
     // FLAGSHIP tokenizer-aware layout: BPE-apply the trained merges (x148)
     // and pack training sequences by the TRUE subword counts (x51's
     // concat-then-chunk offsets) — the layout a loader actually consumes
@@ -3040,6 +3190,169 @@ object ExtensionQueries {
        |SELECT pk.probe_key, agg.n_events, agg.sum_eid,
        |  cand.n_cand AS n_candidate_shards
        |FROM pk, agg, cand ORDER BY probe_key""".stripMargin
+  }
+
+  /** Shared CTE body for a STRING-dim z-order layout (x164–x168): dict =
+    * the string column's distinct values dense-ranked 0..n−1 (the
+    * [[graft.ext.Corpus.stringDimDict]] embedding), per-row cells over
+    * (rank, numeric dim), interleave with the string dim at bit 2i and
+    * the numeric at 2i+1 (dimCols order), ending in
+    * `z(<id>, cell_a, cell_b, zvalue)` with `s`/`b`/`dict` in scope. */
+  private def stringZorderCtes(bits: Int, table: String, idCol: String,
+      strCol: String, numExpr: String): String = {
+    val terms = (0 until bits).map { i =>
+      s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    def cellSql(v0: String, lo: String, hi: String): String =
+      zorderCellSql(bits)(v0, lo, hi)
+    s"""dict AS (SELECT v, CAST(dense_rank() OVER (ORDER BY v) - 1
+       |           AS BIGINT) AS r
+       |         FROM (SELECT DISTINCT $strCol AS v FROM $table
+       |               WHERE $strCol IS NOT NULL)),
+       |s AS (SELECT $idCol, dict.r AS x, $numExpr AS y
+       |      FROM $table LEFT JOIN dict ON $table.$strCol = dict.v),
+       |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |             min(y) AS ymin, max(y) AS ymax FROM s),
+       |c AS (SELECT $idCol,
+       |        ${cellSql("x", "xmin", "xmax")} AS cx,
+       |        ${cellSql("y", "ymin", "ymax")} AS cy
+       |      FROM s, b),
+       |z AS (SELECT $idCol, cx, cy, $terms AS zvalue FROM c)""".stripMargin
+  }
+
+  /** DuckDB mirror of x164 — the string-dim layout row by row. */
+  private def stringZorderSql(bits: Int, nShards: Int): String =
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")}
+       |SELECT doc_id, cx AS cell_lang, cy AS cell_n_chars, zvalue,
+       |  ${zorderShardSql(bits, nShards)} AS shard
+       |FROM z ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of x165/x168 — the string-predicated pruned read:
+    * probe value = the lexicographically-median language (dict rank
+    * ⌊max/2⌋); candidate shards from the same NATIVE string min/max
+    * envelopes; aggregate over the FULL table at `lang = v` — hash
+    * equality proves the string-routed prune lost nothing. `nShards`
+    * varies between the two (x168 re-shards to 8 from the same curve
+    * positions — transparency across the re-shard is exactly this SQL
+    * with a different shard divisor). */
+  private def stringPrunedScanSql(bits: Int, nShards: Int): String =
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |man AS (SELECT shard, min(lang) AS lmin, max(lang) AS lmax
+       |        FROM j GROUP BY shard),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict)),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM man, mv
+       |         WHERE lmin <= v AND lmax >= v),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM man)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  mv.v AS lang_val, cand.n_cand AS n_candidate_shards,
+       |  tot.n_tot AS n_total_shards
+       |FROM j, mv, cand, tot
+       |WHERE lang = mv.v
+       |GROUP BY source, mv.v, cand.n_cand, tot.n_tot
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of x166 — the combined-predicate pruned read: stats
+    * candidates for the n_chars range, string-bloom candidates for the
+    * median language, their intersection, and the full-table aggregate
+    * under the conjunction. */
+  private def stringPrunedCombinedSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |man AS (SELECT shard, min(n_chars) AS nmin, max(n_chars) AS nmax
+       |        FROM j GROUP BY shard),
+       |keys AS (SELECT DISTINCT shard, lang AS kk FROM j
+       |         WHERE lang IS NOT NULL),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' || kk),
+       |            1 + 8 * j2, 8)) AS BIGINT) % $m AS p
+       |        FROM keys, unnest([$hashes]) AS u(j2)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard),
+       |nb AS (SELECT min(n_chars) AS cmin, max(n_chars) AS cmax
+       |       FROM documents),
+       |pb AS (SELECT cmin + (cmax - cmin) * 30 // 100 AS lo,
+       |              cmin + (cmax - cmin) * 70 // 100 AS hi FROM nb),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict)),
+       |ppos AS (SELECT list_transform([$hashes],
+       |           j2 -> CAST(concat('0x', substr(md5('bloom|' || v),
+       |             1 + 8 * j2, 8)) AS BIGINT) % $m) AS pp
+       |         FROM mv),
+       |sc AS (SELECT coalesce(list(shard), []) AS ss FROM man, pb
+       |       WHERE nmin <= hi AND nmax >= lo),
+       |kc AS (SELECT coalesce(list(shard), []) AS ks FROM bl, ppos
+       |       WHERE len(list_filter(pp,
+       |         q -> NOT list_contains(bits, q))) = 0),
+       |counts AS (SELECT CAST(len(ss) AS BIGINT) AS n_stats,
+       |             CAST(len(ks) AS BIGINT) AS n_keyc,
+       |             CAST(len(list_intersect(ss, ks)) AS BIGINT) AS n_both
+       |           FROM sc, kc),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |        FROM documents, pb, mv
+       |        WHERE n_chars BETWEEN lo AND hi AND lang = mv.v)
+       |SELECT agg.n_docs, agg.sum_id, agg.sum_chars, mv.v AS lang_val,
+       |  counts.n_stats AS n_stats_cands, counts.n_keyc AS n_key_cands,
+       |  counts.n_both AS n_candidate_shards
+       |FROM agg, mv, counts ORDER BY lang_val""".stripMargin
+  }
+
+  /** DuckDB mirror of x167 — the DAX eq-stats measure answered off the
+    * sharded fact through a string-keyed bloom-pruned read: probe type =
+    * min(event_type) (the dax_eq_stats convention), candidate count from
+    * the same bloom arithmetic, aggregate over the full fact at
+    * `event_type = t`. */
+  private def daxShardedFactSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ${stringZorderCtes(bits, "events", "event_id", "event_type",
+        "epoch_us(ts)")},
+       |zs AS (SELECT event_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, e.event_type
+       |      FROM zs JOIN events e USING (event_id)),
+       |keys AS (SELECT DISTINCT shard, event_type AS kk FROM j
+       |         WHERE event_type IS NOT NULL),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' || kk),
+       |            1 + 8 * j2, 8)) AS BIGINT) % $m AS p
+       |        FROM keys, unnest([$hashes]) AS u(j2)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard),
+       |pk AS (SELECT min(event_type) AS t FROM events),
+       |ppos AS (SELECT list_transform([$hashes],
+       |           j2 -> CAST(concat('0x', substr(md5('bloom|' || t),
+       |             1 + 8 * j2, 8)) AS BIGINT) % $m) AS pp
+       |         FROM pk),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand
+       |         FROM bl, ppos
+       |         WHERE len(list_filter(pp,
+       |           q -> NOT list_contains(bits, q))) = 0),
+       |tot AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_tot
+       |        FROM zs),
+       |agg AS (SELECT ${graft.util.Exact.davgSql("value")} AS avg_value,
+       |          max(value) AS max_value,
+       |          CAST(count(*) AS BIGINT) AS n_events
+       |        FROM events, pk WHERE event_type = pk.t)
+       |SELECT agg.avg_value, agg.max_value, agg.n_events,
+       |  pk.t AS lb_type, cand.n_cand AS n_candidate_shards,
+       |  tot.n_tot AS n_total_shards
+       |FROM agg, pk, cand, tot ORDER BY lb_type""".stripMargin
   }
 
   /** DuckDB mirror of x157 — the per-shard bloom index manifest. */
@@ -5035,6 +5348,11 @@ object ExtensionQueries {
       zorder3dSql(16, 64, boundsFrom = "sb3", assign = "sa3"),
     "x161_pruned_scan" -> prunedScanSql(16, 64),
     "x162_pruned_point" -> prunedPointSql(16, 64, 4096, 3),
+    "x164_zorder_string_dim" -> stringZorderSql(8, 32),
+    "x165_pruned_scan_string" -> stringPrunedScanSql(8, 32),
+    "x166_pruned_combined" -> stringPrunedCombinedSql(8, 32, 1024, 3),
+    "x167_dax_sharded_fact" -> daxShardedFactSql(8, 32, 1024, 3),
+    "x168_pruned_after_reshard" -> stringPrunedScanSql(8, 8),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),

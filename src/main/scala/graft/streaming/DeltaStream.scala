@@ -1176,13 +1176,33 @@ object DeltaStream {
     * mount); a separate compaction daemon would race the appender's
     * directory swap. The compact also restores exact per-shard NDV
     * after the append folds' upper-bound drift.
+    *
+    * `maxStaleFraction > 0` arms the LOOSENESS-triggered leg of the same
+    * maintenance: when any shard's `_stale_rows / n_rows` (the fraction
+    * of rows that entered through additive manifest folds since the
+    * stats were last exact — [[graft.util.Scan.manifestStaleness]], a
+    * driver-side read of the shards-sized manifest) exceeds the
+    * threshold, the compact runs even if no shard breached the file
+    * count — manifests are refreshed because they are LOOSE, not merely
+    * because files accumulated (the x123 drift pattern, third use).
+    *
+    * Poison events: a row whose dimension columns are NULL (the JSON
+    * schema nulls absent fields) is UNROUTABLE — the int-keyed manifests
+    * cannot name its shard, and `appendSharded` rejects it. Passing it
+    * through would fail the micro-batch and checkpoint replay would
+    * re-fail it forever — one malformed event wedging the stream. The
+    * mount therefore QUARANTINES NULL-shard rows to a side table
+    * (`<tableDir>_quarantine`, plain parquet appends with the batch id)
+    * before the append — the explicit routing the layout contract
+    * demands, done once here for every caller.
     */
   def startZorderTableMaintained(spark: SparkSession, eventsDir: String,
       corpusEvents: DataFrame, tableDir: String, boundsDir: String,
       checkpointDir: String, idCol: String = "event_id",
       xCol: String = "user_id", yCol: String = "ts_us",
       bits: Int = 16, nShards: Int = 64,
-      maxFilesPerShard: Int = 0): StreamingQuery = {
+      maxFilesPerShard: Int = 0,
+      maxStaleFraction: Double = 0.0): StreamingQuery = {
     import graft.ext.Corpus
     import graft.util.Scan
     val schema = new org.apache.spark.sql.types.StructType()
@@ -1197,21 +1217,28 @@ object DeltaStream {
           max(col(yCol).cast("long")).as("_ymax"))
         .write.mode("overwrite").parquet(boundsDir)
     }
+    val quarantineDir = s"${tableDir}_quarantine"
     seedOnce(tableDir) {
       val laid = Corpus.zorderLayoutAgainst(corpusEvents,
           spark.read.parquet(boundsDir), idCol, xCol, yCol, bits,
           nShards, keepCols = Seq(xCol, yCol))
         .drop("cell_x", "cell_y")
-      Scan.writeSharded(spark, laid, tableDir,
-        statCols = Seq(xCol, yCol), sortCol = Some("zvalue"),
-        bloomKeyCol = Some(xCol))
+      // seed rows with NULL dims are unroutable too — same quarantine
+      val bad = laid.filter(col("shard").isNull)
+      if (!bad.isEmpty)
+        bad.withColumn("_batch_id", lit(-1L))
+          .write.mode("overwrite").parquet(s"$quarantineDir/seed")
+      Scan.writeSharded(spark, laid.filter(col("shard").isNotNull),
+        tableDir, statCols = Seq(xCol, yCol), sortCol = Some("zvalue"),
+        bloomKeyCol = Some(xCol), zTotalBits = Some(2 * bits),
+        nShards = Some(nShards))
     }
     // no per-batch output dirs to guard (the table is the sink): a
     // checkpoint reset replays batches INTO the surviving table, and
     // appendSharded's id probe makes that converge instead of duplicate
     spark.readStream.schema(schema).json(eventsDir).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val laid = Corpus.zorderLayoutAgainst(
@@ -1219,20 +1246,37 @@ object DeltaStream {
               idCol, xCol, yCol, bits, nShards,
               keepCols = Seq(xCol, yCol))
             .drop("cell_x", "cell_y")
-          Scan.appendSharded(s, laid, tableDir, idCol)
-          if (maxFilesPerShard > 0) {
+            .persist()
+          try {
+            // quarantine BEFORE the append: one NULL-dim event must
+            // never wedge the checkpoint (appendSharded throws on NULL
+            // shards by contract — the caller routes unroutables, and
+            // this mount IS that caller). Idempotent under replay: the
+            // quarantine is keyed by batch id, so a replayed batch
+            // overwrites its own rejects rather than duplicating them.
+            val bad = laid.filter(col("shard").isNull)
+            if (!bad.isEmpty)
+              bad.withColumn("_batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .parquet(s"$quarantineDir/batch-$batchId")
+            Scan.appendSharded(s, laid.filter(col("shard").isNotNull),
+              tableDir, idCol)
+          } finally laid.unpersist()
+          val fileCountBreach = maxFilesPerShard > 0 && {
             val p = new Path(tableDir)
             val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            val over = fs.listStatus(p).exists(d =>
+            fs.listStatus(p).exists(d =>
               d.isDirectory && d.getPath.getName.startsWith("shard=") &&
                 fs.listStatus(d.getPath).count(f => f.isFile &&
                   !f.getPath.getName.startsWith("_") &&
                   !f.getPath.getName.startsWith(".")) > maxFilesPerShard)
-            if (over) {
-              graft.util.Compaction.compactSharded(s, tableDir,
-                sortCol = Some("zvalue"))
-              ()
-            }
+          }
+          val stalenessBreach = maxStaleFraction > 0 &&
+            Scan.manifestStaleness(s, tableDir) > maxStaleFraction
+          if (fileCountBreach || stalenessBreach) {
+            graft.util.Compaction.compactSharded(s, tableDir,
+              sortCol = Some("zvalue"))
+            ()
           }
         }
       }

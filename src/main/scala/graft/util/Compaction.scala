@@ -73,9 +73,16 @@ object Compaction {
     * aggregates — all embarrassingly parallel per shard; the shard count
     * (not the file count) bounds every post-shuffle stage.
     */
+  /** `maxRecordsPerFile > 0` bounds each rewritten shard to a DIRECTORY
+    * of files of at most that many rows instead of exactly one — the
+    * per-shard-bytes safety valve for a growing table whose shard count
+    * is frozen: file sizes stay bounded across any number of appends
+    * even before a re-shard ([[reshardSharded]]) re-lays the table out.
+    */
   def compactSharded(spark: SparkSession, dir: String,
       shardCol: String = "shard",
-      sortCol: Option[String] = None): (Int, Int) = {
+      sortCol: Option[String] = None,
+      maxRecordsPerFile: Long = 0L): (Int, Int) = {
     graft.dw.Merge.recover(spark, dir)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,30 +95,74 @@ object Compaction {
     }
     val nBefore = perShard.sum
     if (!perShard.exists(_ > 1)) return (nBefore, nBefore)
-    val statCols = spark.read.parquet(s"$dir/${Scan.StatsSidecar}")
-      .columns.toSeq.filter(_.endsWith("_min")).map(_.dropRight(4))
-    val bloomCfg =
-      if (!fs.exists(new Path(s"$dir/${Scan.BloomSidecar}"))) None
-      else {
-        val r = spark.read.parquet(s"$dir/${Scan.BloomSidecar}")
-          .select("key_col", "m", "k").limit(1).head()
-        Some((r.getString(0), r.getInt(1), r.getInt(2)))
+    // configuration from the durable meta sidecar when present
+    // (recovery-window tables may hold ONLY meta + data — the heal
+    // path), sidecar sniffing otherwise (pre-meta tables)
+    val meta = Scan.readMeta(spark, dir)
+    val statCols = meta.map(_.statCols).getOrElse(
+      spark.read.parquet(s"$dir/${Scan.StatsSidecar}")
+        .columns.toSeq.filter(_.endsWith("_min")).map(_.dropRight(4)))
+    val bloomCfg = meta.map(m => m.bloomKey.map((_, m.bloomM, m.bloomK)))
+      .getOrElse {
+        if (!fs.exists(new Path(s"$dir/${Scan.BloomSidecar}"))) None
+        else {
+          val r = spark.read.parquet(s"$dir/${Scan.BloomSidecar}")
+            .select("key_col", "m", "k").limit(1).head()
+          Some((r.getString(0), r.getInt(1), r.getInt(2)))
+        }
       }
+    val sort = sortCol.orElse(meta.flatMap(_.sortCol))
     val df = spark.read.parquet(dir)
-    graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
-      val parted = df.repartition(
-        org.apache.spark.sql.functions.col(shardCol))
-      sortCol.fold(parted)(c => parted.sortWithinPartitions(shardCol, c))
-        .write.partitionBy(shardCol).mode("overwrite").parquet(tmp)
-      val back = spark.read.parquet(tmp)
-      graft.ext.Corpus.shardStats(back, shardCol, statCols)
-        .write.mode("overwrite").parquet(s"$tmp/${Scan.StatsSidecar}")
-      bloomCfg.foreach { case (kc, m, k) =>
-        graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
-          .withColumn("key_col", org.apache.spark.sql.functions.lit(kc))
-          .write.mode("overwrite").parquet(s"$tmp/${Scan.BloomSidecar}")
-      }
-    }
+    // one atomic swap republishes data + exact manifests + meta — the
+    // same writeSharded protocol (meta first, append-mode data write),
+    // so compaction preserves the crash-heal property it relies on
+    graft.util.Scan.writeSharded(spark, df, dir, statCols, shardCol,
+      sort, bloomCfg.map(_._1),
+      bloomCfg.map(_._2).getOrElse(4096),
+      bloomCfg.map(_._3).getOrElse(3),
+      meta.flatMap(_.zTotalBits), meta.flatMap(_.nShards),
+      maxRecordsPerFile)
     (nBefore, shardDirs.size)
+  }
+
+  /** SHARD-COUNT EVOLUTION — the re-layout a growing table eventually
+    * needs: `nShards` is frozen at publication and appends preserve it,
+    * so per-shard bytes grow without bound; this re-maps every row's
+    * shard from its PERSISTED curve position (`zvalue * newNShards >>
+    * z_total_bits` — the same interleave arithmetic the layout used, so
+    * curve locality and the per-shard envelope tightness carry over)
+    * and republishes data + rebuilt manifests + updated meta in ONE
+    * atomic swap. Pruned reads are TRANSPARENT across the re-shard (the
+    * manifests describe the new shards; candidates just enumerate
+    * differently — spec-pinned in `CompactionSpec`).
+    *
+    * Requires the table's meta sidecar to carry `z_total_bits`
+    * ([[graft.util.Scan.writeSharded]]'s `zTotalBits` — every layout
+    * publisher in this repo passes it); a table without one predates
+    * the meta protocol and must be re-published through `writeSharded`.
+    *
+    * Scale shape: one full-table shard-keyed exchange + the manifest
+    * aggregates — the same cost as a compaction, run as rarely (when
+    * per-shard bytes breach the target, typically after ~2× growth).
+    */
+  def reshardSharded(spark: SparkSession, dir: String, newNShards: Int,
+      shardCol: String = "shard", zvalueCol: String = "zvalue")
+      : (Int, Int) = {
+    require(newNShards >= 1, "need newNShards >= 1")
+    graft.dw.Merge.recover(spark, dir)
+    val meta = Scan.readMeta(spark, dir).getOrElse(sys.error(
+      s"reshardSharded: $dir has no ${Scan.MetaSidecar} sidecar — " +
+        "re-publish through writeSharded(zTotalBits=…) first"))
+    val shift = meta.zTotalBits.getOrElse(sys.error(
+      s"reshardSharded: $dir's meta lacks z_total_bits — the table " +
+        "was not published from a z-order layout"))
+    val oldN = meta.nShards.getOrElse(-1)
+    import org.apache.spark.sql.functions.{col, shiftright}
+    val relaid = spark.read.parquet(dir).withColumn(shardCol,
+      shiftright(col(zvalueCol) * newNShards, shift).cast("int"))
+    graft.util.Scan.writeSharded(spark, relaid, dir, meta.statCols,
+      shardCol, meta.sortCol.orElse(Some(zvalueCol)), meta.bloomKey,
+      meta.bloomM, meta.bloomK, Some(shift), Some(newNShards))
+    (oldN, newNShards)
   }
 }

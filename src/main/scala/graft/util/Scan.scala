@@ -48,6 +48,64 @@ object Scan {
 
   val StatsSidecar = "_graft_stats"
   val BloomSidecar = "_graft_bloom"
+  val MetaSidecar = "_graft_meta"
+
+  /** The table's durable manifest CONFIGURATION — a 1-row parquet sidecar
+    * recording what the manifests cover (stats columns, bloom key/m/k)
+    * and how the layout maps curve positions to shards (`z_total_bits`,
+    * `n_shards` — what a re-shard needs). Written FIRST inside the swap's
+    * tmp dir, before the data itself: [[graft.dw.Merge.recover]] promotes
+    * a tmp once the DATA write's root `_SUCCESS` exists, so meta-first
+    * ordering guarantees every crash-recovered table still carries its
+    * configuration — [[refreshManifests]] can heal missing stats/bloom
+    * sidecars with no operator-supplied knowledge (the round-14 recovery
+    * gap: a recovered table was only repairable by someone who
+    * independently knew the stats columns).
+    */
+  private[graft] case class TableMeta(statCols: Seq[String],
+      shardCol: String, sortCol: Option[String], bloomKey: Option[String],
+      bloomM: Int, bloomK: Int, zTotalBits: Option[Int],
+      nShards: Option[Int])
+
+  private def writeMeta(spark: SparkSession, tableDir: String,
+      meta: TableMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.statCols, meta.shardCol, meta.sortCol, meta.bloomKey,
+        meta.bloomM, meta.bloomK, meta.zTotalBits, meta.nShards))
+      .toDF("stat_cols", "shard_col", "sort_col", "bloom_key",
+        "bloom_m", "bloom_k", "z_total_bits", "n_shards")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tableDir/$MetaSidecar")
+  }
+
+  private[graft] def readMeta(spark: SparkSession,
+      dir: String): Option[TableMeta] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/$MetaSidecar"))) None
+    else {
+      val r = spark.read.parquet(s"$dir/$MetaSidecar").head()
+      def optInt(c: String) =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Int](c))
+      def optStr(c: String) = Option(r.getAs[String](c))
+      Some(TableMeta(r.getAs[scala.collection.Seq[String]]("stat_cols")
+          .toSeq,
+        r.getAs[String]("shard_col"), optStr("sort_col"),
+        optStr("bloom_key"), r.getAs[Int]("bloom_m"),
+        r.getAs[Int]("bloom_k"), optInt("z_total_bits"),
+        optInt("n_shards")))
+    }
+  }
+
+  /** The table's stats columns — from the meta sidecar when present, by
+    * sniffing the stats manifest's `_min` columns otherwise (pre-meta
+    * tables stay readable). */
+  private[graft] def statColsOf(spark: SparkSession,
+      dir: String): Seq[String] =
+    readMeta(spark, dir).map(_.statCols).getOrElse(
+      spark.read.parquet(s"$dir/$StatsSidecar").columns.toSeq
+        .filter(_.endsWith("_min")).map(_.dropRight(4)))
 
   /** Write `laid` — a frame already carrying `shardCol` (normally a
     * [[graft.ext.Corpus.zorderLayoutN]] assignment with the payload in
@@ -67,12 +125,27 @@ object Scan {
   def writeSharded(spark: SparkSession, laid: DataFrame, dir: String,
       statCols: Seq[String], shardCol: String = "shard",
       sortCol: Option[String] = None, bloomKeyCol: Option[String] = None,
-      bloomM: Int = 4096, bloomK: Int = 3): Unit = {
+      bloomM: Int = 4096, bloomK: Int = 3,
+      zTotalBits: Option[Int] = None, nShards: Option[Int] = None,
+      maxRecordsPerFile: Long = 0L): Unit = {
     require(statCols.nonEmpty, "need at least one stats column")
     graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
+      // meta FIRST: recover promotes on the DATA write's _SUCCESS, so
+      // writing the configuration before the data means every
+      // recoverable state carries it (see [[TableMeta]]); the data write
+      // below uses append mode — tmp is freshly cleared, so the
+      // semantics are identical, but overwrite mode would truncate the
+      // directory and take the meta with it
+      writeMeta(spark, tmp, TableMeta(statCols, shardCol, sortCol,
+        bloomKeyCol, bloomM, bloomK, zTotalBits, nShards))
       val parted = laid.repartition(col(shardCol))
-      sortCol.fold(parted)(c => parted.sortWithinPartitions(shardCol, c))
-        .write.partitionBy(shardCol).mode("overwrite").parquet(tmp)
+      val sorted = sortCol.fold(parted)(c =>
+        parted.sortWithinPartitions(shardCol, c))
+      val writer =
+        if (maxRecordsPerFile > 0)
+          sorted.write.option("maxRecordsPerFile", maxRecordsPerFile)
+        else sorted.write
+      writer.partitionBy(shardCol).mode("append").parquet(tmp)
       // NULL shards (a z-order layout's unroutable NULL-dim rows) land
       // in Hive's default partition — a shard the int-keyed manifests
       // cannot name, so pruned reads would silently never see those
@@ -108,12 +181,23 @@ object Scan {
     *     table) — re-running a crashed append converges instead of
     *     duplicating;
     *  2. MANIFEST FIRST: the stats sidecar is atomically replaced with
-    *     the fold of old rows + batch-side stats (`n_rows` adds,
-    *     min/max folds; `<c>_ndv` becomes the sum — an UPPER BOUND, the
-    *     price of never re-reading untouched data; exact again at the
-    *     next [[refreshManifests]]/`compactSharded`), and the bloom
-    *     sidecar with the bitwise union of old bits + the batch keys'
-    *     bits (`n_keys` likewise an upper bound);
+    *     the fold of old rows + batch-side stats (min/max folds;
+    *     `<c>_ndv` becomes the sum — an UPPER BOUND, the price of never
+    *     re-reading untouched data; exact again at the next
+    *     [[refreshManifests]]/`compactSharded`), and the bloom sidecar
+    *     with the bitwise union of old bits + the batch keys' bits
+    *     (`n_keys` likewise an upper bound). `n_rows` adds too, and
+    *     under CRASH-RETRY it is also an upper bound, same reason as
+    *     ndv: a crash after this fold but before step 3 lands the data
+    *     means the retry's dedup probe sees no landed rows and folds
+    *     the batch's counts a second time — wider-never-narrower is the
+    *     crash-safety invariant for EVERY manifest figure, and the next
+    *     refresh/compact restores exactness. The fold also adds the
+    *     batch rows to `_stale_rows` — the per-shard count of rows that
+    *     entered through additive folds since the last exact manifest,
+    *     the staleness signal a scheduled refresh can trigger on
+    *     (`_stale_rows / n_rows`, see [[graft.streaming.DeltaStream
+    *     .startZorderTableMaintained]]);
     *  3. data lands via a plain partitioned append (Spark's job commit
     *     publishes part files only on success).
     *
@@ -130,8 +214,7 @@ object Scan {
     */
   def appendSharded(spark: SparkSession, laidBatch: DataFrame,
       dir: String, idCol: String, shardCol: String = "shard"): Unit = {
-    val statCols = spark.read.parquet(s"$dir/$StatsSidecar").columns
-      .toSeq.filter(_.endsWith("_min")).map(_.dropRight(4))
+    val statCols = statColsOf(spark, dir)
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val hasBloom = fs.exists(new Path(s"$dir/$BloomSidecar"))
@@ -159,10 +242,16 @@ object Scan {
         val old = spark.read.parquet(s"$dir/$StatsSidecar")
         val bb = batchStats.columns.foldLeft(batchStats)((d, c) =>
           if (c == shardCol) d else d.withColumnRenamed(c, s"_b_$c"))
+        // pre-staleness manifests lack `_stale_rows`; treat as 0
+        val oldStale =
+          if (old.columns.contains("_stale_rows")) col("_stale_rows")
+          else lit(0L)
         val merged = old.join(bb, Seq(shardCol), "full_outer")
           .select(col(shardCol) +:
             (coalesce(col("n_rows"), lit(0L)) +
               coalesce(col("_b_n_rows"), lit(0L))).as("n_rows") +:
+            (coalesce(oldStale, lit(0L)) +
+              coalesce(col("_b_n_rows"), lit(0L))).as("_stale_rows") +:
             statCols.flatMap { c =>
               Seq(
                 least(col(s"${c}_min"), col(s"_b_${c}_min"))
@@ -218,25 +307,29 @@ object Scan {
       statCols: Seq[String] = Nil, shardCol: String = "shard",
       bloomKeyCol: Option[String] = None, bloomM: Int = 4096,
       bloomK: Int = 3): Unit = {
+    val meta = readMeta(spark, dir)
     val sc =
       if (statCols.nonEmpty) statCols
-      else spark.read.parquet(s"$dir/$StatsSidecar").columns.toSeq
-        .filter(_.endsWith("_min")).map(_.dropRight(4))
+      else statColsOf(spark, dir)
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bloomCfg = bloomKeyCol.map((_, bloomM, bloomK)).orElse {
-      if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
-      else {
-        val r = spark.read.parquet(s"$dir/$BloomSidecar")
-          .select("key_col", "m", "k").limit(1).head()
-        Some((r.getString(0), r.getInt(1), r.getInt(2)))
+    val bloomCfg = bloomKeyCol.map((_, bloomM, bloomK))
+      .orElse(meta.flatMap(m =>
+        m.bloomKey.map((_, m.bloomM, m.bloomK))))
+      .orElse {
+        if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
+        else {
+          val r = spark.read.parquet(s"$dir/$BloomSidecar")
+            .select("key_col", "m", "k").limit(1).head()
+          Some((r.getString(0), r.getInt(1), r.getInt(2)))
+        }
       }
-    }
     // each sidecar swaps independently (sidecar paths are `_`-prefixed,
     // so their own __swap_new dirs stay invisible to table readers)
     val back = spark.read.parquet(dir)
     graft.dw.Merge.atomicOverwrite(spark,
-      graft.ext.Corpus.shardStats(back, shardCol, sc),
+      graft.ext.Corpus.shardStats(back, shardCol, sc)
+        .withColumn("_stale_rows", lit(0L)),
       s"$dir/$StatsSidecar")
     bloomCfg.foreach { case (kc, m, k) =>
       graft.dw.Merge.atomicOverwrite(spark,
@@ -250,7 +343,13 @@ object Scan {
       statCols: Seq[String], shardCol: String,
       bloomKeyCol: Option[String], bloomM: Int, bloomK: Int): Unit = {
     val back = spark.read.parquet(tableDir)
+    // `_stale_rows` = rows folded in by [[appendSharded]] since the
+    // stats were last computed EXACTLY from files — the measurable
+    // staleness signal (0 here: this manifest IS exact). NDV looseness
+    // itself is unobservable without re-reading the data; the rows that
+    // entered through additive folds are a free, honest proxy.
     graft.ext.Corpus.shardStats(back, shardCol, statCols)
+      .withColumn("_stale_rows", lit(0L))
       .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
     bloomKeyCol.foreach { kc =>
       graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, bloomM, bloomK)
@@ -267,17 +366,21 @@ object Scan {
 
   /** Candidate shards for a conjunction of closed ranges
     * `col ∈ [lo, hi]`: manifest rows whose `[min, max]` envelope
-    * intersects EVERY range. A shard whose stats column is entirely NULL
-    * has NULL min/max and is excluded — correct, since NULL matches no
-    * range predicate. Driver-side filter-collect over the shards-sized
+    * intersects EVERY range. Bounds are NATIVE-typed (`lit`-embedded, so
+    * a string range compares in Spark's binary UTF8 order — the same
+    * order the residual filter and the manifest's own min/max use; the
+    * reference's analytic predicates are string equalities of exactly
+    * this shape). A shard whose stats column is entirely NULL has NULL
+    * min/max and is excluded — correct, since NULL matches no range
+    * predicate. Driver-side filter-collect over the shards-sized
     * manifest (the scan-planning step, bounded by shard count).
     */
   def candidateShardsByStats(manifest: DataFrame,
-      ranges: Seq[(String, Long, Long)],
+      ranges: Seq[(String, Any, Any)],
       shardCol: String = "shard"): Seq[Int] = {
     require(ranges.nonEmpty, "need at least one range")
     val overlap = ranges.map { case (c, lo, hi) =>
-      col(s"${c}_min") <= hi && col(s"${c}_max") >= lo
+      col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
     }.reduce(_ && _)
     manifest.filter(overlap).select(col(shardCol).cast("int"))
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -289,16 +392,28 @@ object Scan {
     * these bits). Positions are computed with the SAME Catalyst
     * expression that built the index ([[graft.ext.Corpus
     * .bloomPositions]]), so probe and index can never disagree on the
-    * hash family. Driver-side filter-collect over the shards-sized
-    * manifest.
+    * hash family; keys are native-typed (string keys hash their own
+    * bytes, integral keys the digits they always did). Driver-side
+    * filter-collect over the shards-sized manifest.
     */
-  def candidateShardsByKey(bloom: DataFrame, key: Long,
+  def candidateShardsByKey(bloom: DataFrame, key: Any,
+      shardCol: String = "shard"): Seq[Int] =
+    candidateShardsByKeys(bloom, Seq(key), shardCol)
+
+  /** Candidate shards for an IN-list `keyCol IN (keys…)`: the UNION of
+    * each key's bloom-maybe shards, computed in ONE pass over the
+    * shards-sized manifest (the coverage disjunction grows with the
+    * IN-list, the scan does not). */
+  def candidateShardsByKeys(bloom: DataFrame, keys: Seq[Any],
       shardCol: String = "shard"): Seq[Int] = {
+    require(keys.nonEmpty, "need at least one key")
     val cfg = bloom.select("m", "k").limit(1).head()
-    val pp = graft.ext.Corpus.bloomPositions(lit(key), cfg.getInt(0),
-      cfg.getInt(1))
-    bloom.filter(size(array_except(pp, col("_bits"))) === 0)
-      .select(col(shardCol).cast("int"))
+    val (m, k) = (cfg.getInt(0), cfg.getInt(1))
+    val covered = keys.map { key =>
+      size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m, k),
+        col("_bits"))) === 0
+    }.reduce(_ || _)
+    bloom.filter(covered).select(col(shardCol).cast("int"))
       .collect().map(_.getInt(0)).toSeq.sorted
   }
 
@@ -332,12 +447,12 @@ object Scan {
     * candidate shards alone.
     */
   def readPrunedByRange(spark: SparkSession, dir: String,
-      ranges: Seq[(String, Long, Long)],
+      ranges: Seq[(String, Any, Any)],
       shardCol: String = "shard"): DataFrame = {
     val cands = candidateShardsByStats(statsManifest(spark, dir), ranges,
       shardCol)
     val residual = ranges.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi
+      col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     readShards(spark, dir, cands, shardCol).filter(residual)
   }
@@ -348,9 +463,76 @@ object Scan {
     * bloom says maybe (false-positive shards cost I/O, never rows).
     */
   def readPrunedByKey(spark: SparkSession, dir: String, keyCol: String,
-      key: Long, shardCol: String = "shard"): DataFrame = {
+      key: Any, shardCol: String = "shard"): DataFrame = {
     val cands = candidateShardsByKey(bloomManifest(spark, dir), key,
       shardCol)
-    readShards(spark, dir, cands, shardCol).filter(col(keyCol) === key)
+    readShards(spark, dir, cands, shardCol)
+      .filter(col(keyCol) === lit(key))
+  }
+
+  /** COMBINED-predicate pruned read — the shape real scans have
+    * (`key = X AND ts BETWEEN lo AND hi`, or `key IN (…) AND …`): both
+    * sidecars are consulted and their candidate sets INTERSECTED — a
+    * shard must be range-possible under the stats envelope AND
+    * bloom-maybe for at least one key to be read at all; each sidecar
+    * alone over-approximates, so the intersection still never loses a
+    * row (transparency is per-sidecar, conjunction only removes shards
+    * BOTH sides already ruled in). `keys` probe the table's bloom key
+    * column (recovered from the sidecar — the index knows what it
+    * indexes); multiple keys are the IN-list union
+    * ([[candidateShardsByKeys]]). The residual conjunction then runs on
+    * the rows read — row-identical to a full scan with the same
+    * predicate.
+    */
+  def readPruned(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Any, Any)] = Nil,
+      keys: Seq[Any] = Nil, shardCol: String = "shard"): DataFrame = {
+    require(ranges.nonEmpty || keys.nonEmpty,
+      "need at least one predicate (ranges and/or keys)")
+    val byStats =
+      if (ranges.isEmpty) None
+      else Some(candidateShardsByStats(statsManifest(spark, dir), ranges,
+        shardCol))
+    val keyed =
+      if (keys.isEmpty) None
+      else {
+        val bloom = bloomManifest(spark, dir)
+        val kc = bloom.select("key_col").limit(1).head().getString(0)
+        Some((kc, candidateShardsByKeys(bloom, keys, shardCol)))
+      }
+    val cands = (byStats, keyed.map(_._2)) match {
+      case (Some(a), Some(b)) => a.intersect(b)
+      case (Some(a), None)    => a
+      case (None, b)          => b.getOrElse(Nil)
+    }
+    val residual = (ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ keyed.map { case (kc, _) =>
+      if (keys.size == 1) col(kc) === lit(keys.head)
+      else col(kc).isin(keys: _*)
+    }).reduce(_ && _)
+    readShards(spark, dir, cands, shardCol).filter(residual)
+  }
+
+  /** The table's measured manifest STALENESS: the largest per-shard
+    * fraction of rows that entered through [[appendSharded]]'s additive
+    * folds since the stats were last exact (`_stale_rows / n_rows`).
+    * 0 right after [[writeSharded]]/[[refreshManifests]]/
+    * `compactSharded`; grows toward 1 on an append-only shard that
+    * never gets maintained. Driver-side aggregate over the shards-sized
+    * manifest — the signal a scheduled refresh triggers on (looseness,
+    * not file count). Pre-staleness manifests read as 0 (exactness
+    * unknown but envelopes valid — refresh on file count still applies).
+    */
+  def manifestStaleness(spark: SparkSession, dir: String): Double = {
+    val man = statsManifest(spark, dir)
+    if (!man.columns.contains("_stale_rows")) 0.0
+    else {
+      val r = man.agg(max(
+        when(col("n_rows") > 0,
+          col("_stale_rows").cast("double") / col("n_rows"))
+          .otherwise(lit(0.0))).as("s")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
   }
 }

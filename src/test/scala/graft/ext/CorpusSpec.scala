@@ -1383,6 +1383,53 @@ class CorpusSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("zorderLayoutN with a STRING dimension: the dictionary-rank " +
+      "embedding equals the hand-ranked long layout; a frozen dict " +
+      "routes unknown values to NULL shard; all-NULL bounds propagate " +
+      "NULL instead of misfiring the wrap error") {
+    val docs = Seq((1L, "de", 0L), (2L, "en", 100L), (3L, "es", 200L),
+      (4L, "fr", 300L), (5L, "zh", 400L), (6L, "en", 400L))
+      .toDF("id", "lang", "n")
+    val viaStr = Corpus.zorderLayoutN(docs, "id", Seq("lang", "n"),
+      bits = 2, nShards = 4).orderBy("id").collect()
+    // hand-ranked embedding: de→0, en→1, es→2, fr→3, zh→4
+    val ranked = Seq((1L, 0L, 0L), (2L, 1L, 100L), (3L, 2L, 200L),
+      (4L, 3L, 300L), (5L, 4L, 400L), (6L, 1L, 400L))
+      .toDF("id", "lang", "n")
+    val viaLong = Corpus.zorderLayoutN(ranked, "id", Seq("lang", "n"),
+      bits = 2, nShards = 4).orderBy("id").collect()
+    assert(viaStr.map(r => (r.getAs[Long]("zvalue"),
+      r.getAs[Int]("shard"))).toSeq ===
+      viaLong.map(r => (r.getAs[Long]("zvalue"),
+        r.getAs[Int]("shard"))).toSeq)
+    // the dict itself: binary-ordered dense ranks 0..n−1
+    val dict = Corpus.stringDimDict(docs, "lang")
+    assert(dict.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("de", 0L), ("en", 1L), ("es", 2L), ("fr", 3L), ("zh", 4L)))
+    // frozen frame + dict: a known value routes exactly as the corpus
+    // layout did; an UNSEEN string has no position in a frozen
+    // lexicographic frame → NULL shard (the unroutable-row contract)
+    val bounds = Seq((0L, 4L, 0L, 400L))
+      .toDF("_min_lang", "_max_lang", "_min_n", "_max_n")
+    val batch = Seq((7L, "it", 50L), (8L, "es", 200L))
+      .toDF("id", "lang", "n")
+    val out = Corpus.zorderLayoutAgainstN(batch, bounds, "id",
+        Seq("lang", "n"), bits = 2, nShards = 4,
+        dicts = Map("lang" -> dict))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("shard")))
+    assert(out(1).getAs[Int]("shard") ===
+      viaStr(2).getAs[Int]("shard"))
+    // all-NULL dimension: bounds aggregate to NULL → NULL cells/shard,
+    // NOT the wrapped-span raise_error (the round-14 advice case)
+    val nulls = Seq((1L, Option.empty[Long], 5L),
+      (2L, Option.empty[Long], 7L)).toDF("id", "x", "y")
+    val outN = Corpus.zorderLayoutN(nulls, "id", Seq("x", "y"),
+      bits = 2, nShards = 4).orderBy("id").collect()
+    assert(outN.forall(r => r.isNullAt(r.fieldIndex("shard"))))
+  }
+
   test("shardStats: per-shard row count, min/max, exact shard-local NDV") {
     val df = Seq((0, 10L, 100L), (0, 10L, 200L), (0, 30L, 100L),
       (1, 5L, 900L)).toDF("shard", "a", "b")

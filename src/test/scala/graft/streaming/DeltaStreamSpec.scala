@@ -1402,4 +1402,81 @@ class DeltaStreamSpec extends SparkSpec {
     assert(s3.getAs[Long]("n_rows") === 3L)
     assert(s3.getAs[Long]("user_id_ndv") === 3L) // exact again post-compact
   }
+
+  test("startZorderTableMaintained: a POISON event (NULL dimension) is " +
+    "quarantined, not a wedged checkpoint — the batch lands its clean " +
+    "rows and replay converges") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-table-poison")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def mount() = DeltaStream.startZorderTableMaintained(spark,
+      eventsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4)
+    // one clean arrival + one poison (user_id absent → schema nulls it)
+    Files.write(Paths.get(s"$eventsDir/b1.json"), Seq(
+      """{"event_id": 10, "user_id": 280, "ts_us": 2800}""",
+      """{"event_id": 666, "ts_us": 999}""").asJava)
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val table = s"$root/table"
+    // the clean row landed; the poison row did NOT corrupt the table
+    assert(spark.read.parquet(table).count() === 4L)
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("user_id", 250L, 300L))).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 10L))
+    // the poison row is in quarantine with its batch id, dims intact
+    val quarantined = spark.read.parquet(s"${table}_quarantine/batch-0")
+    assert(quarantined.select("event_id").head().getLong(0) === 666L)
+    assert(quarantined.filter(col("shard").isNull).count() === 1L)
+    // a later batch still processes — the stream was never wedged
+    Files.write(Paths.get(s"$eventsDir/b2.json"),
+      Seq("""{"event_id": 11, "user_id": 10, "ts_us": 100}""").asJava)
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(table).count() === 5L)
+    // replay converges: table unchanged, quarantine not duplicated
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(table).count() === 5L)
+    assert(spark.read.parquet(s"${table}_quarantine/batch-0")
+      .count() === 1L)
+  }
+
+  test("startZorderTableMaintained with maxStaleFraction: the compact " +
+    "triggers on manifest LOOSENESS (fold-entered rows), not file " +
+    "count, and restores staleness to zero") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-table-stale")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def jsonl(path: String, rows: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, x, y) =>
+        s"""{"event_id": $id, "user_id": $x, "ts_us": $y}"""
+      }.asJava)
+    // threshold 0.4: one appended row beside shard 3's single corpus
+    // row is 1/2 = 0.5 stale — breaches; file count alone would not
+    // (maxFilesPerShard unarmed)
+    def mount() = DeltaStream.startZorderTableMaintained(spark,
+      eventsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4, maxStaleFraction = 0.4)
+    jsonl(s"$eventsDir/b1.json", (10L, 280L, 2800L))
+    val q = mount()
+    q.processAllAvailable(); q.stop()
+    val table = s"$root/table"
+    // the breach ran the compact inside the batch: staleness reset,
+    // manifests exact, rows intact
+    assert(Scan.manifestStaleness(spark, table) === 0.0)
+    assert(spark.read.parquet(table).count() === 4L)
+    val s3 = Scan.statsManifest(spark, table)
+      .filter(col("shard") === 3).head()
+    assert(s3.getAs[Long]("n_rows") === 2L)
+    assert(s3.getAs[Long]("user_id_ndv") === 2L)
+  }
 }

@@ -45,6 +45,85 @@ class CompactionSpec extends SparkSpec {
     assert(dataFiles(dir).map(_.getName).toSet === names) // no rewrite
   }
 
+  test("reshardSharded: pruned reads are transparent across a shard-" +
+    "count change — same rows, new candidate enumeration, manifests " +
+    "and meta rebuilt in the swap") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 1000 rows over 10 shards via the curve mapping shard =
+    // zvalue·10 >> 10 (zTotalBits 10, zvalue = row id in [0, 1024))
+    val laid = (0L until 1000L).map(i =>
+        (i, i, 10L * i, ((i * 10L) >> 10).toInt, i))
+      .toDF("event_id", "user_id", "ts_us", "shard", "zvalue")
+    Scan.writeSharded(spark, laid, dir,
+      statCols = Seq("user_id", "ts_us"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("user_id"), zTotalBits = Some(10),
+      nShards = Some(10))
+    val ranges: Seq[(String, Any, Any)] = Seq(("user_id", 250L, 349L))
+    val before = Scan.readPrunedByRange(spark, dir, ranges)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val candsBefore = Scan.candidateShardsByStats(
+      Scan.statsManifest(spark, dir), ranges)
+    val (oldN, newN) = Compaction.reshardSharded(spark, dir, 40)
+    assert(oldN === 10 && newN === 40)
+    // the table re-laid to 40 shards: same rows, finer envelopes
+    assert(spark.read.parquet(dir).count() === 1000L)
+    assert(Scan.statsManifest(spark, dir).count() === 40L)
+    assert(Scan.readMeta(spark, dir).flatMap(_.nShards) === Some(40))
+    val after = Scan.readPrunedByRange(spark, dir, ranges)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(after === before) // transparency across the re-shard
+    val candsAfter = Scan.candidateShardsByStats(
+      Scan.statsManifest(spark, dir), ranges)
+    // 4× the shards → the same predicate's candidate FRACTION shrinks
+    assert(candsAfter.size.toDouble / 40 <
+      candsBefore.size.toDouble / 10 + 1e-9)
+    // bloom survived with its key re-indexed per new shard
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 777L)
+      .select("event_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(777L))
+    // shrinking works too (splits and merges share the curve mapping)
+    Compaction.reshardSharded(spark, dir, 5)
+    assert(Scan.statsManifest(spark, dir).count() === 5L)
+    assert(Scan.readPrunedByRange(spark, dir, ranges)
+      .select("event_id").collect().map(_.getLong(0)).toSet === before)
+  }
+
+  test("compactSharded with maxRecordsPerFile: shard directories hold " +
+    "bounded files instead of one unbounded rewrite") {
+    import spark.implicits._
+    val dir = freshDir()
+    val laid = (0L until 900L).map(i => (i, i, (i / 300).toInt, i))
+      .toDF("event_id", "user_id", "shard", "zvalue")
+    Scan.writeSharded(spark, laid, dir, statCols = Seq("user_id"),
+      sortCol = Some("zvalue"), zTotalBits = Some(10),
+      nShards = Some(3))
+    // scatter appends so every shard holds >1 file (compaction arms)
+    (0 until 3).foreach { b =>
+      (0 until 3).map(sh => (10000L + 10 * b + sh, 10000L + 10 * b + sh,
+          sh, 1000L + b))
+        .toDF("event_id", "user_id", "shard", "zvalue")
+        .coalesce(1).write.mode("append").partitionBy("shard")
+        .parquet(dir)
+    }
+    Compaction.compactSharded(spark, dir, maxRecordsPerFile = 100L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { sh =>
+      val files = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/shard=$sh")).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+      assert(files.size >= 3) // ~303 rows / 100-row cap
+      files.foreach { f =>
+        assert(spark.read.parquet(f.getPath.toString).count() <= 100L)
+      }
+    }
+    assert(spark.read.parquet(dir).count() === 909L)
+    // manifests refreshed exactly in the same swap
+    assert(Scan.manifestStaleness(spark, dir) === 0.0)
+  }
+
   test("compact with sortCols: output is range-clustered by the scan key") {
     val dir = freshDir()
     (1L to 4000L).map(i => (i, i % 97)).toDF("id", "k")

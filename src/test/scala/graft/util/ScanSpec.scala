@@ -253,9 +253,10 @@ class ScanSpec extends SparkSpec {
     // shard 77 whose data never landed — candidates include 77, the
     // read skips the missing directory and stays exact (empty)
     val phantom = Scan.statsManifest(spark, dir).unionByName(
-      Seq((77, 1L, 7777L, 7778L, 1L, 70000L, 70001L, 1L))
-        .toDF("shard", "n_rows", "user_id_min", "user_id_max",
-          "user_id_ndv", "ts_us_min", "ts_us_max", "ts_us_ndv"))
+      Seq((77, 1L, 1L, 7777L, 7778L, 1L, 70000L, 70001L, 1L))
+        .toDF("shard", "n_rows", "_stale_rows", "user_id_min",
+          "user_id_max", "user_id_ndv", "ts_us_min", "ts_us_max",
+          "ts_us_ndv"))
     graft.dw.Merge.atomicOverwrite(spark, phantom,
       s"$dir/${Scan.StatsSidecar}")
     val ranges = Seq(("user_id", 7777L, 7778L))
@@ -312,5 +313,111 @@ class ScanSpec extends SparkSpec {
     // bloom config survived the refresh (recovered from its sidecar)
     assert(Scan.candidateShardsByKey(Scan.bloomManifest(spark, dir),
       777L).contains(7))
+  }
+
+  test("meta sidecar heals the recovery window with ZERO operator " +
+    "knowledge: both manifests deleted, refreshManifests() with no " +
+    "arguments rebuilds them from the durable configuration") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the worst recovery state writeSharded can leave: meta + data only
+    // (meta is written FIRST, so any promotable tmp carries it)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${Scan.StatsSidecar}"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${Scan.BloomSidecar}"),
+      true)
+    Scan.refreshManifests(spark, dir)
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      Seq(("user_id", 250L, 349L))) === Seq(2, 3))
+    assert(Scan.candidateShardsByKey(Scan.bloomManifest(spark, dir),
+      777L).contains(7))
+    assert(Scan.bloomManifest(spark, dir).head()
+      .getAs[String]("key_col") === "user_id")
+  }
+
+  // string-keyed table: 5 shards of 200 rows, shard i = one language,
+  // n_chars cycles 0..499 (shards 0 and 2 overlap [0,99], 1/3/4 don't)
+  private def laidStr = (0L until 1000L).map { i =>
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    (i, langs((i / 200).toInt), i % 500, (i / 200).toInt, i)
+  }.toDF("doc_id", "lang", "n_chars", "shard", "zvalue")
+
+  private def publishStr(dir: String): Unit =
+    Scan.writeSharded(spark, laidStr, dir,
+      statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("lang"), bloomM = 1024)
+
+  test("STRING envelopes and bloom keys route pruned reads: a string " +
+    "equality prunes via native min/max, a string bloom key routes the " +
+    "point lookup, both transparent vs the full scan") {
+    val dir = freshDir()
+    publishStr(dir)
+    // string min/max landed natively in the manifest
+    val man = Scan.statsManifest(spark, dir).orderBy("shard").collect()
+    assert(man(2).getAs[String]("lang_min") === "es" &&
+      man(2).getAs[String]("lang_max") === "es")
+    // string equality as the degenerate range [v, v]
+    val cands = Scan.candidateShardsByStats(
+      Scan.statsManifest(spark, dir), Seq(("lang", "es", "es")))
+    assert(cands === Seq(2))
+    val pruned = Scan.readPrunedByRange(spark, dir,
+      Seq(("lang", "es", "es")))
+    assert(pruned.count() === 200L)
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      spark.read.parquet(dir).filter(col("lang") === "es")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // string bloom key: true shard always a candidate, read transparent
+    val keyCands = Scan.candidateShardsByKey(
+      Scan.bloomManifest(spark, dir), "zh")
+    assert(keyCands.contains(4))
+    assert(Scan.readPrunedByKey(spark, dir, "lang", "zh")
+      .count() === 200L)
+    // absent key: residual filter drops any false-positive shards' rows
+    assert(Scan.readPrunedByKey(spark, dir, "lang", "xx").count() === 0L)
+  }
+
+  test("combined-predicate read: stats ∩ bloom candidates, transparent " +
+    "vs the full conjunction; IN-list keys union their candidates") {
+    val dir = freshDir()
+    publishStr(dir)
+    val ranges: Seq[(String, Any, Any)] = Seq(("n_chars", 0L, 99L))
+    val statsCands = Scan.candidateShardsByStats(
+      Scan.statsManifest(spark, dir), ranges)
+    assert(statsCands === Seq(0, 2)) // the overlapping n_chars envelopes
+    val keyCands = Scan.candidateShardsByKeys(
+      Scan.bloomManifest(spark, dir), Seq("es"))
+    assert(keyCands.contains(2))
+    val both = Scan.readPruned(spark, dir, ranges, keys = Seq("es"))
+    val full = spark.read.parquet(dir)
+      .filter(col("n_chars").between(0L, 99L) && col("lang") === "es")
+    assert(both.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      full.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(both.count() === 100L)
+    // IN-list: union of per-key candidates, residual keeps exactness
+    val inCands = Scan.candidateShardsByKeys(
+      Scan.bloomManifest(spark, dir), Seq("de", "zh"))
+    assert(inCands.contains(0) && inCands.contains(4))
+    assert(Scan.readPruned(spark, dir, keys = Seq("de", "zh"))
+      .count() === 400L)
+  }
+
+  test("manifest staleness measures fold-entered rows and resets when " +
+    "the stats become exact again") {
+    val dir = freshDir()
+    publish(dir)
+    assert(Scan.manifestStaleness(spark, dir) === 0.0)
+    Scan.appendSharded(spark,
+      (0 until 5).map(i => (5000L + i, 2000L + i, 10L * (2000 + i),
+          "t9", 9, 2000L + i))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+          "zvalue"),
+      dir, "event_id")
+    // shard 9 folded 5 of its now-105 rows: staleness 5/105
+    val s = Scan.manifestStaleness(spark, dir)
+    assert(s > 0.047 && s < 0.048)
+    Scan.refreshManifests(spark, dir)
+    assert(Scan.manifestStaleness(spark, dir) === 0.0)
   }
 }
