@@ -76,11 +76,25 @@ object StringPrunedProbe {
       Scan.statsManifest(spark, docsTable), nRange).intersect(kCands)
     println(s"[string-probe] docs lang='$v' stats_cands=${sCands.size}" +
       s"/$shards bloom_cands=${kCands.size} combined=${iCands.size}")
-    report("doc-full-scan", dTotal,
+    // full-scan legs with parquet min/max pushdown OFF (every listed
+    // file read whole — the raw contrast); pushdown-only legs show
+    // Spark's own row-group skipping, which still LISTS all files and
+    // reads every footer — the cost manifests remove at scale
+    def noPD[T](body: => T): T = {
+      spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+      try body
+      finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    }
+    noPD(report("doc-full-noPD", dTotal,
+      () => spark.read.parquet(docsTable).filter(col("lang") === v)))
+    report("doc-pushdown-only", dTotal,
       () => spark.read.parquet(docsTable).filter(col("lang") === v))
     report("doc-lang-pruned", dTotal,
       () => Scan.readPrunedByRange(spark, docsTable, langRange))
-    report("doc-combined-full", dTotal,
+    noPD(report("doc-comb-noPD", dTotal,
+      () => spark.read.parquet(docsTable)
+        .filter(col("lang") === v && col("n_chars").between(lo, hi))))
+    report("doc-comb-pushdown", dTotal,
       () => spark.read.parquet(docsTable)
         .filter(col("lang") === v && col("n_chars").between(lo, hi)))
     report("doc-combined", dTotal,
@@ -119,10 +133,16 @@ object StringPrunedProbe {
       Scan.statsManifest(spark, factTable), tRange).intersect(fCands)
     println(s"[string-probe] fact type='$t' bloom_cands=${fCands.size}" +
       s"/$shards combined(ts∩type)=${fComb.size}")
-    report("fact-full-scan", fTotal,
+    noPD(report("fact-full-noPD", fTotal,
+      () => spark.read.parquet(factTable)
+        .filter(col("event_type") === t)))
+    report("fact-pushdown-only", fTotal,
       () => spark.read.parquet(factTable).filter(col("event_type") === t))
     report("fact-type-pruned", fTotal,
       () => Scan.readPrunedByKey(spark, factTable, "event_type", t))
+    noPD(report("fact-dax-comb-noPD", fTotal,
+      () => spark.read.parquet(factTable).filter(
+        col("event_type") === t && col("ts_us").between(t1, t2))))
     report("fact-dax-combined", fTotal,
       () => Scan.readPruned(spark, factTable, tRange, keys = Seq(t)))
     spark.stop()
