@@ -89,11 +89,12 @@ object ExtensionQueries {
       bits = 8, nShards = 32,
       keepCols = Seq("lang", "source", "n_chars"))
       .drop("cell_lang", "cell_n_chars")
+    val dict = Corpus.stringDimDict(d, "lang")
     graft.util.Scan.writeSharded(s, laid, table,
       statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
       bloomKeyCol = Some("lang"), bloomM = 1024, bloomK = 3,
-      zTotalBits = Some(16), nShards = Some(32))
-    val dict = Corpus.stringDimDict(d, "lang")
+      zTotalBits = Some(16), nShards = Some(32),
+      dicts = Map("lang" -> dict))
     val medianLang = dict
       .join(dict.agg(((max(col("rank")) + 0L) / 2).cast("long")
         .as("rank")), Seq("rank"))

@@ -86,6 +86,23 @@ object DeltaStream {
     new java.io.File(dir, "_GRAFT_SEEDED").createNewFile(); ()
   }
 
+  /** seedOnce for a table PUBLISHED through [[graft.util.Scan
+    * .writeSharded]]: the swap protocol makes existence itself the
+    * completeness signal (a visible table is a whole version;
+    * `Merge.recover` first resolves any crash-window state), so no
+    * marker file is needed — which matters because maintenance swaps
+    * (`compactSharded`, `reshardSharded`) REPLACE the directory and
+    * would delete a marker: with seedOnce's marker rule, the next mount
+    * restart after a compaction silently re-seeded the table from the
+    * corpus and WIPED every appended row (caught by the string-mount
+    * re-shard spec; the r14 numeric mount had the same latent loss).
+    */
+  private def seedTableOnce(spark: SparkSession, tableDir: String)(
+      seed: => Unit): Unit = {
+    graft.dw.Merge.recover(spark, tableDir)
+    if (!new java.io.File(tableDir).exists()) seed
+  }
+
   /** Landing-dir CSV stream → parsed, null-normalized staging stream.
     * Pure column transforms shared with the batch path
     * ([[Staging.parseRawLines]], [[Staging.normalizeNulls]]).
@@ -1218,7 +1235,7 @@ object DeltaStream {
         .write.mode("overwrite").parquet(boundsDir)
     }
     val quarantineDir = s"${tableDir}_quarantine"
-    seedOnce(tableDir) {
+    seedTableOnce(spark, tableDir) {
       val laid = Corpus.zorderLayoutAgainst(corpusEvents,
           spark.read.parquet(boundsDir), idCol, xCol, yCol, bits,
           nShards, keepCols = Seq(xCol, yCol))
@@ -1241,9 +1258,15 @@ object DeltaStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // shard count from the TABLE's meta, not the mount's
+          // construction-time parameter: a between-batches
+          // reshardSharded changes the table's shard space, and an
+          // appender still sharding at the old count would corrupt it
+          val nShardsEff = Scan.readMeta(s, tableDir)
+            .flatMap(_.nShards).getOrElse(nShards)
           val laid = Corpus.zorderLayoutAgainst(
               graft.util.Par.spread(batch), s.read.parquet(boundsDir),
-              idCol, xCol, yCol, bits, nShards,
+              idCol, xCol, yCol, bits, nShardsEff,
               keepCols = Seq(xCol, yCol))
             .drop("cell_x", "cell_y")
             .persist()
@@ -1254,6 +1277,116 @@ object DeltaStream {
             // this mount IS that caller). Idempotent under replay: the
             // quarantine is keyed by batch id, so a replayed batch
             // overwrites its own rejects rather than duplicating them.
+            val bad = laid.filter(col("shard").isNull)
+            if (!bad.isEmpty)
+              bad.withColumn("_batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .parquet(s"$quarantineDir/batch-$batchId")
+            Scan.appendSharded(s, laid.filter(col("shard").isNotNull),
+              tableDir, idCol)
+          } finally laid.unpersist()
+          val fileCountBreach = maxFilesPerShard > 0 && {
+            val p = new Path(tableDir)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.listStatus(p).exists(d =>
+              d.isDirectory && d.getPath.getName.startsWith("shard=") &&
+                fs.listStatus(d.getPath).count(f => f.isFile &&
+                  !f.getPath.getName.startsWith("_") &&
+                  !f.getPath.getName.startsWith(".")) > maxFilesPerShard)
+          }
+          val stalenessBreach = maxStaleFraction > 0 &&
+            Scan.manifestStaleness(s, tableDir) > maxStaleFraction
+          if (fileCountBreach || stalenessBreach) {
+            graft.util.Compaction.compactSharded(s, tableDir,
+              sortCol = Some("zvalue"))
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
+  /** [[startZorderTableMaintained]] for a table whose leading z-order
+    * dimension is a STRING (the real curation shape: language/source ×
+    * length or time) — the frozen frame is the persisted DICTIONARY +
+    * bounds, both recovered from the table's own sidecars
+    * ([[graft.util.Scan.readDicts]]), so the mount needs no caller-held
+    * state: the corpus seeds dict + bounds + table once, every arriving
+    * batch is assigned against that frozen frame map-side (dict
+    * broadcast-joined), and appends flow through the same
+    * manifest-fresh [[graft.util.Scan.appendSharded]].
+    *
+    * An arrival whose string value was NOT in the corpus dictionary (a
+    * new language/source appearing after the frame froze) is an
+    * unroutable row by the frozen-frame contract — it lands in the
+    * quarantine table with the batch's NULL-dim rows, visible and
+    * replayable, never silently dropped and never wedging the
+    * checkpoint. Quarantine growth is the drift signal: when a new
+    * category matters, re-publish with a refreshed dict (the x123
+    * re-base pattern — dictionary evolution is a table rewrite, exactly
+    * like a shard-count evolution).
+    */
+  def startZorderStringTableMaintained(spark: SparkSession,
+      eventsDir: String, corpusDocs: DataFrame, tableDir: String,
+      boundsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", strCol: String = "lang",
+      numCol: String = "n_chars", bits: Int = 8, nShards: Int = 32,
+      maxFilesPerShard: Int = 0,
+      maxStaleFraction: Double = 0.0): StreamingQuery = {
+    import graft.ext.Corpus
+    import graft.util.Scan
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(strCol, org.apache.spark.sql.types.StringType)
+      .add(numCol, org.apache.spark.sql.types.LongType)
+    val dims = Seq(strCol, numCol)
+    val quarantineDir = s"${tableDir}_quarantine"
+    seedOnce(boundsDir) {
+      val dict = Corpus.stringDimDict(corpusDocs, strCol)
+      dict.agg(
+          min(col("rank")).as(s"_min_$strCol"),
+          max(col("rank")).as(s"_max_$strCol"))
+        .crossJoin(corpusDocs.agg(
+          min(col(numCol).cast("long")).as(s"_min_$numCol"),
+          max(col(numCol).cast("long")).as(s"_max_$numCol")))
+        .write.mode("overwrite").parquet(boundsDir)
+    }
+    seedTableOnce(spark, tableDir) {
+      val dict = Corpus.stringDimDict(corpusDocs, strCol)
+      val laid = Corpus.zorderLayoutAgainstN(corpusDocs,
+          spark.read.parquet(boundsDir), idCol, dims, bits, nShards,
+          keepCols = dims, dicts = Map(strCol -> dict))
+        .drop(dims.map(c => s"cell_$c"): _*)
+      val bad = laid.filter(col("shard").isNull)
+      if (!bad.isEmpty)
+        bad.withColumn("_batch_id", lit(-1L))
+          .write.mode("overwrite").parquet(s"$quarantineDir/seed")
+      Scan.writeSharded(spark, laid.filter(col("shard").isNotNull),
+        tableDir, statCols = dims, sortCol = Some("zvalue"),
+        bloomKeyCol = Some(strCol), bloomM = 1024,
+        zTotalBits = Some(2 * bits), nShards = Some(nShards),
+        dicts = Map(strCol -> dict))
+    }
+    spark.readStream.schema(schema).json(eventsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // the frozen frame, from the table's own sidecars; shard
+          // count likewise from meta so a between-batches re-shard
+          // never splits the shard space (see the numeric mount)
+          val dict = Scan.readDicts(s, tableDir)(strCol)
+          val nShardsEff = Scan.readMeta(s, tableDir)
+            .flatMap(_.nShards).getOrElse(nShards)
+          val laid = Corpus.zorderLayoutAgainstN(
+              graft.util.Par.spread(batch),
+              s.read.parquet(boundsDir), idCol, dims, bits, nShardsEff,
+              keepCols = dims, dicts = Map(strCol -> dict))
+            .drop(dims.map(c => s"cell_$c"): _*)
+            .persist()
+          try {
+            // unseen categories + NULL dims: quarantined per batch id
+            // (replay overwrites its own rejects — idempotent)
             val bad = laid.filter(col("shard").isNull)
             if (!bad.isEmpty)
               bad.withColumn("_batch_id", lit(batchId))

@@ -112,16 +112,24 @@ object Compaction {
         }
       }
     val sort = sortCol.orElse(meta.flatMap(_.sortCol))
+    // dict sidecars (frozen string-dim frames) must survive the swap:
+    // materialize them off the old directory before it is replaced
+    val dicts = Scan.readDicts(spark, dir).map { case (c, d) =>
+      c -> d.persist()
+    }
+    dicts.values.foreach(_.count())
     val df = spark.read.parquet(dir)
     // one atomic swap republishes data + exact manifests + meta — the
     // same writeSharded protocol (meta first, append-mode data write),
     // so compaction preserves the crash-heal property it relies on
-    graft.util.Scan.writeSharded(spark, df, dir, statCols, shardCol,
-      sort, bloomCfg.map(_._1),
-      bloomCfg.map(_._2).getOrElse(4096),
-      bloomCfg.map(_._3).getOrElse(3),
-      meta.flatMap(_.zTotalBits), meta.flatMap(_.nShards),
-      maxRecordsPerFile)
+    try {
+      graft.util.Scan.writeSharded(spark, df, dir, statCols, shardCol,
+        sort, bloomCfg.map(_._1),
+        bloomCfg.map(_._2).getOrElse(4096),
+        bloomCfg.map(_._3).getOrElse(3),
+        meta.flatMap(_.zTotalBits), meta.flatMap(_.nShards),
+        maxRecordsPerFile, dicts)
+    } finally dicts.values.foreach(_.unpersist())
     (nBefore, shardDirs.size)
   }
 
@@ -158,11 +166,18 @@ object Compaction {
         "was not published from a z-order layout"))
     val oldN = meta.nShards.getOrElse(-1)
     import org.apache.spark.sql.functions.{col, shiftright}
+    val dicts = Scan.readDicts(spark, dir).map { case (c, d) =>
+      c -> d.persist()
+    }
+    dicts.values.foreach(_.count())
     val relaid = spark.read.parquet(dir).withColumn(shardCol,
       shiftright(col(zvalueCol) * newNShards, shift).cast("int"))
-    graft.util.Scan.writeSharded(spark, relaid, dir, meta.statCols,
-      shardCol, meta.sortCol.orElse(Some(zvalueCol)), meta.bloomKey,
-      meta.bloomM, meta.bloomK, Some(shift), Some(newNShards))
+    try {
+      graft.util.Scan.writeSharded(spark, relaid, dir, meta.statCols,
+        shardCol, meta.sortCol.orElse(Some(zvalueCol)), meta.bloomKey,
+        meta.bloomM, meta.bloomK, Some(shift), Some(newNShards),
+        dicts = dicts)
+    } finally dicts.values.foreach(_.unpersist())
     (oldN, newNShards)
   }
 }

@@ -49,6 +49,7 @@ object Scan {
   val StatsSidecar = "_graft_stats"
   val BloomSidecar = "_graft_bloom"
   val MetaSidecar = "_graft_meta"
+  val DictSidecar = "_graft_dicts"
 
   /** The table's durable manifest CONFIGURATION — a 1-row parquet sidecar
     * recording what the manifests cover (stats columns, bloom key/m/k)
@@ -107,6 +108,27 @@ object Scan {
       spark.read.parquet(s"$dir/$StatsSidecar").columns.toSeq
         .filter(_.endsWith("_min")).map(_.dropRight(4)))
 
+  /** The table's persisted string-dimension dictionaries — the frozen
+    * value→rank mappings its z-order layout was built with
+    * ([[graft.ext.Corpus.stringDimDict]]), written as `_graft_dicts/
+    * col=<c>/` sidecars by [[writeSharded]] so an append path recovers
+    * the EXACT frame from the table itself (dict + bounds ARE the
+    * frame for a string dim) instead of trusting the caller to have
+    * kept a copy. Self-describing: the column set is the directory
+    * listing. */
+  def readDicts(spark: SparkSession,
+      dir: String): Map[String, DataFrame] = {
+    val p = new Path(s"$dir/$DictSidecar")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("col="))
+      .map { s =>
+        val c = s.getPath.getName.stripPrefix("col=")
+        c -> spark.read.parquet(s.getPath.toString)
+      }.toMap
+  }
+
   /** Write `laid` — a frame already carrying `shardCol` (normally a
     * [[graft.ext.Corpus.zorderLayoutN]] assignment with the payload in
     * `keepCols`) — as a shard-partitioned parquet table with its stats
@@ -127,7 +149,8 @@ object Scan {
       sortCol: Option[String] = None, bloomKeyCol: Option[String] = None,
       bloomM: Int = 4096, bloomK: Int = 3,
       zTotalBits: Option[Int] = None, nShards: Option[Int] = None,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      dicts: Map[String, DataFrame] = Map.empty): Unit = {
     require(statCols.nonEmpty, "need at least one stats column")
     graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
       // meta FIRST: recover promotes on the DATA write's _SUCCESS, so
@@ -138,6 +161,12 @@ object Scan {
       // directory and take the meta with it
       writeMeta(spark, tmp, TableMeta(statCols, shardCol, sortCol,
         bloomKeyCol, bloomM, bloomK, zTotalBits, nShards))
+      // string-dim dictionaries are configuration too (dict + bounds =
+      // the frozen frame): persisted with the meta, before the data
+      dicts.foreach { case (c, d) =>
+        d.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/$DictSidecar/col=$c")
+      }
       val parted = laid.repartition(col(shardCol))
       val sorted = sortCol.fold(parted)(c =>
         parted.sortWithinPartitions(shardCol, c))

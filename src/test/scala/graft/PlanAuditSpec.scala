@@ -114,7 +114,13 @@ class PlanAuditSpec extends SparkSpec {
     "x159_shard_stats_incr",
     // x160/x163: the x154/x155 bounds attach generalized to the 3-d
     // frame (one aggregate row of six longs broadcast under every row)
-    "x160_zorder_3d", "x163_zorder_3d_incr")
+    "x160_zorder_3d", "x163_zorder_3d_incr",
+    // x164: the same single-row bounds attach with the string dim's
+    // bounds assembled from the dict's OWN tiny aggregate (1-row ×
+    // 1-row crossJoin inside the bounds build, then the one-row frame
+    // under every input row — the dict value mapping itself is a
+    // broadcast EQUI-join, not part of this allowance)
+    "x164_zorder_string_dim")
 
   // the pipeline queries execute whole multi-minute chains on
   // construction; their physical shape is covered by PipelineSpec

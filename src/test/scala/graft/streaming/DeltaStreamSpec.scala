@@ -1401,6 +1401,14 @@ class DeltaStreamSpec extends SparkSpec {
       .filter(col("shard") === 3).head()
     assert(s3.getAs[Long]("n_rows") === 3L)
     assert(s3.getAs[Long]("user_id_ndv") === 3L) // exact again post-compact
+    // REGRESSION (latent in r14): the compaction swap replaces the table
+    // directory — a marker-based seed guard would vanish with it, and
+    // the next restart would re-seed from the corpus, WIPING the
+    // streamed rows. The mount must key seeding on the atomic table's
+    // existence: restart after the in-batch compact keeps all 5 rows.
+    val qr = mount()
+    qr.processAllAvailable(); qr.stop()
+    assert(spark.read.parquet(table).count() === 5L)
   }
 
   test("startZorderTableMaintained: a POISON event (NULL dimension) is " +
@@ -1444,6 +1452,75 @@ class DeltaStreamSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() === 5L)
     assert(spark.read.parquet(s"${table}_quarantine/batch-0")
       .count() === 1L)
+  }
+
+  test("startZorderStringTableMaintained: the frozen frame is the " +
+    "persisted dict + bounds — known categories route and append, an " +
+    "UNSEEN category quarantines (never wedges), the dict survives " +
+    "compaction, replay converges") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-string-table")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq((1L, "de", 10L), (2L, "en", 50L), (3L, "es", 90L))
+      .toDF("doc_id", "lang", "n_chars")
+    def jsonl(path: String, rows: (Long, String, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, l, n) =>
+        s"""{"doc_id": $id, "lang": "$l", "n_chars": $n}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderStringTableMaintained(spark,
+      docsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4)
+    // batch 1: a known language + an UNSEEN one (zh not in the corpus)
+    jsonl(s"$docsDir/b1.json", (10L, "en", 60L), (666L, "zh", 70L))
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    val table = s"$root/table"
+    assert(spark.read.parquet(table).count() === 4L)
+    // string-predicated pruned read sees corpus AND streamed rows
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("lang", "en", "en"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 10L))
+    // the unseen category is quarantined with its value intact
+    val quarantined = spark.read.parquet(s"${table}_quarantine/batch-0")
+    assert(quarantined.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((666L, "zh")))
+    // the dict rode the publish as a sidecar: recoverable from the table
+    assert(Scan.readDicts(spark, table)("lang").orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("de", 0L), ("en", 1L), ("es", 2L)))
+    // compaction preserves the dict (the frame survives maintenance)
+    graft.util.Compaction.compactSharded(spark, table,
+      sortCol = Some("zvalue"))
+    assert(Scan.readDicts(spark, table).contains("lang"))
+    // a later batch still routes against the frozen frame post-compact
+    jsonl(s"$docsDir/b2.json", (11L, "de", 20L))
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("lang", "de", "de"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L))
+    // replay converges: rows and quarantine unchanged
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(table).count() === 5L)
+    assert(spark.read.parquet(s"${table}_quarantine/batch-0")
+      .count() === 1L)
+    // shard-count evolution UNDER the mount: re-shard between batches,
+    // the next append follows the table's NEW shard space (meta-read
+    // per batch), dict survives, pruned reads stay exact
+    graft.util.Compaction.reshardSharded(spark, table, 8)
+    assert(Scan.readDicts(spark, table).contains("lang"))
+    jsonl(s"$docsDir/b3.json", (12L, "es", 80L))
+    val q4 = mount()
+    q4.processAllAvailable(); q4.stop()
+    assert(spark.read.parquet(table).count() === 6L)
+    assert(Scan.statsManifest(spark, table).count() <= 8L)
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("lang", "es", "es"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 12L))
   }
 
   test("startZorderTableMaintained with maxStaleFraction: the compact " +
