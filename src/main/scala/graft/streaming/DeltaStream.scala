@@ -1416,6 +1416,178 @@ object DeltaStream {
       .start()
   }
 
+  /** [[startZorderStringTableMaintained]] with DICTIONARY EVOLUTION —
+    * the re-base leg that ACTS on quarantine growth (the x123 drift
+    * pattern, fourth use): a frozen dict has no position for a category
+    * that appears after publication, so those arrivals quarantine; when
+    * a batch's unseen-category fraction exceeds `tauNum/tauDen`, the
+    * mount rebuilds the dictionary from the TABLE ∪ QUARANTINE rows,
+    * re-lays every row against the refreshed frame (rank bounds grow to
+    * the new 0..n'−1; the numeric dim's frame stays frozen), republishes
+    * table + manifests + dict in ONE atomic swap, folds the
+    * now-routable quarantine rows in (id-deduped against the table, so
+    * a crash-retry converges), and rewrites the rows STILL unroutable
+    * (NULL dims) to a single `rebase-<batch>` quarantine generation.
+    *
+    * Replay idempotence: a checkpoint replay after a re-base finds its
+    * batch's formerly-unseen values IN the dict — the rows route, and
+    * `appendSharded`'s bounded id probe drops the ones the re-base
+    * already folded. Scale shape: the re-base is a full-table rewrite
+    * (the same cost class as `reshardSharded` — run when the trigger
+    * fires, typically rarely); every non-rebasing batch stays
+    * map-side + touched-shards like the maintained mount.
+    */
+  def startZorderStringTableRebasing(spark: SparkSession,
+      eventsDir: String, corpusDocs: DataFrame, tableDir: String,
+      boundsDir: String, checkpointDir: String,
+      idCol: String = "doc_id", strCol: String = "lang",
+      numCol: String = "n_chars", bits: Int = 8, nShards: Int = 32,
+      tauNum: Long = 1L, tauDen: Long = 10L): StreamingQuery = {
+    import graft.ext.Corpus
+    import graft.util.Scan
+    require(tauNum >= 0 && tauDen > 0, "need tauNum >= 0 and tauDen > 0")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, org.apache.spark.sql.types.LongType)
+      .add(strCol, org.apache.spark.sql.types.StringType)
+      .add(numCol, org.apache.spark.sql.types.LongType)
+    val dims = Seq(strCol, numCol)
+    val quarantineDir = s"${tableDir}_quarantine"
+    seedOnce(boundsDir) {
+      val dict = Corpus.stringDimDict(corpusDocs, strCol)
+      dict.agg(
+          min(col("rank")).as(s"_min_$strCol"),
+          max(col("rank")).as(s"_max_$strCol"))
+        .crossJoin(corpusDocs.agg(
+          min(col(numCol).cast("long")).as(s"_min_$numCol"),
+          max(col(numCol).cast("long")).as(s"_max_$numCol")))
+        .write.mode("overwrite").parquet(boundsDir)
+    }
+    seedTableOnce(spark, tableDir) {
+      val dict = Corpus.stringDimDict(corpusDocs, strCol)
+      val laid = Corpus.zorderLayoutAgainstN(corpusDocs,
+          spark.read.parquet(boundsDir), idCol, dims, bits, nShards,
+          keepCols = dims, dicts = Map(strCol -> dict))
+        .drop(dims.map(c => s"cell_$c"): _*)
+      val bad = laid.filter(col("shard").isNull)
+      if (!bad.isEmpty)
+        bad.withColumn("_batch_id", lit(-1L))
+          .write.mode("overwrite").parquet(s"$quarantineDir/seed")
+      Scan.writeSharded(spark, laid.filter(col("shard").isNotNull),
+        tableDir, statCols = dims, sortCol = Some("zvalue"),
+        bloomKeyCol = Some(strCol), bloomM = 1024,
+        zTotalBits = Some(2 * bits), nShards = Some(nShards),
+        dicts = Map(strCol -> dict))
+    }
+    spark.readStream.schema(schema).json(eventsDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val fs = new Path(tableDir).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          val dict = Scan.readDicts(s, tableDir)(strCol)
+          val nShardsEff = Scan.readMeta(s, tableDir)
+            .flatMap(_.nShards).getOrElse(nShards)
+          val laid = Corpus.zorderLayoutAgainstN(
+              graft.util.Par.spread(batch),
+              s.read.parquet(boundsDir), idCol, dims, bits, nShardsEff,
+              keepCols = dims, dicts = Map(strCol -> dict))
+            .drop(dims.map(c => s"cell_$c"): _*)
+            .persist()
+          try {
+            val bad = laid.filter(col("shard").isNull)
+            if (!bad.isEmpty)
+              bad.withColumn("_batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .parquet(s"$quarantineDir/batch-$batchId")
+            Scan.appendSharded(s, laid.filter(col("shard").isNotNull),
+              tableDir, idCol)
+            // the trigger: this batch's UNSEEN-category fraction (rows
+            // whose string value exists but has no dict position; rows
+            // with NULL dims are unroutable under ANY frame and never
+            // argue for a re-base)
+            val nUnseen = bad.filter(col(strCol).isNotNull &&
+              col(numCol).isNotNull).count()
+            val nBatch = laid.count()
+            if (nUnseen * tauDen > nBatch * tauNum) {
+              // ---- DICTIONARY RE-BASE (full-table rewrite) ----
+              val payload = Seq(idCol) ++ dims
+              val tableRows = s.read.parquet(tableDir)
+                .select(payload.map(col): _*)
+              val qRows = s.read.option("basePath", quarantineDir)
+                .parquet(s"$quarantineDir/*")
+                .select(payload.map(col): _*)
+                // fold only rows the table does not already hold —
+                // a crash-retry of an earlier re-base converges here
+                .join(tableRows.select(col(idCol)), Seq(idCol),
+                  "left_anti")
+                .persist()
+              qRows.count()
+              val allRows = tableRows.unionByName(qRows).persist()
+              val newDict = Corpus.stringDimDict(allRows, strCol)
+                .persist()
+              newDict.count()
+              // string frame grows to the new ranks; numeric frame
+              // stays frozen (numeric drift is the other mount's job)
+              // 1-row frame collected and rebuilt as literals: the
+              // overwrite below targets boundsDir itself, and a lazy
+              // plan still reading it would race its own deletion
+              val ob = s.read.parquet(boundsDir).head()
+              val nd = newDict.agg(
+                min(col("rank")), max(col("rank"))).head()
+              val newBounds = {
+                import s.implicits._
+                Seq((nd.getLong(0), nd.getLong(1),
+                    ob.getAs[Long](s"_min_$numCol"),
+                    ob.getAs[Long](s"_max_$numCol")))
+                  .toDF(s"_min_$strCol", s"_max_$strCol",
+                    s"_min_$numCol", s"_max_$numCol")
+              }
+              val relaid = Corpus.zorderLayoutAgainstN(allRows,
+                  newBounds, idCol, dims, bits, nShardsEff,
+                  keepCols = dims, dicts = Map(strCol -> newDict))
+                .drop(dims.map(c => s"cell_$c"): _*)
+                .persist()
+              // materialize BEFORE the swap: the still-unroutable read
+              // below runs after tableDir is replaced, and a cache miss
+              // recomputing from lineage would read the NEW table
+              relaid.count()
+              try {
+                Scan.writeSharded(s,
+                  relaid.filter(col("shard").isNotNull), tableDir,
+                  statCols = dims, sortCol = Some("zvalue"),
+                  bloomKeyCol = Some(strCol), bloomM = 1024,
+                  zTotalBits = Some(2 * bits),
+                  nShards = Some(nShardsEff),
+                  dicts = Map(strCol -> newDict))
+                newBounds.write.mode("overwrite").parquet(boundsDir)
+                markSeeded(boundsDir)
+                // one new quarantine generation holds what is STILL
+                // unroutable (NULL dims); the folded batch dirs go.
+                // Crash windows re-fold idempotently via the anti-join.
+                val still = relaid.filter(col("shard").isNull)
+                  .withColumn("_batch_id", lit(batchId))
+                  .persist()
+                val nStill = still.count()
+                val gens = fs.listStatus(new Path(quarantineDir)).toSeq
+                  .filter(_.isDirectory).map(_.getPath)
+                if (nStill > 0)
+                  still.write.mode("overwrite")
+                    .parquet(s"$quarantineDir/rebase-$batchId")
+                still.unpersist()
+                gens.filter(_.getName != s"rebase-$batchId")
+                  .foreach(p => fs.delete(p, true))
+              } finally {
+                relaid.unpersist(); allRows.unpersist()
+                newDict.unpersist(); qRows.unpersist()
+              }
+            }
+          } finally laid.unpersist()
+        }
+      }
+      .start()
+  }
+
   def startCmsHeavyHitterMonitor(spark: SparkSession, docsDir: String,
       corpusDocs: DataFrame, sketchDir: String, outDir: String,
       checkpointDir: String, textCol: String = "text",

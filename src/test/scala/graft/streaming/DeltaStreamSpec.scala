@@ -1523,6 +1523,61 @@ class DeltaStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(3L, 12L))
   }
 
+  test("startZorderStringTableRebasing: quarantine growth past tau " +
+    "re-bases the DICTIONARY — the table re-lays against the refreshed " +
+    "frame, quarantined rows fold in (id-deduped), later arrivals of " +
+    "the new category route directly, restart keeps the rebased dict") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-string-rebase")
+    val docsDir = s"$root/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    val corpus = Seq((1L, "de", 10L), (2L, "en", 50L), (3L, "es", 90L))
+      .toDF("doc_id", "lang", "n_chars")
+    def jsonl(path: String, rows: (Long, String, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, l, n) =>
+        s"""{"doc_id": $id, "lang": "$l", "n_chars": $n}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderStringTableRebasing(spark,
+      docsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4, tauNum = 1L, tauDen = 4L)
+    val table = s"$root/table"
+    // batch 1: one known + one unseen of three rows — 1/3 > 1/4 → the
+    // re-base fires: zh joins the dict, its row folds into the table
+    jsonl(s"$docsDir/b1.json", (10L, "en", 60L), (11L, "zh", 70L),
+      (12L, "de", 30L))
+    val q1 = mount()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(table).count() === 6L)
+    assert(Scan.readDicts(spark, table)("lang").orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("de", 0L), ("en", 1L), ("es", 2L), ("zh", 3L)))
+    // the folded row is pruned-readable under the refreshed frame
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("lang", "zh", "zh"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(11L))
+    // the bounds frame grew with the dict (string rank max 2 → 3)
+    assert(spark.read.parquet(s"$root/bounds").head()
+      .getAs[Long]("_max_lang") === 3L)
+    // quarantine generations were folded away (nothing left unroutable)
+    val q = new java.io.File(s"${table}_quarantine")
+    assert(!q.exists() || q.listFiles().forall(!_.isDirectory))
+    // batch 2: zh now routes DIRECTLY — no quarantine, no re-base
+    jsonl(s"$docsDir/b2.json", (13L, "zh", 80L))
+    val q2 = mount()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(table).count() === 7L)
+    assert(Scan.readPrunedByRange(spark, table,
+      Seq(("lang", "zh", "zh"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 13L))
+    assert(!new java.io.File(s"${table}_quarantine/batch-1").exists())
+    // replay from scratch converges: same rows, same dict
+    val q3 = mount()
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(table).count() === 7L)
+    assert(Scan.readDicts(spark, table)("lang").count() === 4L)
+  }
+
   test("startZorderTableMaintained with maxStaleFraction: the compact " +
     "triggers on manifest LOOSENESS (fold-entered rows), not file " +
     "count, and restores staleness to zero") {
