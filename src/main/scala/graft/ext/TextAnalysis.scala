@@ -182,8 +182,12 @@ object TextAnalysis {
     // " c1 c2 … cn " — every char one token, boundaries sentinel tokens
     val spreadTokens = concat(lit(" "), regexp_replace(
       translate(normalize(col(textCol)), " ", BpeBoundary), "(.)", "$1 "))
+    // boundary enables BpeMerge's per-word factorization + cache: the
+    // merge loop runs once per DISTINCT word per task, not per
+    // occurrence (validated above: no merge token contains the
+    // boundary, so the factorization is exact)
     val merged = trim(shim.column(graft.functions.BpeMerge(
-      shim.expression(spreadTokens), pairs)))
+      shim.expression(spreadTokens), pairs, BpeBoundary)))
     graft.util.Par.spread(docs).select(col(idCol),
       size(filter(split(merged, " "),
         t => t =!= lit(BpeBoundary) && t =!= lit("")))

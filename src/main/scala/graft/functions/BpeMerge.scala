@@ -38,8 +38,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression as reference objects; per-row work is O(merges × tokens)
   * (token equality checks fail fast on length), and the whole pass stays
   * inside whole-stage codegen.
+  *
+  * `boundary` (optional, the word-boundary sentinel token the caller's
+  * tokenization inserted — [[graft.ext.TextAnalysis.BpeBoundary]])
+  * enables the PER-WORD FACTORIZATION + CACHE every production BPE
+  * applier uses: merge tokens are validated boundary-free, so no pair
+  * ever matches across or at a boundary token and the greedy pass
+  * factorizes EXACTLY into independent per-word passes (spec-proved
+  * against the unsegmented pass). Each word's merged form is then
+  * memoized in a thread-local table-keyed cache — natural text is
+  * Zipfian, so the O(merges × tokens) loop runs once per DISTINCT word
+  * per task instead of once per occurrence (the HuggingFace-tokenizers
+  * word-cache shape). Empty boundary = no segmentation, the plain pass.
   */
-case class BpeMerge(child: Expression, merges: Seq[(String, String)])
+case class BpeMerge(child: Expression, merges: Seq[(String, String)],
+    boundary: String = "")
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -57,14 +70,16 @@ case class BpeMerge(child: Expression, merges: Seq[(String, String)])
     merges.map { case (l, r) => l + r }.toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeMerge.merge(input.asInstanceOf[UTF8String], lefts, rights, cats)
+    BpeMerge.merge(input.asInstanceOf[UTF8String], lefts, rights, cats,
+      boundary)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
     val r = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
     val c = ctx.addReferenceObj("cats", cats, "java.lang.String[]")
+    val b = ctx.addReferenceObj("boundary", boundary, "java.lang.String")
     nullSafeCodeGen(ctx, ev, in =>
-      s"${ev.value} = graft.functions.BpeMerge.merge($in, $l, $r, $c);")
+      s"${ev.value} = graft.functions.BpeMerge.merge($in, $l, $r, $c, $b);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeMerge =
@@ -73,14 +88,23 @@ case class BpeMerge(child: Expression, merges: Seq[(String, String)])
 
 object BpeMerge {
 
-  /** Replay every merge in array order; per merge, one leftmost-greedy
-    * in-place pass over the token array (merge at i → resume at i+2).
-    * Tokenization splits on the canonical single-space delimiters and
-    * drops empties, so leading/trailing delimiter spaces are harmless.
-    * Output restores the canonical `" t1 t2 … tn "` form.
+  /** Thread-local word→merged cache, keyed to ONE merge table at a time:
+    * a task thread applies a single table, so on a table switch (the
+    * `lefts` array identity changes — reference objects are per-plan
+    * singletons within an executor) the map is cleared rather than
+    * cross-keyed. Bounded: cleared wholesale past `CacheCap` entries
+    * (amortized O(1), no LRU bookkeeping on the hot path).
     */
+  private final val CacheCap = 1 << 16
+  private final class WordCache {
+    var table: AnyRef = null
+    val map = new java.util.HashMap[String, String](1 << 12)
+  }
+  private val caches: ThreadLocal[WordCache] =
+    ThreadLocal.withInitial(() => new WordCache)
+
   def merge(s: UTF8String, lefts: Array[String], rights: Array[String],
-      cats: Array[String]): UTF8String = {
+      cats: Array[String], boundary: String): UTF8String = {
     val raw = s.toString.split(" ")
     val toks = new Array[String](raw.length)
     var n = 0
@@ -89,6 +113,62 @@ object BpeMerge {
       if (raw(j).nonEmpty) { toks(n) = raw(j); n += 1 }
       j += 1
     }
+    val sb = new java.lang.StringBuilder(s.numChars() + 2)
+    sb.append(' ')
+    if (boundary == null || boundary.isEmpty) {
+      // unsegmented: one pass over the whole stream (generic inputs —
+      // property fixtures, callers without a boundary convention)
+      val m = mergeRun(toks, 0, n, lefts, rights, cats)
+      sb.append(m)
+      if (m.nonEmpty) sb.append(' ')
+    } else {
+      val cache = caches.get()
+      if (cache.table ne lefts) {
+        cache.map.clear(); cache.table = lefts
+      }
+      var i = 0
+      while (i < n) {
+        if (toks(i) == boundary) {
+          sb.append(boundary); sb.append(' '); i += 1
+        } else {
+          var e = i
+          var keyLen = -1
+          while (e < n && toks(e) != boundary) {
+            keyLen += toks(e).length + 1; e += 1
+          }
+          val kb = new java.lang.StringBuilder(keyLen)
+          var k = i
+          while (k < e) {
+            if (k > i) kb.append(' ')
+            kb.append(toks(k)); k += 1
+          }
+          val key = kb.toString
+          var merged = cache.map.get(key)
+          if (merged == null) {
+            merged = mergeRun(toks, i, e - i, lefts, rights, cats)
+            if (cache.map.size >= CacheCap) cache.map.clear()
+            cache.map.put(key, merged)
+          }
+          sb.append(merged); sb.append(' ')
+          i = e
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Replay every merge in array order over `toks[start, start+len)`;
+    * per merge, one leftmost-greedy in-place pass (merge at i → resume
+    * at i+2). Returns the merged run as single-space-joined tokens.
+    * Copies the slice so the caller's array survives for later runs.
+    */
+  private def mergeRun(src: Array[String], start: Int, len: Int,
+      lefts: Array[String], rights: Array[String],
+      cats: Array[String]): String = {
+    if (len == 0) return ""
+    val toks = new Array[String](len)
+    System.arraycopy(src, start, toks, 0, len)
+    var n = len
     var m = 0
     while (m < lefts.length && n > 1) {
       val l = lefts(m)
@@ -106,10 +186,12 @@ object BpeMerge {
       n = w
       m += 1
     }
-    val sb = new java.lang.StringBuilder(s.numChars() + 2)
-    sb.append(' ')
+    val sb = new java.lang.StringBuilder
     var k = 0
-    while (k < n) { sb.append(toks(k)); sb.append(' '); k += 1 }
-    UTF8String.fromString(sb.toString)
+    while (k < n) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks(k)); k += 1
+    }
+    sb.toString
   }
 }

@@ -223,6 +223,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: BpeMerge's boundary-factorized word cache equals the " +
+    "unsegmented pass — per-word factorization is exact (no merge " +
+    "token contains the boundary) and the cache never goes stale " +
+    "across merge-table switches on one thread") {
+    // a visible stand-in boundary ("|" appears in no merge token, which
+    // is all the factorization requires; the production sentinel
+    // \u0001 is <= U+0020, and String.trim in this harness would strip
+    // it from the expression output but not the naive reference)
+    val B = "|"
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "bc", B)
+    val docGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = sample(docGen, 150, seed = 11L)
+    val mergesA = sample(Gen.zip(Gen.oneOf("a", "b", "c", "ab"),
+      Gen.oneOf("a", "b", "c", "bc")), 6, seed = 7L).distinct
+    // a SECOND table on the same docs: the thread-local cache must key
+    // to the table and re-derive, never serve table-A results
+    val mergesB = sample(Gen.zip(Gen.oneOf("a", "b", "ab", "bc"),
+      Gen.oneOf("b", "c", "a", "ab")), 5, seed = 23L).distinct
+    val df = docs.zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(merges: Seq[(String, String)]): Map[Long, String] =
+      df.select(col("doc_id"),
+        org.apache.spark.sql.graftshim.shim.column(
+          graft.functions.BpeMerge(
+            org.apache.spark.sql.graftshim.shim.expression(
+              concat(lit(" "), col("text"), lit(" "))), merges, B))
+          .as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    // interleave table A, table B, table A again — exercises the
+    // cache's table-switch clearing within reused task threads
+    val a1 = run(mergesA)
+    val b1 = run(mergesB)
+    val a2 = run(mergesA)
+    docs.zipWithIndex.foreach { case (ts, i) =>
+      // the naive reference runs over the FULL stream with the boundary
+      // as an ordinary (unmergeable) token — equality proves the
+      // factorization changed nothing
+      val wantA = naiveBpe(ts, mergesA).mkString(" ")
+      val wantB = naiveBpe(ts, mergesB).mkString(" ")
+      assert(a1(i.toLong) === wantA, s"A1 doc=$ts")
+      assert(b1(i.toLong) === wantB, s"B after A doc=$ts")
+      assert(a2(i.toLong) === wantA, s"A after B doc=$ts")
+    }
+  }
+
   /** Independent Sennrich `learn_bpe` reference: runs over the raw word
     * OCCURRENCE stream (no frequency grouping — structurally unlike the
     * engine's word-frequency table), overlap-counts adjacent positions,
