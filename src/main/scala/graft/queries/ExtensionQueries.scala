@@ -1891,6 +1891,75 @@ object ExtensionQueries {
         .orderBy("lb_type")
     }),
 
+    // IN-LIST pruned read: `lang IN (lo, hi)` routes through the UNION
+    // of each key's bloom-maybe shards, computed in one shards-sized
+    // manifest pass; probe keys = the dict's first and last values
+    // (rank 0 and max — deterministic, read from the table's own
+    // persisted dict sidecar), residual IN-filter keeps exactness
+    "x169_pruned_in_list" -> ((s, dir) => {
+      val (table, _) = StringPrunedTableBuild(s, dir)
+      val dict = graft.util.Scan.readDicts(s, table)("lang")
+      val vals = dict.orderBy("rank").collect().map(_.getString(0))
+      val keys: Seq[Any] = Seq(vals.head, vals.last)
+      val cands = graft.util.Scan.candidateShardsByKeys(
+        graft.util.Scan.bloomManifest(s, table), keys)
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPruned(s, table, keys = keys)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("lang_lo", lit(vals.head))
+        .withColumn("lang_hi", lit(vals.last))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("source")
+    }),
+
+    // the MANIFEST STALENESS fold under hash check: corpus slice
+    // published, batch slice appended through appendSharded's
+    // manifest-first fold — the per-shard (n_rows, _stale_rows) pairs
+    // the refresh trigger reads are exactly the per-shard total and
+    // batch-entered counts, which the oracle computes independently
+    // from the same frozen-frame assignment; after refreshManifests
+    // the staleness column must read zero everywhere (also hashed)
+    "x170_manifest_staleness" -> ((s, dir) => {
+      val table =
+        s"target/scan/${new java.io.File(dir).getName}/documents_z_stale"
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val batch = d.filter(col("doc_id") % 7 === 0)
+      val dict = Corpus.stringDimDict(corpus, "lang")
+      val bounds = dict.agg(min(col("rank")).as("_min_lang"),
+          max(col("rank")).as("_max_lang"))
+        .crossJoin(corpus.agg(
+          min(col("n_chars")).as("_min_n_chars"),
+          max(col("n_chars")).as("_max_n_chars")))
+      def lay(df: org.apache.spark.sql.DataFrame) =
+        Corpus.zorderLayoutAgainstN(df, bounds, "doc_id",
+          Seq("lang", "n_chars"), bits = 8, nShards = 32,
+          keepCols = Seq("lang", "n_chars"),
+          dicts = Map("lang" -> dict))
+          .drop("cell_lang", "cell_n_chars")
+      graft.util.Scan.writeSharded(s, lay(corpus), table,
+        statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+        zTotalBits = Some(16), nShards = Some(32),
+        dicts = Map("lang" -> dict))
+      graft.util.Scan.appendSharded(s, lay(batch), table, "doc_id")
+      // shards-sized collect BEFORE the refresh replaces the sidecar a
+      // lazy plan would still be reading
+      val folded = graft.util.Scan.statsManifest(s, table)
+        .select(col("shard").cast("int"), col("n_rows"),
+          col("_stale_rows"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      graft.util.Scan.refreshManifests(s, table)
+      val zeroAfter = graft.util.Scan.statsManifest(s, table)
+        .agg(sum(col("_stale_rows")).as("z")).head().getLong(0)
+      import s.implicits._
+      folded.toDF("shard", "n_rows", "stale_rows")
+        .withColumn("stale_after_refresh", lit(zeroAfter))
+        .orderBy("shard")
+    }),
+
     // SHARD-COUNT EVOLUTION under a pruned read: the published table
     // re-laid-out to a different nShards from its PERSISTED curve
     // positions (zvalue · newN >> z_total_bits — the meta sidecar
@@ -3312,6 +3381,86 @@ object ExtensionQueries {
        |  counts.n_both AS n_candidate_shards
        |FROM agg, mv, counts ORDER BY lang_val""".stripMargin
   }
+
+  /** DuckDB mirror of x169 — the IN-list bloom-pruned read: probe keys =
+    * the dict's first and last values; candidates = the UNION of each
+    * key's bloom-maybe shards; aggregate over the full table under the
+    * IN-filter. */
+  private def stringPrunedInListSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    def ppos(src: String) =
+      s"""(SELECT list_transform([$hashes],
+         |   j2 -> CAST(concat('0x', substr(md5('bloom|' || v),
+         |     1 + 8 * j2, 8)) AS BIGINT) % $m) AS pp FROM $src)"""
+        .stripMargin
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |keys AS (SELECT DISTINCT shard, lang AS kk FROM j
+       |         WHERE lang IS NOT NULL),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' || kk),
+       |            1 + 8 * j2, 8)) AS BIGINT) % $m AS p
+       |        FROM keys, unnest([$hashes]) AS u(j2)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard),
+       |v1 AS (SELECT v FROM dict WHERE r = 0),
+       |v2 AS (SELECT v FROM dict WHERE r = (SELECT max(r) FROM dict)),
+       |p1 AS ${ppos("v1")},
+       |p2 AS ${ppos("v2")},
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand
+       |         FROM bl, p1, p2
+       |         WHERE len(list_filter(p1.pp,
+       |             q -> NOT list_contains(bits, q))) = 0
+       |            OR len(list_filter(p2.pp,
+       |             q -> NOT list_contains(bits, q))) = 0),
+       |tot AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_tot
+       |        FROM zs)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  v1.v AS lang_lo, v2.v AS lang_hi,
+       |  cand.n_cand AS n_candidate_shards, tot.n_tot AS n_total_shards
+       |FROM j, v1, v2, cand, tot
+       |WHERE lang IN (v1.v, v2.v)
+       |GROUP BY source, v1.v, v2.v, cand.n_cand, tot.n_tot
+       |ORDER BY source""".stripMargin
+  }
+
+  /** DuckDB mirror of x170 — the manifest-staleness fold: corpus slice
+    * (doc_id % 7 ≠ 0) frames the layout, every doc assigns against that
+    * frozen frame (batch rows clamp), and the per-shard (n_rows,
+    * stale_rows) pairs are the total and batch-entered counts; after a
+    * refresh the staleness sum is zero by definition. */
+  private def manifestStalenessSql(bits: Int, nShards: Int): String =
+    s"""WITH dict AS (SELECT v, CAST(dense_rank() OVER (ORDER BY v) - 1
+       |           AS BIGINT) AS r
+       |         FROM (SELECT DISTINCT lang AS v FROM documents
+       |               WHERE lang IS NOT NULL AND doc_id % 7 <> 0)),
+       |s AS (SELECT doc_id, dict.r AS x, n_chars AS y,
+       |        doc_id % 7 = 0 AS is_batch
+       |      FROM documents LEFT JOIN dict ON documents.lang = dict.v),
+       |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |             min(y) AS ymin, max(y) AS ymax
+       |      FROM s WHERE NOT is_batch),
+       |c AS (SELECT doc_id, is_batch,
+       |        ${zorderCellSql(bits)("x", "xmin", "xmax")} AS cx,
+       |        ${zorderCellSql(bits)("y", "ymin", "ymax")} AS cy
+       |      FROM s, b),
+       |z AS (SELECT doc_id, is_batch,
+       |        ${(0 until bits).map { i =>
+              s"(((cx >> $i) & 1) << ${2 * i}) + " +
+                s"(((cy >> $i) & 1) << ${2 * i + 1})"
+            }.mkString(" + ")} AS zvalue
+       |      FROM c)
+       |SELECT ${zorderShardSql(bits, nShards)} AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) FILTER (WHERE is_batch) AS BIGINT) AS stale_rows,
+       |  CAST(0 AS BIGINT) AS stale_after_refresh
+       |FROM z GROUP BY 1 ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of x167 — the DAX eq-stats measure answered off the
     * sharded fact through a string-keyed bloom-pruned read: probe type =
@@ -5354,6 +5503,8 @@ object ExtensionQueries {
     "x166_pruned_combined" -> stringPrunedCombinedSql(8, 32, 1024, 3),
     "x167_dax_sharded_fact" -> daxShardedFactSql(8, 32, 1024, 3),
     "x168_pruned_after_reshard" -> stringPrunedScanSql(8, 8),
+    "x169_pruned_in_list" -> stringPrunedInListSql(8, 32, 1024, 3),
+    "x170_manifest_staleness" -> manifestStalenessSql(8, 32),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),
