@@ -1914,6 +1914,27 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // PRUNED DELETE — takedown routed by the index: removing one
+    // language rewrites ONLY the bloom-candidate shards that hold it
+    // (at 100 TB a compliance delete must not rewrite the corpus);
+    // touched manifests recomputed exactly in the same protocol, the
+    // deleted key stops routing, and the remaining table hash-matches
+    // the oracle's table-minus-key — with removed/touched/candidate
+    // counts riding in the hashed output
+    "x171_pruned_delete" -> ((s, dir) => {
+      val (table, v) = StringPrunedTableBuild(s, dir, suffix = "_d")
+      val (cands, touched, removed) =
+        graft.util.Scan.deleteByKeys(s, table, Seq(v))
+      s.read.parquet(table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("lang_deleted", lit(v))
+        .withColumn("n_removed", lit(removed))
+        .withColumn("n_touched_shards", lit(touched.size.toLong))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .orderBy("source")
+    }),
+
     // the MANIFEST STALENESS fold under hash check: corpus slice
     // published, batch slice appended through appendSharded's
     // manifest-first fold — the per-shard (n_rows, _stale_rows) pairs
@@ -3427,6 +3448,52 @@ object ExtensionQueries {
        |FROM j, v1, v2, cand, tot
        |WHERE lang IN (v1.v, v2.v)
        |GROUP BY source, v1.v, v2.v, cand.n_cand, tot.n_tot
+       |ORDER BY source""".stripMargin
+  }
+
+  /** DuckDB mirror of x171 — the pruned delete: candidates from the
+    * same string-bloom arithmetic, touched = the distinct shards that
+    * actually hold the key (⊆ candidates by the no-false-negative
+    * guarantee), removed = the key's row count, and the surviving
+    * table's aggregate is simply documents-minus-key. */
+  private def stringPrunedDeleteSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |keys AS (SELECT DISTINCT shard, lang AS kk FROM j
+       |         WHERE lang IS NOT NULL),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' || kk),
+       |            1 + 8 * j2, 8)) AS BIGINT) % $m AS p
+       |        FROM keys, unnest([$hashes]) AS u(j2)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict)),
+       |ppos AS (SELECT list_transform([$hashes],
+       |           j2 -> CAST(concat('0x', substr(md5('bloom|' || v),
+       |             1 + 8 * j2, 8)) AS BIGINT) % $m) AS pp
+       |         FROM mv),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand
+       |         FROM bl, ppos
+       |         WHERE len(list_filter(pp,
+       |           q -> NOT list_contains(bits, q))) = 0),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+       |          CAST(count(DISTINCT shard) AS BIGINT) AS n_touched
+       |        FROM j, mv WHERE lang = mv.v)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  mv.v AS lang_deleted, hit.n_removed,
+       |  hit.n_touched AS n_touched_shards,
+       |  cand.n_cand AS n_candidate_shards
+       |FROM j, mv, cand, hit
+       |WHERE lang IS NULL OR lang <> mv.v
+       |GROUP BY source, mv.v, hit.n_removed, hit.n_touched, cand.n_cand
        |ORDER BY source""".stripMargin
   }
 
@@ -5505,6 +5572,7 @@ object ExtensionQueries {
     "x168_pruned_after_reshard" -> stringPrunedScanSql(8, 8),
     "x169_pruned_in_list" -> stringPrunedInListSql(8, 32, 1024, 3),
     "x170_manifest_staleness" -> manifestStalenessSql(8, 32),
+    "x171_pruned_delete" -> stringPrunedDeleteSql(8, 32, 1024, 3),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),

@@ -84,6 +84,7 @@ object Compaction {
       sortCol: Option[String] = None,
       maxRecordsPerFile: Long = 0L): (Int, Int) = {
     graft.dw.Merge.recover(spark, dir)
+    Scan.recoverPendingDelete(spark, dir, shardCol)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shardDirs = fs.listStatus(p).toSeq.filter(s =>
@@ -158,6 +159,7 @@ object Compaction {
       : (Int, Int) = {
     require(newNShards >= 1, "need newNShards >= 1")
     graft.dw.Merge.recover(spark, dir)
+    Scan.recoverPendingDelete(spark, dir, shardCol)
     val meta = Scan.readMeta(spark, dir).getOrElse(sys.error(
       s"reshardSharded: $dir has no ${Scan.MetaSidecar} sidecar — " +
         "re-publish through writeSharded(zTotalBits=…) first"))

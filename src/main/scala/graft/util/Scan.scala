@@ -446,6 +446,181 @@ object Scan {
       .collect().map(_.getInt(0)).toSeq.sorted
   }
 
+  val PendingDelete = "_pending_delete"
+
+  /** PRUNED DELETE — takedown routed BY THE INDEX: remove every row with
+    * `keyCol ∈ keys` (the table's bloom key column) by REWRITING ONLY
+    * the bloom-candidate shards — at 100 TB a compliance delete of one
+    * source/user/language must not rewrite the corpus, and the bloom's
+    * no-false-negatives guarantee makes the candidate set sufficient:
+    * a shard the bloom rules out cannot hold the key. Shards where the
+    * keys turn out absent (bloom false positives) are detected with one
+    * count and NOT rewritten. Touched shards' stats + bloom manifest
+    * rows are recomputed EXACTLY and swapped in; untouched rows pass
+    * through — so after a delete the manifests are exact for touched
+    * shards and unchanged elsewhere.
+    *
+    * Crash protocol (single-writer, like every maintenance op here):
+    *
+    *  1. kept rows land under `_pending_delete/shard=<s>` (underscore —
+    *     invisible to table readers);
+    *  2. `_pending_delete/_COMMIT` is written LAST, naming the touched
+    *     shards — its absence means no table state changed and recovery
+    *     ABORTS the delete;
+    *  3. each touched `shard=<s>` is replaced by its pending dir
+    *     (delete + rename, metadata-only);
+    *  4. sidecars update; 5. `_pending_delete` is removed.
+    *
+    * [[recoverPendingDelete]] makes every window converge: pending
+    * without `_COMMIT` → abort (table untouched); `_COMMIT` present →
+    * re-apply remaining swaps (idempotent — the pending content IS the
+    * final state) and re-run the sidecar update for the shards the
+    * marker names. It runs at the head of every Scan/Compaction
+    * mutation AND of [[readShards]], so a reader never observes the
+    * mid-swap window (the one state where a shard's rows could
+    * transiently disappear).
+    *
+    * Returns (candidate shards, shards actually rewritten, rows
+    * removed).
+    */
+  def deleteByKeys(spark: SparkSession, dir: String, keys: Seq[Any],
+      shardCol: String = "shard",
+      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) = {
+    require(keys.nonEmpty, "need at least one key")
+    graft.dw.Merge.recover(spark, dir)
+    recoverPendingDelete(spark, dir, shardCol)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bloom = bloomManifest(spark, dir)
+    val cfg = bloom.select("key_col", "m", "k").limit(1).head()
+    val keyCol = cfg.getString(0)
+    val cands = candidateShardsByKeys(bloom, keys, shardCol)
+      .filter(s => fs.exists(new Path(s"$dir/$shardCol=$s")))
+    if (cands.isEmpty) return (cands, Nil, 0L)
+    val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
+    val matchPred =
+      if (keys.size == 1) col(keyCol) === lit(keys.head)
+      else col(keyCol).isin(keys: _*)
+    // per candidate shard: count matches (bloom fps rewrite nothing),
+    // then land the kept rows in the pending area
+    val touched = scala.collection.mutable.ArrayBuffer[Int]()
+    var removed = 0L
+    cands.foreach { s =>
+      val rows = spark.read.parquet(s"$dir/$shardCol=$s")
+      val hit = rows.filter(matchPred).count()
+      if (hit > 0) {
+        removed += hit
+        val kept = rows.filter(!matchPred || col(keyCol).isNull)
+        sort.fold(kept)(c => kept.sortWithinPartitions(c))
+          .write.mode("overwrite")
+          .parquet(s"$dir/$PendingDelete/$shardCol=$s")
+        touched += s
+      }
+    }
+    if (touched.isEmpty) {
+      fs.delete(new Path(s"$dir/$PendingDelete"), true)
+      return (cands, Nil, 0L)
+    }
+    // 2. the commit point: after this marker exists, recovery ROLLS
+    // FORWARD; before it, recovery rolls back
+    val commit = new Path(s"$dir/$PendingDelete/_COMMIT")
+    val out = fs.create(commit, true)
+    out.write(touched.mkString(",").getBytes("UTF-8")); out.close()
+    applyPendingDelete(spark, dir, shardCol, touched.toSeq)
+    (cands, touched.toSeq, removed)
+  }
+
+  def deleteByKey(spark: SparkSession, dir: String, key: Any,
+      shardCol: String = "shard",
+      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
+    deleteByKeys(spark, dir, Seq(key), shardCol, sortCol)
+
+  /** Steps 3–5 of the delete protocol: swap each touched shard, rebuild
+    * the touched shards' manifest rows exactly, drop the pending area.
+    * Idempotent — the pending content is the final state, and the
+    * manifest recompute reads the post-swap files. */
+  private def applyPendingDelete(spark: SparkSession, dir: String,
+      shardCol: String, touched: Seq[Int]): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    touched.foreach { s =>
+      val pending = new Path(s"$dir/$PendingDelete/$shardCol=$s")
+      if (fs.exists(pending)) {
+        val target = new Path(s"$dir/$shardCol=$s")
+        fs.delete(target, true)
+        require(fs.rename(pending, target),
+          s"delete swap rename $pending -> $target failed")
+      }
+    }
+    // touched shards' manifest rows recomputed EXACTLY from the
+    // rewritten files; untouched rows pass through unchanged. Inline
+    // shard read (NOT readShards — its reader-window recovery would
+    // re-enter this very routine while the pending area still exists)
+    val statCols = statColsOf(spark, dir)
+    // only dirs with DATA files: a fully-emptied shard leaves a dir of
+    // markers, which contributes no rows but would break schema
+    // inference if it were the only path
+    val existing = touched.filter { s =>
+      val p = new Path(s"$dir/$shardCol=$s")
+      fs.exists(p) && fs.listStatus(p).exists(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    }
+    val back =
+      if (existing.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.option("basePath", dir)
+        .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
+    val oldStats = statsManifest(spark, dir)
+    val stale =
+      if (oldStats.columns.contains("_stale_rows")) col("_stale_rows")
+      else lit(0L)
+    val keepStats = oldStats
+      .withColumn("_stale_rows", coalesce(stale, lit(0L)))
+      .filter(!col(shardCol).isin(touched: _*))
+    val newStats = graft.ext.Corpus.shardStats(back, shardCol, statCols)
+      .withColumn("_stale_rows", lit(0L))
+    graft.dw.Merge.atomicOverwrite(spark,
+      keepStats.unionByName(newStats), s"$dir/$StatsSidecar")
+    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
+      val ob = bloomManifest(spark, dir)
+      val cfg = ob.select("key_col", "m", "k").limit(1).head()
+      val (kc, m, k) = (cfg.getString(0), cfg.getInt(1), cfg.getInt(2))
+      val keepBloom = ob.filter(!col("shard").isin(touched: _*))
+      // a fully-emptied shard simply has no bloom row anymore
+      val newBloom = graft.ext.Corpus.bloomBitsTable(back, shardCol, kc,
+        m, k).withColumn("key_col", lit(kc))
+      graft.dw.Merge.atomicOverwrite(spark,
+        keepBloom.unionByName(newBloom), s"$dir/$BloomSidecar")
+    }
+    fs.delete(new Path(s"$dir/$PendingDelete"), true)
+  }
+
+  /** Recovery for an interrupted [[deleteByKeys]]: no `_COMMIT` → the
+    * delete never reached its commit point, abort (drop the pending
+    * area, table untouched); `_COMMIT` present → roll forward
+    * (re-apply the remaining swaps and the sidecar rebuild for the
+    * shards the marker names — all idempotent). Cheap when there is
+    * nothing to do: one FS existence probe. */
+  def recoverPendingDelete(spark: SparkSession, dir: String,
+      shardCol: String = "shard"): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val pending = new Path(s"$dir/$PendingDelete")
+    if (!fs.exists(pending)) return
+    val commit = new Path(s"$dir/$PendingDelete/_COMMIT")
+    if (!fs.exists(commit)) { fs.delete(pending, true); return }
+    val in = fs.open(commit)
+    val body = try {
+      val buf = new Array[Byte](4096)
+      val n = in.read(buf)
+      if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+    } finally in.close()
+    val touched = body.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    if (touched.nonEmpty)
+      applyPendingDelete(spark, dir, shardCol, touched)
+    else fs.delete(pending, true)
+  }
+
   /** Read ONLY the given shard directories (`dir/shard=<s>`), keeping the
     * partition column via `basePath`. The shards not named are never
     * listed, opened, or footer-read — this is the actual skip. An empty
@@ -462,6 +637,11 @@ object Scan {
       shardCol: String = "shard"): DataFrame = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // the one delete-protocol window a reader could observe (a shard
+    // between its delete and its pending-rename) is closed by rolling
+    // the interrupted delete forward first — one FS probe when idle
+    if (fs.exists(new Path(s"$dir/$PendingDelete")))
+      recoverPendingDelete(spark, dir, shardCol)
     val existing = shards.filter(s =>
       fs.exists(new Path(s"$dir/$shardCol=$s")))
     if (existing.isEmpty) spark.read.parquet(dir).filter(lit(false))

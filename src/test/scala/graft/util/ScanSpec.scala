@@ -403,6 +403,93 @@ class ScanSpec extends SparkSpec {
       .count() === 400L)
   }
 
+  test("deleteByKeys: a takedown rewrites ONLY the bloom-candidate " +
+    "shards that actually hold the key; NULL-key rows survive; the " +
+    "touched manifests are exact afterward and the key stops routing") {
+    val dir = freshDir()
+    // laidStr + one NULL-lang row in shard 2 (must survive the delete)
+    val withNull = laidStr.unionByName(
+      Seq((9999L, Option.empty[String], 123L, 2, 450L))
+        .toDF("doc_id", "lang", "n_chars", "shard", "zvalue"))
+    Scan.writeSharded(spark, withNull, dir,
+      statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("lang"), bloomM = 1024)
+    // untouched shards' physical files must not be rewritten
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files(s: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/shard=$s")).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    val before0 = files(0)
+    val (cands, touched, removed) = Scan.deleteByKeys(spark, dir,
+      Seq("es"))
+    assert(cands.contains(2) && touched === Seq(2) && removed === 200L)
+    assert(files(0) === before0) // untouched shard: same files, same mtimes
+    // transparency: exactly the es rows are gone, the NULL-key row stays
+    val left = spark.read.parquet(dir)
+    assert(left.count() === 801L)
+    assert(left.filter(col("lang") === "es").count() === 0L)
+    assert(left.filter(col("doc_id") === 9999L).count() === 1L)
+    // manifests exact: the es envelope is gone from stats (shard 2's
+    // row now covers only the NULL-lang survivor → NULL lang bounds,
+    // excluded from candidates) and the bloom no longer routes es
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      Seq(("lang", "es", "es"))) === Nil)
+    assert(Scan.readPrunedByKey(spark, dir, "lang", "es").count() === 0L)
+    val s2 = Scan.statsManifest(spark, dir)
+      .filter(col("shard") === 2).head()
+    assert(s2.getAs[Long]("n_rows") === 1L)
+    assert(s2.getAs[Long]("_stale_rows") === 0L)
+    // a bloom false positive (absent key) rewrites NOTHING
+    val (_, touched2, removed2) = Scan.deleteByKeys(spark, dir,
+      Seq("xx"))
+    assert(touched2 === Nil && removed2 === 0L)
+    assert(spark.read.parquet(dir).count() === 801L)
+    // IN-list delete: two languages in one pass
+    val (_, touched3, removed3) = Scan.deleteByKeys(spark, dir,
+      Seq("de", "zh"))
+    assert(removed3 === 400L && touched3.toSet === Set(0, 4))
+    assert(spark.read.parquet(dir).count() === 401L)
+  }
+
+  test("deleteByKeys crash protocol: pending without _COMMIT aborts " +
+    "(table untouched); _COMMIT present rolls forward on the next " +
+    "read — the reader never observes the mid-swap window") {
+    val dir = freshDir()
+    publishStr(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // (a) crash BEFORE the commit point: pending kept-rows exist, no
+    // _COMMIT — recovery aborts, nothing changed
+    spark.read.parquet(s"$dir/shard=2")
+      .filter(col("lang") =!= "es")
+      .write.mode("overwrite")
+      .parquet(s"$dir/${Scan.PendingDelete}/shard=2")
+    Scan.recoverPendingDelete(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.PendingDelete}")))
+    assert(spark.read.parquet(dir).count() === 1000L)
+    // (b) crash AFTER the commit point, before any swap: the next
+    // readShards rolls the delete forward — rows swapped, manifests
+    // rebuilt for the named shard
+    spark.read.parquet(s"$dir/shard=2")
+      .filter(col("lang") =!= "es")
+      .write.mode("overwrite")
+      .parquet(s"$dir/${Scan.PendingDelete}/shard=2")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.PendingDelete}/_COMMIT"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    // a pruned read triggers the roll-forward transparently
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("lang", "es", "es"))).count() === 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.PendingDelete}")))
+    assert(spark.read.parquet(dir).count() === 800L)
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      Seq(("lang", "es", "es"))) === Nil)
+  }
+
   test("manifest staleness measures fold-entered rows and resets when " +
     "the stats become exact again") {
     val dir = freshDir()
