@@ -243,6 +243,10 @@ object Scan {
     */
   def appendSharded(spark: SparkSession, laidBatch: DataFrame,
       dir: String, idCol: String, shardCol: String = "shard"): Unit = {
+    // every mutation rolls an interrupted delete forward first (the
+    // id probe's readShards would too, but the manifest fold must
+    // never read a pre-roll-forward sidecar)
+    recoverPendingDelete(spark, dir, shardCol)
     val statCols = statColsOf(spark, dir)
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
