@@ -1935,6 +1935,31 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // RETENTION DELETE — expiry routed by the stats envelopes: rows
+    // with n_chars at or below the 30% point are removed by rewriting
+    // only the shards whose envelope intersects the expired range (the
+    // `DELETE WHERE ts < cutoff` shape every retention policy runs);
+    // the surviving table hash-matches the oracle's table-minus-range,
+    // counts under hash
+    "x172_retention_delete" -> ((s, dir) => {
+      val (table, _) = StringPrunedTableBuild(s, dir, suffix = "_rt")
+      val d = Tables(s, dir, "documents")
+      val b = d.agg(min(col("n_chars")), max(col("n_chars"))).head()
+      val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 30 / 100
+      val ranges: Seq[(String, Any, Any)] =
+        Seq(("n_chars", b.getLong(0), cutoff))
+      val (cands, touched, removed) =
+        graft.util.Scan.deleteByRange(s, table, ranges)
+      s.read.parquet(table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("cutoff", lit(cutoff))
+        .withColumn("n_removed", lit(removed))
+        .withColumn("n_touched_shards", lit(touched.size.toLong))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .orderBy("source")
+    }),
+
     // the MANIFEST STALENESS fold under hash check: corpus slice
     // published, batch slice appended through appendSharded's
     // manifest-first fold — the per-shard (n_rows, _stale_rows) pairs
@@ -3496,6 +3521,39 @@ object ExtensionQueries {
        |GROUP BY source, mv.v, hit.n_removed, hit.n_touched, cand.n_cand
        |ORDER BY source""".stripMargin
   }
+
+  /** DuckDB mirror of x172 — the retention delete: candidates from the
+    * same per-shard n_chars envelopes, touched = the candidates that
+    * actually hold expired rows, removed = the expired count, and the
+    * surviving table's aggregate is documents-minus-range. */
+  private def retentionDeleteSql(bits: Int, nShards: Int): String =
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |man AS (SELECT shard, min(n_chars) AS nmin, max(n_chars) AS nmax
+       |        FROM j GROUP BY shard),
+       |pb AS (SELECT min(n_chars) AS cmin,
+       |              min(n_chars) + (max(n_chars) - min(n_chars))
+       |                * 30 // 100 AS cutoff
+       |       FROM documents),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM man, pb
+       |         WHERE nmin <= cutoff AND nmax >= cmin),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+       |          CAST(count(DISTINCT shard) AS BIGINT) AS n_touched
+       |        FROM j, pb WHERE n_chars BETWEEN cmin AND cutoff)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  pb.cutoff, hit.n_removed,
+       |  hit.n_touched AS n_touched_shards,
+       |  cand.n_cand AS n_candidate_shards
+       |FROM j, pb, cand, hit
+       |WHERE n_chars IS NULL OR n_chars > pb.cutoff
+       |GROUP BY source, pb.cutoff, hit.n_removed, hit.n_touched,
+       |  cand.n_cand
+       |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of x170 — the manifest-staleness fold: corpus slice
     * (doc_id % 7 ≠ 0) frames the layout, every doc assigns against that
@@ -5573,6 +5631,7 @@ object ExtensionQueries {
     "x169_pruned_in_list" -> stringPrunedInListSql(8, 32, 1024, 3),
     "x170_manifest_staleness" -> manifestStalenessSql(8, 32),
     "x171_pruned_delete" -> stringPrunedDeleteSql(8, 32, 1024, 3),
+    "x172_retention_delete" -> retentionDeleteSql(8, 32),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),

@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MANIFEST-PRUNED READS — the consumer side of the data-skipping toolkit
@@ -493,20 +493,60 @@ object Scan {
     require(keys.nonEmpty, "need at least one key")
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val bloom = bloomManifest(spark, dir)
-    val cfg = bloom.select("key_col", "m", "k").limit(1).head()
-    val keyCol = cfg.getString(0)
+    val keyCol = bloom.select("key_col").limit(1).head().getString(0)
     val cands = candidateShardsByKeys(bloom, keys, shardCol)
-      .filter(s => fs.exists(new Path(s"$dir/$shardCol=$s")))
-    if (cands.isEmpty) return (cands, Nil, 0L)
-    val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
     val matchPred =
       if (keys.size == 1) col(keyCol) === lit(keys.head)
       else col(keyCol).isin(keys: _*)
-    // per candidate shard: count matches (bloom fps rewrite nothing),
-    // then land the kept rows in the pending area
+    deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
+  }
+
+  def deleteByKey(spark: SparkSession, dir: String, key: Any,
+      shardCol: String = "shard",
+      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
+    deleteByKeys(spark, dir, Seq(key), shardCol, sortCol)
+
+  /** [[deleteByKeys]] routed by the STATS envelopes instead of the
+    * bloom — the retention-expiry shape (`DELETE WHERE ts < cutoff`,
+    * `… BETWEEN lo AND hi`): candidate shards are the ones whose
+    * min/max intersect the conjunction, everything else is untouched
+    * by construction. Rows with NULL in any range column never match
+    * the predicate and always survive (SQL DELETE semantics). Same
+    * pending/commit crash protocol, same exact touched-manifest
+    * rebuild — and after a retention delete the expired range stops
+    * producing candidates at all (the envelopes tightened past it).
+    */
+  def deleteByRange(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Any, Any)], shardCol: String = "shard",
+      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) = {
+    require(ranges.nonEmpty, "need at least one range")
+    graft.dw.Merge.recover(spark, dir)
+    recoverPendingDelete(spark, dir, shardCol)
+    val cands = candidateShardsByStats(statsManifest(spark, dir),
+      ranges, shardCol)
+    val matchPred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
+  }
+
+  /** The shared delete core (steps 1–2 of the protocol; see
+    * [[deleteByKeys]]): probe each candidate shard for matches, land
+    * kept rows in the pending area, write the `_COMMIT` pivot, then
+    * roll forward. A row where `matchPred` evaluates NULL is KEPT —
+    * deletes remove only rows the predicate PROVES match. */
+  private def deleteWhere(spark: SparkSession, dir: String,
+      cands0: Seq[Int], matchPred: Column, shardCol: String,
+      sortCol: Option[String]): (Seq[Int], Seq[Int], Long) = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cands = cands0.filter(s =>
+      fs.exists(new Path(s"$dir/$shardCol=$s")))
+    if (cands.isEmpty) return (cands, Nil, 0L)
+    val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
+    // per candidate shard: count matches (over-approximated candidates
+    // rewrite nothing), then land the kept rows in the pending area
     val touched = scala.collection.mutable.ArrayBuffer[Int]()
     var removed = 0L
     cands.foreach { s =>
@@ -514,7 +554,7 @@ object Scan {
       val hit = rows.filter(matchPred).count()
       if (hit > 0) {
         removed += hit
-        val kept = rows.filter(!matchPred || col(keyCol).isNull)
+        val kept = rows.filter(!coalesce(matchPred, lit(false)))
         sort.fold(kept)(c => kept.sortWithinPartitions(c))
           .write.mode("overwrite")
           .parquet(s"$dir/$PendingDelete/$shardCol=$s")
@@ -533,11 +573,6 @@ object Scan {
     applyPendingDelete(spark, dir, shardCol, touched.toSeq)
     (cands, touched.toSeq, removed)
   }
-
-  def deleteByKey(spark: SparkSession, dir: String, key: Any,
-      shardCol: String = "shard",
-      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
-    deleteByKeys(spark, dir, Seq(key), shardCol, sortCol)
 
   /** Steps 3–5 of the delete protocol: swap each touched shard, rebuild
     * the touched shards' manifest rows exactly, drop the pending area.

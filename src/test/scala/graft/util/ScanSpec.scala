@@ -453,6 +453,36 @@ class ScanSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 401L)
   }
 
+  test("deleteByRange: retention expiry routed by the stats envelopes — " +
+    "only intersecting shards rewrite, and the expired range stops " +
+    "producing candidates (the envelopes tightened past it)") {
+    val dir = freshDir()
+    publish(dir)
+    val ranges: Seq[(String, Any, Any)] = Seq(("user_id", 250L, 349L))
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      ranges) === Seq(2, 3))
+    val (cands, touched, removed) = Scan.deleteByRange(spark, dir,
+      ranges)
+    assert(cands === Seq(2, 3) && touched === Seq(2, 3) &&
+      removed === 100L)
+    val left = spark.read.parquet(dir)
+    assert(left.count() === 900L)
+    assert(left.filter(col("user_id").between(250L, 349L))
+      .count() === 0L)
+    // exact post-delete envelopes: shard 2 now [200,249], shard 3
+    // [350,399] — the deleted range has NO candidates anymore
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      ranges) === Nil)
+    val s2 = Scan.statsManifest(spark, dir)
+      .filter(col("shard") === 2).head()
+    assert(s2.getAs[Long]("user_id_max") === 249L &&
+      s2.getAs[Long]("n_rows") === 50L)
+    // non-intersecting retention pass: zero candidates, zero rewrites
+    val (c2, t2, r2) = Scan.deleteByRange(spark, dir,
+      Seq(("user_id", 5000L, 6000L)))
+    assert(c2 === Nil && t2 === Nil && r2 === 0L)
+  }
+
   test("deleteByKeys crash protocol: pending without _COMMIT aborts " +
     "(table untouched); _COMMIT present rolls forward on the next " +
     "read — the reader never observes the mid-swap window") {
