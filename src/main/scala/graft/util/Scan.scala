@@ -532,10 +532,20 @@ object Scan {
   }
 
   /** The shared delete core (steps 1–2 of the protocol; see
-    * [[deleteByKeys]]): probe each candidate shard for matches, land
+    * [[deleteByKeys]]): probe the candidate shards for matches, land
     * kept rows in the pending area, write the `_COMMIT` pivot, then
     * roll forward. A row where `matchPred` evaluates NULL is KEPT —
-    * deletes remove only rows the predicate PROVES match. */
+    * deletes remove only rows the predicate PROVES match.
+    *
+    * Scale shape: TWO jobs regardless of how many shards are touched —
+    * one aggregate over the candidate shards (per-shard match counts,
+    * rows out = candidates) and one shard-partitioned write of every
+    * touched shard's kept rows into the pending area — not a
+    * per-shard driver loop, which would serialize a wide retention
+    * delete no matter how many executors exist. A shard whose rows ALL
+    * match writes no pending dir; the `_COMMIT` marker records it as
+    * `emptied` so roll-forward deletes it without a replacement.
+    */
   private def deleteWhere(spark: SparkSession, dir: String,
       cands0: Seq[Int], matchPred: Column, shardCol: String,
       sortCol: Option[String]): (Seq[Int], Seq[Int], Long) = {
@@ -545,44 +555,53 @@ object Scan {
       fs.exists(new Path(s"$dir/$shardCol=$s")))
     if (cands.isEmpty) return (cands, Nil, 0L)
     val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
-    // per candidate shard: count matches (over-approximated candidates
-    // rewrite nothing), then land the kept rows in the pending area
-    val touched = scala.collection.mutable.ArrayBuffer[Int]()
-    var removed = 0L
-    cands.foreach { s =>
-      val rows = spark.read.parquet(s"$dir/$shardCol=$s")
-      val hit = rows.filter(matchPred).count()
-      if (hit > 0) {
-        removed += hit
-        val kept = rows.filter(!coalesce(matchPred, lit(false)))
-        sort.fold(kept)(c => kept.sortWithinPartitions(c))
-          .write.mode("overwrite")
-          .parquet(s"$dir/$PendingDelete/$shardCol=$s")
-        touched += s
-      }
-    }
-    if (touched.isEmpty) {
-      fs.delete(new Path(s"$dir/$PendingDelete"), true)
-      return (cands, Nil, 0L)
-    }
+    val back = readShards(spark, dir, cands, shardCol)
+    // one probe job: per-shard match counts (over-approximated
+    // candidates — bloom fps, loose envelopes — rewrite nothing)
+    val hits = back.filter(matchPred)
+      .groupBy(col(shardCol).cast("int").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = hits.keys.toSeq.sorted
+    val removed = hits.values.sum
+    if (touched.isEmpty) return (cands, Nil, 0L)
+    // one write job: every touched shard's kept rows, shard-partitioned
+    // into the pending area (a fully-emptied shard produces no dir)
+    val kept = back
+      .filter(col(shardCol).isin(touched: _*) &&
+        !coalesce(matchPred, lit(false)))
+      .repartition(col(shardCol))
+    sort.fold(kept)(c => kept.sortWithinPartitions(shardCol, c))
+      .write.mode("overwrite").partitionBy(shardCol)
+      .parquet(s"$dir/$PendingDelete")
+    val withRows = touched.filter(s =>
+      fs.exists(new Path(s"$dir/$PendingDelete/$shardCol=$s")))
+    val emptied = touched.diff(withRows)
     // 2. the commit point: after this marker exists, recovery ROLLS
-    // FORWARD; before it, recovery rolls back
+    // FORWARD; before it, recovery rolls back (no table state changes
+    // until the marker is durable)
     val commit = new Path(s"$dir/$PendingDelete/_COMMIT")
     val out = fs.create(commit, true)
-    out.write(touched.mkString(",").getBytes("UTF-8")); out.close()
-    applyPendingDelete(spark, dir, shardCol, touched.toSeq)
-    (cands, touched.toSeq, removed)
+    out.write((s"kept:${withRows.mkString(",")}" +
+      s"|emptied:${emptied.mkString(",")}").getBytes("UTF-8"))
+    out.close()
+    applyPendingDelete(spark, dir, shardCol, withRows, emptied)
+    (cands, touched, removed)
   }
 
-  /** Steps 3–5 of the delete protocol: swap each touched shard, rebuild
-    * the touched shards' manifest rows exactly, drop the pending area.
-    * Idempotent — the pending content is the final state, and the
-    * manifest recompute reads the post-swap files. */
+  /** Steps 3–5 of the delete protocol: swap each kept shard, delete
+    * each fully-emptied shard, rebuild the touched shards' manifest
+    * rows exactly, drop the pending area. Idempotent — the pending
+    * content is the final state (a kept shard whose pending dir is
+    * already consumed is skipped, never re-deleted), emptied-shard
+    * deletes are no-ops when re-applied, and the manifest recompute
+    * reads the post-swap files. */
   private def applyPendingDelete(spark: SparkSession, dir: String,
-      shardCol: String, touched: Seq[Int]): Unit = {
+      shardCol: String, kept: Seq[Int], emptied: Seq[Int]): Unit = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    touched.foreach { s =>
+    val touched = (kept ++ emptied).sorted
+    kept.foreach { s =>
       val pending = new Path(s"$dir/$PendingDelete/$shardCol=$s")
       if (fs.exists(pending)) {
         val target = new Path(s"$dir/$shardCol=$s")
@@ -590,6 +609,9 @@ object Scan {
         require(fs.rename(pending, target),
           s"delete swap rename $pending -> $target failed")
       }
+    }
+    emptied.foreach { s =>
+      fs.delete(new Path(s"$dir/$shardCol=$s"), true)
     }
     // touched shards' manifest rows recomputed EXACTLY from the
     // rewritten files; untouched rows pass through unchanged. Inline
@@ -654,9 +676,20 @@ object Scan {
       val n = in.read(buf)
       if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
     } finally in.close()
-    val touched = body.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-    if (touched.nonEmpty)
-      applyPendingDelete(spark, dir, shardCol, touched)
+    def ints(s: String): Seq[Int] =
+      s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    // marker format `kept:a,b|emptied:c` (a plain list reads as kept —
+    // the pre-emptied-shard marker form)
+    val (kept, emptied) =
+      if (body.contains("kept:")) {
+        val parts = body.split('|').map(_.trim)
+        (ints(parts.find(_.startsWith("kept:"))
+          .map(_.stripPrefix("kept:")).getOrElse("")),
+          ints(parts.find(_.startsWith("emptied:"))
+            .map(_.stripPrefix("emptied:")).getOrElse("")))
+      } else (ints(body), Nil)
+    if (kept.nonEmpty || emptied.nonEmpty)
+      applyPendingDelete(spark, dir, shardCol, kept, emptied)
     else fs.delete(pending, true)
   }
 
