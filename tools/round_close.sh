@@ -21,7 +21,8 @@ N="$1"
 to_add=()
 for f in "BENCH_r${N}.json" "CORRECTNESS_r${N}.json" LEAKCHECK.json \
          COPYCHECK.json BASELINE.md VERDICT.md ADVICE.md; do
-  [[ -e $f ]] && to_add+=("$f")
+  # skip files .gitignore excludes (git add on them is a hard error)
+  [[ -e $f ]] && ! git check-ignore -q -- "$f" && to_add+=("$f")
 done
 
 if [[ ${#to_add[@]} -gt 0 ]]; then
