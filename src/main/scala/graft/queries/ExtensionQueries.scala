@@ -1960,6 +1960,124 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // PREFIX-pruned read — `lang LIKE 'e%'` (the language-family /
+    // domain-prefix shape): the string dim's stats envelopes are
+    // native UTF8-ordered min/max, so every 'e%' match lies in the
+    // half-open range ['e', 'f') and the prefix routes the SAME
+    // envelope a range does — no new sidecar machinery; the residual
+    // startswith keeps exactness, candidate counts under hash
+    "x173_pruned_prefix" -> ((s, dir) => {
+      val (table, _) = StringPrunedTableBuild(s, dir)
+      val cands = graft.util.Scan.candidateShardsByPrefix(
+        graft.util.Scan.statsManifest(s, table), "lang", "e")
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPrunedByPrefix(s, table, "lang", "e")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("lang")
+    }),
+
+    // MERGE UPSERT on the sharded z-ordered table — the reference's
+    // fact MERGE (dw2_delta_load2.py:101-131) at lakehouse scale:
+    // staged rows (updates re-sourced 'merged' + brand-new 'inserted'
+    // ids) replace-or-insert by rewriting ONLY the key-bloom candidate
+    // shards (deleteByKeys) then appending at their curve positions
+    // (appendSharded); the final per-source aggregate hash-matches the
+    // oracle's table-minus-matched ∪ staged, with replaced/touched/
+    // candidate counts under hash
+    "x175_upsert_sharded" -> ((s, dir) => {
+      val table =
+        s"target/scan/${new java.io.File(dir).getName}/documents_z_up"
+      val d = Tables(s, dir, "documents")
+      val dict = Corpus.stringDimDict(d, "lang")
+      val bounds = dict.agg(min(col("rank")).as("_min_lang"),
+          max(col("rank")).as("_max_lang"))
+        .crossJoin(d.agg(
+          min(col("n_chars")).as("_min_n_chars"),
+          max(col("n_chars")).as("_max_n_chars")))
+      def lay(df: org.apache.spark.sql.DataFrame) =
+        Corpus.zorderLayoutAgainstN(df, bounds, "doc_id",
+          Seq("lang", "n_chars"), bits = 8, nShards = 32,
+          keepCols = Seq("lang", "n_chars", "source"),
+          dicts = Map("lang" -> dict))
+          .drop("cell_lang", "cell_n_chars")
+      graft.util.Scan.writeSharded(s, lay(d), table,
+        statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+        bloomKeyCol = Some("doc_id"), bloomM = 4096, bloomK = 3,
+        zTotalBits = Some(16), nShards = Some(32),
+        dicts = Map("lang" -> dict))
+      val upd = d.filter(col("doc_id") % 100 === 3)
+        .withColumn("source", lit("merged"))
+      val ins = d.filter(col("doc_id") % 100 === 4)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("source", lit("inserted"))
+      val (cands, touched, removed) = graft.util.Scan.upsertSharded(s,
+        table, lay(upd.unionByName(ins)), "doc_id")
+      s.read.parquet(table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("n_replaced", lit(removed))
+        .withColumn("n_touched_shards", lit(touched.size.toLong))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .orderBy("source")
+    }),
+
+    // SCHEMA EVOLUTION under hash check — add-column as a METADATA op
+    // (at 100 TB an ALTER TABLE ADD COLUMN must not republish): corpus
+    // published WITHOUT `quality`, evolveAddColumn declares it, the
+    // batch appends WITH it; the pruned read on the string dim then
+    // spans pre-evolution (null-filled) and post-evolution files in
+    // the same shards, sum(quality) proving the null-fill, and the
+    // new column's candidate count proving pre-evolution shards are
+    // skipped by predicates on it for free (NULL envelopes)
+    "x174_schema_evolution" -> ((s, dir) => {
+      val table =
+        s"target/scan/${new java.io.File(dir).getName}/documents_z_evo"
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val batch0 = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("quality", col("n_chars") % 100)
+      val dict = Corpus.stringDimDict(corpus, "lang")
+      val bounds = dict.agg(min(col("rank")).as("_min_lang"),
+          max(col("rank")).as("_max_lang"))
+        .crossJoin(corpus.agg(
+          min(col("n_chars")).as("_min_n_chars"),
+          max(col("n_chars")).as("_max_n_chars")))
+      def lay(df: org.apache.spark.sql.DataFrame, keep: Seq[String]) =
+        Corpus.zorderLayoutAgainstN(df, bounds, "doc_id",
+          Seq("lang", "n_chars"), bits = 8, nShards = 32,
+          keepCols = keep, dicts = Map("lang" -> dict))
+          .drop("cell_lang", "cell_n_chars")
+      graft.util.Scan.writeSharded(s,
+        lay(corpus, Seq("lang", "n_chars")), table,
+        statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+        zTotalBits = Some(16), nShards = Some(32),
+        dicts = Map("lang" -> dict))
+      graft.util.Scan.evolveAddColumn(s, table, "quality",
+        org.apache.spark.sql.types.LongType)
+      graft.util.Scan.appendSharded(s,
+        lay(batch0, Seq("lang", "n_chars", "quality")), table, "doc_id")
+      val v = dict
+        .join(dict.agg(((max(col("rank")) + 0L) / 2).cast("long")
+          .as("rank")), Seq("rank"))
+        .head().getAs[String]("value")
+      val qCands = graft.util.Scan.candidateShardsByStats(
+        graft.util.Scan.statsManifest(s, table),
+        Seq(("quality", 0L, 49L)))
+      val nTotal = graft.util.Scan.statsManifest(s, table).count()
+      graft.util.Scan.readPrunedByRange(s, table,
+        Seq(("lang", v, v)))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("quality").as("sum_quality"))
+        .withColumn("lang_val", lit(v))
+        .withColumn("n_quality_cands", lit(qCands.size.toLong))
+        .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("lang_val")
+    }),
+
     // the MANIFEST STALENESS fold under hash check: corpus slice
     // published, batch slice appended through appendSharded's
     // manifest-first fold — the per-shard (n_rows, _stale_rows) pairs
@@ -3476,6 +3594,32 @@ object ExtensionQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** DuckDB mirror of x173 — the prefix-pruned read: candidates = the
+    * shards whose native string envelope intersects the half-open
+    * range ['e', 'f') (succ('e') = 'f' — the same successor arithmetic
+    * [[graft.util.Scan.prefixSucc]] computes); aggregate over the full
+    * table under LIKE 'e%' — hash equality proves the prefix-routed
+    * prune lost nothing. */
+  private def stringPrunedPrefixSql(bits: Int, nShards: Int): String =
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |man AS (SELECT shard, min(lang) AS lmin, max(lang) AS lmax
+       |        FROM j GROUP BY shard),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM man
+       |         WHERE lmax >= 'e' AND lmin < 'f'),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM man)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  cand.n_cand AS n_candidate_shards, tot.n_tot AS n_total_shards
+       |FROM j, cand, tot
+       |WHERE lang LIKE 'e%'
+       |GROUP BY lang, cand.n_cand, tot.n_tot
+       |ORDER BY lang""".stripMargin
+
   /** DuckDB mirror of x171 — the pruned delete: candidates from the
     * same string-bloom arithmetic, touched = the distinct shards that
     * actually hold the key (⊆ candidates by the no-false-negative
@@ -3586,6 +3730,113 @@ object ExtensionQueries {
        |  CAST(count(*) FILTER (WHERE is_batch) AS BIGINT) AS stale_rows,
        |  CAST(0 AS BIGINT) AS stale_after_refresh
        |FROM z GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of x175 — the sharded MERGE: staged keys = the
+    * update ids (% 100 = 3, re-sourced 'merged') plus insert ids
+    * (% 100 = 4, shifted +10M); candidates = shards where SOME staged
+    * key is bloom-covered; touched = distinct shards actually holding
+    * an update id; the final table is documents-minus-matched ∪
+    * staged. */
+  private def upsertShardedSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.doc_id FROM zs
+       |      JOIN documents d USING (doc_id)),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' || doc_id),
+       |            1 + 8 * j2, 8)) AS BIGINT) % $m AS p
+       |        FROM j, unnest([$hashes]) AS u(j2)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard),
+       |skeys AS (SELECT doc_id AS kk FROM documents
+       |          WHERE doc_id % 100 = 3
+       |          UNION ALL
+       |          SELECT doc_id + 10000000 FROM documents
+       |          WHERE doc_id % 100 = 4),
+       |kpos AS (SELECT kk, list_transform([$hashes],
+       |           j2 -> CAST(concat('0x', substr(md5('bloom|' || kk),
+       |             1 + 8 * j2, 8)) AS BIGINT) % $m) AS pp
+       |         FROM skeys),
+       |cov AS (SELECT DISTINCT bl.shard FROM bl, kpos
+       |        WHERE len(list_filter(kpos.pp,
+       |          q -> NOT list_contains(bl.bits, q))) = 0),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cov),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+       |          CAST(count(DISTINCT shard) AS BIGINT) AS n_touched
+       |        FROM j WHERE doc_id % 100 = 3),
+       |final AS (SELECT source, n_chars FROM documents
+       |          WHERE doc_id % 100 <> 3
+       |          UNION ALL
+       |          SELECT 'merged' AS source, n_chars FROM documents
+       |          WHERE doc_id % 100 = 3
+       |          UNION ALL
+       |          SELECT 'inserted' AS source, n_chars FROM documents
+       |          WHERE doc_id % 100 = 4)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  hit.n_removed AS n_replaced,
+       |  hit.n_touched AS n_touched_shards,
+       |  cand.n_cand AS n_candidate_shards
+       |FROM final, hit, cand
+       |GROUP BY source, hit.n_removed, hit.n_touched, cand.n_cand
+       |ORDER BY source""".stripMargin
+  }
+
+  /** DuckDB mirror of x174 — schema evolution: corpus (doc_id % 7 ≠ 0)
+    * frames the layout and publishes WITHOUT `quality`; the batch
+    * appends with `quality = n_chars % 100`; old rows read as NULL.
+    * Candidates for the new column = shards whose quality envelope
+    * (batch rows only — old rows contribute NULL, ignored by min/max)
+    * intersects [0, 49]. */
+  private def schemaEvolutionSql(bits: Int, nShards: Int): String =
+    s"""WITH dict AS (SELECT v, CAST(dense_rank() OVER (ORDER BY v) - 1
+       |           AS BIGINT) AS r
+       |         FROM (SELECT DISTINCT lang AS v FROM documents
+       |               WHERE lang IS NOT NULL AND doc_id % 7 <> 0)),
+       |s AS (SELECT doc_id, dict.r AS x, n_chars AS y,
+       |        doc_id % 7 = 0 AS is_batch
+       |      FROM documents LEFT JOIN dict ON documents.lang = dict.v),
+       |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |             min(y) AS ymin, max(y) AS ymax
+       |      FROM s WHERE NOT is_batch),
+       |c AS (SELECT doc_id, is_batch,
+       |        ${zorderCellSql(bits)("x", "xmin", "xmax")} AS cx,
+       |        ${zorderCellSql(bits)("y", "ymin", "ymax")} AS cy
+       |      FROM s, b),
+       |z AS (SELECT doc_id, is_batch,
+       |        ${(0 until bits).map { i =>
+              s"(((cx >> $i) & 1) << ${2 * i}) + " +
+                s"(((cy >> $i) & 1) << ${2 * i + 1})"
+            }.mkString(" + ")} AS zvalue
+       |      FROM c),
+       |zs AS (SELECT doc_id, is_batch,
+       |         ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.n_chars,
+       |        CASE WHEN zs.is_batch THEN d.n_chars % 100
+       |             ELSE NULL END AS quality
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict)),
+       |qman AS (SELECT shard, min(quality) AS qmin, max(quality) AS qmax
+       |         FROM j GROUP BY shard),
+       |qcand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM qman
+       |          WHERE qmin <= 49 AND qmax >= 0),
+       |tot AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_tot
+       |        FROM j)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(quality) AS BIGINT) AS sum_quality,
+       |  mv.v AS lang_val, qcand.n_cand AS n_quality_cands,
+       |  tot.n_tot AS n_total_shards
+       |FROM j, mv, qcand, tot
+       |WHERE lang = mv.v
+       |GROUP BY mv.v, qcand.n_cand, tot.n_tot
+       |ORDER BY lang_val""".stripMargin
 
   /** DuckDB mirror of x167 — the DAX eq-stats measure answered off the
     * sharded fact through a string-keyed bloom-pruned read: probe type =
@@ -5632,6 +5883,9 @@ object ExtensionQueries {
     "x170_manifest_staleness" -> manifestStalenessSql(8, 32),
     "x171_pruned_delete" -> stringPrunedDeleteSql(8, 32, 1024, 3),
     "x172_retention_delete" -> retentionDeleteSql(8, 32),
+    "x173_pruned_prefix" -> stringPrunedPrefixSql(8, 32),
+    "x174_schema_evolution" -> schemaEvolutionSql(8, 32),
+    "x175_upsert_sharded" -> upsertShardedSql(8, 32, 4096, 3),
     "x157_bloom_index" -> bloomIndexSql(16, 64, 4096, 3),
     "x158_bloom_probe" ->
       bloomProbeSql(16, 64, 4096, 3, Seq(1L, 7L, 42L, 123L, 10000000L)),

@@ -1213,13 +1213,29 @@ object DeltaStream {
     * before the append — the explicit routing the layout contract
     * demands, done once here for every caller.
     */
+  /** `retentionHorizon > 0` arms the RETENTION leg of the maintained
+    * loop: after each append the batch's newest `yCol` acts as the
+    * event-time watermark, and rows older than `newest − horizon`
+    * expire through [[graft.util.Scan.deleteByRange]] — the
+    * stats-routed pruned delete, so expiry rewrites only the shards
+    * whose envelope intersects the expired range and, once a range has
+    * expired, it stops producing candidates at all (the envelopes
+    * tightened past it) — a replayed batch's re-delete is a ZERO-
+    * candidate no-op, which is the replay-idempotence argument. The
+    * watermark is batch-derived (not wall clock), so checkpoint
+    * replays compute the same cutoff deterministically. Scheduled
+    * inside the same foreachBatch as the compaction leg: this mount is
+    * the table's one writer, and the writer lease would reject a
+    * separate expiry daemon racing it.
+    */
   def startZorderTableMaintained(spark: SparkSession, eventsDir: String,
       corpusEvents: DataFrame, tableDir: String, boundsDir: String,
       checkpointDir: String, idCol: String = "event_id",
       xCol: String = "user_id", yCol: String = "ts_us",
       bits: Int = 16, nShards: Int = 64,
       maxFilesPerShard: Int = 0,
-      maxStaleFraction: Double = 0.0): StreamingQuery = {
+      maxStaleFraction: Double = 0.0,
+      retentionHorizon: Long = 0L): StreamingQuery = {
     import graft.ext.Corpus
     import graft.util.Scan
     val schema = new org.apache.spark.sql.types.StructType()
@@ -1301,6 +1317,18 @@ object DeltaStream {
               sortCol = Some("zvalue"))
             ()
           }
+          if (retentionHorizon > 0) {
+            // batch-derived watermark -> deterministic under replay;
+            // the expired range's shards stop being candidates after
+            // the first delete, so a replayed expiry is a no-op
+            val newest = batch.agg(max(col(yCol).cast("long"))).head()
+            if (!newest.isNullAt(0)) {
+              val cutoff = newest.getLong(0) - retentionHorizon
+              Scan.deleteByRange(s, tableDir,
+                Seq((yCol, Long.MinValue + 1, cutoff)))
+              ()
+            }
+          }
         }
       }
       .start()
@@ -1341,6 +1369,11 @@ object DeltaStream {
       .add(numCol, org.apache.spark.sql.types.LongType)
     val dims = Seq(strCol, numCol)
     val quarantineDir = s"${tableDir}_quarantine"
+    // a crash between a bounds-swap's renames (the re-base republish)
+    // leaves boundsDir absent but fully recoverable — resolve that
+    // BEFORE the seed check, or the restart would re-seed pre-rebase
+    // bounds over a rebased table and misroute every later batch
+    graft.dw.Merge.recover(spark, boundsDir)
     seedOnce(boundsDir) {
       val dict = Corpus.stringDimDict(corpusDocs, strCol)
       dict.agg(
@@ -1452,6 +1485,11 @@ object DeltaStream {
       .add(numCol, org.apache.spark.sql.types.LongType)
     val dims = Seq(strCol, numCol)
     val quarantineDir = s"${tableDir}_quarantine"
+    // a crash between a bounds-swap's renames (the re-base republish)
+    // leaves boundsDir absent but fully recoverable — resolve that
+    // BEFORE the seed check, or the restart would re-seed pre-rebase
+    // bounds over a rebased table and misroute every later batch
+    graft.dw.Merge.recover(spark, boundsDir)
     seedOnce(boundsDir) {
       val dict = Corpus.stringDimDict(corpusDocs, strCol)
       dict.agg(
@@ -1543,15 +1581,21 @@ object DeltaStream {
                   .toDF(s"_min_$strCol", s"_max_$strCol",
                     s"_min_$numCol", s"_max_$numCol")
               }
-              val relaid = Corpus.zorderLayoutAgainstN(allRows,
+              // materialize TO DISK before the swap: the
+              // still-unroutable read below runs after tableDir is
+              // replaced, and recomputing from lineage would read the
+              // NEW table — persist() alone is not durable (lost
+              // executor blocks recompute from lineage), so the
+              // re-laid rows go through a temp parquet and every
+              // post-swap read is against those bytes, never the
+              // swapped table
+              val relaidTmp = s"${tableDir}__rebase_relaid"
+              Corpus.zorderLayoutAgainstN(allRows,
                   newBounds, idCol, dims, bits, nShardsEff,
                   keepCols = dims, dicts = Map(strCol -> newDict))
                 .drop(dims.map(c => s"cell_$c"): _*)
-                .persist()
-              // materialize BEFORE the swap: the still-unroutable read
-              // below runs after tableDir is replaced, and a cache miss
-              // recomputing from lineage would read the NEW table
-              relaid.count()
+                .write.mode("overwrite").parquet(relaidTmp)
+              val relaid = s.read.parquet(relaidTmp).persist()
               try {
                 Scan.writeSharded(s,
                   relaid.filter(col("shard").isNotNull), tableDir,
@@ -1560,8 +1604,16 @@ object DeltaStream {
                   zTotalBits = Some(2 * bits),
                   nShards = Some(nShardsEff),
                   dicts = Map(strCol -> newDict))
-                newBounds.write.mode("overwrite").parquet(boundsDir)
-                markSeeded(boundsDir)
+                // bounds + seed marker publish as ONE unit (marker
+                // written inside the swap tmp): a crash can never leave
+                // the rebased table paired with pre-rebase bounds and a
+                // missing marker — the state where a restart re-seeds
+                // the OLD (smaller) rank range and silently misroutes
+                // every later batch
+                graft.dw.Merge.atomicOverwriteDir(s, boundsDir) { tmp =>
+                  newBounds.write.mode("overwrite").parquet(tmp)
+                  markSeeded(tmp)
+                }
                 // one new quarantine generation holds what is STILL
                 // unroutable (NULL dims); the folded batch dirs go.
                 // Crash windows re-fold idempotently via the anti-join.
@@ -1580,6 +1632,7 @@ object DeltaStream {
               } finally {
                 relaid.unpersist(); allRows.unpersist()
                 newDict.unpersist(); qRows.unpersist()
+                fs.delete(new Path(relaidTmp), true)
               }
             }
           } finally laid.unpersist()

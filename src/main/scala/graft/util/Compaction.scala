@@ -82,7 +82,8 @@ object Compaction {
   def compactSharded(spark: SparkSession, dir: String,
       shardCol: String = "shard",
       sortCol: Option[String] = None,
-      maxRecordsPerFile: Long = 0L): (Int, Int) = {
+      maxRecordsPerFile: Long = 0L): (Int, Int) =
+      Scan.withWriterLease(spark, dir) {
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
     val p = new Path(dir)
@@ -95,7 +96,17 @@ object Compaction {
         && !s.getPath.getName.startsWith("."))
     }
     val nBefore = perShard.sum
-    if (!perShard.exists(_ > 1)) return (nBefore, nBefore)
+    if (!perShard.exists(_ > 1)) {
+      // nothing to rewrite, but the manifests may still be LOOSE: an
+      // append that created a brand-new single-file shard folds
+      // `_stale_rows` without breaching any file count, and skipping
+      // the refresh here would leave a staleness-triggered caller
+      // (`maxStaleFraction` mounts) re-triggering a no-op compact on
+      // every subsequent batch, forever
+      if (Scan.manifestStaleness(spark, dir) > 0)
+        Scan.refreshManifests(spark, dir, shardCol = shardCol)
+      return (nBefore, nBefore)
+    }
     // configuration from the durable meta sidecar when present
     // (recovery-window tables may hold ONLY meta + data — the heal
     // path), sidecar sniffing otherwise (pre-meta tables)
@@ -119,7 +130,10 @@ object Compaction {
       c -> d.persist()
     }
     dicts.values.foreach(_.count())
-    val df = spark.read.parquet(dir)
+    // declared-schema read: a compaction after evolveAddColumn widens
+    // every pre-evolution file for good (null-filled on read, written
+    // wide), after which the declared schema and the files agree
+    val df = Scan.readTable(spark, dir)
     // one atomic swap republishes data + exact manifests + meta — the
     // same writeSharded protocol (meta first, append-mode data write),
     // so compaction preserves the crash-heal property it relies on
@@ -132,7 +146,7 @@ object Compaction {
         maxRecordsPerFile, dicts)
     } finally dicts.values.foreach(_.unpersist())
     (nBefore, shardDirs.size)
-  }
+      }
 
   /** SHARD-COUNT EVOLUTION — the re-layout a growing table eventually
     * needs: `nShards` is frozen at publication and appends preserve it,
@@ -156,7 +170,7 @@ object Compaction {
     */
   def reshardSharded(spark: SparkSession, dir: String, newNShards: Int,
       shardCol: String = "shard", zvalueCol: String = "zvalue")
-      : (Int, Int) = {
+      : (Int, Int) = Scan.withWriterLease(spark, dir) {
     require(newNShards >= 1, "need newNShards >= 1")
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
@@ -172,7 +186,7 @@ object Compaction {
       c -> d.persist()
     }
     dicts.values.foreach(_.count())
-    val relaid = spark.read.parquet(dir).withColumn(shardCol,
+    val relaid = Scan.readTable(spark, dir).withColumn(shardCol,
       shiftright(col(zvalueCol) * newNShards, shift).cast("int"))
     try {
       graft.util.Scan.writeSharded(spark, relaid, dir, meta.statCols,
@@ -183,3 +197,4 @@ object Compaction {
     (oldN, newNShards)
   }
 }
+

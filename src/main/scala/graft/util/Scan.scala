@@ -50,6 +50,103 @@ object Scan {
   val BloomSidecar = "_graft_bloom"
   val MetaSidecar = "_graft_meta"
   val DictSidecar = "_graft_dicts"
+  val SchemaSidecar = "_graft_schema"
+
+  /** A second writer raced this table's lease and must NOT proceed —
+    * retry after the holder completes. Nothing was mutated. */
+  class ConcurrentWriterException(msg: String)
+    extends RuntimeException(msg)
+
+  // table dirs whose lease THIS thread already holds (re-entrancy: a
+  // compaction's internal writeSharded must not dead-lock on its own
+  // lease; streaming mounts run each micro-batch on one thread)
+  private val heldLeases = new ThreadLocal[
+      scala.collection.mutable.Set[String]] {
+    override def initialValue() =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  /** CONCURRENT-WRITER SAFETY — the asserted writer lease every mutation
+    * of a sharded table runs under. Two simultaneous mutators (an
+    * `appendSharded` racing a `compactSharded` or `deleteByKeys`) would
+    * otherwise both build against the same pre-state and the last
+    * atomic swap would WIN SILENTLY, dropping the loser's rows; the
+    * lease turns that into a loud [[ConcurrentWriterException]] on the
+    * second writer, whose correct move is to retry (nothing was
+    * mutated — the exception is thrown BEFORE any table state changes).
+    *
+    * Mechanism: `FileSystem.create(…, overwrite = false)` on a sibling
+    * lock file (`<dir>__lock` — outside the table, so directory swaps
+    * never destroy a held lease) is atomic-exclusive on local FS and
+    * HDFS: exactly one of two racing writers creates it. The lock body
+    * carries an expiry epoch + a holder token; a CRASHED writer's lease
+    * is broken once expired (the table's crash protocols — swap
+    * recovery, pending-delete roll-forward — run at the head of every
+    * mutation, so the dead writer's partial state converges before new
+    * work starts), and release deletes the lock only when the token is
+    * still ours (a stale-break by another writer must not be released
+    * on its behalf).
+    *
+    * `waitMs > 0` bounds a blocking acquire (200 ms polls) for callers
+    * that prefer serializing to aborting — the reader-side recovery
+    * path uses it. Object-store caveat: S3 lacks atomic
+    * create-exclusive; there this becomes a conditional PUT
+    * (If-None-Match) or an external lock service — same protocol, one
+    * primitive swapped.
+    */
+  def withWriterLease[T](spark: SparkSession, dir: String,
+      leaseMs: Long = 15 * 60 * 1000L, waitMs: Long = 0L)(
+      body: => T): T = {
+    val key = new Path(dir).toString
+    if (heldLeases.get.contains(key)) return body // re-entrant
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(dir + "__lock")
+    val token = java.util.UUID.randomUUID().toString
+    def lockBody(): Option[String] =
+      try {
+        val len = fs.getFileStatus(lock).getLen.toInt
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          Some(new String(buf, "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false)
+        out.write(s"${System.currentTimeMillis() + leaseMs}|$token"
+          .getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          // lock exists: stale (expired) → break it and re-race; live
+          // → wait if allowed, else fail loudly. An unreadable or
+          // still-empty body is treated as LIVE (a racing writer is
+          // between its create and its write).
+          val expired = lockBody()
+            .flatMap(_.split('|').headOption)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .exists(_ < System.currentTimeMillis())
+          if (expired) fs.delete(lock, false)
+          else if (System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+          else throw new ConcurrentWriterException(
+            s"$dir: another writer holds the lease ($lock) — retry " +
+              "after it completes or expires")
+      }
+    }
+    heldLeases.get += key
+    try body finally {
+      heldLeases.get -= key
+      // release only OUR lease: a stale-break may have replaced it
+      if (lockBody().exists(_.endsWith(token))) fs.delete(lock, false)
+    }
+  }
 
   /** The table's durable manifest CONFIGURATION — a 1-row parquet sidecar
     * recording what the manifests cover (stats columns, bloom key/m/k)
@@ -108,6 +205,23 @@ object Scan {
       spark.read.parquet(s"$dir/$StatsSidecar").columns.toSeq
         .filter(_.endsWith("_min")).map(_.dropRight(4)))
 
+  /** The table's bloom configuration (key column, m, k) — from the meta
+    * sidecar when present, from a bloom manifest row otherwise. The
+    * manifest-row fallback returns None on a ZERO-row bloom sidecar (a
+    * delete can legally empty every shard, and the config must survive
+    * that — which is exactly why the meta sidecar carries it). */
+  private[graft] def bloomConfigOf(spark: SparkSession,
+      dir: String): Option[(String, Int, Int)] =
+    readMeta(spark, dir).flatMap(m =>
+      m.bloomKey.map((_, m.bloomM, m.bloomK))).orElse {
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
+      else spark.read.parquet(s"$dir/$BloomSidecar")
+        .select("key_col", "m", "k").limit(1).collect().headOption
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    }
+
   /** The table's persisted string-dimension dictionaries — the frozen
     * value→rank mappings its z-order layout was built with
     * ([[graft.ext.Corpus.stringDimDict]]), written as `_graft_dicts/
@@ -152,6 +266,7 @@ object Scan {
       maxRecordsPerFile: Long = 0L,
       dicts: Map[String, DataFrame] = Map.empty): Unit = {
     require(statCols.nonEmpty, "need at least one stats column")
+    withWriterLease(spark, dir) {
     graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
       // meta FIRST: recover promotes on the DATA write's _SUCCESS, so
       // writing the configuration before the data means every
@@ -167,6 +282,12 @@ object Scan {
         d.coalesce(1).write.mode("overwrite")
           .parquet(s"$tmp/$DictSidecar/col=$c")
       }
+      // 0-row schema sidecar: a delete can legally empty EVERY shard,
+      // after which the table dir holds only `_`-sidecars and plain
+      // parquet schema inference fails — this keeps an empty table
+      // readable (and the delete-recovery manifest rebuild schema-safe)
+      laid.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/$SchemaSidecar")
       val parted = laid.repartition(col(shardCol))
       val sorted = sortCol.fold(parted)(c =>
         parted.sortWithinPartitions(shardCol, c))
@@ -189,6 +310,7 @@ object Scan {
           "(NULL-dimension) rows explicitly before publishing")
       writeManifests(spark, tmp, statCols, shardCol, bloomKeyCol,
         bloomM, bloomK)
+    }
     }
   }
 
@@ -242,7 +364,8 @@ object Scan {
     * re-aggregated.
     */
   def appendSharded(spark: SparkSession, laidBatch: DataFrame,
-      dir: String, idCol: String, shardCol: String = "shard"): Unit = {
+      dir: String, idCol: String,
+      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
     // every mutation rolls an interrupted delete forward first (the
     // id probe's readShards would too, but the manifest fold must
     // never read a pre-roll-forward sidecar)
@@ -301,8 +424,9 @@ object Scan {
         // 2b. bloom fold: bitwise union per shard (wider = safe)
         if (hasBloom) {
           val ob = spark.read.parquet(s"$dir/$BloomSidecar")
-          val cfg = ob.select("key_col", "m", "k").limit(1).head()
-          val (kc, m, k) = (cfg.getString(0), cfg.getInt(1), cfg.getInt(2))
+          val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
+            s"appendSharded: $dir has a bloom sidecar but no " +
+              "recoverable bloom config (empty sidecar, no meta)"))
           val nb = graft.ext.Corpus.bloomBitsTable(batch, shardCol, kc,
               m, k)
             .select(col("shard"), col("n_keys").as("_b_n_keys"),
@@ -339,7 +463,7 @@ object Scan {
   def refreshManifests(spark: SparkSession, dir: String,
       statCols: Seq[String] = Nil, shardCol: String = "shard",
       bloomKeyCol: Option[String] = None, bloomM: Int = 4096,
-      bloomK: Int = 3): Unit = {
+      bloomK: Int = 3): Unit = withWriterLease(spark, dir) {
     val meta = readMeta(spark, dir)
     val sc =
       if (statCols.nonEmpty) statCols
@@ -358,8 +482,9 @@ object Scan {
         }
       }
     // each sidecar swaps independently (sidecar paths are `_`-prefixed,
-    // so their own __swap_new dirs stay invisible to table readers)
-    val back = spark.read.parquet(dir)
+    // so their own __swap_new dirs stay invisible to table readers);
+    // the declared-schema read null-fills evolved columns in old files
+    val back = readTable(spark, dir)
     graft.dw.Merge.atomicOverwrite(spark,
       graft.ext.Corpus.shardStats(back, shardCol, sc)
         .withColumn("_stale_rows", lit(0L)),
@@ -440,7 +565,10 @@ object Scan {
   def candidateShardsByKeys(bloom: DataFrame, keys: Seq[Any],
       shardCol: String = "shard"): Seq[Int] = {
     require(keys.nonEmpty, "need at least one key")
-    val cfg = bloom.select("m", "k").limit(1).head()
+    // a zero-row manifest (every shard emptied) has no candidates
+    val cfg0 = bloom.select("m", "k").limit(1).collect().headOption
+    if (cfg0.isEmpty) return Nil
+    val cfg = cfg0.get
     val (m, k) = (cfg.getInt(0), cfg.getInt(1))
     val covered = keys.map { key =>
       size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m, k),
@@ -448,6 +576,69 @@ object Scan {
     }.reduce(_ || _)
     bloom.filter(covered).select(col(shardCol).cast("int"))
       .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** SCHEMA EVOLUTION — add a column WITHOUT republishing the table
+    * (at 100 TB an add-column must be a metadata operation): the
+    * declared schema (0-row sidecar) gains the column, reads null-fill
+    * it for every pre-evolution file ([[readTable]]/[[readShards]] —
+    * the ADD COLUMN semantics), appended batches carry it, and when
+    * `addToStats` the stats manifest gains `<c>_min/_max/_ndv` columns
+    * (NULL/NULL/0 for existing shards — correct envelopes, since old
+    * rows read as NULL and NULL matches no range predicate, so
+    * pre-evolution shards are SKIPPED by predicates on the new column
+    * for free) plus the meta's `stat_cols`, so the very next
+    * [[appendSharded]] folds batch-side stats for it and the next
+    * [[refreshManifests]]/`compactSharded` makes them exact from
+    * files.
+    *
+    * Idempotent per step (a crashed evolve re-run converges), ordered
+    * so every prefix is a consistent state: manifest columns first
+    * (extra columns nothing names — harmless), declared schema second
+    * (reads widen), meta stat_cols last (appends start folding).
+    */
+  def evolveAddColumn(spark: SparkSession, dir: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      addToStats: Boolean = true,
+      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+    recoverPendingDelete(spark, dir, shardCol)
+    val schema = tableSchemaOf(spark, dir).getOrElse(sys.error(
+      s"evolveAddColumn: $dir has no $SchemaSidecar declared-schema " +
+        "sidecar — republish through writeSharded first"))
+    // 1. stats manifest gains the new column's (NULL, NULL, 0) rows
+    if (addToStats) {
+      val man = statsManifest(spark, dir)
+      if (!man.columns.contains(s"${colName}_min")) {
+        val widened = man
+          .withColumn(s"${colName}_min", lit(null).cast(dataType))
+          .withColumn(s"${colName}_max", lit(null).cast(dataType))
+          .withColumn(s"${colName}_ndv", lit(0L))
+        graft.dw.Merge.atomicOverwrite(spark, widened,
+          s"$dir/$StatsSidecar")
+      }
+    }
+    // 2. declared schema gains the column — from here every read
+    // null-fills it for pre-evolution files
+    if (!schema.fieldNames.contains(colName)) {
+      val widened = spark.read.parquet(s"$dir/$SchemaSidecar")
+        .withColumn(colName, lit(null).cast(dataType))
+      graft.dw.Merge.atomicOverwrite(spark, widened,
+        s"$dir/$SchemaSidecar")
+    }
+    // 3. meta stat_cols names it — appends start folding its stats
+    if (addToStats) readMeta(spark, dir).foreach { m =>
+      if (!m.statCols.contains(colName)) {
+        import spark.implicits._
+        val nm = m.copy(statCols = m.statCols :+ colName)
+        graft.dw.Merge.atomicOverwrite(spark,
+          Seq((nm.statCols, nm.shardCol, nm.sortCol, nm.bloomKey,
+              nm.bloomM, nm.bloomK, nm.zTotalBits, nm.nShards))
+            .toDF("stat_cols", "shard_col", "sort_col", "bloom_key",
+              "bloom_m", "bloom_k", "z_total_bits", "n_shards")
+            .coalesce(1),
+          s"$dir/$MetaSidecar")
+      }
+    }
   }
 
   val PendingDelete = "_pending_delete"
@@ -489,23 +680,83 @@ object Scan {
     */
   def deleteByKeys(spark: SparkSession, dir: String, keys: Seq[Any],
       shardCol: String = "shard",
-      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) = {
+      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
+      withWriterLease(spark, dir) {
     require(keys.nonEmpty, "need at least one key")
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
     val bloom = bloomManifest(spark, dir)
-    val keyCol = bloom.select("key_col").limit(1).head().getString(0)
+    val keyCol = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
+      s"deleteByKeys: $dir has no recoverable bloom config"))
+    // an empty bloom manifest (every shard previously emptied) has no
+    // candidates by construction — nothing to delete
+    if (bloom.isEmpty) return (Nil, Nil, 0L)
     val cands = candidateShardsByKeys(bloom, keys, shardCol)
     val matchPred =
       if (keys.size == 1) col(keyCol) === lit(keys.head)
       else col(keyCol).isin(keys: _*)
     deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
-  }
+      }
 
   def deleteByKey(spark: SparkSession, dir: String, key: Any,
       shardCol: String = "shard",
       sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
     deleteByKeys(spark, dir, Seq(key), shardCol, sortCol)
+
+  /** MERGE (upsert) on a sharded z-ordered table, routed BY THE INDEX —
+    * the reference's fact MERGE (`Delta Load Scripts/dw2_delta_load2
+    * .py:101-131`: WHEN MATCHED UPDATE all columns, WHEN NOT MATCHED
+    * INSERT) at lakehouse scale: staged rows REPLACE rows with the same
+    * key and insert otherwise, rewriting ONLY the bloom-candidate
+    * shards for the staged keys — at 100 TB a delta MERGE must not
+    * rewrite the corpus the way the plain-parquet
+    * [[graft.dw.Merge.mergeInto]] swap does.
+    *
+    * Composition of the two proven verbs: [[deleteByKeys]] (staged
+    * keys' old versions leave their candidate shards — wherever the
+    * old row's DIMENSIONS placed it, which the new version may have
+    * moved away from) then [[appendSharded]] (staged rows land at
+    * their own curve positions, manifests folding as always). Requires
+    * the table's bloom key to BE the merge key (`idCol`) — that is
+    * what makes the old-version lookup routable; a table bloomed on
+    * something else cannot claim a pruned MERGE and fails loudly.
+    *
+    * Not atomic ACROSS the two verbs (each is): a crash between them
+    * leaves matched keys deleted but not yet re-inserted — a RE-RUN
+    * converges (the delete finds no keys, the append's id probe is
+    * clean), the same replay contract as every mutation here. Batch
+    * keys are enumerated driver-side — a MERGE batch is delta-sized by
+    * construction (the reference's shape); `maxKeys` guards the plan
+    * from a caller handing it a corpus.
+    *
+    * Returns (candidate shards, shards rewritten by the delete leg,
+    * old-version rows replaced).
+    */
+  def upsertSharded(spark: SparkSession, dir: String,
+      laidBatch: DataFrame, idCol: String, shardCol: String = "shard",
+      sortCol: Option[String] = None,
+      maxKeys: Int = 100000): (Seq[Int], Seq[Int], Long) =
+      withWriterLease(spark, dir) {
+    val kc = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
+      s"upsertSharded: $dir has no bloom index — a pruned MERGE " +
+        "routes old versions through the key bloom"))
+    require(kc == idCol,
+      s"upsertSharded: $dir blooms on '$kc', not the merge key " +
+        s"'$idCol' — old versions would not be routable")
+    val b = laidBatch.persist()
+    try {
+      val keys = b.select(col(idCol)).distinct()
+        .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+      require(keys.size <= maxKeys,
+        s"upsertSharded: staged batch exceeds $maxKeys distinct keys " +
+          "— that is a rewrite, not a MERGE; use writeSharded")
+      if (keys.isEmpty) return (Nil, Nil, 0L)
+      val (cands, touched, removed) =
+        deleteByKeys(spark, dir, keys, shardCol, sortCol)
+      appendSharded(spark, b, dir, idCol, shardCol)
+      (cands, touched, removed)
+    } finally b.unpersist()
+  }
 
   /** [[deleteByKeys]] routed by the STATS envelopes instead of the
     * bloom — the retention-expiry shape (`DELETE WHERE ts < cutoff`,
@@ -519,7 +770,8 @@ object Scan {
     */
   def deleteByRange(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)], shardCol: String = "shard",
-      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) = {
+      sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
+      withWriterLease(spark, dir) {
     require(ranges.nonEmpty, "need at least one range")
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
@@ -529,7 +781,7 @@ object Scan {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
-  }
+      }
 
   /** The shared delete core (steps 1–2 of the protocol; see
     * [[deleteByKeys]]): probe the candidate shards for matches, land
@@ -627,10 +879,6 @@ object Scan {
         !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
     }
-    val back =
-      if (existing.isEmpty) spark.read.parquet(dir).filter(lit(false))
-      else spark.read.option("basePath", dir)
-        .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
     val oldStats = statsManifest(spark, dir)
     val stale =
       if (oldStats.columns.contains("_stale_rows")) col("_stale_rows")
@@ -638,21 +886,54 @@ object Scan {
     val keepStats = oldStats
       .withColumn("_stale_rows", coalesce(stale, lit(0L)))
       .filter(!col(shardCol).isin(touched: _*))
-    val newStats = graft.ext.Corpus.shardStats(back, shardCol, statCols)
-      .withColumn("_stale_rows", lit(0L))
+    // every touched shard emptied → their manifest rows simply vanish;
+    // no table-dir read (a delete that emptied EVERY shard leaves no
+    // data dirs to infer a schema from — the wedge the sidecar-only
+    // rebuild avoids)
+    def backRead(): DataFrame = {
+      val rd = tableSchemaOf(spark, dir)
+        .fold(spark.read)(sc => spark.read.schema(sc))
+      rd.option("basePath", dir)
+        .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
+    }
+    val newStats =
+      if (existing.isEmpty) None
+      else Some(graft.ext.Corpus.shardStats(backRead(),
+        shardCol, statCols).withColumn("_stale_rows", lit(0L)))
     graft.dw.Merge.atomicOverwrite(spark,
-      keepStats.unionByName(newStats), s"$dir/$StatsSidecar")
+      newStats.fold(keepStats)(keepStats.unionByName(_)),
+      s"$dir/$StatsSidecar")
     if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
       val ob = bloomManifest(spark, dir)
-      val cfg = ob.select("key_col", "m", "k").limit(1).head()
-      val (kc, m, k) = (cfg.getString(0), cfg.getInt(1), cfg.getInt(2))
+      val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
+        s"applyPendingDelete: $dir has a bloom sidecar but no " +
+          "recoverable bloom config (empty sidecar, no meta)"))
       val keepBloom = ob.filter(!col("shard").isin(touched: _*))
       // a fully-emptied shard simply has no bloom row anymore
-      val newBloom = graft.ext.Corpus.bloomBitsTable(back, shardCol, kc,
-        m, k).withColumn("key_col", lit(kc))
+      val newBloom =
+        if (existing.isEmpty) None
+        else Some(graft.ext.Corpus.bloomBitsTable(backRead(),
+          shardCol, kc, m, k).withColumn("key_col", lit(kc)))
       graft.dw.Merge.atomicOverwrite(spark,
-        keepBloom.unionByName(newBloom), s"$dir/$BloomSidecar")
+        newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
+        s"$dir/$BloomSidecar")
     }
+    // the pending area must by now be fully consumed for kept shards: a
+    // shard dir still present there but NOT in the kept list means the
+    // `_COMMIT` marker under-read (truncated) — deleting the area would
+    // permanently lose those kept rows, so fail loudly instead
+    val leftover = {
+      val p = new Path(s"$dir/$PendingDelete")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"$shardCol="))
+        .map(_.stripPrefix(s"$shardCol=").toInt)
+        .filterNot(kept.contains)
+    }
+    require(leftover.isEmpty,
+      s"applyPendingDelete: pending shards $leftover not named by the " +
+        "commit marker's kept list — refusing to drop the pending area " +
+        "(truncated _COMMIT?)")
     fs.delete(new Path(s"$dir/$PendingDelete"), true)
   }
 
@@ -670,11 +951,16 @@ object Scan {
     if (!fs.exists(pending)) return
     val commit = new Path(s"$dir/$PendingDelete/_COMMIT")
     if (!fs.exists(commit)) { fs.delete(pending, true); return }
+    // read the marker FULLY: a single read() may legally return a
+    // prefix (HDFS/S3 streams), and a truncated kept list would make
+    // the recovery below silently drop kept rows — readFully against
+    // the file's recorded length cannot under-read
+    val len = fs.getFileStatus(commit).getLen.toInt
     val in = fs.open(commit)
     val body = try {
-      val buf = new Array[Byte](4096)
-      val n = in.read(buf)
-      if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      new String(buf, "UTF-8")
     } finally in.close()
     def ints(s: String): Seq[Int] =
       s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
@@ -711,14 +997,64 @@ object Scan {
       spark.sparkContext.hadoopConfiguration)
     // the one delete-protocol window a reader could observe (a shard
     // between its delete and its pending-rename) is closed by rolling
-    // the interrupted delete forward first — one FS probe when idle
+    // the interrupted delete forward first — one FS probe when idle.
+    // The roll-forward MUTATES, so it runs under the writer lease —
+    // blocking rather than aborting (a reader's recovery can wait out
+    // a live writer, who will usually have finished the roll-forward
+    // itself by the time the lease frees)
     if (fs.exists(new Path(s"$dir/$PendingDelete")))
-      recoverPendingDelete(spark, dir, shardCol)
+      withWriterLease(spark, dir, waitMs = 60 * 1000L) {
+        if (fs.exists(new Path(s"$dir/$PendingDelete")))
+          recoverPendingDelete(spark, dir, shardCol)
+      }
     val existing = shards.filter(s =>
       fs.exists(new Path(s"$dir/$shardCol=$s")))
-    if (existing.isEmpty) spark.read.parquet(dir).filter(lit(false))
-    else spark.read.option("basePath", dir)
-      .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
+    if (existing.isEmpty) emptyTableFrame(spark, dir, shardCol)
+    else {
+      // declared schema (one tiny sidecar footer) so shards written
+      // before an evolveAddColumn null-fill the added columns
+      val rd = tableSchemaOf(spark, dir)
+        .fold(spark.read)(sc => spark.read.schema(sc))
+      rd.option("basePath", dir)
+        .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
+    }
+  }
+
+  /** The table's DECLARED schema — the 0-row schema sidecar's, when
+    * present. This is what makes both edge states readable: a table
+    * whose every shard a delete emptied (no data files to infer from),
+    * and an EVOLVED table whose old files lack the added columns
+    * (reads with the declared schema null-fill them per file — the
+    * add-column semantics — where bare inference would pick one
+    * file's footer at random and silently drop or surface the new
+    * column depending on which). */
+  private[graft] def tableSchemaOf(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/$SchemaSidecar"))) None
+    else Some(spark.read.parquet(s"$dir/$SchemaSidecar").schema)
+  }
+
+  /** Full-table read under the declared schema (see [[tableSchemaOf]]);
+    * plain inference for pre-sidecar tables. Every maintenance rewrite
+    * (refresh, compact, re-shard) reads through this, so a rewrite
+    * after an [[evolveAddColumn]] widens the old files for good. */
+  private[graft] def readTable(spark: SparkSession,
+      dir: String): DataFrame =
+    tableSchemaOf(spark, dir) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }
+
+  /** The table's empty frame (schema intact, no data read). */
+  private def emptyTableFrame(spark: SparkSession, dir: String,
+      shardCol: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$dir/$SchemaSidecar")))
+      spark.read.parquet(s"$dir/$SchemaSidecar").filter(lit(false))
+    else spark.read.parquet(dir).filter(lit(false))
   }
 
   /** Manifest-pruned range scan: candidate shards from the stats
@@ -751,6 +1087,61 @@ object Scan {
       .filter(col(keyCol) === lit(key))
   }
 
+  /** The least string strictly greater than EVERY string with this
+    * prefix, under binary UTF8 order (Spark's string comparison): the
+    * prefix with its last code point incremented — the half-open range
+    * [prefix, succ) then contains exactly the `prefix%` matches. A
+    * last code point at the top of the range recurses on the shorter
+    * prefix; None means "no finite upper bound" (every shard whose max
+    * is >= prefix is a candidate). The surrogate gap is stepped over
+    * (U+D7FF's successor boundary is U+E000 — unpaired surrogates are
+    * not valid UTF8, so no table value sorts between them).
+    */
+  private[graft] def prefixSucc(prefix: String): Option[String] = {
+    if (prefix.isEmpty) None
+    else {
+      val cps = prefix.codePoints().toArray
+      val last = cps.last
+      if (last >= 0x10FFFF) prefixSucc(
+        new String(cps, 0, cps.length - 1))
+      else {
+        val next = if (last == 0xD7FF) 0xE000 else last + 1
+        Some(new String(cps.init :+ next, 0, cps.length))
+      }
+    }
+  }
+
+  /** Candidate shards for a LIKE-'prefix%' predicate on a string
+    * column: because the stats envelopes are NATIVE-typed string
+    * min/max in binary UTF8 order, every value matching `prefix%` lies
+    * in the half-open range [prefix, succ(prefix)), so the prefix
+    * predicate routes the SAME stats envelope a range does. Driver-side
+    * filter-collect over the shards-sized manifest, like every
+    * candidate enumerator here. */
+  def candidateShardsByPrefix(manifest: DataFrame, c: String,
+      prefix: String, shardCol: String = "shard"): Seq[Int] = {
+    require(prefix.nonEmpty, "need a non-empty prefix")
+    val lowOk = col(s"${c}_max") >= lit(prefix)
+    val overlap = prefixSucc(prefix)
+      .fold(lowOk)(hi => lowOk && col(s"${c}_min") < lit(hi))
+    manifest.filter(overlap).select(col(shardCol).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Manifest-pruned LIKE-'prefix%' scan — the real-user string shape
+    * (language families `lang LIKE 'en%'`, domain prefixes, path
+    * roots), routed through the existing stats envelopes with zero new
+    * sidecar machinery; the residual `startswith` keeps exactness
+    * (row-identical to a full scan with the same predicate). */
+  def readPrunedByPrefix(spark: SparkSession, dir: String,
+      prefixCol: String, prefix: String,
+      shardCol: String = "shard"): DataFrame = {
+    val cands = candidateShardsByPrefix(statsManifest(spark, dir),
+      prefixCol, prefix, shardCol)
+    readShards(spark, dir, cands, shardCol)
+      .filter(col(prefixCol).startsWith(prefix))
+  }
+
   /** COMBINED-predicate pruned read — the shape real scans have
     * (`key = X AND ts BETWEEN lo AND hi`, or `key IN (…) AND …`): both
     * sidecars are consulted and their candidate sets INTERSECTED — a
@@ -770,25 +1161,52 @@ object Scan {
       keys: Seq[Any] = Nil, shardCol: String = "shard"): DataFrame = {
     require(ranges.nonEmpty || keys.nonEmpty,
       "need at least one predicate (ranges and/or keys)")
-    val byStats =
+    // FUSED planning: bloom key/m/k come from the 1-row meta sidecar
+    // (the index knows what it indexes), and both shards-sized sidecar
+    // filters run as ONE job — a union, not a join (no exchange), with
+    // the set intersection done driver-side over the collected rows.
+    // One manifest pass + one collect where the naive plan paid two
+    // sidecar collects plus a key_col probe; the fixed planning cost is
+    // what dominates a well-pruned read, so it is the term to halve.
+    val keyed = if (keys.isEmpty) None else Some(
+      bloomConfigOf(spark, dir).getOrElse(sys.error(
+        s"readPruned: $dir has no bloom index for a key predicate")))
+    val statsSide =
       if (ranges.isEmpty) None
-      else Some(candidateShardsByStats(statsManifest(spark, dir), ranges,
-        shardCol))
-    val keyed =
-      if (keys.isEmpty) None
       else {
-        val bloom = bloomManifest(spark, dir)
-        val kc = bloom.select("key_col").limit(1).head().getString(0)
-        Some((kc, candidateShardsByKeys(bloom, keys, shardCol)))
+        val overlap = ranges.map { case (c, lo, hi) =>
+          col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
+        }.reduce(_ && _)
+        Some(statsManifest(spark, dir).filter(overlap)
+          .select(col(shardCol).cast("int").as("_shard"),
+            lit(0).as("_side")))
       }
-    val cands = (byStats, keyed.map(_._2)) match {
-      case (Some(a), Some(b)) => a.intersect(b)
+    val bloomSide = keyed.map { case (_, m, k) =>
+      val covered = keys.map { key =>
+        size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m,
+          k), col("_bits"))) === 0
+      }.reduce(_ || _)
+      bloomManifest(spark, dir).filter(covered)
+        .select(col("shard").cast("int").as("_shard"),
+          lit(1).as("_side"))
+    }
+    val fused = (statsSide, bloomSide) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
-      case (None, b)          => b.getOrElse(Nil)
+      case (None, Some(b))    => b
+      case _                  => sys.error("unreachable")
+    }
+    val rows = fused.collect()
+    def side(s: Int): Seq[Int] =
+      rows.filter(_.getInt(1) == s).map(_.getInt(0)).toSeq.sorted
+    val cands = (statsSide, bloomSide) match {
+      case (Some(_), Some(_)) => side(0).intersect(side(1))
+      case (Some(_), None)    => side(0)
+      case _                  => side(1)
     }
     val residual = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
-    } ++ keyed.map { case (kc, _) =>
+    } ++ keyed.map { case (kc, _, _) =>
       if (keys.size == 1) col(kc) === lit(keys.head)
       else col(kc).isin(keys: _*)
     }).reduce(_ && _)

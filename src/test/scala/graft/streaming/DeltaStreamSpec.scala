@@ -1359,6 +1359,49 @@ class DeltaStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(3L, 20L))
   }
 
+  test("startZorderTableMaintained with retentionHorizon: rows older " +
+    "than batch-watermark − horizon EXPIRE through the stats-routed " +
+    "pruned delete, and a replay's re-delete is a zero-candidate " +
+    "no-op (the envelopes tightened past the expired range)") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("zorder-table-ret")
+    val eventsDir = s"$root/events"
+    Files.createDirectories(Paths.get(eventsDir))
+    val corpus = Seq((1L, 0L, 0L), (2L, 300L, 3000L), (3L, 150L, 1500L))
+      .toDF("event_id", "user_id", "ts_us")
+    def jsonl(path: String, rows: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(path), rows.map { case (id, x, y) =>
+        s"""{"event_id": $id, "user_id": $x, "ts_us": $y}"""
+      }.asJava)
+    def mount() = DeltaStream.startZorderTableMaintained(spark,
+      eventsDir, corpus, s"$root/table", s"$root/bounds", s"$root/ckpt",
+      bits = 2, nShards = 4, retentionHorizon = 2000L)
+    val table = s"$root/table"
+    // batch 1: newest ts 2800 → cutoff 800 → corpus row ts 0 expires
+    jsonl(s"$eventsDir/b1.json", (10L, 280L, 2800L))
+    val q1 = mount(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(table).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 10L))
+    // batch 2: newest ts 4000 → cutoff 2000 → ts 1500 expires too
+    jsonl(s"$eventsDir/b2.json", (20L, 160L, 4000L))
+    val q2 = mount(); q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(table).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 10L, 20L))
+    // the expired range no longer produces candidates — the very
+    // property that makes a replayed expiry free
+    val (cands, touched, removed) = Scan.deleteByRange(spark, table,
+      Seq(("ts_us", Long.MinValue + 1, 2000L)))
+    assert(cands.isEmpty && touched.isEmpty && removed === 0L)
+    // full replay (fresh checkpoint): appends dedup, the re-delete
+    // no-ops, the table converges to the same rows
+    Files.walk(Paths.get(s"$root/ckpt")).iterator().asScala.toSeq
+      .reverse.foreach(Files.delete)
+    val q3 = mount(); q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(table).select("event_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 10L, 20L))
+  }
+
   test("startZorderTableMaintained with maxFilesPerShard: the scheduled " +
     "compact folds per-batch files back and restores exact manifests, " +
     "reads stay exact throughout") {

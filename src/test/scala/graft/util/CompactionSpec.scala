@@ -124,6 +124,29 @@ class CompactionSpec extends SparkSpec {
     assert(Scan.manifestStaleness(spark, dir) === 0.0)
   }
 
+  test("compactSharded with nothing to rewrite still RESETS a stale " +
+    "manifest — an append into a brand-new single-file shard must not " +
+    "leave the staleness trigger re-firing a no-op compact forever") {
+    val dir = freshDir()
+    val base = (0L until 300L).map(i =>
+        (i, i, s"t${i % 3}", (i / 100).toInt, i))
+      .toDF("event_id", "user_id", "event_type", "shard", "zvalue")
+    Scan.writeSharded(spark, base, dir, statCols = Seq("user_id"),
+      sortCol = Some("zvalue"))
+    // append lands ONLY in a brand-new shard: one file there, one file
+    // in each old shard — no shard breaches the >1-file condition, but
+    // the new shard's manifest row is 100% fold-entered (staleness 1.0)
+    Scan.appendSharded(spark,
+      Seq((900L, 900L, "t0", 9, 900L))
+        .toDF("event_id", "user_id", "event_type", "shard", "zvalue"),
+      dir, "event_id")
+    assert(Scan.manifestStaleness(spark, dir) === 1.0)
+    val (before, after) = Compaction.compactSharded(spark, dir)
+    assert(before === after) // no rewrite happened…
+    // …but the manifests are exact again, so the trigger disarms
+    assert(Scan.manifestStaleness(spark, dir) === 0.0)
+  }
+
   test("compact with sortCols: output is range-clustered by the scan key") {
     val dir = freshDir()
     (1L to 4000L).map(i => (i, i % 97)).toDF("id", "k")

@@ -520,6 +520,261 @@ class ScanSpec extends SparkSpec {
       Seq(("lang", "es", "es"))) === Nil)
   }
 
+  test("a delete that empties EVERY shard leaves a READABLE table — " +
+    "empty reads via the schema sidecar, manifests empty, and a later " +
+    "append repopulates it (the all-rows-expired retention edge)") {
+    val dir = freshDir()
+    publish(dir)
+    // expire the full envelope: every row matches, every shard empties
+    val (cands, touched, removed) = Scan.deleteByRange(spark, dir,
+      Seq(("user_id", 0L, 999L)))
+    assert(cands.size === 10 && touched.size === 10 &&
+      removed === 1000L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.PendingDelete}")))
+    // no data dirs remain, but reads DON'T wedge: schema comes from the
+    // 0-row sidecar; the stats manifest lost every touched row
+    assert(Scan.readShards(spark, dir, Seq(0, 5)).count() === 0L)
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 0L, 999L))).count() === 0L)
+    assert(Scan.statsManifest(spark, dir).count() === 0L)
+    // the table is still a table: an append lands and routes again
+    Scan.appendSharded(spark,
+      Seq((5000L, 42L, 420L, "t0", 0, 42L))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+          "zvalue"),
+      dir, "event_id")
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 42L, 42L))).count() === 1L)
+  }
+
+  test("recovery REFUSES to drop a pending area whose shard dirs the " +
+    "_COMMIT marker does not name (the truncated-marker guard) — " +
+    "unconsumed kept rows are never deleted") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a pending area for shards 2 AND 3, but a marker naming only 2 —
+    // the state a short _COMMIT read would fabricate
+    Seq(2, 3).foreach { sh =>
+      spark.read.parquet(s"$dir/shard=$sh")
+        .filter(col("user_id") % 2 === 0)
+        .write.mode("overwrite")
+        .parquet(s"$dir/${Scan.PendingDelete}/shard=$sh")
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.PendingDelete}/_COMMIT"), true)
+    out.write("kept:2|emptied:".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Scan.recoverPendingDelete(spark, dir)
+    }
+    assert(e.getMessage.contains("not named by the commit marker"))
+    // shard 3's kept rows are still in the pending area, not lost
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.PendingDelete}/shard=3")))
+  }
+
+  test("readPrunedByPrefix: LIKE-'prefix%' routes the string stats " +
+    "envelope (half-open [prefix, succ)) — row-identical to full scan " +
+    "+ startswith, and succ handles code-point edges") {
+    val dir = freshDir()
+    publishStr(dir)
+    // the fixture's langs are de/en/es/fr/zh in known shards
+    val full = spark.read.parquet(dir)
+      .filter(col("lang").startsWith("e"))
+    val pruned = Scan.readPrunedByPrefix(spark, dir, "lang", "e")
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).sorted
+      === full.select("doc_id").collect().map(_.getLong(0)).sorted)
+    // the candidate set skips shards whose envelope can't hold 'e%'
+    val cands = Scan.candidateShardsByPrefix(
+      Scan.statsManifest(spark, dir), "lang", "e")
+    val all = Scan.statsManifest(spark, dir).count()
+    assert(cands.nonEmpty && cands.size < all)
+    // a prefix matching nothing reads nothing
+    assert(Scan.readPrunedByPrefix(spark, dir, "lang", "q").count()
+      === 0L)
+    // successor arithmetic: plain increment, surrogate-gap step, and
+    // max-code-point recursion (no finite successor for U+10FFFF alone)
+    assert(Scan.prefixSucc("e") === Some("f"))
+    assert(Scan.prefixSucc("en") === Some("eo"))
+    assert(Scan.prefixSucc("a\uD7FF") === Some("a\uE000"))
+    assert(Scan.prefixSucc(new String(Array(0x10FFFF), 0, 1)) === None)
+    assert(Scan.prefixSucc("a" + new String(Array(0x10FFFF), 0, 1))
+      === Some("b"))
+  }
+
+  test("upsertSharded: MERGE rewrites ONLY the staged keys' matching " +
+    "shards (untouched shard files bit-stable by name+mtime), updates " +
+    "replace, inserts land, replay converges") {
+    val dir = freshDir()
+    // the merge key IS the bloom key — what makes old versions routable
+    Scan.writeSharded(spark, laid, dir,
+      statCols = Seq("user_id", "ts_us"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("event_id"))
+    def fileSet(sh: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/shard=$sh")
+      if (!d.exists()) Set.empty
+      else d.listFiles().toSeq
+        .filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = (0 to 9).map(s => s -> fileSet(s)).toMap
+    // 5 updates (ids 250–254 live in shard 2; event_type changes) and
+    // 5 inserts (new ids, new shard 10)
+    val staged = ((250 to 254).map(i =>
+        (i.toLong, i.toLong, 10L * i, "upd", 2, i.toLong)) ++
+      (5000 to 5004).map(i =>
+        (i.toLong, 1000L + i, 10L * i, "ins", 10, 1000L + i)))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+    val (cands, touched, removed) =
+      Scan.upsertSharded(spark, dir, staged, "event_id")
+    assert(removed === 5L && touched === Seq(2))
+    assert(cands.contains(2))
+    val t = spark.read.parquet(dir)
+    assert(t.count() === 1005L) // 1000 − 5 replaced + 10 staged
+    assert(t.filter(col("event_type") === "upd").count() === 5L)
+    assert(t.filter(col("event_type") === "ins").count() === 5L)
+    assert(t.filter(col("event_id") === 250L).count() === 1L) // replaced, not duplicated
+    // every shard the MERGE had no business in is bit-stable
+    val untouchedShards = (0 to 9).toSet -- touched.toSet
+    untouchedShards.foreach(s => assert(fileSet(s) === before(s),
+      s"shard $s was rewritten by an unrelated MERGE"))
+    // manifests stayed exact: updated and inserted keys both route
+    assert(Scan.readPrunedByKey(spark, dir, "event_id", 250L)
+      .head().getAs[String]("event_type") === "upd")
+    assert(Scan.readPrunedByKey(spark, dir, "event_id", 5002L)
+      .count() === 1L)
+    // replay of the same staged batch converges to the same state
+    val (_, _, r2) = Scan.upsertSharded(spark, dir, staged, "event_id")
+    assert(r2 === 10L) // all 10 staged keys now exist, all replaced
+    assert(spark.read.parquet(dir).count() === 1005L)
+    // a table bloomed on a DIFFERENT column refuses the pruned MERGE
+    val dir2 = freshDir()
+    publish(dir2) // blooms on user_id
+    intercept[RuntimeException] {
+      Scan.upsertSharded(spark, dir2, staged, "event_id")
+    }
+  }
+
+  test("evolveAddColumn: add-column is a METADATA op — old shards " +
+    "null-fill on read, widened appends fold stats, pruned reads span " +
+    "pre/post-evolution shards, and predicates on the new column skip " +
+    "every pre-evolution shard for free") {
+    val dir = freshDir()
+    publish(dir) // 10 shards, no `score` column
+    Scan.evolveAddColumn(spark, dir,
+      "score", org.apache.spark.sql.types.LongType)
+    // reads widen immediately: old files null-fill the new column
+    val r = Scan.readShards(spark, dir, Seq(2))
+    assert(r.columns.contains("score"))
+    assert(r.filter(col("score").isNotNull).count() === 0L)
+    // widened batch lands in an OLD shard (0) and a NEW one (10)
+    Scan.appendSharded(spark,
+      Seq((6000L, 15L, 150L, "t0", 0, 15L, 77L),
+          (6001L, 1042L, 10420L, "t0", 10, 1042L, 99L))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+          "zvalue", "score"),
+      dir, "event_id")
+    // pruned read on an ORIGINAL dim spans pre- and post-evolution
+    // rows in one shard: 100 old (score NULL) + 1 new (score 77)
+    val got = Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 0L, 99L)))
+    assert(got.count() === 101L)
+    assert(got.agg(sum("score")).head().getLong(0) === 77L)
+    // the NEW column routes: only shards the widened batch touched
+    // have non-NULL envelopes — every pre-evolution shard is skipped
+    assert(Scan.candidateShardsByStats(Scan.statsManifest(spark, dir),
+      Seq(("score", 0L, 1000L))) === Seq(0, 10))
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("score", 90L, 100L))).count() === 1L)
+    // a maintenance rewrite makes the widening physical; still exact
+    Compaction.compactSharded(spark, dir)
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("score", 90L, 100L))).count() === 1L)
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 0L, 99L))).count() === 101L)
+    // idempotent: a crashed/replayed evolve converges
+    Scan.evolveAddColumn(spark, dir,
+      "score", org.apache.spark.sql.types.LongType)
+    assert(Scan.readShards(spark, dir, Seq(10)).count() === 1L)
+  }
+
+  test("writer lease: a second mutator aborts LOUDLY while the lease " +
+    "is held, succeeds after release, and a crashed writer's expired " +
+    "lease is broken — never a silent last-swap-wins") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir + "__lock")
+    val batch = Seq((5000L, 42L, 420L, "t0", 0, 42L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+    // a foreign writer holds a LIVE lease (far-future expiry): every
+    // mutation verb must refuse before touching any state
+    val out = fs.create(lock, true)
+    out.write(s"${System.currentTimeMillis() + 3600000L}|other"
+      .getBytes("UTF-8")); out.close()
+    intercept[Scan.ConcurrentWriterException] {
+      Scan.appendSharded(spark, batch, dir, "event_id")
+    }
+    intercept[Scan.ConcurrentWriterException] {
+      Compaction.compactSharded(spark, dir)
+    }
+    intercept[Scan.ConcurrentWriterException] {
+      Scan.deleteByKeys(spark, dir, Seq(42L))
+    }
+    assert(spark.read.parquet(dir).count() === 1000L) // untouched
+    // release → the append proceeds
+    fs.delete(lock, false)
+    Scan.appendSharded(spark, batch, dir, "event_id")
+    assert(spark.read.parquet(dir).count() === 1001L)
+    // a crashed writer's EXPIRED lease is broken transparently
+    val out2 = fs.create(lock, true)
+    out2.write(s"${System.currentTimeMillis() - 1000L}|dead"
+      .getBytes("UTF-8")); out2.close()
+    Scan.appendSharded(spark,
+      Seq((5001L, 43L, 430L, "t0", 0, 43L))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+          "zvalue"),
+      dir, "event_id")
+    assert(spark.read.parquet(dir).count() === 1002L)
+    assert(!fs.exists(lock)) // released after the break
+  }
+
+  test("writer lease: two genuinely interleaved appenders serialize " +
+    "via retry — every row from both lands, none lost") {
+    val dir = freshDir()
+    publish(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def appender(base: Long): Future[Unit] = Future {
+      (0 until 3).foreach { i =>
+        val b = Seq((base + i, 100L * i, 10L, "t0", i, 100L * i))
+          .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+            "zvalue")
+        var done = false
+        while (!done) {
+          try { Scan.appendSharded(spark, b, dir, "event_id"); done = true }
+          catch { case _: Scan.ConcurrentWriterException =>
+            Thread.sleep(50) }
+        }
+      }
+    }
+    Await.result(
+      Future.sequence(Seq(appender(7000L), appender(8000L))), 5.minutes)
+    // 1000 base rows + 3 from each appender — nothing silently dropped
+    assert(spark.read.parquet(dir).count() === 1006L)
+    assert(spark.read.parquet(dir)
+      .filter(col("event_id") >= 7000L).count() === 6L)
+  }
+
   test("manifest staleness measures fold-entered rows and resets when " +
     "the stats become exact again") {
     val dir = freshDir()
