@@ -2024,6 +2024,45 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // MERGE-ON-READ delete (DELETION VECTORS) — the scattered-takedown
+    // answer: deleteByKeysDeferred masks the median language as
+    // (shard, key) pairs in the _graft_dv sidecar (NO shard rewritten —
+    // one metadata swap, where x171's rewrite pays I/O ∝ touched
+    // shards), logical reads anti-join the mask out, and
+    // applyDeletionVectors later rewrites exactly the DV shards and
+    // clears the mask. Both phases' per-source aggregates are hashed
+    // and must be identical — deferred and applied ARE the same
+    // logical table; counts (candidates, DV shards, rows masked, rows
+    // physically removed) ride under hash
+    "x176_dv_delete" -> ((s, dir) => {
+      val (table, v) = StringPrunedTableBuild(s, dir, suffix = "_mor")
+      val (cands, touched, removed) =
+        graft.util.Scan.deleteByKeysDeferred(s, table, Seq(v))
+      val allShards = graft.util.Scan.statsManifest(s, table)
+        .select(col("shard").cast("int")).collect()
+        .map(_.getInt(0)).toSeq
+      def snap() = graft.util.Scan.readShards(s, table, allShards)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      // the deferred-phase aggregate is pinned DRIVER-SIDE before the
+      // vector is applied — a cached-but-evictable plan would lazily
+      // recompute against the mutated table (the ADVICE r15 hazard)
+      val deferredRows = snap().collect().toSeq
+      val deferred = s.createDataFrame(
+        s.sparkContext.parallelize(deferredRows, 1), snap().schema)
+        .withColumn("phase", lit("deferred"))
+      val (applied, removedPhys) =
+        graft.util.Scan.applyDeletionVectors(s, table)
+      deferred.unionByName(snap().withColumn("phase", lit("applied")))
+        .withColumn("lang_deleted", lit(v))
+        .withColumn("n_removed", lit(removed))
+        .withColumn("n_dv_shards", lit(touched.size.toLong))
+        .withColumn("n_candidate_shards", lit(cands.size.toLong))
+        .withColumn("n_phys_removed", lit(removedPhys))
+        .withColumn("n_applied_shards", lit(applied.size.toLong))
+        .orderBy("phase", "source")
+    }),
+
     // SCHEMA EVOLUTION under hash check — add-column as a METADATA op
     // (at 100 TB an ALTER TABLE ADD COLUMN must not republish): corpus
     // published WITHOUT `quality`, evolveAddColumn declares it, the
@@ -2075,6 +2114,62 @@ object ExtensionQueries {
         .withColumn("lang_val", lit(v))
         .withColumn("n_quality_cands", lit(qCands.size.toLong))
         .withColumn("n_total_shards", lit(nTotal))
+        .orderBy("lang_val")
+    }),
+
+    // SCHEMA EVOLUTION, drop side — DROP COLUMN as a METADATA op: the
+    // corpus publishes WITH `quality` (stats and all), evolveDropColumn
+    // stops declaring it (reads project it away — old files keep the
+    // bytes, never deserialized), the appended batch no longer carries
+    // it, and the next compaction physically reclaims it. Hashed: the
+    // pruned aggregate over the narrowed table, the logical column
+    // absence, and the physical column counts before/after the
+    // compaction (mergeSchema union — 6 evolved, 5 compacted)
+    "x177_schema_drop" -> ((s, dir) => {
+      val table =
+        s"target/scan/${new java.io.File(dir).getName}/documents_z_drop"
+      val d = Tables(s, dir, "documents")
+        .withColumn("quality", col("n_chars") % 100)
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val batch = d.filter(col("doc_id") % 7 === 0)
+      val dict = Corpus.stringDimDict(corpus, "lang")
+      val bounds = dict.agg(min(col("rank")).as("_min_lang"),
+          max(col("rank")).as("_max_lang"))
+        .crossJoin(corpus.agg(
+          min(col("n_chars")).as("_min_n_chars"),
+          max(col("n_chars")).as("_max_n_chars")))
+      def lay(df: org.apache.spark.sql.DataFrame, keep: Seq[String]) =
+        Corpus.zorderLayoutAgainstN(df, bounds, "doc_id",
+          Seq("lang", "n_chars"), bits = 8, nShards = 32,
+          keepCols = keep, dicts = Map("lang" -> dict))
+          .drop("cell_lang", "cell_n_chars")
+      graft.util.Scan.writeSharded(s,
+        lay(corpus, Seq("lang", "n_chars", "quality")), table,
+        statCols = Seq("lang", "n_chars", "quality"),
+        sortCol = Some("zvalue"), zTotalBits = Some(16),
+        nShards = Some(32), dicts = Map("lang" -> dict))
+      graft.util.Scan.evolveDropColumn(s, table, "quality")
+      graft.util.Scan.appendSharded(s,
+        lay(batch, Seq("lang", "n_chars")), table, "doc_id")
+      def physCols() = s.read.option("mergeSchema", "true")
+        .parquet(table).columns.length.toLong
+      val nPhysEvolved = physCols()
+      graft.util.Compaction.compactSharded(s, table)
+      val nPhysCompacted = physCols()
+      val v = dict
+        .join(dict.agg(((max(col("rank")) + 0L) / 2).cast("long")
+          .as("rank")), Seq("rank"))
+        .head().getAs[String]("value")
+      val pruned = graft.util.Scan.readPrunedByRange(s, table,
+        Seq(("lang", v, v)))
+      pruned
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .withColumn("lang_val", lit(v))
+        .withColumn("has_quality_logical",
+          lit(pruned.columns.contains("quality")))
+        .withColumn("n_phys_cols_evolved", lit(nPhysEvolved))
+        .withColumn("n_phys_cols_compacted", lit(nPhysCompacted))
         .orderBy("lang_val")
     }),
 
@@ -3664,6 +3759,81 @@ object ExtensionQueries {
        |WHERE lang IS NULL OR lang <> mv.v
        |GROUP BY source, mv.v, hit.n_removed, hit.n_touched, cand.n_cand
        |ORDER BY source""".stripMargin
+  }
+
+  /** DuckDB mirror of x177 — the drop-column evolution: the logical
+    * table after the drop is documents (corpus + batch) without the
+    * `quality` column, so the pruned aggregate on the median language
+    * is the plain per-language aggregate; the column-count literals
+    * (6 physical with the pre-drop files' quality still on disk, 5
+    * after compaction rewrites) are deterministic by construction. */
+  private def schemaDropSql(bits: Int, nShards: Int): String =
+    s"""WITH dict AS (SELECT v, CAST(dense_rank() OVER (ORDER BY v) - 1
+       |           AS BIGINT) AS r
+       |         FROM (SELECT DISTINCT lang AS v FROM documents
+       |               WHERE lang IS NOT NULL AND doc_id % 7 <> 0)),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict))
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  mv.v AS lang_val, false AS has_quality_logical,
+       |  CAST(6 AS BIGINT) AS n_phys_cols_evolved,
+       |  CAST(5 AS BIGINT) AS n_phys_cols_compacted
+       |FROM documents d, mv
+       |WHERE d.lang = mv.v
+       |GROUP BY mv.v
+       |ORDER BY lang_val""".stripMargin
+
+  /** DuckDB mirror of x176 — the deletion-vector (merge-on-read)
+    * delete: the logical table after masking the median language is
+    * the SAME relation in both phases (deferred mask, physical
+    * application), so the oracle computes x171's table-minus-key
+    * aggregate once and crosses it with the two phase labels; the
+    * mask/apply counts equal the rewrite delete's hit counts. */
+  private def dvDeleteSql(bits: Int, nShards: Int, m: Int,
+      k: Int): String = {
+    val hashes = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |keys AS (SELECT DISTINCT shard, lang AS kk FROM j
+       |         WHERE lang IS NOT NULL),
+       |pos AS (SELECT DISTINCT shard,
+       |          CAST(concat('0x', substr(md5('bloom|' || kk),
+       |            1 + 8 * j2, 8)) AS BIGINT) % $m AS p
+       |        FROM keys, unnest([$hashes]) AS u(j2)),
+       |bl AS (SELECT shard, list_sort(list(p)) AS bits
+       |       FROM pos GROUP BY shard),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict)),
+       |ppos AS (SELECT list_transform([$hashes],
+       |           j2 -> CAST(concat('0x', substr(md5('bloom|' || v),
+       |             1 + 8 * j2, 8)) AS BIGINT) % $m) AS pp
+       |         FROM mv),
+       |cand AS (SELECT CAST(count(*) AS BIGINT) AS n_cand
+       |         FROM bl, ppos
+       |         WHERE len(list_filter(pp,
+       |           q -> NOT list_contains(bits, q))) = 0),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+       |          CAST(count(DISTINCT shard) AS BIGINT) AS n_touched
+       |        FROM j, mv WHERE lang = mv.v),
+       |phases AS (SELECT * FROM (VALUES ('deferred'), ('applied'))
+       |           p(phase))
+       |SELECT p.phase, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  mv.v AS lang_deleted, hit.n_removed,
+       |  hit.n_touched AS n_dv_shards,
+       |  cand.n_cand AS n_candidate_shards,
+       |  hit.n_removed AS n_phys_removed,
+       |  hit.n_touched AS n_applied_shards
+       |FROM j, mv, cand, hit, phases p
+       |WHERE lang IS NULL OR lang <> mv.v
+       |GROUP BY p.phase, source, mv.v, hit.n_removed, hit.n_touched,
+       |  cand.n_cand
+       |ORDER BY p.phase, source""".stripMargin
   }
 
   /** DuckDB mirror of x172 — the retention delete: candidates from the
@@ -5882,6 +6052,8 @@ object ExtensionQueries {
     "x169_pruned_in_list" -> stringPrunedInListSql(8, 32, 1024, 3),
     "x170_manifest_staleness" -> manifestStalenessSql(8, 32),
     "x171_pruned_delete" -> stringPrunedDeleteSql(8, 32, 1024, 3),
+    "x176_dv_delete" -> dvDeleteSql(8, 32, 1024, 3),
+    "x177_schema_drop" -> schemaDropSql(8, 32),
     "x172_retention_delete" -> retentionDeleteSql(8, 32),
     "x173_pruned_prefix" -> stringPrunedPrefixSql(8, 32),
     "x174_schema_evolution" -> schemaEvolutionSql(8, 32),

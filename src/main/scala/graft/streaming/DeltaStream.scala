@@ -1315,6 +1315,10 @@ object DeltaStream {
           if (fileCountBreach || stalenessBreach) {
             graft.util.Compaction.compactSharded(s, tableDir,
               sortCol = Some("zvalue"))
+            // storage hygiene rides the same schedule: with the lease
+            // held by this mount's thread, swap debris from any prior
+            // crash is provably dead — one listing when clean
+            Scan.vacuumTable(s, tableDir)
             ()
           }
           if (retentionHorizon > 0) {

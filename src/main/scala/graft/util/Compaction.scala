@@ -86,6 +86,10 @@ object Compaction {
       Scan.withWriterLease(spark, dir) {
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
+    // merge-on-read contract: compaction is where deferred deletes
+    // become physical — apply the pending deletion vector (targeted:
+    // only the shards it names) before looking at file counts
+    Scan.applyDeletionVectors(spark, dir, shardCol, sortCol)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shardDirs = fs.listStatus(p).toSeq.filter(s =>
@@ -174,6 +178,9 @@ object Compaction {
     require(newNShards >= 1, "need newNShards >= 1")
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
+    // apply any pending deletion vector before re-laying out: the DV
+    // names OLD shard numbers, which the re-shard is about to retire
+    Scan.applyDeletionVectors(spark, dir, shardCol)
     val meta = Scan.readMeta(spark, dir).getOrElse(sys.error(
       s"reshardSharded: $dir has no ${Scan.MetaSidecar} sidecar — " +
         "re-publish through writeSharded(zTotalBits=…) first"))

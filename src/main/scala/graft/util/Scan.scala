@@ -51,11 +51,90 @@ object Scan {
   val MetaSidecar = "_graft_meta"
   val DictSidecar = "_graft_dicts"
   val SchemaSidecar = "_graft_schema"
+  val DvSidecar = "_graft_dv"
 
   /** A second writer raced this table's lease and must NOT proceed —
     * retry after the holder completes. Nothing was mutated. */
   class ConcurrentWriterException(msg: String)
     extends RuntimeException(msg)
+
+  /** TABLE HISTORY — a generation counter + audit log for sharded
+    * tables, as a SIBLING directory (`<dir>__log/`, like the lock:
+    * directory swaps must not destroy it). One tiny file per completed
+    * mutation, named `<gen 12-digit>-<verb>`, body `verb|detail`;
+    * generations are monotonic (entries are created under the writer
+    * lease, so max+1 cannot race). What it gives a 100 TB deployment:
+    *
+    *  - [[tableGeneration]] — an O(listing) "has this table changed
+    *    since gen G" probe for incremental consumers (downstream
+    *    caches, scheduled jobs) that otherwise re-derive freshness by
+    *    diffing manifests;
+    *  - [[tableHistory]] — the audit trail (what verb, when in the
+    *    sequence, how many rows) compliance asks for after a takedown.
+    *
+    * Contract, stated honestly: entries are written AFTER a mutation's
+    * commit point, and ONLY for mutations that changed state (no-ops
+    * don't bump the generation — a maintained mount's steady-state
+    * no-op retention pass must not look like change). A crash in the
+    * window between a mutation's last commit step and its log write
+    * loses that entry — the crash protocols converge the DATA, and the
+    * next completed mutation's entry re-signals change; a consumer
+    * needing hard freshness reads the manifests, the log is telemetry
+    * and audit, never load-bearing for correctness. [[vacuumTable]]
+    * truncates the log to its newest [[LogKeep]] entries (generation
+    * numbering survives truncation — it lives in the file names).
+    */
+  val LogKeep = 256
+
+  private def logDir(dir: String) = new Path(dir + "__log")
+
+  private[graft] def logEntry(spark: SparkSession, dir: String,
+      verb: String, detail: String): Unit = {
+    val fs = logDir(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir(dir))
+    val gen = tableGeneration(spark, dir) + 1
+    val out = fs.create(new Path(logDir(dir), f"$gen%012d-$verb"), false)
+    out.write(s"$verb|$detail".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The table's current generation: 0 for a table with no history,
+    * else the newest log entry's number. One directory listing. */
+  def tableGeneration(spark: SparkSession, dir: String): Long = {
+    val fs = logDir(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir(dir))) 0L
+    else fs.listStatus(logDir(dir)).foldLeft(0L) { (m, st) =>
+      val n = st.getPath.getName.takeWhile(_.isDigit)
+      if (n.isEmpty) m else math.max(m, n.toLong)
+    }
+  }
+
+  /** The table's mutation history, oldest first: (generation, verb,
+    * detail). Truncated to the newest [[LogKeep]] entries by vacuum —
+    * the generation numbers expose the truncation honestly. */
+  def tableHistory(spark: SparkSession, dir: String)
+      : Seq[(Long, String, String)] = {
+    val fs = logDir(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir(dir))) Nil
+    else fs.listStatus(logDir(dir)).toSeq
+      .filter(_.getPath.getName.headOption.exists(_.isDigit))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val gen = st.getPath.getName.takeWhile(_.isDigit).toLong
+        val len = st.getLen.toInt
+        val in = fs.open(st.getPath)
+        val body = try {
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          new String(buf, "UTF-8")
+        } finally in.close()
+        val (verb, detail) = body.span(_ != '|')
+        (gen, verb, detail.drop(1))
+      }
+  }
 
   // table dirs whose lease THIS thread already holds (re-entrancy: a
   // compaction's internal writeSharded must not dead-lock on its own
@@ -311,6 +390,9 @@ object Scan {
       writeManifests(spark, tmp, statCols, shardCol, bloomKeyCol,
         bloomM, bloomK)
     }
+    logEntry(spark, dir, "publish",
+      s"shards=${nShards.getOrElse(-1)} stat_cols=${statCols.mkString("+")}" +
+        bloomKeyCol.fold("")(k => s" bloom=$k"))
     }
   }
 
@@ -386,12 +468,38 @@ object Scan {
           r.getInt(0)
         }.toSeq.sorted
       if (touched.isEmpty) return
+      // deletion-vector collision guard: a masked (shard, key) pair
+      // must not be re-appended into the shard that masks it — the
+      // key-based anti-join has no row positions and would delete the
+      // NEW row too. Fail loudly; applyDeletionVectors/compactSharded
+      // clears the mask. Costs one broadcast semi-join, only while a
+      // vector is pending.
+      if (fs.exists(new Path(s"$dir/$DvSidecar"))) {
+        val kc = bloomConfigOf(spark, dir).map(_._1).getOrElse(
+          sys.error(s"appendSharded: $dir has a deletion-vector " +
+            "sidecar but no recoverable bloom config"))
+        val dv = spark.read.parquet(s"$dir/$DvSidecar")
+          .select(col("shard").cast("int").as("_dv_shard"),
+            col("key").as("_dv_key"))
+        val collisions = b0.join(broadcast(dv),
+          b0(shardCol).cast("int") === col("_dv_shard") &&
+            b0(kc) === col("_dv_key"), "left_semi").count()
+        require(collisions == 0L,
+          s"appendSharded: $collisions batch rows collide with " +
+            "pending deletion-vector entries — apply the vector " +
+            "(applyDeletionVectors / compactSharded) before " +
+            "re-inserting these keys")
+      }
       // 1. bounded idempotence probe: ids present in the touched shards
       val present = readShards(spark, dir, touched, shardCol)
         .select(col(idCol))
       val batch = b0.join(present, Seq(idCol), "left_anti").persist()
       try {
-        if (batch.isEmpty) return
+        // materialized COUNT, not isEmpty: the log entry after the data
+        // write must not lazily re-run this anti-join (the landed rows
+        // would then be "present" and the count would read 0)
+        val nRows = batch.count()
+        if (nRows == 0L) return
         // 2a. stats fold: old rows + batch-side exact stats per shard
         val batchStats = graft.ext.Corpus.shardStats(batch, shardCol,
           statCols)
@@ -448,6 +556,8 @@ object Scan {
         // growth is batches × touched shards, not × task parallelism
         batch.repartition(col(shardCol))
           .write.mode("append").partitionBy(shardCol).parquet(dir)
+        logEntry(spark, dir, "append",
+          s"rows=$nRows shards=${touched.size}")
       } finally batch.unpersist()
     } finally b0.unpersist()
   }
@@ -485,16 +595,42 @@ object Scan {
     // so their own __swap_new dirs stay invisible to table readers);
     // the declared-schema read null-fills evolved columns in old files
     val back = readTable(spark, dir)
-    graft.dw.Merge.atomicOverwrite(spark,
-      graft.ext.Corpus.shardStats(back, shardCol, sc)
-        .withColumn("_stale_rows", lit(0L)),
-      s"$dir/$StatsSidecar")
+    // a refresh makes the manifests exact FOR THE FILES — but rows a
+    // pending deletion vector masks are still manifest looseness
+    // (physical-but-not-logical), so `_stale_rows` carries the masked
+    // count per shard instead of zero: the staleness signal that
+    // drives the maintained mounts to compact (which applies the
+    // vector) must survive a refresh, or the loop would never converge
+    val masked: Option[DataFrame] =
+      if (!fs.exists(new Path(s"$dir/$DvSidecar"))) None
+      else bloomCfg.map { case (kc, _, _) =>
+        val dv = spark.read.parquet(s"$dir/$DvSidecar")
+          .select(col("shard").cast("int").as("_dv_shard"),
+            col("key").as("_dv_key"))
+        back.join(broadcast(dv),
+          back(shardCol).cast("int") === col("_dv_shard") &&
+            back(kc) === col("_dv_key"), "left_semi")
+          .groupBy(col(shardCol).cast("int").as(shardCol))
+          .agg(count(lit(1)).as("_masked_rows"))
+      }
+    val exact = graft.ext.Corpus.shardStats(back, shardCol, sc)
+    val stats = masked match {
+      case None => exact.withColumn("_stale_rows", lit(0L))
+      case Some(m) => exact
+        .join(m.withColumnRenamed(shardCol, "_m_shard"),
+          exact(shardCol).cast("int") === col("_m_shard"), "left_outer")
+        .withColumn("_stale_rows",
+          coalesce(col("_masked_rows"), lit(0L)))
+        .drop("_m_shard", "_masked_rows")
+    }
+    graft.dw.Merge.atomicOverwrite(spark, stats, s"$dir/$StatsSidecar")
     bloomCfg.foreach { case (kc, m, k) =>
       graft.dw.Merge.atomicOverwrite(spark,
         graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
           .withColumn("key_col", lit(kc)),
         s"$dir/$BloomSidecar")
     }
+    logEntry(spark, dir, "refresh", s"stat_cols=${sc.mkString("+")}")
   }
 
   private def writeManifests(spark: SparkSession, tableDir: String,
@@ -561,7 +697,15 @@ object Scan {
   /** Candidate shards for an IN-list `keyCol IN (keys…)`: the UNION of
     * each key's bloom-maybe shards, computed in ONE pass over the
     * shards-sized manifest (the coverage disjunction grows with the
-    * IN-list, the scan does not). */
+    * IN-list, the scan does not). Two plan shapes for the same
+    * semantics: small lists inline the per-key coverage checks as one
+    * disjunction; large lists (a MERGE batch's thousands of staged
+    * keys) switch to a broadcast key-table semi-join — the inline
+    * disjunction is an expression tree as DEEP as the list, and
+    * Catalyst's column converter recurses per node (measured: a
+    * 1,500-key batch overflows the stack; the probe caught it). The
+    * join shape is flat in the key count and stays shards-bounded on
+    * the scan side. */
   def candidateShardsByKeys(bloom: DataFrame, keys: Seq[Any],
       shardCol: String = "shard"): Seq[Int] = {
     require(keys.nonEmpty, "need at least one key")
@@ -570,12 +714,23 @@ object Scan {
     if (cfg0.isEmpty) return Nil
     val cfg = cfg0.get
     val (m, k) = (cfg.getInt(0), cfg.getInt(1))
-    val covered = keys.map { key =>
-      size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m, k),
-        col("_bits"))) === 0
-    }.reduce(_ || _)
-    bloom.filter(covered).select(col(shardCol).cast("int"))
-      .collect().map(_.getInt(0)).toSeq.sorted
+    if (keys.size <= 64) {
+      val covered = keys.map { key =>
+        size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m,
+          k), col("_bits"))) === 0
+      }.reduce(_ || _)
+      bloom.filter(covered).select(col(shardCol).cast("int"))
+        .collect().map(_.getInt(0)).toSeq.sorted
+    } else {
+      val spark = bloom.sparkSession
+      val keysDf = spark.range(1).select(
+        explode(array(keys.map(lit(_)): _*)).as("_probe_key"))
+      bloom.join(broadcast(keysDf),
+        size(array_except(graft.ext.Corpus.bloomPositions(
+          col("_probe_key"), m, k), col("_bits"))) === 0, "left_semi")
+        .select(col(shardCol).cast("int"))
+        .collect().map(_.getInt(0)).toSeq.sorted
+    }
   }
 
   /** SCHEMA EVOLUTION — add a column WITHOUT republishing the table
@@ -639,6 +794,71 @@ object Scan {
           s"$dir/$MetaSidecar")
       }
     }
+    logEntry(spark, dir, "evolve_add", s"col=$colName")
+  }
+
+  /** SCHEMA EVOLUTION, drop side — remove a column WITHOUT republishing
+    * (the ALTER TABLE DROP COLUMN contract at 100 TB): the declared
+    * schema stops naming it, so every read projects it away (parquet
+    * column pruning — old files keep the bytes but never deserialize
+    * them); the stats manifest and meta `stat_cols` stop covering it;
+    * the NEXT compaction/re-shard rewrite (which reads through the
+    * declared schema) physically reclaims the space. Refuses the
+    * columns the table's machinery depends on — the shard column, the
+    * sort column, the bloom key, and any string-dim dictionary column
+    * (those are the layout frame, not payload). Re-adding a dropped
+    * name with a DIFFERENT type before a compaction has rewritten the
+    * old files is undefined (the files still hold the old type) — the
+    * same contract as engines without column mapping; re-add with the
+    * SAME type is safe (old values resurface until compacted, exactly
+    * the physical truth).
+    *
+    * Ordering mirrors [[evolveAddColumn]] (every crash prefix is a
+    * consistent state, each step idempotent): meta first (appends stop
+    * folding), manifests second (extra columns nothing names are
+    * harmless), declared schema last (reads narrow). */
+  def evolveDropColumn(spark: SparkSession, dir: String,
+      colName: String,
+      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+    recoverPendingDelete(spark, dir, shardCol)
+    val schema = tableSchemaOf(spark, dir).getOrElse(sys.error(
+      s"evolveDropColumn: $dir has no $SchemaSidecar declared-schema " +
+        "sidecar — republish through writeSharded first"))
+    require(schema.fieldNames.contains(colName),
+      s"evolveDropColumn: $dir has no column '$colName'")
+    val meta = readMeta(spark, dir)
+    val protectedCols = Seq(shardCol) ++ meta.flatMap(_.sortCol) ++
+      meta.flatMap(_.bloomKey) ++ readDicts(spark, dir).keys
+    require(!protectedCols.contains(colName),
+      s"evolveDropColumn: '$colName' is part of $dir's layout/index " +
+        s"machinery (${protectedCols.mkString(", ")}) — it cannot be " +
+        "dropped without republishing")
+    // 1. meta stat_cols stops naming it — appends stop folding
+    meta.foreach { m =>
+      if (m.statCols.contains(colName)) {
+        import spark.implicits._
+        val nm = m.copy(statCols = m.statCols.filterNot(_ == colName))
+        graft.dw.Merge.atomicOverwrite(spark,
+          Seq((nm.statCols, nm.shardCol, nm.sortCol, nm.bloomKey,
+              nm.bloomM, nm.bloomK, nm.zTotalBits, nm.nShards))
+            .toDF("stat_cols", "shard_col", "sort_col", "bloom_key",
+              "bloom_m", "bloom_k", "z_total_bits", "n_shards")
+            .coalesce(1),
+          s"$dir/$MetaSidecar")
+      }
+    }
+    // 2. stats manifest drops its envelope columns
+    val man = statsManifest(spark, dir)
+    val manCols = Seq(s"${colName}_min", s"${colName}_max",
+      s"${colName}_ndv").filter(man.columns.contains)
+    if (manCols.nonEmpty)
+      graft.dw.Merge.atomicOverwrite(spark, man.drop(manCols: _*),
+        s"$dir/$StatsSidecar")
+    // 3. declared schema narrows — reads project the column away
+    graft.dw.Merge.atomicOverwrite(spark,
+      spark.read.parquet(s"$dir/$SchemaSidecar").drop(colName),
+      s"$dir/$SchemaSidecar")
+    logEntry(spark, dir, "evolve_drop", s"col=$colName")
   }
 
   val PendingDelete = "_pending_delete"
@@ -695,13 +915,160 @@ object Scan {
     val matchPred =
       if (keys.size == 1) col(keyCol) === lit(keys.head)
       else col(keyCol).isin(keys: _*)
-    deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
+    val r = deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
+    if (r._2.nonEmpty) logEntry(spark, dir, "delete_keys",
+      s"keys=${keys.size} removed=${r._3} shards=${r._2.size}")
+    r
       }
 
   def deleteByKey(spark: SparkSession, dir: String, key: Any,
       shardCol: String = "shard",
       sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
     deleteByKeys(spark, dir, Seq(key), shardCol, sortCol)
+
+  /** MERGE-ON-READ delete — the DEFERRED form of [[deleteByKeys]]: no
+    * shard is rewritten; the matched (shard, key) pairs land in the
+    * `_graft_dv` DELETION-VECTOR sidecar and every logical read
+    * ([[readShards]] and everything built on it) filters them with a
+    * broadcast anti-join. This is the Delta/Iceberg merge-on-read
+    * model, and it is what makes a SCATTERED takedown affordable: a
+    * key set spread across hundreds of shards costs one metadata swap
+    * instead of rewriting every candidate shard — the rewrite is
+    * deferred to [[applyDeletionVectors]] / `compactSharded`, which
+    * apply the vector physically and clear it.
+    *
+    * Consequences, stated loudly: (a) the table directory is no longer
+    * the logical table — plain `spark.read.parquet(dir)` sees masked
+    * rows; readers must go through the Scan API (the sidecar contract
+    * was already "read through the engine" for evolved schemas);
+    * (b) masked keys cannot be re-appended into a shard that masks
+    * them until the vector is applied ([[appendSharded]] fails loudly
+    * — a key-based DV has no row positions, so the anti-join would
+    * delete the NEW row too); (c) per-shard `n_rows` keeps counting
+    * the physical rows — the masked counts fold into `_stale_rows`,
+    * so the staleness signal the maintained mounts compact on now also
+    * drives DV application.
+    *
+    * Crash protocol: the DV swap is the single commit point (pairs are
+    * computed first, nothing mutates before the swap); the `_stale_rows`
+    * fold after it is advisory (a crash between them loses only
+    * compaction-trigger signal, never rows). Re-running a completed
+    * delete is a no-op: the matched probe reads LOGICAL rows, and the
+    * first run's vector already masks them.
+    *
+    * Returns (candidate shards, shards gaining DV entries, rows
+    * logically removed).
+    */
+  def deleteByKeysDeferred(spark: SparkSession, dir: String,
+      keys: Seq[Any], shardCol: String = "shard")
+      : (Seq[Int], Seq[Int], Long) = withWriterLease(spark, dir) {
+    require(keys.nonEmpty, "need at least one key")
+    graft.dw.Merge.recover(spark, dir)
+    recoverPendingDelete(spark, dir, shardCol)
+    val keyCol = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
+      s"deleteByKeysDeferred: $dir has no recoverable bloom config — " +
+        "deletion vectors key on the bloom column"))
+    val bloom = bloomManifest(spark, dir)
+    if (bloom.isEmpty) return (Nil, Nil, 0L)
+    val cands = candidateShardsByKeys(bloom, keys, shardCol)
+    if (cands.isEmpty) return (cands, Nil, 0L)
+    val matchPred =
+      if (keys.size == 1) col(keyCol) === lit(keys.head)
+      else col(keyCol).isin(keys: _*)
+    // logical matches only — rows an earlier vector already masks do
+    // not re-count (readShards applies the DV), so replay converges
+    val delta = readShards(spark, dir, cands, shardCol)
+      .filter(matchPred)
+      .groupBy(col(shardCol).cast("int").as("shard"),
+        col(keyCol).as("key"))
+      .agg(count(lit(1)).as("_n")).persist()
+    try {
+      val perShard = delta.groupBy("shard")
+        .agg(sum("_n").as("_n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val touched = perShard.keys.toSeq.sorted
+      val removed = perShard.values.sum
+      if (touched.isEmpty) return (cands, Nil, 0L)
+      // the commit point: old vector ∪ delta, one atomic sidecar swap
+      val newDv = deletionVector(spark, dir)
+        .fold(delta.select(col("shard"), col("key")))(
+          _.select(col("shard").cast("int").as("shard"), col("key"))
+            .unionByName(delta.select(col("shard"), col("key")))
+            .distinct())
+      graft.dw.Merge.atomicOverwrite(spark, newDv.coalesce(1),
+        s"$dir/$DvSidecar")
+      // advisory staleness fold: masked rows are manifest looseness,
+      // exactly like append-folded rows — the compaction trigger. The
+      // per-shard bumps join in as a FLAT shards-sized frame: a nested
+      // when/coalesce chain here is depth = touched shards, and
+      // Catalyst's common-subexpression analysis is EXPONENTIAL in
+      // conditional nesting depth (measured: 19 shards 3 s, 26 shards
+      // 132 s — the probe caught it)
+      val old = statsManifest(spark, dir)
+      val oldStale =
+        if (old.columns.contains("_stale_rows")) col("_stale_rows")
+        else lit(0L)
+      import spark.implicits._
+      val bumps = perShard.toSeq.toDF("_b_shard", "_b_n")
+      graft.dw.Merge.atomicOverwrite(spark,
+        old.join(broadcast(bumps),
+            old(shardCol).cast("int") === col("_b_shard"), "left_outer")
+          .withColumn("_stale_rows",
+            coalesce(oldStale, lit(0L)) + coalesce(col("_b_n"), lit(0L)))
+          .drop("_b_shard", "_b_n"),
+        s"$dir/$StatsSidecar")
+      logEntry(spark, dir, "delete_deferred",
+        s"keys=${keys.size} masked=$removed shards=${touched.size}")
+      (cands, touched, removed)
+    } finally delta.unpersist()
+  }
+
+  /** Apply the table's deletion vector PHYSICALLY: rewrite exactly the
+    * shards the vector names (kept rows = raw files minus masked
+    * pairs), through the same pending/`_COMMIT` crash protocol as
+    * [[deleteByKeys]], then clear the applied entries — an empty
+    * remainder drops the sidecar, so reads stop anti-joining entirely.
+    * `compactSharded`/`reshardSharded` run this first; a standalone
+    * call is the targeted form (touches only DV shards, not every
+    * multi-file shard). Returns (shards rewritten, rows physically
+    * removed). */
+  def applyDeletionVectors(spark: SparkSession, dir: String,
+      shardCol: String = "shard", sortCol: Option[String] = None)
+      : (Seq[Int], Long) = withWriterLease(spark, dir) {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/$DvSidecar"))) return (Nil, 0L)
+    graft.dw.Merge.recover(spark, dir)
+    recoverPendingDelete(spark, dir, shardCol)
+    val dvShards = spark.read.parquet(s"$dir/$DvSidecar")
+      .select(col("shard").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+      .filter(s => fs.exists(new Path(s"$dir/$shardCol=$s")))
+    if (dvShards.isEmpty) {
+      fs.delete(new Path(s"$dir/$DvSidecar"), true)
+      return (Nil, 0L)
+    }
+    val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
+    val raw = readShardsRaw(spark, dir, dvShards, shardCol)
+    val kept = applyDv(spark, dir, raw, shardCol)
+    val removed = raw.count() - kept.count()
+    val keptW = kept.repartition(col(shardCol))
+    sort.fold(keptW)(c => keptW.sortWithinPartitions(shardCol, c))
+      .write.mode("overwrite").partitionBy(shardCol)
+      .parquet(s"$dir/$PendingDelete")
+    val withRows = dvShards.filter(s =>
+      fs.exists(new Path(s"$dir/$PendingDelete/$shardCol=$s")))
+    val emptied = dvShards.diff(withRows)
+    val commit = new Path(s"$dir/$PendingDelete/_COMMIT")
+    val out = fs.create(commit, true)
+    out.write((s"kept:${withRows.mkString(",")}" +
+      s"|emptied:${emptied.mkString(",")}").getBytes("UTF-8"))
+    out.close()
+    applyPendingDelete(spark, dir, shardCol, withRows, emptied)
+    logEntry(spark, dir, "dv_apply",
+      s"removed=$removed shards=${dvShards.size}")
+    (dvShards, removed)
+  }
 
   /** MERGE (upsert) on a sharded z-ordered table, routed BY THE INDEX —
     * the reference's fact MERGE (`Delta Load Scripts/dw2_delta_load2
@@ -754,6 +1121,8 @@ object Scan {
       val (cands, touched, removed) =
         deleteByKeys(spark, dir, keys, shardCol, sortCol)
       appendSharded(spark, b, dir, idCol, shardCol)
+      logEntry(spark, dir, "upsert",
+        s"keys=${keys.size} replaced=$removed shards=${touched.size}")
       (cands, touched, removed)
     } finally b.unpersist()
   }
@@ -780,7 +1149,11 @@ object Scan {
     val matchPred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
+    val r = deleteWhere(spark, dir, cands, matchPred, shardCol, sortCol)
+    if (r._2.nonEmpty) logEntry(spark, dir, "delete_range",
+      s"cols=${ranges.map(_._1).mkString("+")} removed=${r._3} " +
+        s"shards=${r._2.size}")
+    r
       }
 
   /** The shared delete core (steps 1–2 of the protocol; see
@@ -918,6 +1291,19 @@ object Scan {
         newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
         s"$dir/$BloomSidecar")
     }
+    // deletion-vector entries for the rewritten shards are now applied
+    // physically (every rewrite path computes kept rows DV-filtered —
+    // deleteWhere reads through readShards, applyDeletionVectors
+    // anti-joins explicitly) — clear them; an empty remainder drops
+    // the sidecar so readers stop anti-joining. Idempotent on
+    // recovery re-runs (filtering already-cleared shards is a no-op).
+    if (fs.exists(new Path(s"$dir/$DvSidecar"))) {
+      val rest = spark.read.parquet(s"$dir/$DvSidecar")
+        .filter(!col("shard").cast("int").isin(touched: _*))
+      if (rest.isEmpty) fs.delete(new Path(s"$dir/$DvSidecar"), true)
+      else graft.dw.Merge.atomicOverwrite(spark, rest.coalesce(1),
+        s"$dir/$DvSidecar")
+    }
     // the pending area must by now be fully consumed for kept shards: a
     // shard dir still present there but NOT in the kept list means the
     // `_COMMIT` marker under-read (truncated) — deleting the area would
@@ -1007,6 +1393,18 @@ object Scan {
         if (fs.exists(new Path(s"$dir/$PendingDelete")))
           recoverPendingDelete(spark, dir, shardCol)
       }
+    applyDv(spark, dir,
+      readShardsRaw(spark, dir, shards, shardCol), shardCol)
+  }
+
+  /** The PHYSICAL shard read — files as they are, deletion vectors NOT
+    * applied. Internal: the maintenance paths that rewrite files
+    * (deletion-vector application itself) read through this; every
+    * logical read goes through [[readShards]]. */
+  private[graft] def readShardsRaw(spark: SparkSession, dir: String,
+      shards: Seq[Int], shardCol: String = "shard"): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val existing = shards.filter(s =>
       fs.exists(new Path(s"$dir/$shardCol=$s")))
     if (existing.isEmpty) emptyTableFrame(spark, dir, shardCol)
@@ -1018,6 +1416,38 @@ object Scan {
       rd.option("basePath", dir)
         .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
     }
+  }
+
+  /** Apply the table's DELETION VECTOR to a frame read from its files:
+    * rows whose (shard, key) pair the `_graft_dv` sidecar names are
+    * logically deleted and filtered out with a broadcast anti-join (the
+    * DV is takedown-sized — pairs, not rows). No sidecar → the frame
+    * passes through at zero cost beyond one FS probe. */
+  private def applyDv(spark: SparkSession, dir: String, df: DataFrame,
+      shardCol: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/$DvSidecar"))) df
+    else {
+      val kc = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
+        s"$dir has a deletion-vector sidecar but no recoverable bloom " +
+          "config — the DV keys are bloom-key-typed by construction"))
+      val dv = spark.read.parquet(s"$dir/$DvSidecar")
+        .select(col("shard").cast("int").as("_dv_shard"),
+          col("key").as("_dv_key"))
+      df.join(broadcast(dv),
+        df(shardCol).cast("int") === col("_dv_shard") &&
+          df(kc) === col("_dv_key"), "left_anti")
+    }
+  }
+
+  /** The table's deletion vector as (shard, key) pairs — empty frame
+    * when none is pending. */
+  def deletionVector(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/$DvSidecar"))) None
+    else Some(spark.read.parquet(s"$dir/$DvSidecar"))
   }
 
   /** The table's DECLARED schema — the 0-row schema sidecar's, when
@@ -1181,28 +1611,41 @@ object Scan {
           .select(col(shardCol).cast("int").as("_shard"),
             lit(0).as("_side")))
       }
-    val bloomSide = keyed.map { case (_, m, k) =>
-      val covered = keys.map { key =>
-        size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m,
-          k), col("_bits"))) === 0
-      }.reduce(_ || _)
-      bloomManifest(spark, dir).filter(covered)
-        .select(col("shard").cast("int").as("_shard"),
-          lit(1).as("_side"))
+    // large IN-lists take the flat join shape (see
+    // [[candidateShardsByKeys]] — the inline disjunction is
+    // list-deep and overflows Catalyst's converter), giving up the
+    // one-pass fusion for the rare big-list case
+    val bigList = keys.size > 64
+    val bloomSide =
+      if (bigList) None
+      else keyed.map { case (_, m, k) =>
+        val covered = keys.map { key =>
+          size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m,
+            k), col("_bits"))) === 0
+        }.reduce(_ || _)
+        bloomManifest(spark, dir).filter(covered)
+          .select(col("shard").cast("int").as("_shard"),
+            lit(1).as("_side"))
+      }
+    val rows = (statsSide, bloomSide) match {
+      case (Some(a), Some(b)) => a.unionByName(b).collect()
+      case (Some(a), None)    => a.collect()
+      case (None, Some(b))    => b.collect()
+      // big-list keys-only: everything comes from the join path below
+      case (None, None)       => Array.empty[org.apache.spark.sql.Row]
     }
-    val fused = (statsSide, bloomSide) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None)    => a
-      case (None, Some(b))    => b
-      case _                  => sys.error("unreachable")
-    }
-    val rows = fused.collect()
     def side(s: Int): Seq[Int] =
       rows.filter(_.getInt(1) == s).map(_.getInt(0)).toSeq.sorted
-    val cands = (statsSide, bloomSide) match {
-      case (Some(_), Some(_)) => side(0).intersect(side(1))
+    val bloomCands: Option[Seq[Int]] =
+      if (bigList) Some(candidateShardsByKeys(
+        bloomManifest(spark, dir), keys, shardCol))
+      else if (bloomSide.isDefined) Some(side(1))
+      else None
+    val cands = (statsSide, bloomCands) match {
+      case (Some(_), Some(b)) => side(0).intersect(b)
       case (Some(_), None)    => side(0)
-      case _                  => side(1)
+      case (None, Some(b))    => b
+      case _                  => sys.error("unreachable")
     }
     val residual = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
@@ -1211,6 +1654,220 @@ object Scan {
       else col(kc).isin(keys: _*)
     }).reduce(_ && _)
     readShards(spark, dir, cands, shardCol).filter(residual)
+  }
+
+  /** VACUUM — the storage-hygiene verb every long-lived table needs:
+    * converge all crash protocols, then remove the debris they can
+    * legally leave behind. The swap protocol
+    * ([[graft.dw.Merge.atomicOverwriteDir]]) deletes its `__swap_new`/
+    * `__swap_old` siblings at the START of the NEXT swap — so a
+    * read-mostly table keeps a dead writer's partial tmp (or a full
+    * pre-swap copy of a sidecar) on disk indefinitely, paying storage
+    * and, on object stores, LIST cost. Specifically:
+    *
+    *  - table-level and sidecar-level `__swap_new`/`__swap_old`
+    *    siblings whose base path exists (after running recovery, so a
+    *    promotable crash window is HEALED, never discarded);
+    *  - an interrupted delete's `_pending_delete` area (rolled forward
+    *    or aborted by [[recoverPendingDelete]]);
+    *  - an expired writer lease (broken by this call's own acquire).
+    *
+    * Runs under the writer lease — with it held, no writer is mid-swap,
+    * which is what makes "sibling of an existing base" PROVABLY debris
+    * rather than a racing writer's in-flight tmp. Returns the removed
+    * paths and the bytes reclaimed; a clean table returns (Nil, 0) at
+    * the cost of one directory listing.
+    */
+  def vacuumTable(spark: SparkSession, dir: String,
+      shardCol: String = "shard"): (Seq[String], Long) =
+      withWriterLease(spark, dir) {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.dw.Merge.recover(spark, dir)
+    if (fs.exists(new Path(dir)))
+      recoverPendingDelete(spark, dir, shardCol)
+    val removed = scala.collection.mutable.Buffer.empty[(String, Long)]
+    def drop(p: Path): Unit = if (fs.exists(p)) {
+      val bytes = fs.getContentSummary(p).getLength
+      removed += ((p.toString, bytes))
+      fs.delete(p, true)
+    }
+    // table-level swap siblings: recover() above already promoted a
+    // completed-but-unpublished version; what remains is debris (a
+    // partial write, or the pre-swap copy of a completed one)
+    drop(new Path(dir + "__swap_new"))
+    drop(new Path(dir + "__swap_old"))
+    if (fs.exists(new Path(dir))) {
+      // sidecar-level swap debris inside the table dir: heal each
+      // base through the same recovery before judging its siblings
+      val children = fs.listStatus(new Path(dir)).toSeq
+        .map(_.getPath.getName)
+      val bases = children.collect {
+        case n if n.endsWith("__swap_new") => n.dropRight(10)
+        case n if n.endsWith("__swap_old") => n.dropRight(10)
+      }.distinct
+      bases.foreach { b =>
+        graft.dw.Merge.recover(spark, s"$dir/$b")
+        drop(new Path(s"$dir/${b}__swap_new"))
+        drop(new Path(s"$dir/${b}__swap_old"))
+      }
+    }
+    // history-log truncation: keep the newest LogKeep entries (a
+    // streaming mount writes one per batch — unbounded without this);
+    // generation numbering lives in the file names, so it survives
+    if (fs.exists(logDir(dir))) {
+      val entries = fs.listStatus(logDir(dir)).toSeq
+        .filter(_.getPath.getName.headOption.exists(_.isDigit))
+        .sortBy(_.getPath.getName)
+      entries.dropRight(LogKeep).foreach(st => drop(st.getPath))
+    }
+    (removed.map(_._1).toSeq, removed.map(_._2).sum)
+      }
+
+  /** One [[fsckTable]] finding: `severity` is "error" (the reads-
+    * through-manifests contract is broken — rows can be MISSED),
+    * "warn" (a documented crash window or drift — heals at the next
+    * refresh/compact), or "info" (hygiene — vacuum's business). */
+  case class FsckFinding(severity: String, check: String,
+      shard: Option[Int], detail: String)
+
+  /** FSCK — the table-invariant checker (the `CHECK TABLE` every
+    * operated store needs): verifies the contracts the pruned-read
+    * machinery RELIES on, without mutating anything. Shallow checks
+    * are metadata-only (listings + shards-sized sidecar reads):
+    *
+    *  - every `shard=N` data directory has a stats-manifest row —
+    *    an UNMANIFESTED shard is an "error" (candidate enumeration
+    *    would never name it: pruned reads MISS its rows);
+    *  - a manifest row whose directory is missing is a "warn" (the
+    *    documented append crash window — manifests run ahead of data;
+    *    reads treat it as empty, the next refresh heals it);
+    *  - bloom rows for shards the stats manifest does not know are
+    *    a "warn" (wider-never-narrower: extra candidates cost I/O,
+    *    never rows); a bloom or DV sidecar without a recoverable
+    *    config is an "error";
+    *  - deletion-vector entries naming missing shard dirs are "info"
+    *    (masking nothing); shard ids ≥ the meta's `n_shards` are an
+    *    "error" (the layout contract);
+    *  - swap debris and an interrupted `_pending_delete` are "info"
+    *    (vacuum / recovery handle them).
+    *
+    * `deep = true` adds one pass over the data: per-shard ACTUAL
+    * min/max must lie INSIDE the manifest envelope (an envelope
+    * narrower than the data is an "error" — pruned reads can miss),
+    * and per-shard physical counts beyond `n_rows` likewise (n_rows
+    * is contracted to be an upper bound under crash-retry).
+    * Returns findings, empty when healthy.
+    */
+  def fsckTable(spark: SparkSession, dir: String,
+      shardCol: String = "shard",
+      deep: Boolean = false): Seq[FsckFinding] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.Buffer.empty[FsckFinding]
+    def f(sev: String, check: String, shard: Option[Int], d: String) =
+      out += FsckFinding(sev, check, shard, d)
+    if (!fs.exists(new Path(dir))) {
+      f("error", "table", None, s"$dir does not exist")
+      return out.toSeq
+    }
+    val children = fs.listStatus(new Path(dir)).toSeq
+    val dataShards = children.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$shardCol=") &&
+          fs.listStatus(st.getPath).exists(x => x.isFile &&
+            !x.getPath.getName.startsWith("_") &&
+            !x.getPath.getName.startsWith(".")) =>
+        st.getPath.getName.stripPrefix(s"$shardCol=").toInt
+    }.toSet
+    if (children.exists(_.getPath.getName == PendingDelete))
+      f("info", "pending_delete", None,
+        "interrupted delete present — recovery converges it at the " +
+          "next read or mutation")
+    children.map(_.getPath.getName)
+      .filter(n => n.endsWith("__swap_new") || n.endsWith("__swap_old"))
+      .foreach(n => f("info", "swap_debris", None, s"$n — vacuum"))
+    if (!children.exists(_.getPath.getName == StatsSidecar)) {
+      f("error", "stats_manifest", None,
+        "no stats sidecar — pruned reads have no candidates " +
+          "(refreshManifests heals if the meta sidecar survives)")
+      return out.toSeq
+    }
+    val man = statsManifest(spark, dir)
+    val manShards = man.select(col(shardCol).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    (dataShards -- manShards).toSeq.sorted.foreach(s =>
+      f("error", "unmanifested_shard", Some(s),
+        "data directory with no manifest row — pruned reads MISS " +
+          "these rows; refreshManifests"))
+    (manShards -- dataShards).toSeq.sorted.foreach(s =>
+      f("warn", "manifest_ahead", Some(s),
+        "manifest row but no data directory (append crash window) — " +
+          "reads as empty, refresh heals"))
+    val meta = readMeta(spark, dir)
+    meta.flatMap(_.nShards).foreach { n =>
+      (dataShards ++ manShards).filter(_ >= n).toSeq.sorted.foreach(s =>
+        f("error", "shard_out_of_range", Some(s),
+          s"shard id >= n_shards=$n — violates the layout contract"))
+    }
+    if (children.exists(_.getPath.getName == BloomSidecar)) {
+      if (bloomConfigOf(spark, dir).isEmpty)
+        f("error", "bloom_config", None,
+          "bloom sidecar present but key/m/k unrecoverable (empty " +
+            "sidecar, no meta) — key routing is dead")
+      else {
+        val bShards = bloomManifest(spark, dir)
+          .select(col("shard").cast("int")).collect().map(_.getInt(0))
+        bShards.filterNot(manShards).sorted.foreach(s =>
+          f("warn", "bloom_orphan", Some(s),
+            "bloom row for a shard the stats manifest does not know " +
+              "— extra candidate I/O only"))
+      }
+    }
+    if (children.exists(_.getPath.getName == DvSidecar)) {
+      if (bloomConfigOf(spark, dir).isEmpty)
+        f("error", "dv_config", None,
+          "deletion-vector sidecar but no bloom config — masked " +
+            "keys cannot be typed/applied")
+      else spark.read.parquet(s"$dir/$DvSidecar")
+        .select(col("shard").cast("int")).distinct()
+        .collect().map(_.getInt(0)).filterNot(dataShards)
+        .sorted.foreach(s =>
+          f("info", "dv_stale_entry", Some(s),
+            "deletion-vector entry for a missing shard dir — masks " +
+              "nothing; cleared at apply"))
+    }
+    if (deep && dataShards.nonEmpty) {
+      val statCols = statColsOf(spark, dir)
+      val actual = graft.ext.Corpus.shardStats(
+        readShardsRaw(spark, dir, dataShards.toSeq.sorted, shardCol),
+        shardCol, statCols)
+      val a = actual.columns.foldLeft(actual)((d, c) =>
+        if (c == shardCol) d else d.withColumnRenamed(c, s"_a_$c"))
+      val joined = man.join(a, Seq(shardCol), "inner")
+      val viol = statCols.flatMap { c =>
+        Seq((s"${c}_min", s"_a_${c}_min",
+            col(s"_a_${c}_min") < col(s"${c}_min")),
+          (s"${c}_max", s"_a_${c}_max",
+            col(s"_a_${c}_max") > col(s"${c}_max")))
+      }
+      val rowViol = col(s"_a_n_rows") > col("n_rows")
+      val checks = joined.select(col(shardCol).cast("int").as("_s"),
+        viol.map(v => coalesce(v._3, lit(false))).reduce(_ || _)
+          .as("_env"), rowViol.as("_rows"))
+        .filter(col("_env") || col("_rows")).collect()
+      checks.foreach { r =>
+        if (r.getBoolean(1))
+          f("error", "envelope_narrower_than_data", Some(r.getInt(0)),
+            "actual min/max outside the manifest envelope — pruned " +
+              "reads can MISS rows; refreshManifests")
+        if (r.getBoolean(2))
+          f("error", "n_rows_narrower_than_data", Some(r.getInt(0)),
+            "physical rows exceed manifest n_rows — violates " +
+              "wider-never-narrower")
+      }
+    }
+    out.toSeq
   }
 
   /** The table's measured manifest STALENESS: the largest per-shard

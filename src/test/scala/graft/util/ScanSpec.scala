@@ -792,4 +792,308 @@ class ScanSpec extends SparkSpec {
     Scan.refreshManifests(spark, dir)
     assert(Scan.manifestStaleness(spark, dir) === 0.0)
   }
+
+  // ---- deletion vectors (merge-on-read deletes) ----
+
+  test("deleteByKeysDeferred masks rows logically without rewriting a " +
+    "single file; replay is a no-op; staleness folds the masked count") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files(s: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/shard=$s"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+    val before2 = files(2)
+    val (cands, touched, removed) =
+      Scan.deleteByKeysDeferred(spark, dir, Seq(250L, 777L))
+    assert(cands.contains(2) && cands.contains(7))
+    assert(touched === Seq(2, 7) && removed === 2L)
+    // logical reads exclude the masked rows…
+    val all = (0 until 10).toSeq
+    assert(Scan.readShards(spark, dir, all).count() === 998L)
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 777L)
+      .count() === 0L)
+    // …but no data file was rewritten (the whole point)
+    assert(files(2) === before2)
+    assert(spark.read.parquet(dir).count() === 1000L)
+    // masked rows are manifest looseness: _stale_rows carries them
+    val st = Scan.statsManifest(spark, dir)
+      .filter(col("shard").isin(2, 7))
+      .select("_stale_rows").collect().map(_.getLong(0)).toSeq
+    assert(st === Seq(1L, 1L))
+    // replay: the first vector already masks the rows — no new entries
+    val (_, t2, r2) = Scan.deleteByKeysDeferred(spark, dir,
+      Seq(250L, 777L))
+    assert(t2.isEmpty && r2 === 0L)
+    assert(Scan.deletionVector(spark, dir).get.count() === 2L)
+  }
+
+  test("appendSharded refuses a batch colliding with pending " +
+    "deletion-vector entries; a non-colliding shard passes") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L))
+    // same key into the masking shard: the anti-join would delete the
+    // NEW row too — must fail loudly
+    val bad = Seq((9250L, 250L, 2500L, "t1", 2, 250L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+    val e = intercept[IllegalArgumentException] {
+      Scan.appendSharded(spark, bad, dir, "event_id")
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    // same key into a DIFFERENT shard is a fresh insert — allowed
+    val ok = Seq((9251L, 250L, 2500L, "t1", 5, 250L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+    Scan.appendSharded(spark, ok, dir, "event_id")
+    assert(Scan.readShards(spark, dir, Seq(5))
+      .filter(col("user_id") === 250L).count() === 1L)
+  }
+
+  test("applyDeletionVectors rewrites exactly the DV shards through " +
+    "the pending protocol, clears the sidecar, and the logical view " +
+    "is unchanged; untouched shards are bit-stable") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files(s: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/shard=$s"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L, 777L))
+    val all = (0 until 10).toSeq
+    val logicalBefore = Scan.readShards(spark, dir, all)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val before0 = files(0)
+    val (applied, removedPhys) = Scan.applyDeletionVectors(spark, dir)
+    assert(applied === Seq(2, 7) && removedPhys === 2L)
+    // physically gone now, sidecar dropped, logical view identical
+    assert(spark.read.parquet(dir).count() === 998L)
+    assert(Scan.deletionVector(spark, dir).isEmpty)
+    assert(Scan.readShards(spark, dir, all)
+      .select("event_id").collect().map(_.getLong(0)).toSet ===
+      logicalBefore)
+    assert(files(0) === before0)
+    // manifests exact again for the rewritten shards
+    val st = Scan.statsManifest(spark, dir)
+      .filter(col("shard").isin(2, 7)).orderBy("shard").collect()
+    assert(st.map(_.getAs[Long]("n_rows")).toSeq === Seq(99L, 99L))
+    assert(st.map(_.getAs[Long]("_stale_rows")).toSeq === Seq(0L, 0L))
+    // re-running the application is a no-op
+    assert(Scan.applyDeletionVectors(spark, dir) === ((Nil, 0L)))
+  }
+
+  test("compactSharded applies a pending deletion vector (merge-on-" +
+    "read deletes become physical at compaction)") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.deleteByKeysDeferred(spark, dir, Seq(123L))
+    Compaction.compactSharded(spark, dir, sortCol = Some("zvalue"))
+    assert(spark.read.parquet(dir).count() === 999L)
+    assert(Scan.deletionVector(spark, dir).isEmpty)
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id") === 123L).count() === 0L)
+  }
+
+  test("a physical deleteByKeys on a shard with DV entries applies " +
+    "them too and clears the vector for the rewritten shard") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L)) // masks in shard 2
+    val (_, touched, removed) = Scan.deleteByKeys(spark, dir, Seq(251L))
+    assert(touched === Seq(2) && removed === 1L)
+    // the rewrite dropped BOTH rows physically and cleared the vector
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id").isin(250L, 251L)).count() === 0L)
+    assert(Scan.deletionVector(spark, dir).isEmpty)
+  }
+
+  test("refreshManifests keeps the masked-row staleness while a vector " +
+    "is pending (the compaction trigger must survive a refresh)") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L, 251L, 777L))
+    Scan.refreshManifests(spark, dir)
+    val st = Scan.statsManifest(spark, dir)
+      .filter(col("_stale_rows") > 0L)
+      .select("shard", "_stale_rows").orderBy("shard")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(st === Seq((2, 2L), (7, 1L)))
+    assert(Scan.manifestStaleness(spark, dir) > 0.0)
+  }
+
+  test("candidateShardsByKeys at MERGE-batch scale: the flat join " +
+    "shape agrees with the inline disjunction and a 2000-key probe " +
+    "neither overflows nor loses a true shard") {
+    val dir = freshDir()
+    publish(dir)
+    val bloom = Scan.bloomManifest(spark, dir)
+    val small: Seq[Any] = Seq(250L, 777L)
+    // the two shapes are the same function: force both and compare
+    val inline = Scan.candidateShardsByKeys(bloom, small)
+    val present = (0L until 1000L by 7L)
+    val probe: Seq[Any] =
+      present ++ (2000L until 2000L + 1857L) // 2000 keys, 143 present
+    val big = Scan.candidateShardsByKeys(bloom, probe)
+    assert(inline.contains(2) && inline.contains(7))
+    // every present key's true shard is covered (no false negatives)
+    assert(present.map(k => (k / 100).toInt).distinct.forall(big.contains))
+    // the pruned IN-list read is row-identical to the full scan
+    val got = Scan.readPruned(spark, dir, keys = probe)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(got === present.toSet)
+  }
+
+  // ---- vacuum ----
+
+  test("vacuumTable removes swap debris, heals a promotable sidecar " +
+    "crash window instead of discarding it, and breaks an expired " +
+    "foreign lease; a clean table vacuums to (Nil, 0)") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def put(p: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    // a dead writer's partial table-level tmp (no _SUCCESS)
+    put(s"${dir}__swap_new/part-000", "partial")
+    // a completed sidecar swap's leftover pre-swap copy
+    put(s"$dir/_graft_stats__swap_old/part-000", "old copy")
+    // a promotable crash window: bloom base missing, tmp complete
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/${Scan.BloomSidecar}"),
+      new org.apache.hadoop.fs.Path(
+        s"$dir/${Scan.BloomSidecar}__swap_new"))
+    // an EXPIRED foreign lease (epoch 123 is long past)
+    put(s"${dir}__lock", "123|dead-writer-token")
+    val (paths, bytes) = Scan.vacuumTable(spark, dir)
+    assert(paths.exists(_.endsWith("__swap_new")) &&
+      paths.exists(_.endsWith("_graft_stats__swap_old")))
+    assert(bytes > 0L)
+    // the bloom was HEALED (promoted), not discarded — point reads work
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${Scan.BloomSidecar}")))
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 777L)
+      .count() === 1L)
+    // the expired lease was broken by the acquire and our own released
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dir}__lock")))
+    assert(spark.read.parquet(dir).count() === 1000L)
+    assert(Scan.vacuumTable(spark, dir) === ((Nil, 0L)))
+  }
+
+  // ---- fsck ----
+
+  test("fsckTable: clean table is empty; an unmanifested shard is an " +
+    "error, a manifest-ahead row a warn, a DV entry for a missing " +
+    "shard an info; deep mode catches an envelope narrower than the " +
+    "data") {
+    val dir = freshDir()
+    publish(dir)
+    assert(Scan.fsckTable(spark, dir, deep = true).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // unmanifested shard: a data dir the manifest does not know
+    Seq((9999L, 9999L, 99990L, "tX", 77, 9999L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+      .coalesce(1).write.mode("append").partitionBy("shard").parquet(dir)
+    // manifest-ahead: remove a shard dir the manifest still names
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/shard=4"), true)
+    val findings = Scan.fsckTable(spark, dir)
+    assert(findings.exists(x => x.severity == "error" &&
+      x.check == "unmanifested_shard" && x.shard.contains(77)))
+    assert(findings.exists(x => x.severity == "warn" &&
+      x.check == "manifest_ahead" && x.shard.contains(4)))
+    // shard 77 also breaches nShards? publish() doesn't set nShards —
+    // no range check without meta n_shards; heal and go deeper
+    Scan.refreshManifests(spark, dir)
+    assert(Scan.fsckTable(spark, dir, deep = true).isEmpty)
+    // deep: append data BEYOND the envelope without folding manifests
+    Seq((5000L, 2000L, 20000L, "t9", 9, 2000L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+      .coalesce(1).write.mode("append").partitionBy("shard").parquet(dir)
+    val deepF = Scan.fsckTable(spark, dir, deep = true)
+    assert(deepF.exists(x => x.severity == "error" &&
+      x.check == "envelope_narrower_than_data" && x.shard.contains(9)))
+    assert(deepF.exists(x => x.severity == "error" &&
+      x.check == "n_rows_narrower_than_data" && x.shard.contains(9)))
+    // a deferred delete's DV entry outlives its shard dir → info
+    Scan.refreshManifests(spark, dir)
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/shard=2"), true)
+    Scan.refreshManifests(spark, dir)
+    assert(Scan.fsckTable(spark, dir).exists(x =>
+      x.severity == "info" && x.check == "dv_stale_entry" &&
+        x.shard.contains(2)))
+  }
+
+  // ---- history log / generation counter ----
+
+  test("the history log records completed mutations with monotonic " +
+    "generations, no-ops don't bump, and it survives directory swaps") {
+    val dir = freshDir()
+    assert(Scan.tableGeneration(spark, dir) === 0L)
+    publish(dir)
+    assert(Scan.tableGeneration(spark, dir) === 1L)
+    Scan.appendSharded(spark,
+      Seq((5000L, 2000L, 20000L, "t9", 9, 2000L))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+          "zvalue"),
+      dir, "event_id")
+    Scan.deleteByKeys(spark, dir, Seq(250L))
+    // a delete that matches nothing is a no-op — generation unchanged
+    val g = Scan.tableGeneration(spark, dir)
+    Scan.deleteByKeys(spark, dir, Seq(999999L))
+    assert(Scan.tableGeneration(spark, dir) === g)
+    // a full republish (directory swap) keeps the sibling log
+    Compaction.compactSharded(spark, dir, sortCol = Some("zvalue"))
+    val hist = Scan.tableHistory(spark, dir)
+    assert(hist.map(_._1) === hist.map(_._1).sorted &&
+      hist.map(_._1).distinct.size === hist.size)
+    assert(hist.map(_._2).startsWith(
+      Seq("publish", "append", "delete_keys")))
+    // compaction's internal republish logs too (composition trail)
+    assert(hist.map(_._2).contains("publish") &&
+      hist.exists(h => h._2 === "append" && h._3.contains("rows=1")))
+  }
+
+  // ---- drop-column evolution ----
+
+  test("evolveDropColumn is metadata-only: reads project the column " +
+    "away, the manifests stop covering it, compaction reclaims it " +
+    "physically, and layout/index columns are refused") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.evolveDropColumn(spark, dir, "ts_us")
+    val all = (0 until 10).toSeq
+    // logical reads lack the column; the files still hold the bytes
+    assert(!Scan.readShards(spark, dir, all).columns.contains("ts_us"))
+    assert(spark.read.parquet(dir).columns.contains("ts_us"))
+    // manifests and meta stop covering it
+    assert(!Scan.statsManifest(spark, dir).columns
+      .contains("ts_us_min"))
+    assert(Scan.readMeta(spark, dir).get.statCols === Seq("user_id"))
+    // pruned reads on the surviving stats column stay exact
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 250L, 349L))).count() === 100L)
+    // appends no longer carry or fold it
+    Scan.appendSharded(spark,
+      Seq((5000L, 2000L, "t9", 9, 2000L))
+        .toDF("event_id", "user_id", "event_type", "shard", "zvalue"),
+      dir, "event_id")
+    // compaction rewrites through the declared schema → physical drop
+    Compaction.compactSharded(spark, dir, sortCol = Some("zvalue"))
+    assert(!spark.read.option("mergeSchema", "true").parquet(dir)
+      .columns.contains("ts_us"))
+    assert(spark.read.parquet(dir).count() === 1001L)
+    // the machinery columns are refused
+    intercept[IllegalArgumentException](
+      Scan.evolveDropColumn(spark, dir, "user_id")) // bloom key
+    intercept[IllegalArgumentException](
+      Scan.evolveDropColumn(spark, dir, "shard"))
+  }
 }
