@@ -161,6 +161,15 @@ object MutationScaleProbe {
       f"/$shards files=$qf%4d rows=$qn%8d wall=$w6%7.3f s " +
       "(pre-evolution shards skipped via NULL envelopes)")
 
+    // ---- 2b. operability verbs: fsck / vacuum / generation ----
+    val (sh, w6b) = timed(Scan.fsckTable(spark, evo))
+    val (dp, w6c) = timed(Scan.fsckTable(spark, evo, deep = true))
+    val (_, w6d) = timed(Scan.vacuumTable(spark, evo))
+    val (gen, w6e) = timed(Scan.tableGeneration(spark, evo))
+    println(f"[mutation-probe] ops             fsck=${w6b}%6.3f s " +
+      f"(${sh.size} findings) fsck-deep=$w6c%6.3f s (${dp.size}) " +
+      f"vacuum=$w6d%6.3f s gen=$gen%3d in $w6e%6.4f s")
+
     // ---- 3. prefix routing vs full scan ----
     val pfx = v.substring(0, 1)
     val pCands = Scan.candidateShardsByPrefix(

@@ -2117,6 +2117,98 @@ object ExtensionQueries {
         .orderBy("lang_val")
     }),
 
+    // TARGETED COMPACTION under hash check — the maintenance verb a
+    // per-batch trigger can afford: the appended batch gives every
+    // corpus∩batch shard a second file; compactShardsTargeted rewrites
+    // EXACTLY those shards (batch-only single-file shards and
+    // untouched corpus shards are never read or written), after which
+    // every shard is back to one file and the pruned read is
+    // transparent across the rewrite; breaching-shard and
+    // files-before counts ride under hash
+    "x179_targeted_compact" -> ((s, dir) => {
+      val table =
+        s"target/scan/${new java.io.File(dir).getName}/documents_z_tc"
+      val d = Tables(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val batch = d.filter(col("doc_id") % 7 === 0)
+      val dict = Corpus.stringDimDict(corpus, "lang")
+      val bounds = dict.agg(min(col("rank")).as("_min_lang"),
+          max(col("rank")).as("_max_lang"))
+        .crossJoin(corpus.agg(
+          min(col("n_chars")).as("_min_n_chars"),
+          max(col("n_chars")).as("_max_n_chars")))
+      def lay(df: org.apache.spark.sql.DataFrame) =
+        Corpus.zorderLayoutAgainstN(df, bounds, "doc_id",
+          Seq("lang", "n_chars"), bits = 8, nShards = 32,
+          keepCols = Seq("lang", "n_chars", "source"),
+          dicts = Map("lang" -> dict))
+          .drop("cell_lang", "cell_n_chars")
+      graft.util.Scan.writeSharded(s, lay(corpus), table,
+        statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
+        zTotalBits = Some(16), nShards = Some(32),
+        dicts = Map("lang" -> dict))
+      graft.util.Scan.appendSharded(s, lay(batch), table, "doc_id")
+      val (breached, filesBefore) =
+        graft.util.Compaction.compactShardsTargeted(s, table,
+          maxFilesPerShard = 1, sortCol = Some("zvalue"))
+      val v = dict
+        .join(dict.agg(((max(col("rank")) + 0L) / 2).cast("long")
+          .as("rank")), Seq("rank"))
+        .head().getAs[String]("value")
+      graft.util.Scan.readPrunedByRange(s, table, Seq(("lang", v, v)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("lang_val", lit(v))
+        .withColumn("n_breaching_shards", lit(breached.size.toLong))
+        .withColumn("n_files_before", lit(filesBefore.toLong))
+        .orderBy("source")
+    }),
+
+    // STREAMING TAKEDOWN over deletion vectors — the removal FEED is
+    // the stream and the sharded table is the target: the mount masks
+    // each batch's keys in the deletion vector (no shard rewritten;
+    // replayed batches re-mask as no-ops), and the later physical
+    // application rewrites only the DV shards. Both phases' aggregates
+    // hash-identical — the takedown is visible to every logical read
+    // the moment the batch commits, not when the rewrite happens
+    "x178_takedown_stream" -> ((s, dir) => {
+      val (table, v) = StringPrunedTableBuild(s, dir, suffix = "_tds")
+      val root =
+        s"target/scan/${new java.io.File(dir).getName}/takedown_stream"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/feed"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/feed/takedown-1.json"),
+        s"""{"key":"$v"}""".getBytes("UTF-8"))
+      val q = graft.streaming.DeltaStream.startTakedownMaintained(s,
+        s"$root/feed", table, s"$root/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      val nDv = graft.util.Scan.deletionVector(s, table)
+        .map(_.count()).getOrElse(0L)
+      val allShards = graft.util.Scan.statsManifest(s, table)
+        .select(col("shard").cast("int")).collect()
+        .map(_.getInt(0)).toSeq
+      def snap() = graft.util.Scan.readShards(s, table, allShards)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val deferredRows = snap().collect().toSeq
+      val deferred = s.createDataFrame(
+        s.sparkContext.parallelize(deferredRows, 1), snap().schema)
+        .withColumn("phase", lit("deferred"))
+      val (applied, removedPhys) =
+        graft.util.Scan.applyDeletionVectors(s, table)
+      deferred.unionByName(snap().withColumn("phase", lit("applied")))
+        .withColumn("lang_deleted", lit(v))
+        .withColumn("n_dv_entries", lit(nDv))
+        .withColumn("n_phys_removed", lit(removedPhys))
+        .withColumn("n_applied_shards", lit(applied.size.toLong))
+        .orderBy("phase", "source")
+    }),
+
     // SCHEMA EVOLUTION, drop side — DROP COLUMN as a METADATA op: the
     // corpus publishes WITH `quality` (stats and all), evolveDropColumn
     // stops declaring it (reads project it away — old files keep the
@@ -3835,6 +3927,80 @@ object ExtensionQueries {
        |  cand.n_cand
        |ORDER BY p.phase, source""".stripMargin
   }
+
+  /** DuckDB mirror of x179 — the targeted compaction: breaching shards
+    * are exactly the corpus∩batch shards (each holds the corpus
+    * publish's one file plus the append's one — two files), and the
+    * pruned aggregate after the rewrite is transparent (the logical
+    * table is corpus ∪ batch regardless of file layout). */
+  private def targetedCompactSql(bits: Int, nShards: Int): String =
+    s"""WITH dict AS (SELECT v, CAST(dense_rank() OVER (ORDER BY v) - 1
+       |           AS BIGINT) AS r
+       |         FROM (SELECT DISTINCT lang AS v FROM documents
+       |               WHERE lang IS NOT NULL AND doc_id % 7 <> 0)),
+       |s AS (SELECT doc_id, dict.r AS x, n_chars AS y,
+       |        doc_id % 7 = 0 AS is_batch
+       |      FROM documents LEFT JOIN dict ON documents.lang = dict.v),
+       |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+       |             min(y) AS ymin, max(y) AS ymax
+       |      FROM s WHERE NOT is_batch),
+       |c AS (SELECT doc_id, is_batch,
+       |        ${zorderCellSql(bits)("x", "xmin", "xmax")} AS cx,
+       |        ${zorderCellSql(bits)("y", "ymin", "ymax")} AS cy
+       |      FROM s, b),
+       |z AS (SELECT doc_id, is_batch,
+       |        ${(0 until bits).map { i =>
+              s"(((cx >> $i) & 1) << ${2 * i}) + " +
+                s"(((cy >> $i) & 1) << ${2 * i + 1})"
+            }.mkString(" + ")} AS zvalue
+       |      FROM c),
+       |zs AS (SELECT doc_id, is_batch,
+       |         ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, zs.is_batch, d.lang, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |br AS (SELECT shard FROM j GROUP BY shard
+       |       HAVING bool_or(is_batch) AND bool_or(NOT is_batch)),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_br FROM br),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  mv.v AS lang_val, cnt.n_br AS n_breaching_shards,
+       |  cnt.n_br * 2 AS n_files_before
+       |FROM j, mv, cnt
+       |WHERE lang = mv.v
+       |GROUP BY source, mv.v, cnt.n_br
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of x178 — the streaming takedown: identical logical
+    * relation to x176 (table minus the median language) in both
+    * phases; the DV-entry count is the masked shard count, physical
+    * removals equal the hit count. */
+  private def takedownStreamSql(bits: Int, nShards: Int): String =
+    s"""WITH ${stringZorderCtes(bits, "documents", "doc_id", "lang",
+        "n_chars")},
+       |zs AS (SELECT doc_id, ${zorderShardSql(bits, nShards)} AS shard
+       |       FROM z),
+       |j AS (SELECT zs.shard, d.lang, d.source, d.n_chars
+       |      FROM zs JOIN documents d USING (doc_id)),
+       |mv AS (SELECT v FROM dict
+       |       WHERE r = (SELECT max(r) // 2 FROM dict)),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_removed,
+       |          CAST(count(DISTINCT shard) AS BIGINT) AS n_touched
+       |        FROM j, mv WHERE lang = mv.v),
+       |phases AS (SELECT * FROM (VALUES ('deferred'), ('applied'))
+       |           p(phase))
+       |SELECT p.phase, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  mv.v AS lang_deleted,
+       |  hit.n_touched AS n_dv_entries,
+       |  hit.n_removed AS n_phys_removed,
+       |  hit.n_touched AS n_applied_shards
+       |FROM j, mv, hit, phases p
+       |WHERE lang IS NULL OR lang <> mv.v
+       |GROUP BY p.phase, source, mv.v, hit.n_removed, hit.n_touched
+       |ORDER BY p.phase, source""".stripMargin
 
   /** DuckDB mirror of x172 — the retention delete: candidates from the
     * same per-shard n_chars envelopes, touched = the candidates that
@@ -6054,6 +6220,8 @@ object ExtensionQueries {
     "x171_pruned_delete" -> stringPrunedDeleteSql(8, 32, 1024, 3),
     "x176_dv_delete" -> dvDeleteSql(8, 32, 1024, 3),
     "x177_schema_drop" -> schemaDropSql(8, 32),
+    "x178_takedown_stream" -> takedownStreamSql(8, 32),
+    "x179_targeted_compact" -> targetedCompactSql(8, 32),
     "x172_retention_delete" -> retentionDeleteSql(8, 32),
     "x173_pruned_prefix" -> stringPrunedPrefixSql(8, 32),
     "x174_schema_evolution" -> schemaEvolutionSql(8, 32),

@@ -1188,20 +1188,26 @@ object DeltaStream {
   /** `maxFilesPerShard > 0` arms the scheduled-OPTIMIZE leg: after each
     * append, one FS metadata sweep counts data files per shard directory
     * (no data read), and when any shard exceeds the threshold the batch
-    * runs [[graft.util.Compaction.compactSharded]] — inside the SAME
-    * foreachBatch, because the table has exactly one writer (this
-    * mount); a separate compaction daemon would race the appender's
-    * directory swap. The compact also restores exact per-shard NDV
-    * after the append folds' upper-bound drift.
+    * runs [[graft.util.Compaction.compactShardsTargeted]] — rewriting
+    * ONLY the breaching shards (work ∝ hot shards, never the table —
+    * what a per-batch trigger can afford at 100 TB; the full
+    * [[graft.util.Compaction.compactSharded]] republish stays the
+    * explicit OPTIMIZE verb) — inside the SAME foreachBatch, because
+    * the table has exactly one writer (this mount); a separate
+    * compaction daemon would race the appender's directory swap.
+    * Vacuum rides the same trigger.
     *
-    * `maxStaleFraction > 0` arms the LOOSENESS-triggered leg of the same
-    * maintenance: when any shard's `_stale_rows / n_rows` (the fraction
-    * of rows that entered through additive manifest folds since the
-    * stats were last exact — [[graft.util.Scan.manifestStaleness]], a
-    * driver-side read of the shards-sized manifest) exceeds the
-    * threshold, the compact runs even if no shard breached the file
-    * count — manifests are refreshed because they are LOOSE, not merely
-    * because files accumulated (the x123 drift pattern, third use).
+    * `maxStaleFraction > 0` arms the LOOSENESS-triggered leg of the
+    * same maintenance: when any shard's `_stale_rows / n_rows` (the
+    * fraction of rows that entered through additive manifest folds
+    * since the stats were last exact —
+    * [[graft.util.Scan.manifestStaleness]], a driver-side read of the
+    * shards-sized manifest) exceeds the threshold after the (possibly
+    * skipped) targeted pass, the STALE shards' manifest rows are
+    * recomputed exactly ([[graft.util.Scan.refreshShards]] — a read of
+    * those shards, no rewrite) — manifests are refreshed because they
+    * are LOOSE, not merely because files accumulated (the x123 drift
+    * pattern, third use).
     *
     * Poison events: a row whose dimension columns are NULL (the JSON
     * schema nulls absent fields) is UNROUTABLE — the int-keyed manifests
@@ -1310,16 +1316,30 @@ object DeltaStream {
                   !f.getPath.getName.startsWith("_") &&
                   !f.getPath.getName.startsWith(".")) > maxFilesPerShard)
           }
-          val stalenessBreach = maxStaleFraction > 0 &&
-            Scan.manifestStaleness(s, tableDir) > maxStaleFraction
-          if (fileCountBreach || stalenessBreach) {
-            graft.util.Compaction.compactSharded(s, tableDir,
-              sortCol = Some("zvalue"))
-            // storage hygiene rides the same schedule: with the lease
-            // held by this mount's thread, swap debris from any prior
-            // crash is provably dead — one listing when clean
+          if (fileCountBreach) {
+            // TARGETED: rewrite only the breaching shards (work ∝ hot
+            // shards, never the table — the full compactSharded
+            // republish stays the explicit OPTIMIZE verb); storage
+            // hygiene rides the same schedule — with the lease held by
+            // this mount's thread, swap debris from any prior crash is
+            // provably dead, one listing when clean
+            graft.util.Compaction.compactShardsTargeted(s, tableDir,
+              maxFilesPerShard, sortCol = Some("zvalue"))
             Scan.vacuumTable(s, tableDir)
             ()
+          }
+          // looseness surviving the (possibly skipped) targeted pass:
+          // exactness needs only the STALE shards' manifest rows
+          // recomputed — a read of those shards, no rewrite
+          if (maxStaleFraction > 0 &&
+              Scan.manifestStaleness(s, tableDir) > maxStaleFraction) {
+            val man = Scan.statsManifest(s, tableDir)
+            if (man.columns.contains("_stale_rows")) {
+              val stale = man.filter(col("_stale_rows") > 0L)
+                .select(col("shard").cast("int"))
+                .collect().map(_.getInt(0)).toSeq
+              Scan.refreshShards(s, tableDir, stale)
+            }
           }
           if (retentionHorizon > 0) {
             // batch-derived watermark -> deterministic under replay;
@@ -1441,12 +1461,22 @@ object DeltaStream {
                   !f.getPath.getName.startsWith("_") &&
                   !f.getPath.getName.startsWith(".")) > maxFilesPerShard)
           }
-          val stalenessBreach = maxStaleFraction > 0 &&
-            Scan.manifestStaleness(s, tableDir) > maxStaleFraction
-          if (fileCountBreach || stalenessBreach) {
-            graft.util.Compaction.compactSharded(s, tableDir,
-              sortCol = Some("zvalue"))
+          if (fileCountBreach) {
+            // targeted, like the numeric mount: breaching shards only
+            graft.util.Compaction.compactShardsTargeted(s, tableDir,
+              maxFilesPerShard, sortCol = Some("zvalue"))
+            Scan.vacuumTable(s, tableDir)
             ()
+          }
+          if (maxStaleFraction > 0 &&
+              Scan.manifestStaleness(s, tableDir) > maxStaleFraction) {
+            val man = Scan.statsManifest(s, tableDir)
+            if (man.columns.contains("_stale_rows")) {
+              val stale = man.filter(col("_stale_rows") > 0L)
+                .select(col("shard").cast("int"))
+                .collect().map(_.getInt(0)).toSeq
+              Scan.refreshShards(s, tableDir, stale)
+            }
           }
         }
       }
@@ -2109,6 +2139,88 @@ object DeltaStream {
             .join(broadcast(batch.select(col(keyCol)).distinct()),
               Seq(keyCol), "left_semi")
             .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** TAKEDOWN FEED over DELETION VECTORS — [[startTakedownScan]] grown
+    * into the lakehouse loop: removal requests stream in, and each
+    * micro-batch MASKS its keys in the sharded table's deletion vector
+    * ([[graft.util.Scan.deleteByKeysDeferred]] — one metadata swap, no
+    * shard rewritten, takedown latency decoupled from rewrite cost);
+    * the physical rewrite rides the staleness trigger
+    * (`maxStaleFraction`), because the masked counts fold into
+    * `_stale_rows` — the same signal, so compaction both merges small
+    * files AND applies the accumulated vector in one scheduled pass.
+    *
+    * Replay idempotence for free: a replayed batch's re-mask finds its
+    * keys already masked (the matched probe reads LOGICAL rows) and is
+    * a zero-entry no-op — the x172 zero-candidate property, deferred
+    * form. Feed keys are JSON `{key: …}` strings, cast to the table's
+    * bloom-key type from the DECLARED schema (a string probed against
+    * a long-keyed bloom would hash differently and silently miss —
+    * typed here, loudly, once).
+    *
+    * Two-writer reality: this mount may share the table with an ingest
+    * mount. The writer lease serializes them — a batch that loses the
+    * race retries with backoff instead of failing the stream
+    * (`maxAttempts` bounds it; exhausting the attempts fails the
+    * batch, and the checkpoint retries it — converging, never
+    * corrupting).
+    */
+  def startTakedownMaintained(spark: SparkSession, feedDir: String,
+      tableDir: String, checkpointDir: String,
+      keyField: String = "key",
+      maxStaleFraction: Double = 0.0,
+      maxAttempts: Int = 50,
+      maxKeysPerBatch: Int = 100000): StreamingQuery = {
+    import graft.util.Scan
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(keyField, org.apache.spark.sql.types.StringType)
+    spark.readStream.schema(schema).json(feedDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val keyCol = Scan.bloomConfigOf(s, tableDir).map(_._1)
+            .getOrElse(sys.error(s"takedown mount: $tableDir has no " +
+              "bloom index — deletion vectors key on the bloom column"))
+          val keyType = Scan.tableSchemaOf(s, tableDir)
+            .flatMap(sc => sc.fields.find(_.name == keyCol))
+            .map(_.dataType)
+            .getOrElse(sys.error(s"takedown mount: $tableDir has no " +
+              s"declared schema naming '$keyCol'"))
+          val raw = batch.select(col(keyField).cast(keyType))
+            .filter(col(keyField).isNotNull)
+            .distinct().limit(maxKeysPerBatch + 1)
+            .collect().map(_.get(0)).toSeq
+          require(raw.size <= maxKeysPerBatch,
+            s"takedown batch exceeds $maxKeysPerBatch keys — split the " +
+              "feed; a corpus-sized key list is a rewrite, not a takedown")
+          if (raw.nonEmpty) {
+            def attempt(n: Int): Unit =
+              try { Scan.deleteByKeysDeferred(s, tableDir, raw); () }
+              catch {
+                case _: Scan.ConcurrentWriterException
+                    if n < maxAttempts =>
+                  Thread.sleep(200); attempt(n + 1)
+              }
+            attempt(0)
+            if (maxStaleFraction > 0 &&
+                Scan.manifestStaleness(s, tableDir) > maxStaleFraction) {
+              def compactAttempt(n: Int): Unit =
+                try {
+                  graft.util.Compaction.compactSharded(s, tableDir)
+                  ()
+                } catch {
+                  case _: Scan.ConcurrentWriterException
+                      if n < maxAttempts =>
+                    Thread.sleep(200); compactAttempt(n + 1)
+                }
+              compactAttempt(0)
+            }
+          }
         }
       }
       .start()

@@ -152,6 +152,53 @@ object Compaction {
     (nBefore, shardDirs.size)
       }
 
+  /** TARGETED compaction — rewrite ONLY the shards whose data-file
+    * count exceeds `maxFilesPerShard`, through the pending/`_COMMIT`
+    * protocol ([[graft.util.Scan.rewriteShards]]): each breaching
+    * shard's accumulated batch files become one file (or
+    * `maxRecordsPerFile`-bounded), its manifest rows recompute exactly
+    * and its staleness zeroes, and every OTHER shard's files and
+    * manifest rows pass through untouched. This is the maintenance
+    * economics a 100 TB table requires: [[compactSharded]]'s full
+    * republish re-reads and re-writes the whole table to fix one hot
+    * shard's small files — work ∝ table; the targeted form is work ∝
+    * breaching shards, which is what a streaming mount's per-batch
+    * check can afford to trigger routinely. Pending deletion vectors
+    * on the breaching shards become physical in the same rewrite
+    * (and only those — a full [[graft.util.Scan.applyDeletionVectors]]
+    * stays the explicit verb).
+    *
+    * Returns (breaching shard ids, data files before across them).
+    */
+  def compactShardsTargeted(spark: SparkSession, dir: String,
+      maxFilesPerShard: Int = 1, shardCol: String = "shard",
+      sortCol: Option[String] = None,
+      maxRecordsPerFile: Long = 0L): (Seq[Int], Int) =
+      Scan.withWriterLease(spark, dir) {
+    require(maxFilesPerShard >= 1, "need maxFilesPerShard >= 1")
+    graft.dw.Merge.recover(spark, dir)
+    Scan.recoverPendingDelete(spark, dir, shardCol)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val breaching = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$shardCol="))
+      .map { d =>
+        val n = fs.listStatus(d.getPath).count(s => s.isFile
+          && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        (d.getPath.getName.stripPrefix(s"$shardCol=").toInt, n)
+      }
+      .filter(_._2 > maxFilesPerShard)
+    if (breaching.isEmpty) return (Nil, 0)
+    val shards = breaching.map(_._1).sorted
+    Scan.rewriteShards(spark, dir, shards, shardCol, sortCol,
+      maxRecordsPerFile)
+    Scan.logEntry(spark, dir, "compact_targeted",
+      s"shards=${shards.size} files_before=${breaching.map(_._2).sum}")
+    (shards, breaching.map(_._2).sum)
+      }
+
   /** SHARD-COUNT EVOLUTION — the re-layout a growing table eventually
     * needs: `nShards` is frozen at publication and appends preserve it,
     * so per-shard bytes grow without bound; this re-maps every row's

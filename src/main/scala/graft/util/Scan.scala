@@ -633,6 +633,80 @@ object Scan {
     logEntry(spark, dir, "refresh", s"stat_cols=${sc.mkString("+")}")
   }
 
+  /** TARGETED manifest refresh — recompute ONLY the named shards'
+    * stats (and bloom) rows exactly from their files, leaving every
+    * other row untouched: the staleness-restoring maintenance a
+    * 100 TB table can afford on a schedule. [[refreshManifests]]
+    * re-reads the WHOLE table to restore exactness after appends
+    * loosened a handful of shards; this reads just those shards —
+    * work ∝ named shards (the maintained mounts pass the
+    * `_stale_rows > 0` set). Rows a pending deletion vector masks
+    * remain in the files, so the refreshed `_stale_rows` carries the
+    * masked count (the compaction trigger survives, as in the full
+    * refresh); a named shard whose directory is gone drops its
+    * manifest row (the manifest-ahead heal). No data file is read for
+    * unnamed shards, none is written at all.
+    */
+  def refreshShards(spark: SparkSession, dir: String, shards: Seq[Int],
+      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+    if (shards.isEmpty) return
+    recoverPendingDelete(spark, dir, shardCol)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val existing = shards.filter(s =>
+      fs.exists(new Path(s"$dir/$shardCol=$s")))
+    val statCols = statColsOf(spark, dir)
+    val raw =
+      if (existing.isEmpty) None
+      else Some(readShardsRaw(spark, dir, existing, shardCol))
+    val hasDv = fs.exists(new Path(s"$dir/$DvSidecar"))
+    val masked: Option[DataFrame] = raw.flatMap { r =>
+      if (!hasDv) None
+      else bloomConfigOf(spark, dir).map { case (kc, _, _) =>
+        val dv = spark.read.parquet(s"$dir/$DvSidecar")
+          .select(col("shard").cast("int").as("_dv_shard"),
+            col("key").as("_dv_key"))
+        r.join(broadcast(dv),
+          r(shardCol).cast("int") === col("_dv_shard") &&
+            r(kc) === col("_dv_key"), "left_semi")
+          .groupBy(col(shardCol).cast("int").as("_m_shard"))
+          .agg(count(lit(1)).as("_masked_rows"))
+      }
+    }
+    val old = statsManifest(spark, dir)
+    val oldStale =
+      if (old.columns.contains("_stale_rows")) col("_stale_rows")
+      else lit(0L)
+    val keep = old.withColumn("_stale_rows", coalesce(oldStale, lit(0L)))
+      .filter(!col(shardCol).cast("int").isin(shards: _*))
+    val fresh = raw.map { r =>
+      val exact = graft.ext.Corpus.shardStats(r, shardCol, statCols)
+      masked match {
+        case None => exact.withColumn("_stale_rows", lit(0L))
+        case Some(m) => exact
+          .join(m, exact(shardCol).cast("int") === col("_m_shard"),
+            "left_outer")
+          .withColumn("_stale_rows",
+            coalesce(col("_masked_rows"), lit(0L)))
+          .drop("_m_shard", "_masked_rows")
+      }
+    }
+    graft.dw.Merge.atomicOverwrite(spark,
+      fresh.fold(keep)(keep.unionByName(_)), s"$dir/$StatsSidecar")
+    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
+      bloomConfigOf(spark, dir).foreach { case (kc, m, k) =>
+        val ob = bloomManifest(spark, dir)
+          .filter(!col("shard").cast("int").isin(shards: _*))
+        val nb = raw.map(r =>
+          graft.ext.Corpus.bloomBitsTable(r, shardCol, kc, m, k)
+            .withColumn("key_col", lit(kc)))
+        graft.dw.Merge.atomicOverwrite(spark,
+          nb.fold(ob)(ob.unionByName(_)), s"$dir/$BloomSidecar")
+      }
+    }
+    logEntry(spark, dir, "refresh_shards", s"shards=${shards.size}")
+  }
+
   private def writeManifests(spark: SparkSession, tableDir: String,
       statCols: Seq[String], shardCol: String,
       bloomKeyCol: Option[String], bloomM: Int, bloomK: Int): Unit = {
@@ -1048,26 +1122,52 @@ object Scan {
       fs.delete(new Path(s"$dir/$DvSidecar"), true)
       return (Nil, 0L)
     }
-    val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
     val raw = readShardsRaw(spark, dir, dvShards, shardCol)
     val kept = applyDv(spark, dir, raw, shardCol)
     val removed = raw.count() - kept.count()
+    rewriteShards(spark, dir, dvShards, shardCol, sortCol)
+    logEntry(spark, dir, "dv_apply",
+      s"removed=$removed shards=${dvShards.size}")
+    (dvShards, removed)
+  }
+
+  /** The shared TARGETED-REWRITE core: republish exactly `shards` from
+    * their logical rows (deletion vector applied — any pending mask on
+    * these shards becomes physical and is cleared), one file per shard
+    * (or `maxRecordsPerFile`-bounded), sorted by the table's sort
+    * column, through the same pending/`_COMMIT` crash protocol as the
+    * delete family — [[applyPendingDelete]] then recomputes exactly
+    * the touched shards' manifest rows and zeroes their staleness,
+    * untouched shards' files and manifest rows pass through
+    * bit-stable. Work ∝ the named shards, never the table. */
+  private[graft] def rewriteShards(spark: SparkSession, dir: String,
+      shards: Seq[Int], shardCol: String = "shard",
+      sortCol: Option[String] = None,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    if (shards.isEmpty) return
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
+    val raw = readShardsRaw(spark, dir, shards, shardCol)
+    val kept = applyDv(spark, dir, raw, shardCol)
     val keptW = kept.repartition(col(shardCol))
-    sort.fold(keptW)(c => keptW.sortWithinPartitions(shardCol, c))
-      .write.mode("overwrite").partitionBy(shardCol)
+    val sorted = sort.fold(keptW)(c =>
+      keptW.sortWithinPartitions(shardCol, c))
+    val writer =
+      if (maxRecordsPerFile > 0)
+        sorted.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      else sorted.write
+    writer.mode("overwrite").partitionBy(shardCol)
       .parquet(s"$dir/$PendingDelete")
-    val withRows = dvShards.filter(s =>
+    val withRows = shards.filter(s =>
       fs.exists(new Path(s"$dir/$PendingDelete/$shardCol=$s")))
-    val emptied = dvShards.diff(withRows)
+    val emptied = shards.diff(withRows)
     val commit = new Path(s"$dir/$PendingDelete/_COMMIT")
     val out = fs.create(commit, true)
     out.write((s"kept:${withRows.mkString(",")}" +
       s"|emptied:${emptied.mkString(",")}").getBytes("UTF-8"))
     out.close()
     applyPendingDelete(spark, dir, shardCol, withRows, emptied)
-    logEntry(spark, dir, "dv_apply",
-      s"removed=$removed shards=${dvShards.size}")
-    (dvShards, removed)
   }
 
   /** MERGE (upsert) on a sharded z-ordered table, routed BY THE INDEX —

@@ -1654,4 +1654,57 @@ class DeltaStreamSpec extends SparkSpec {
     assert(s3.getAs[Long]("n_rows") === 2L)
     assert(s3.getAs[Long]("user_id_ndv") === 2L)
   }
+
+  test("takedown mount over deletion vectors: batches mask keys with " +
+    "no rewrite, replay converges, and the staleness breach applies " +
+    "the vector physically") {
+    import graft.util.Scan
+    import spark.implicits._
+    val root = tmpDir("dvmount")
+    val table = s"$root/table"
+    val feed = s"$root/feed"
+    java.nio.file.Files.createDirectories(Paths.get(feed))
+    val laid = (0L until 1000L).map(i =>
+        (i, i, 10L * i, (i / 100).toInt, i))
+      .toDF("event_id", "user_id", "ts_us", "shard", "zvalue")
+    Scan.writeSharded(spark, laid, table,
+      statCols = Seq("user_id", "ts_us"), sortCol = Some("zvalue"),
+      bloomKeyCol = Some("user_id"))
+    def put(name: String, keys: Long*): Unit =
+      java.nio.file.Files.write(Paths.get(feed, name),
+        keys.map(k => s"""{"key":"$k"}""").mkString("\n")
+          .getBytes("UTF-8"))
+    val all = (0 until 10).toSeq
+    // batch 1: two keys masked — logical reads exclude, files untouched
+    put("b1.json", 250L, 777L)
+    val q = DeltaStream.startTakedownMaintained(spark, feed, table,
+      s"$root/ckpt")
+    q.processAllAvailable()
+    assert(Scan.readShards(spark, table, all).count() === 998L)
+    assert(spark.read.parquet(table).count() === 1000L)
+    assert(Scan.deletionVector(spark, table).get.count() === 2L)
+    // batch 2: one replayed key (no-op) + one new — 3 entries, not 4
+    put("b2.json", 250L, 300L)
+    q.processAllAvailable()
+    q.stop()
+    assert(Scan.readShards(spark, table, all).count() === 997L)
+    assert(Scan.deletionVector(spark, table).get.count() === 3L)
+    // fresh checkpoint replays the whole feed → converges, no dups
+    val q2 = DeltaStream.startTakedownMaintained(spark, feed, table,
+      s"$root/ckpt2")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Scan.deletionVector(spark, table).get.count() === 3L)
+    // staleness-armed mount: the next mask breaches and compaction
+    // applies the accumulated vector physically
+    put("b3.json", 400L)
+    val q3 = DeltaStream.startTakedownMaintained(spark, feed, table,
+      s"$root/ckpt3", maxStaleFraction = 0.0001)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(table).count() === 996L)
+    assert(Scan.deletionVector(spark, table).isEmpty)
+    assert(Scan.readShards(spark, table, all).count() === 996L)
+    assert(Scan.manifestStaleness(spark, table) === 0.0)
+  }
 }

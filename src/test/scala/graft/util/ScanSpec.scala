@@ -984,6 +984,74 @@ class ScanSpec extends SparkSpec {
     assert(Scan.vacuumTable(spark, dir) === ((Nil, 0L)))
   }
 
+  test("compactShardsTargeted rewrites ONLY the breaching shards " +
+    "(others bit-stable), applies their pending DV entries, and " +
+    "re-runs as a no-op; refreshShards restores exactness with no " +
+    "rewrite at all") {
+    val dir = freshDir()
+    publish(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def files(s: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/shard=$s"))
+      .filter(f => !f.getPath.getName.startsWith("_"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted
+    // two appends into shard 9 → 3 files there; mask a key in shard 2
+    Seq(0, 1).foreach { i =>
+      Scan.appendSharded(spark,
+        Seq((6000L + i, 2000L + i, 10L * (2000 + i), "t9", 9,
+            2000L + i))
+          .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+            "zvalue"),
+        dir, "event_id")
+    }
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L))
+    val before0 = files(0)
+    val before2 = files(2)
+    val (shards, nBefore) = Compaction.compactShardsTargeted(spark, dir,
+      maxFilesPerShard = 1, sortCol = Some("zvalue"))
+    assert(shards === Seq(9) && nBefore === 3)
+    assert(files(9).size === 1)
+    // untouched shards bit-stable; shard 2's mask SURVIVES (not its
+    // shard — a full applyDeletionVectors stays the explicit verb)
+    assert(files(0) === before0 && files(2) === before2)
+    assert(Scan.deletionVector(spark, dir).get.count() === 1L)
+    assert(Scan.readShards(spark, dir, (0 until 10))
+      .filter(col("user_id") === 250L).count() === 0L)
+    // shard 9's manifests exact, staleness zeroed there
+    val s9 = Scan.statsManifest(spark, dir)
+      .filter(col("shard") === 9).head()
+    assert(s9.getAs[Long]("n_rows") === 102L)
+    assert(s9.getAs[Long]("_stale_rows") === 0L)
+    assert(s9.getAs[Long]("user_id_max") === 2001L)
+    // the bloom learned the appended keys through the rewrite
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 2001L)
+      .count() === 1L)
+    assert(Compaction.compactShardsTargeted(spark, dir,
+      maxFilesPerShard = 1) === ((Nil, 0)))
+
+    // refreshShards: loosen shard 8 via a manual append, then restore
+    // exactness by recomputing ONLY its rows — no data file written
+    Seq((7000L, 3000L, 30000L, "t8", 8, 3000L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "shard",
+        "zvalue")
+      .coalesce(1).write.mode("append").partitionBy("shard").parquet(dir)
+    // stale manifest: the new key is invisible to the envelope
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 3000L, 3000L))).count() === 0L)
+    val files8Before = files(8)
+    Scan.refreshShards(spark, dir, Seq(8))
+    assert(files(8) === files8Before) // no data file written or touched
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("user_id", 3000L, 3000L))).count() === 1L)
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 3000L)
+      .count() === 1L)
+    val s8 = Scan.statsManifest(spark, dir)
+      .filter(col("shard") === 8).head()
+    assert(s8.getAs[Long]("n_rows") === 101L &&
+      s8.getAs[Long]("_stale_rows") === 0L)
+  }
+
   // ---- fsck ----
 
   test("fsckTable: clean table is empty; an unmanifested shard is an " +
