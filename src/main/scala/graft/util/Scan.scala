@@ -1824,6 +1824,76 @@ object Scan {
     (removed.map(_._1).toSeq, removed.map(_._2).sum)
       }
 
+  /** SNAPSHOT — a consistent point-in-time copy of the table (data
+    * files, every `_graft_*` sidecar, and the history log) into
+    * `snapDir`, taken UNDER THE WRITER LEASE after converging the
+    * crash protocols — so the copy is a complete, healthy state, never
+    * a mid-swap or mid-delete window. This is the savepoint/RESTORE
+    * story for a directory-swap engine: full-copy here (honest for
+    * local FS/HDFS — at object-store scale the same verb rides bucket
+    * versioning or a metadata-only manifest snapshot; the API contract
+    * is what this pins). [[restoreTable]] swaps a snapshot back
+    * atomically — the rollback verb after a bad batch, takedown
+    * mistake, or botched evolution; the restored table is live
+    * immediately (its sidecars came with it) and the restore is
+    * itself logged. Returns bytes copied.
+    */
+  def snapshotTable(spark: SparkSession, dir: String,
+      snapDir: String): Long = withWriterLease(spark, dir) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(dir)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"snapshotTable: $dir does not exist")
+    // converge crash protocols AND clean debris first (re-entrant
+    // lease) — the snapshot is a healthy state, not a museum of tmps
+    vacuumTable(spark, dir)
+    val dst = new Path(snapDir)
+    require(!fs.exists(dst),
+      s"snapshotTable: $snapDir already exists — snapshots are " +
+        "immutable; pick a fresh path")
+    // copy into a tmp sibling, rename into place: a crashed snapshot
+    // is a missing snapshot, never a torn one
+    val tmp = new Path(snapDir + "__swap_new")
+    fs.delete(tmp, true)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp,
+      false, conf), s"snapshot copy $src -> $tmp failed")
+    // the sibling history log travels with the snapshot (it records
+    // the generation the snapshot was taken at)
+    if (fs.exists(logDir(dir)))
+      org.apache.hadoop.fs.FileUtil.copy(fs, logDir(dir), fs,
+        new Path(tmp, "_graft_snapshot_log"), false, conf)
+    require(fs.rename(tmp, dst), s"snapshot rename $tmp -> $dst failed")
+    fs.getContentSummary(dst).getLength
+      }
+
+  /** Swap a [[snapshotTable]] copy back in as the live table — the
+    * ROLLBACK verb. The snapshot itself is left intact (copy, then the
+    * standard atomic swap), the table's history log gains a `restore`
+    * entry (generation numbering continues forward — a rollback is a
+    * new mutation, not a rewind; the snapshot's own log ships inside
+    * it as `_graft_snapshot_log` for audit). */
+  def restoreTable(spark: SparkSession, dir: String,
+      snapDir: String): Unit = withWriterLease(spark, dir) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = new Path(snapDir)
+    val fs = snap.getFileSystem(conf)
+    require(fs.exists(snap), s"restoreTable: $snapDir does not exist")
+    graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, snap, fs,
+        new Path(tmp), false, conf),
+        s"restore copy $snap -> $tmp failed")
+      // the snapshot's embedded log copy is audit payload of the
+      // SNAPSHOT, not of the live table — drop it from the live copy
+      fs.delete(new Path(tmp, "_graft_snapshot_log"), true)
+      // recover() promotes a tmp only once it looks complete; the
+      // copy brought _SUCCESS markers inside sidecar dirs but the
+      // root needs one for the swap-recovery contract
+      val ok = fs.create(new Path(tmp, "_SUCCESS"), true)
+      ok.close()
+    }
+    logEntry(spark, dir, "restore", s"from=$snapDir")
+  }
+
   /** One [[fsckTable]] finding: `severity` is "error" (the reads-
     * through-manifests contract is broken — rows can be MISSED),
     * "warn" (a documented crash window or drift — heals at the next

@@ -1099,6 +1099,60 @@ class ScanSpec extends SparkSpec {
         x.shard.contains(2)))
   }
 
+  test("the deletion-vector read path plans a broadcast hash anti-join " +
+    "— the mask must never cost a shuffle") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.deleteByKeysDeferred(spark, dir, Seq(250L))
+    val plan = Scan.readShards(spark, dir, (0 until 10))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  // ---- snapshot / restore ----
+
+  test("snapshotTable + restoreTable: a consistent point-in-time copy " +
+    "rolls the table back across a delete and an evolution; the " +
+    "snapshot is immutable and generations continue forward") {
+    val dir = freshDir()
+    publish(dir)
+    val snap = dir + "_snap1"
+    val bytes = Scan.snapshotTable(spark, dir, snap)
+    assert(bytes > 0L)
+    // snapshots are immutable — a second write to the same path refuses
+    intercept[IllegalArgumentException](
+      Scan.snapshotTable(spark, dir, snap))
+    // mutate past the snapshot: physical delete + drop a column
+    Scan.deleteByKeys(spark, dir, Seq(250L))
+    Scan.evolveDropColumn(spark, dir, "ts_us")
+    assert(spark.read.parquet(dir).count() === 999L)
+    assert(!Scan.readShards(spark, dir, (0 until 10))
+      .columns.contains("ts_us"))
+    val genBefore = Scan.tableGeneration(spark, dir)
+    // rollback: the snapshot state returns wholesale — rows, schema,
+    // manifests, bloom routing
+    Scan.restoreTable(spark, dir, snap)
+    assert(spark.read.parquet(dir).count() === 1000L)
+    assert(Scan.readShards(spark, dir, (0 until 10))
+      .columns.contains("ts_us"))
+    assert(Scan.readPrunedByKey(spark, dir, "user_id", 250L)
+      .count() === 1L)
+    assert(Scan.readPrunedByRange(spark, dir,
+      Seq(("ts_us", 2500L, 2500L))).count() === 1L)
+    // the restore logged forward — a rollback is a mutation
+    val hist = Scan.tableHistory(spark, dir)
+    assert(Scan.tableGeneration(spark, dir) === genBefore + 1)
+    assert(hist.last._2 === "restore")
+    // the snapshot survives its own restore, audit log embedded
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$snap/_graft_snapshot_log")))
+    assert(spark.read.parquet(snap).count() === 1000L)
+  }
+
   // ---- history log / generation counter ----
 
   test("the history log records completed mutations with monotonic " +
