@@ -145,6 +145,18 @@ object Scan {
       scala.collection.mutable.Set.empty[String]
   }
 
+  // SAME-PROCESS lease arbitration: dir -> (expiry epoch ms, token).
+  // `FileSystem.create(…, overwrite = false)` is atomic-exclusive on
+  // HDFS but CHECK-THEN-CREATE on the local filesystem — two threads of
+  // one JVM could both pass the existence check, both "acquire", and
+  // collide inside the same swap-tmp path (observed: interleaved
+  // appenders' stats swaps, FileNotFoundException mid-rename). A
+  // `putIfAbsent` here decides same-process races atomically; the lock
+  // FILE remains the cross-process protocol on filesystems whose create
+  // primitive is genuinely exclusive.
+  private val jvmLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
   /** CONCURRENT-WRITER SAFETY — the asserted writer lease every mutation
     * of a sharded table runs under. Two simultaneous mutators (an
     * `appendSharded` racing a `compactSharded` or `deleteByKeys`) would
@@ -154,10 +166,14 @@ object Scan {
     * second writer, whose correct move is to retry (nothing was
     * mutated — the exception is thrown BEFORE any table state changes).
     *
-    * Mechanism: `FileSystem.create(…, overwrite = false)` on a sibling
-    * lock file (`<dir>__lock` — outside the table, so directory swaps
-    * never destroy a held lease) is atomic-exclusive on local FS and
-    * HDFS: exactly one of two racing writers creates it. The lock body
+    * Mechanism, two layers: same-process races are decided by an atomic
+    * `putIfAbsent` on [[jvmLeases]] (the local filesystem's
+    * `create(…, overwrite = false)` is check-then-create, NOT exclusive
+    * — two threads of one JVM could both pass it); cross-process races
+    * by `FileSystem.create(…, overwrite = false)` on a sibling lock
+    * file (`<dir>__lock` — outside the table, so directory swaps
+    * never destroy a held lease), which IS atomic-exclusive on HDFS:
+    * exactly one of two racing writers creates it. The lock body
     * carries an expiry epoch + a holder token; a CRASHED writer's lease
     * is broken once expired (the table's crash protocols — swap
     * recovery, pending-delete roll-forward — run at the head of every
@@ -193,30 +209,47 @@ object Scan {
         } finally in.close()
       } catch { case _: java.io.IOException => None }
     val deadline = System.currentTimeMillis() + waitMs
+    def waitOrFail(): Unit =
+      if (System.currentTimeMillis() < deadline) Thread.sleep(200)
+      else throw new ConcurrentWriterException(
+        s"$dir: another writer holds the lease ($lock) — retry " +
+          "after it completes or expires")
     var acquired = false
+    var slot: (Long, String) = null
     while (!acquired) {
-      try {
-        val out = fs.create(lock, false)
-        out.write(s"${System.currentTimeMillis() + leaseMs}|$token"
-          .getBytes("UTF-8"))
-        out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          // lock exists: stale (expired) → break it and re-race; live
-          // → wait if allowed, else fail loudly. An unreadable or
-          // still-empty body is treated as LIVE (a racing writer is
-          // between its create and its write).
-          val expired = lockBody()
-            .flatMap(_.split('|').headOption)
-            .flatMap(s => scala.util.Try(s.toLong).toOption)
-            .exists(_ < System.currentTimeMillis())
-          if (expired) fs.delete(lock, false)
-          else if (System.currentTimeMillis() < deadline)
-            Thread.sleep(200)
-          else throw new ConcurrentWriterException(
-            s"$dir: another writer holds the lease ($lock) — retry " +
-              "after it completes or expires")
+      // layer 1: the same-process slot, decided atomically. An expired
+      // in-JVM entry (a leaked lease — normally impossible: release
+      // runs in `finally`) is broken the same way a stale file is.
+      val now = System.currentTimeMillis()
+      slot = (now + leaseMs, token)
+      val cur = jvmLeases.get(key)
+      if (cur != null && cur._1 >= now) waitOrFail()
+      else if (cur != null) jvmLeases.remove(key, cur)
+      else if (jvmLeases.putIfAbsent(key, slot) == null) {
+        // layer 2: the cross-process lock file, under the JVM slot
+        try {
+          val out = fs.create(lock, false)
+          out.write(s"${System.currentTimeMillis() + leaseMs}|$token"
+            .getBytes("UTF-8"))
+          out.close()
+          acquired = true
+        } catch {
+          case _: java.io.IOException =>
+            // lock exists: stale (expired) → break it and re-race; live
+            // → wait if allowed, else fail loudly. An unreadable or
+            // still-empty body is treated as LIVE (a racing writer is
+            // between its create and its write). The JVM slot is
+            // released before waiting so a same-process writer is not
+            // starved by a foreign process's lock.
+            val expired = lockBody()
+              .flatMap(_.split('|').headOption)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .exists(_ < System.currentTimeMillis())
+            if (expired) fs.delete(lock, false)
+            jvmLeases.remove(key, slot)
+            if (!expired) waitOrFail()
+        }
+        if (!acquired) () // re-race both layers
       }
     }
     heldLeases.get += key
@@ -224,6 +257,7 @@ object Scan {
       heldLeases.get -= key
       // release only OUR lease: a stale-break may have replaced it
       if (lockBody().exists(_.endsWith(token))) fs.delete(lock, false)
+      jvmLeases.remove(key, slot)
     }
   }
 
