@@ -2046,16 +2046,24 @@ object Corpus {
     */
   def zorderLayoutN(df: DataFrame, idCol: String, dimCols: Seq[String],
       bits: Int = 16, nShards: Int = 64,
-      keepCols: Seq[String] = Nil): DataFrame = {
+      keepCols: Seq[String] = Nil,
+      knownDicts: Map[String, DataFrame] = Map.empty): DataFrame = {
     require(dimCols.nonEmpty, "need at least one dimension")
     // STRING dimensions ride the curve through a dictionary-rank
     // embedding (see [[stringDimDict]]) — real curation tables cluster
     // on categorical text (source, language, domain), and Delta's
     // OPTIMIZE ZORDER BY takes string columns the same way. Numeric
-    // dims keep the direct long cast.
+    // dims keep the direct long cast. A caller that already holds a
+    // dim's dictionary (to persist it as the table sidecar, say) passes
+    // it via `knownDicts` — otherwise every downstream consumer of the
+    // layout re-executes the dict's distinct+rank lineage; the value
+    // MUST be [[stringDimDict]] of this very `df` (the layout frame and
+    // the sidecar have to agree), which every passer satisfies by
+    // construction.
     val strDims = dimCols.filter(c =>
       df.schema(c).dataType == org.apache.spark.sql.types.StringType)
-    val dicts = strDims.map(c => c -> stringDimDict(df, c)).toMap
+    val dicts = strDims.map(c =>
+      c -> knownDicts.getOrElse(c, stringDimDict(df, c))).toMap
     val numDims = dimCols.filterNot(dicts.contains)
     val numAggs = numDims.flatMap { c =>
       Seq(min(col(c).cast("long")).as(s"_min_$c"),
@@ -2315,6 +2323,40 @@ object Corpus {
       .groupBy(col("shard"))
       .agg(countDistinct(col("_k")).as("n_keys"),
         sort_array(collect_set(col("pos"))).as("_bits"))
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+  }
+
+  /** [[shardStats]] and [[bloomBitsTable]] in ONE shard-keyed aggregate —
+    * the manifest write/refresh paths otherwise pay TWO full reads of the
+    * table (stats pass, then bloom pass) for group-by-shard aggregations
+    * that share a shuffle key. One row per shard carries BOTH manifests'
+    * columns: the stats set (`n_rows`, `<c>_min/_max/_ndv`) and the bloom
+    * set (`n_keys`, `_bits`, `m`, `k`). Equivalent by construction:
+    * `collect_set` of per-row position ARRAYS dedups per distinct key
+    * exactly as distinct-then-explode did (equal keys hash to equal
+    * arrays), and `sort_array ∘ array_distinct ∘ flatten` yields the same
+    * sorted distinct position list; a shard whose keys are all NULL is
+    * dropped from the bloom projection (`n_keys = 0`) just as the old
+    * explode dropped it. Consumers split the row with
+    * [[graft.util.Scan]]'s sidecar projections.
+    */
+  def shardStatsWithBloom(df: DataFrame, shardCol: String,
+      statCols: Seq[String], keyCol: String, m: Int = 4096,
+      k: Int = 3): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stats column")
+    require(m > 0 && k >= 1 && k <= 4, "need m > 0 and 1 <= k <= 4")
+    val statAggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        countDistinct(col(c)).as(s"${c}_ndv"))
+    }
+    val bloomAggs = Seq(
+      countDistinct(col(keyCol)).as("n_keys"),
+      collect_set(bloomPositions(col(keyCol), m, k)).as("_pos_sets"))
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"), (statAggs ++ bloomAggs): _*)
+      .withColumn("_bits",
+        sort_array(array_distinct(flatten(col("_pos_sets")))))
+      .drop("_pos_sets")
       .withColumn("m", lit(m)).withColumn("k", lit(k))
   }
 

@@ -85,11 +85,19 @@ object ExtensionQueries {
     val table =
       s"target/scan/${new java.io.File(dir).getName}/documents_z$suffix"
     val d = Tables(s, dir, "documents")
+    // ONE dict computation per build: persisted and shared by the
+    // layout, the sidecar write, and the median-language probe — the
+    // three consumers otherwise each re-execute the dict's
+    // distinct+rank lineage over the documents table (the bench
+    // harness clearCache()s between queries; a library caller
+    // composing this build should release it likewise — the x47
+    // caller contract)
+    val dict = Corpus.stringDimDict(d, "lang").persist()
     val laid = Corpus.zorderLayoutN(d, "doc_id", Seq("lang", "n_chars"),
       bits = 8, nShards = 32,
-      keepCols = Seq("lang", "source", "n_chars"))
+      keepCols = Seq("lang", "source", "n_chars"),
+      knownDicts = Map("lang" -> dict))
       .drop("cell_lang", "cell_n_chars")
-    val dict = Corpus.stringDimDict(d, "lang")
     graft.util.Scan.writeSharded(s, laid, table,
       statCols = Seq("lang", "n_chars"), sortCol = Some("zvalue"),
       bloomKeyCol = Some("lang"), bloomM = 1024, bloomK = 3,
@@ -1991,7 +1999,9 @@ object ExtensionQueries {
       val table =
         s"target/scan/${new java.io.File(dir).getName}/documents_z_up"
       val d = Tables(s, dir, "documents")
-      val dict = Corpus.stringDimDict(d, "lang")
+      // persisted: the dict feeds the bounds agg, both lay() calls and
+      // the sidecar write — unpersisted, each re-runs distinct+rank
+      val dict = Corpus.stringDimDict(d, "lang").persist()
       val bounds = dict.agg(min(col("rank")).as("_min_lang"),
           max(col("rank")).as("_max_lang"))
         .crossJoin(d.agg(

@@ -387,20 +387,41 @@ object Scan {
       // below uses append mode — tmp is freshly cleared, so the
       // semantics are identical, but overwrite mode would truncate the
       // directory and take the meta with it
-      writeMeta(spark, tmp, TableMeta(statCols, shardCol, sortCol,
-        bloomKeyCol, bloomM, bloomK, zTotalBits, nShards))
-      // string-dim dictionaries are configuration too (dict + bounds =
-      // the frozen frame): persisted with the meta, before the data
-      dicts.foreach { case (c, d) =>
-        d.coalesce(1).write.mode("overwrite")
-          .parquet(s"$tmp/$DictSidecar/col=$c")
+      // the three configuration sidecars are independent tiny jobs with
+      // distinct output dirs — submitted concurrently (the §2.6 sibling-
+      // job overlap; ~0.1-0.2 s of scheduling fixed cost each when run
+      // serially), and ALL awaited before the data write starts so the
+      // meta/dicts/schema-before-data crash-safety ordering holds:
+      // recover promotes on the DATA write's _SUCCESS, so every
+      // recoverable state still carries its configuration
+      {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(writeMeta(spark, tmp, TableMeta(statCols, shardCol,
+            sortCol, bloomKeyCol, bloomM, bloomK, zTotalBits,
+            nShards))),
+          // 0-row schema sidecar: a delete can legally empty EVERY
+          // shard, after which the table dir holds only `_`-sidecars
+          // and plain parquet schema inference fails — this keeps an
+          // empty table readable (and the delete-recovery manifest
+          // rebuild schema-safe). Built as an empty LocalRelation so
+          // the write never plans (or risks executing) the layout
+          // lineage behind `laid`.
+          Future(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              laid.schema)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/$SchemaSidecar"))) ++
+          // string-dim dictionaries are configuration too (dict +
+          // bounds = the frozen frame): persisted with the meta,
+          // before the data
+          dicts.toSeq.map { case (c, d) =>
+            Future(d.coalesce(1).write.mode("overwrite")
+              .parquet(s"$tmp/$DictSidecar/col=$c"))
+          }), Duration.Inf)
       }
-      // 0-row schema sidecar: a delete can legally empty EVERY shard,
-      // after which the table dir holds only `_`-sidecars and plain
-      // parquet schema inference fails — this keeps an empty table
-      // readable (and the delete-recovery manifest rebuild schema-safe)
-      laid.limit(0).coalesce(1).write.mode("overwrite")
-        .parquet(s"$tmp/$SchemaSidecar")
       val parted = laid.repartition(col(shardCol))
       val sorted = sortCol.fold(parted)(c =>
         parted.sortWithinPartitions(shardCol, c))
@@ -647,23 +668,35 @@ object Scan {
           .groupBy(col(shardCol).cast("int").as(shardCol))
           .agg(count(lit(1)).as("_masked_rows"))
       }
-    val exact = graft.ext.Corpus.shardStats(back, shardCol, sc)
-    val stats = masked match {
-      case None => exact.withColumn("_stale_rows", lit(0L))
-      case Some(m) => exact
-        .join(m.withColumnRenamed(shardCol, "_m_shard"),
-          exact(shardCol).cast("int") === col("_m_shard"), "left_outer")
-        .withColumn("_stale_rows",
-          coalesce(col("_masked_rows"), lit(0L)))
-        .drop("_m_shard", "_masked_rows")
+    // stats (and bloom, when configured) from ONE pass over the table —
+    // the bloom leg otherwise re-read every file a second time for an
+    // aggregation that shares the stats pass's shard key
+    val fused = bloomCfg.map { case (kc, m, k) =>
+      graft.ext.Corpus.shardStatsWithBloom(back, shardCol, sc, kc, m, k)
+        .persist()
     }
-    graft.dw.Merge.atomicOverwrite(spark, stats, s"$dir/$StatsSidecar")
-    bloomCfg.foreach { case (kc, m, k) =>
-      graft.dw.Merge.atomicOverwrite(spark,
-        graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
-          .withColumn("key_col", lit(kc)),
-        s"$dir/$BloomSidecar")
-    }
+    try {
+      val exact = fused match {
+        case Some(g) => splitStatsBloom(g, sc, shardCol,
+          bloomCfg.get._1)._1
+        case None => graft.ext.Corpus.shardStats(back, shardCol, sc)
+      }
+      val stats = masked match {
+        case None => exact.withColumn("_stale_rows", lit(0L))
+        case Some(m) => exact
+          .join(m.withColumnRenamed(shardCol, "_m_shard"),
+            exact(shardCol).cast("int") === col("_m_shard"), "left_outer")
+          .withColumn("_stale_rows",
+            coalesce(col("_masked_rows"), lit(0L)))
+          .drop("_m_shard", "_masked_rows")
+      }
+      graft.dw.Merge.atomicOverwrite(spark, stats, s"$dir/$StatsSidecar")
+      fused.foreach { g =>
+        graft.dw.Merge.atomicOverwrite(spark,
+          splitStatsBloom(g, sc, shardCol, bloomCfg.get._1)._2,
+          s"$dir/$BloomSidecar")
+      }
+    } finally fused.foreach(_.unpersist())
     logEntry(spark, dir, "refresh", s"stat_cols=${sc.mkString("+")}")
   }
 
@@ -713,32 +746,61 @@ object Scan {
       else lit(0L)
     val keep = old.withColumn("_stale_rows", coalesce(oldStale, lit(0L)))
       .filter(!col(shardCol).cast("int").isin(shards: _*))
-    val fresh = raw.map { r =>
-      val exact = graft.ext.Corpus.shardStats(r, shardCol, statCols)
-      masked match {
-        case None => exact.withColumn("_stale_rows", lit(0L))
-        case Some(m) => exact
-          .join(m, exact(shardCol).cast("int") === col("_m_shard"),
-            "left_outer")
-          .withColumn("_stale_rows",
-            coalesce(col("_masked_rows"), lit(0L)))
-          .drop("_m_shard", "_masked_rows")
+    // named shards' stats (and bloom, when configured) from ONE read of
+    // their files — the bloom leg otherwise re-read the same shards
+    val bloomCfg =
+      if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
+      else bloomConfigOf(spark, dir)
+    val fused = for { r <- raw; (kc, m, k) <- bloomCfg } yield
+      graft.ext.Corpus.shardStatsWithBloom(r, shardCol, statCols,
+        kc, m, k).persist()
+    try {
+      val fresh = raw.map { r =>
+        val exact = fused match {
+          case Some(g) => splitStatsBloom(g, statCols, shardCol,
+            bloomCfg.get._1)._1
+          case None => graft.ext.Corpus.shardStats(r, shardCol, statCols)
+        }
+        masked match {
+          case None => exact.withColumn("_stale_rows", lit(0L))
+          case Some(m) => exact
+            .join(m, exact(shardCol).cast("int") === col("_m_shard"),
+              "left_outer")
+            .withColumn("_stale_rows",
+              coalesce(col("_masked_rows"), lit(0L)))
+            .drop("_m_shard", "_masked_rows")
+        }
       }
-    }
-    graft.dw.Merge.atomicOverwrite(spark,
-      fresh.fold(keep)(keep.unionByName(_)), s"$dir/$StatsSidecar")
-    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
-      bloomConfigOf(spark, dir).foreach { case (kc, m, k) =>
+      graft.dw.Merge.atomicOverwrite(spark,
+        fresh.fold(keep)(keep.unionByName(_)), s"$dir/$StatsSidecar")
+      bloomCfg.foreach { case (kc, _, _) =>
         val ob = bloomManifest(spark, dir)
           .filter(!col("shard").cast("int").isin(shards: _*))
-        val nb = raw.map(r =>
-          graft.ext.Corpus.bloomBitsTable(r, shardCol, kc, m, k)
-            .withColumn("key_col", lit(kc)))
+        val nb = fused.map(g =>
+          splitStatsBloom(g, statCols, shardCol, kc)._2)
         graft.dw.Merge.atomicOverwrite(spark,
           nb.fold(ob)(ob.unionByName(_)), s"$dir/$BloomSidecar")
       }
-    }
+    } finally fused.foreach(_.unpersist())
     logEntry(spark, dir, "refresh_shards", s"shards=${shards.size}")
+  }
+
+  /** Split a [[graft.ext.Corpus.shardStatsWithBloom]] row into the two
+    * sidecar projections — exactly the column sets and order the
+    * separate [[graft.ext.Corpus.shardStats]]/`bloomBitsTable` passes
+    * produced. The zero-key filter reproduces the old construction's
+    * behavior for a shard whose keys are all NULL (its exploded
+    * positions vanished, so it had no bloom row). */
+  private def splitStatsBloom(g: DataFrame, statCols: Seq[String],
+      shardCol: String, kc: String): (DataFrame, DataFrame) = {
+    val statsSel = Seq(col(shardCol), col("n_rows")) ++
+      statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"),
+        col(s"${c}_ndv")))
+    (g.select(statsSel: _*),
+      g.filter(col("n_keys") > 0L)
+        .select(col(shardCol).as("shard"), col("n_keys"), col("_bits"),
+          col("m"), col("k"))
+        .withColumn("key_col", lit(kc)))
   }
 
   private def writeManifests(spark: SparkSession, tableDir: String,
@@ -750,13 +812,33 @@ object Scan {
     // staleness signal (0 here: this manifest IS exact). NDV looseness
     // itself is unobservable without re-reading the data; the rows that
     // entered through additive folds are a free, honest proxy.
-    graft.ext.Corpus.shardStats(back, shardCol, statCols)
-      .withColumn("_stale_rows", lit(0L))
-      .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
-    bloomKeyCol.foreach { kc =>
-      graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, bloomM, bloomK)
-        .withColumn("key_col", lit(kc))
-        .write.mode("overwrite").parquet(s"$tableDir/$BloomSidecar")
+    bloomKeyCol match {
+      case None =>
+        graft.ext.Corpus.shardStats(back, shardCol, statCols)
+          .withColumn("_stale_rows", lit(0L))
+          .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
+      case Some(kc) =>
+        // both manifests from ONE pass over the written files (stats
+        // and bloom aggregations share the shard key; two passes paid
+        // a second full read purely for plan shape) — the shards-sized
+        // result is materialized once, then the two sidecar writes are
+        // submitted concurrently (each a cache scan of a few KB; run
+        // serially they each pay a full job's scheduling fixed cost)
+        val g = graft.ext.Corpus.shardStatsWithBloom(back, shardCol,
+          statCols, kc, bloomM, bloomK).persist()
+        try {
+          g.count() // materialize the single pass before the writes
+          val (stats, bloom) = splitStatsBloom(g, statCols, shardCol, kc)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(Seq(
+            Future(stats.withColumn("_stale_rows", lit(0L))
+              .write.mode("overwrite")
+              .parquet(s"$tableDir/$StatsSidecar")),
+            Future(bloom.write.mode("overwrite")
+              .parquet(s"$tableDir/$BloomSidecar")))), Duration.Inf)
+        } finally g.unpersist()
     }
   }
 
@@ -1403,28 +1485,43 @@ object Scan {
       rd.option("basePath", dir)
         .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
     }
-    val newStats =
-      if (existing.isEmpty) None
-      else Some(graft.ext.Corpus.shardStats(backRead(),
-        shardCol, statCols).withColumn("_stale_rows", lit(0L)))
-    graft.dw.Merge.atomicOverwrite(spark,
-      newStats.fold(keepStats)(keepStats.unionByName(_)),
-      s"$dir/$StatsSidecar")
-    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
-      val ob = bloomManifest(spark, dir)
-      val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
+    // touched-shard manifests from ONE read of the rewritten files when
+    // a bloom index exists (stats + bloom aggregations share the shard
+    // key; the two-pass form read every rewritten shard twice)
+    val hasBloom = fs.exists(new Path(s"$dir/$BloomSidecar"))
+    val bloomCfg =
+      if (!hasBloom) None
+      else Some(bloomConfigOf(spark, dir).getOrElse(sys.error(
         s"applyPendingDelete: $dir has a bloom sidecar but no " +
-          "recoverable bloom config (empty sidecar, no meta)"))
-      val keepBloom = ob.filter(!col("shard").isin(touched: _*))
-      // a fully-emptied shard simply has no bloom row anymore
-      val newBloom =
-        if (existing.isEmpty) None
-        else Some(graft.ext.Corpus.bloomBitsTable(backRead(),
-          shardCol, kc, m, k).withColumn("key_col", lit(kc)))
-      graft.dw.Merge.atomicOverwrite(spark,
-        newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
-        s"$dir/$BloomSidecar")
+          "recoverable bloom config (empty sidecar, no meta)")))
+    val fused = bloomCfg.flatMap { case (kc, m, k) =>
+      if (existing.isEmpty) None
+      else Some(graft.ext.Corpus.shardStatsWithBloom(backRead(),
+        shardCol, statCols, kc, m, k).persist())
     }
+    try {
+      val newStats =
+        if (existing.isEmpty) None
+        else Some(fused match {
+          case Some(g) => splitStatsBloom(g, statCols, shardCol,
+            bloomCfg.get._1)._1.withColumn("_stale_rows", lit(0L))
+          case None => graft.ext.Corpus.shardStats(backRead(),
+            shardCol, statCols).withColumn("_stale_rows", lit(0L))
+        })
+      graft.dw.Merge.atomicOverwrite(spark,
+        newStats.fold(keepStats)(keepStats.unionByName(_)),
+        s"$dir/$StatsSidecar")
+      bloomCfg.foreach { case (kc, _, _) =>
+        val keepBloom = bloomManifest(spark, dir)
+          .filter(!col("shard").isin(touched: _*))
+        // a fully-emptied shard simply has no bloom row anymore
+        val newBloom = fused.map(g =>
+          splitStatsBloom(g, statCols, shardCol, kc)._2)
+        graft.dw.Merge.atomicOverwrite(spark,
+          newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
+          s"$dir/$BloomSidecar")
+      }
+    } finally fused.foreach(_.unpersist())
     // deletion-vector entries for the rewritten shards are now applied
     // physically (every rewrite path computes kept rows DV-filtered —
     // deleteWhere reads through readShards, applyDeletionVectors
