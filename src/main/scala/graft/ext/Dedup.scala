@@ -1063,6 +1063,18 @@ object Dedup {
       .select(col(idCol).as("_id"), gramHashStream(textCol, n).as("_g"))
     val dfs = ng.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
+    // Deliberately NOT materialized, on measurement: every consumer
+    // references this frame 3-5 times and Catalyst reuses nothing (the
+    // x95 plan re-runs the whole gram pipeline per reference — 12
+    // parquet scans, zero ReusedExchange), which LOOKS like waste — but
+    // the recomputed branches overlap across all cores inside one job,
+    // while materializing serializes the critical path behind an eager
+    // barrier plus nested-array encode: measured idle A/B at sf0.1,
+    // x95 2.78 s unpersisted vs 4.10 s persist() / 3.98 s
+    // localCheckpoint(). At a scale where three extra corpus passes
+    // dominate, a caller should checkpoint the returned frame to
+    // parquet once and join against that — the maintained-table form
+    // x126 already implements.
     ng.join(dfs, Seq("_g"))
       .groupBy(col("_id"))
       .agg(array_sort(collect_list(struct(col("_df"), col("_g")))).as("_sg"))
