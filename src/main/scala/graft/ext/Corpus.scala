@@ -2326,40 +2326,6 @@ object Corpus {
       .withColumn("m", lit(m)).withColumn("k", lit(k))
   }
 
-  /** [[shardStats]] and [[bloomBitsTable]] in ONE shard-keyed aggregate —
-    * the manifest write/refresh paths otherwise pay TWO full reads of the
-    * table (stats pass, then bloom pass) for group-by-shard aggregations
-    * that share a shuffle key. One row per shard carries BOTH manifests'
-    * columns: the stats set (`n_rows`, `<c>_min/_max/_ndv`) and the bloom
-    * set (`n_keys`, `_bits`, `m`, `k`). Equivalent by construction:
-    * `collect_set` of per-row position ARRAYS dedups per distinct key
-    * exactly as distinct-then-explode did (equal keys hash to equal
-    * arrays), and `sort_array ∘ array_distinct ∘ flatten` yields the same
-    * sorted distinct position list; a shard whose keys are all NULL is
-    * dropped from the bloom projection (`n_keys = 0`) just as the old
-    * explode dropped it. Consumers split the row with
-    * [[graft.util.Scan]]'s sidecar projections.
-    */
-  def shardStatsWithBloom(df: DataFrame, shardCol: String,
-      statCols: Seq[String], keyCol: String, m: Int = 4096,
-      k: Int = 3): DataFrame = {
-    require(statCols.nonEmpty, "need at least one stats column")
-    require(m > 0 && k >= 1 && k <= 4, "need m > 0 and 1 <= k <= 4")
-    val statAggs = statCols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
-        countDistinct(col(c)).as(s"${c}_ndv"))
-    }
-    val bloomAggs = Seq(
-      countDistinct(col(keyCol)).as("n_keys"),
-      collect_set(bloomPositions(col(keyCol), m, k)).as("_pos_sets"))
-    df.groupBy(col(shardCol))
-      .agg(count(lit(1)).as("n_rows"), (statAggs ++ bloomAggs): _*)
-      .withColumn("_bits",
-        sort_array(array_distinct(flatten(col("_pos_sets")))))
-      .drop("_pos_sets")
-      .withColumn("m", lit(m)).withColumn("k", lit(k))
-  }
-
   /** Per-shard BLOOM INDEX over a point-lookup key, plus its measured
     * use: for equality predicates on a column the sort order does NOT
     * cover, min/max envelopes skip nothing — a tiny per-shard Bloom

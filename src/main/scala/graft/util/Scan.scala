@@ -668,35 +668,23 @@ object Scan {
           .groupBy(col(shardCol).cast("int").as(shardCol))
           .agg(count(lit(1)).as("_masked_rows"))
       }
-    // stats (and bloom, when configured) from ONE pass over the table —
-    // the bloom leg otherwise re-read every file a second time for an
-    // aggregation that shares the stats pass's shard key
-    val fused = bloomCfg.map { case (kc, m, k) =>
-      graft.ext.Corpus.shardStatsWithBloom(back, shardCol, sc, kc, m, k)
-        .persist()
+    val exact = graft.ext.Corpus.shardStats(back, shardCol, sc)
+    val stats = masked match {
+      case None => exact.withColumn("_stale_rows", lit(0L))
+      case Some(m) => exact
+        .join(m.withColumnRenamed(shardCol, "_m_shard"),
+          exact(shardCol).cast("int") === col("_m_shard"), "left_outer")
+        .withColumn("_stale_rows",
+          coalesce(col("_masked_rows"), lit(0L)))
+        .drop("_m_shard", "_masked_rows")
     }
-    try {
-      val exact = fused match {
-        case Some(g) => splitStatsBloom(g, sc, shardCol,
-          bloomCfg.get._1)._1
-        case None => graft.ext.Corpus.shardStats(back, shardCol, sc)
-      }
-      val stats = masked match {
-        case None => exact.withColumn("_stale_rows", lit(0L))
-        case Some(m) => exact
-          .join(m.withColumnRenamed(shardCol, "_m_shard"),
-            exact(shardCol).cast("int") === col("_m_shard"), "left_outer")
-          .withColumn("_stale_rows",
-            coalesce(col("_masked_rows"), lit(0L)))
-          .drop("_m_shard", "_masked_rows")
-      }
-      graft.dw.Merge.atomicOverwrite(spark, stats, s"$dir/$StatsSidecar")
-      fused.foreach { g =>
-        graft.dw.Merge.atomicOverwrite(spark,
-          splitStatsBloom(g, sc, shardCol, bloomCfg.get._1)._2,
-          s"$dir/$BloomSidecar")
-      }
-    } finally fused.foreach(_.unpersist())
+    graft.dw.Merge.atomicOverwrite(spark, stats, s"$dir/$StatsSidecar")
+    bloomCfg.foreach { case (kc, m, k) =>
+      graft.dw.Merge.atomicOverwrite(spark,
+        graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
+          .withColumn("key_col", lit(kc)),
+        s"$dir/$BloomSidecar")
+    }
     logEntry(spark, dir, "refresh", s"stat_cols=${sc.mkString("+")}")
   }
 
@@ -746,61 +734,32 @@ object Scan {
       else lit(0L)
     val keep = old.withColumn("_stale_rows", coalesce(oldStale, lit(0L)))
       .filter(!col(shardCol).cast("int").isin(shards: _*))
-    // named shards' stats (and bloom, when configured) from ONE read of
-    // their files — the bloom leg otherwise re-read the same shards
-    val bloomCfg =
-      if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
-      else bloomConfigOf(spark, dir)
-    val fused = for { r <- raw; (kc, m, k) <- bloomCfg } yield
-      graft.ext.Corpus.shardStatsWithBloom(r, shardCol, statCols,
-        kc, m, k).persist()
-    try {
-      val fresh = raw.map { r =>
-        val exact = fused match {
-          case Some(g) => splitStatsBloom(g, statCols, shardCol,
-            bloomCfg.get._1)._1
-          case None => graft.ext.Corpus.shardStats(r, shardCol, statCols)
-        }
-        masked match {
-          case None => exact.withColumn("_stale_rows", lit(0L))
-          case Some(m) => exact
-            .join(m, exact(shardCol).cast("int") === col("_m_shard"),
-              "left_outer")
-            .withColumn("_stale_rows",
-              coalesce(col("_masked_rows"), lit(0L)))
-            .drop("_m_shard", "_masked_rows")
-        }
+    val fresh = raw.map { r =>
+      val exact = graft.ext.Corpus.shardStats(r, shardCol, statCols)
+      masked match {
+        case None => exact.withColumn("_stale_rows", lit(0L))
+        case Some(m) => exact
+          .join(m, exact(shardCol).cast("int") === col("_m_shard"),
+            "left_outer")
+          .withColumn("_stale_rows",
+            coalesce(col("_masked_rows"), lit(0L)))
+          .drop("_m_shard", "_masked_rows")
       }
-      graft.dw.Merge.atomicOverwrite(spark,
-        fresh.fold(keep)(keep.unionByName(_)), s"$dir/$StatsSidecar")
-      bloomCfg.foreach { case (kc, _, _) =>
+    }
+    graft.dw.Merge.atomicOverwrite(spark,
+      fresh.fold(keep)(keep.unionByName(_)), s"$dir/$StatsSidecar")
+    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
+      bloomConfigOf(spark, dir).foreach { case (kc, m, k) =>
         val ob = bloomManifest(spark, dir)
           .filter(!col("shard").cast("int").isin(shards: _*))
-        val nb = fused.map(g =>
-          splitStatsBloom(g, statCols, shardCol, kc)._2)
+        val nb = raw.map(r =>
+          graft.ext.Corpus.bloomBitsTable(r, shardCol, kc, m, k)
+            .withColumn("key_col", lit(kc)))
         graft.dw.Merge.atomicOverwrite(spark,
           nb.fold(ob)(ob.unionByName(_)), s"$dir/$BloomSidecar")
       }
-    } finally fused.foreach(_.unpersist())
+    }
     logEntry(spark, dir, "refresh_shards", s"shards=${shards.size}")
-  }
-
-  /** Split a [[graft.ext.Corpus.shardStatsWithBloom]] row into the two
-    * sidecar projections — exactly the column sets and order the
-    * separate [[graft.ext.Corpus.shardStats]]/`bloomBitsTable` passes
-    * produced. The zero-key filter reproduces the old construction's
-    * behavior for a shard whose keys are all NULL (its exploded
-    * positions vanished, so it had no bloom row). */
-  private def splitStatsBloom(g: DataFrame, statCols: Seq[String],
-      shardCol: String, kc: String): (DataFrame, DataFrame) = {
-    val statsSel = Seq(col(shardCol), col("n_rows")) ++
-      statCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"),
-        col(s"${c}_ndv")))
-    (g.select(statsSel: _*),
-      g.filter(col("n_keys") > 0L)
-        .select(col(shardCol).as("shard"), col("n_keys"), col("_bits"),
-          col("m"), col("k"))
-        .withColumn("key_col", lit(kc)))
   }
 
   private def writeManifests(spark: SparkSession, tableDir: String,
@@ -812,34 +771,28 @@ object Scan {
     // staleness signal (0 here: this manifest IS exact). NDV looseness
     // itself is unobservable without re-reading the data; the rows that
     // entered through additive folds are a free, honest proxy.
-    bloomKeyCol match {
-      case None =>
-        graft.ext.Corpus.shardStats(back, shardCol, statCols)
-          .withColumn("_stale_rows", lit(0L))
-          .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
-      case Some(kc) =>
-        // both manifests from ONE pass over the written files (stats
-        // and bloom aggregations share the shard key; two passes paid
-        // a second full read purely for plan shape) — the shards-sized
-        // result is materialized once, then the two sidecar writes are
-        // submitted concurrently (each a cache scan of a few KB; run
-        // serially they each pay a full job's scheduling fixed cost)
-        val g = graft.ext.Corpus.shardStatsWithBloom(back, shardCol,
-          statCols, kc, bloomM, bloomK).persist()
-        try {
-          g.count() // materialize the single pass before the writes
-          val (stats, bloom) = splitStatsBloom(g, statCols, shardCol, kc)
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          import scala.concurrent.ExecutionContext.Implicits.global
-          Await.result(Future.sequence(Seq(
-            Future(stats.withColumn("_stale_rows", lit(0L))
-              .write.mode("overwrite")
-              .parquet(s"$tableDir/$StatsSidecar")),
-            Future(bloom.write.mode("overwrite")
-              .parquet(s"$tableDir/$BloomSidecar")))), Duration.Inf)
-        } finally g.unpersist()
+    // The stats and bloom passes are INDEPENDENT aggregations over the
+    // written files with distinct output dirs — submitted concurrently
+    // (§2.6 sibling-job overlap) so the publish pays max() of the two
+    // instead of their sum. A FUSED single aggregate was tried first
+    // and measured WORSE at 10x (multiple countDistinct + collect_set
+    // plans as an expanded sort-aggregate: x167's two ~100 ms passes
+    // became one 1-2 s job; per-row bloom hashing repeated k md5 slices
+    // per row where the distinct-first form hashes per distinct key) —
+    // two well-shaped passes overlapped beat one mis-shaped pass.
+    val bloomFut = bloomKeyCol.map { kc =>
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(graft.ext.Corpus.bloomBitsTable(back, shardCol, kc,
+          bloomM, bloomK)
+        .withColumn("key_col", lit(kc))
+        .write.mode("overwrite").parquet(s"$tableDir/$BloomSidecar"))
     }
+    graft.ext.Corpus.shardStats(back, shardCol, statCols)
+      .withColumn("_stale_rows", lit(0L))
+      .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
+    bloomFut.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
   }
 
   def statsManifest(spark: SparkSession, dir: String): DataFrame =
@@ -1485,43 +1438,28 @@ object Scan {
       rd.option("basePath", dir)
         .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
     }
-    // touched-shard manifests from ONE read of the rewritten files when
-    // a bloom index exists (stats + bloom aggregations share the shard
-    // key; the two-pass form read every rewritten shard twice)
-    val hasBloom = fs.exists(new Path(s"$dir/$BloomSidecar"))
-    val bloomCfg =
-      if (!hasBloom) None
-      else Some(bloomConfigOf(spark, dir).getOrElse(sys.error(
-        s"applyPendingDelete: $dir has a bloom sidecar but no " +
-          "recoverable bloom config (empty sidecar, no meta)")))
-    val fused = bloomCfg.flatMap { case (kc, m, k) =>
+    val newStats =
       if (existing.isEmpty) None
-      else Some(graft.ext.Corpus.shardStatsWithBloom(backRead(),
-        shardCol, statCols, kc, m, k).persist())
-    }
-    try {
-      val newStats =
+      else Some(graft.ext.Corpus.shardStats(backRead(),
+        shardCol, statCols).withColumn("_stale_rows", lit(0L)))
+    graft.dw.Merge.atomicOverwrite(spark,
+      newStats.fold(keepStats)(keepStats.unionByName(_)),
+      s"$dir/$StatsSidecar")
+    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
+      val ob = bloomManifest(spark, dir)
+      val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
+        s"applyPendingDelete: $dir has a bloom sidecar but no " +
+          "recoverable bloom config (empty sidecar, no meta)"))
+      val keepBloom = ob.filter(!col("shard").isin(touched: _*))
+      // a fully-emptied shard simply has no bloom row anymore
+      val newBloom =
         if (existing.isEmpty) None
-        else Some(fused match {
-          case Some(g) => splitStatsBloom(g, statCols, shardCol,
-            bloomCfg.get._1)._1.withColumn("_stale_rows", lit(0L))
-          case None => graft.ext.Corpus.shardStats(backRead(),
-            shardCol, statCols).withColumn("_stale_rows", lit(0L))
-        })
+        else Some(graft.ext.Corpus.bloomBitsTable(backRead(),
+          shardCol, kc, m, k).withColumn("key_col", lit(kc)))
       graft.dw.Merge.atomicOverwrite(spark,
-        newStats.fold(keepStats)(keepStats.unionByName(_)),
-        s"$dir/$StatsSidecar")
-      bloomCfg.foreach { case (kc, _, _) =>
-        val keepBloom = bloomManifest(spark, dir)
-          .filter(!col("shard").isin(touched: _*))
-        // a fully-emptied shard simply has no bloom row anymore
-        val newBloom = fused.map(g =>
-          splitStatsBloom(g, statCols, shardCol, kc)._2)
-        graft.dw.Merge.atomicOverwrite(spark,
-          newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
-          s"$dir/$BloomSidecar")
-      }
-    } finally fused.foreach(_.unpersist())
+        newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
+        s"$dir/$BloomSidecar")
+    }
     // deletion-vector entries for the rewritten shards are now applied
     // physically (every rewrite path computes kept rows DV-filtered —
     // deleteWhere reads through readShards, applyDeletionVectors
