@@ -769,7 +769,30 @@ object Dedup {
     while (!converged && iters < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "_d"), col("d") === col("_d"))
         .select(col("s").as("id"), col("label"))
-      val next = labels.unionByName(prop)
+      // POINTER DOUBLING (guide §2.4 — every round is a shuffle plus a
+      // checkpoint, so fewer rounds is the lever): alongside the edge
+      // hop, follow the LABEL link one hop — label(label(id)) — which
+      // squares the distance labels travel per round and turns the
+      // round count from O(diameter) into O(log diameter) on chain
+      // components. Correctness is unchanged: a label is always the id
+      // of a node reachable from `id` inside its component (initially
+      // itself; edge hops extend by one edge; label hops compose two
+      // reachabilities), min() keeps the invariant, and labels only
+      // ever DECREASE — so the label-sum convergence test still means
+      // "no label changed", and a state stable under BOTH hops is in
+      // particular stable under edge propagation alone, which forces
+      // one label per component (spec-pinned against the single-hop
+      // form on adversarial chain graphs in DedupSpec).
+      // round 1's hop is the identity (label(id) == id), skip its join
+      val withHop =
+        if (iters == 0) labels.unionByName(prop)
+        else {
+          val hop = labels.as("la")
+            .join(labels.as("lb"), col("la.label") === col("lb.id"))
+            .select(col("la.id").as("id"), col("lb.label").as("label"))
+          labels.unionByName(prop).unionByName(hop)
+        }
+      val next = withHop
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val cur = labelSum(next)
@@ -778,6 +801,10 @@ object Dedup {
       prev = cur
       iters += 1
     }
+    // rounds-executed evidence for the optimization record (gated: the
+    // env flag costs nothing in normal runs)
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      System.err.println(s"[dupClusters] converged=$converged rounds=$iters")
     // a silent early exit would split components across two canonicals
     // with no signal — fail loudly instead (raise maxIters for graphs
     // with diameter > 30, which near-dup chains never reach in practice)

@@ -83,7 +83,7 @@ object Compaction {
       shardCol: String = "shard",
       sortCol: Option[String] = None,
       maxRecordsPerFile: Long = 0L): (Int, Int) =
-      Scan.withWriterLease(spark, dir) {
+      Scan.withSidecarCtx { Scan.withWriterLease(spark, dir) {
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
     // merge-on-read contract: compaction is where deferred deletes
@@ -150,7 +150,7 @@ object Compaction {
         maxRecordsPerFile, dicts)
     } finally dicts.values.foreach(_.unpersist())
     (nBefore, shardDirs.size)
-      }
+      } }
 
   /** TARGETED compaction — rewrite ONLY the shards whose data-file
     * count exceeds `maxFilesPerShard`, through the pending/`_COMMIT`
@@ -174,7 +174,7 @@ object Compaction {
       maxFilesPerShard: Int = 1, shardCol: String = "shard",
       sortCol: Option[String] = None,
       maxRecordsPerFile: Long = 0L): (Seq[Int], Int) =
-      Scan.withWriterLease(spark, dir) {
+      Scan.withSidecarCtx { Scan.withWriterLease(spark, dir) {
     require(maxFilesPerShard >= 1, "need maxFilesPerShard >= 1")
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
@@ -197,7 +197,7 @@ object Compaction {
     Scan.logEntry(spark, dir, "compact_targeted",
       s"shards=${shards.size} files_before=${breaching.map(_._2).sum}")
     (shards, breaching.map(_._2).sum)
-      }
+      } }
 
   /** SHARD-COUNT EVOLUTION — the re-layout a growing table eventually
     * needs: `nShards` is frozen at publication and appends preserve it,
@@ -221,7 +221,8 @@ object Compaction {
     */
   def reshardSharded(spark: SparkSession, dir: String, newNShards: Int,
       shardCol: String = "shard", zvalueCol: String = "zvalue")
-      : (Int, Int) = Scan.withWriterLease(spark, dir) {
+      : (Int, Int) =
+      Scan.withSidecarCtx { Scan.withWriterLease(spark, dir) {
     require(newNShards >= 1, "need newNShards >= 1")
     graft.dw.Merge.recover(spark, dir)
     Scan.recoverPendingDelete(spark, dir, shardCol)
@@ -249,6 +250,6 @@ object Compaction {
         dicts = dicts)
     } finally dicts.values.foreach(_.unpersist())
     (oldN, newNShards)
-  }
+  } }
 }
 

@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
   */
 object Scan {
 
+  /** Bound on every publish-path Await (sidecar futures, manifest
+    * passes): finite and under the 15-min writer-lease default, so a
+    * hung background write fails the publish LOUDLY while this writer
+    * still holds the lease — instead of parking a thread forever while
+    * the lease expires and a second writer breaks it. */
+  private val SidecarAwait = scala.concurrent.duration.Duration(
+    10, java.util.concurrent.TimeUnit.MINUTES)
+
   val StatsSidecar = "_graft_stats"
   val BloomSidecar = "_graft_bloom"
   val MetaSidecar = "_graft_meta"
@@ -157,6 +165,83 @@ object Scan {
   private val jvmLeases =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
+  // PER-VERB-CHAIN sidecar-config memo (guide §6 — the driver constant
+  // IS the mutation family's floor: VERDICT r16 measured x161 at 4.1 s
+  // wall vs 1.5 s summed job time). The 1-row meta sidecar and the 0-row
+  // schema sidecar are read-only during every mutation chain — only the
+  // evolve verbs and whole-table republishes change them — yet a single
+  // upsert re-reads them ~8×, and each readMeta is a parquet listing +
+  // footer read plus a collect-limit-1 JOB (~20–50 ms of driver time).
+  // Every public verb opens a scope here; within it readMeta /
+  // tableSchemaOf memoize per table dir, and the few sites that WRITE
+  // either sidecar invalidate the entry. The scope dies with the
+  // outermost verb on this thread — nothing is cached across calls, let
+  // alone across queries or runs.
+  private final class SidecarCtx {
+    val meta = scala.collection.mutable.Map.empty[String,
+      Option[TableMeta]]
+    val schema = scala.collection.mutable.Map.empty[String,
+      Option[org.apache.spark.sql.types.StructType]]
+    // (table dir, sidecar name) → that sidecar's parquet schema, so
+    // repeat constructions within one chain skip schema INFERENCE —
+    // a ~25 ms job per `spark.read.parquet` (x175 profile). The FRAME
+    // is never cached (files legally change mid-chain); every write to
+    // a sidecar invalidates its entry (the append fold can ADD
+    // `_stale_rows`, an evolve adds envelope columns).
+    val sidecarSchema = scala.collection.mutable.Map.empty[
+      (String, String), org.apache.spark.sql.types.StructType]
+  }
+  private val sidecarCtx = new ThreadLocal[SidecarCtx]
+
+  private[graft] def withSidecarCtx[T](body: => T): T =
+    if (sidecarCtx.get != null) body // re-entrant: inner verbs share it
+    else {
+      sidecarCtx.set(new SidecarCtx)
+      try body finally sidecarCtx.remove()
+    }
+
+  private def invalidateSidecarCtx(dir: String): Unit = {
+    val c = sidecarCtx.get
+    if (c != null) {
+      val k = new Path(dir).toString
+      c.meta.remove(k)
+      c.schema.remove(k)
+      c.sidecarSchema.filterInPlace { case ((d, _), _) => d != k }
+    }
+  }
+
+  private def invalidateSidecarSchema(dir: String, name: String): Unit = {
+    val c = sidecarCtx.get
+    if (c != null) c.sidecarSchema.remove((new Path(dir).toString, name))
+  }
+
+  /** After a sidecar WRITE whose frame we just built, the on-disk schema
+    * IS that frame's schema — record it instead of forcing the next
+    * construction to re-infer (each re-inference is a job). */
+  private def noteSidecarSchema(dir: String, name: String,
+      df: DataFrame): Unit = {
+    val c = sidecarCtx.get
+    if (c != null)
+      c.sidecarSchema((new Path(dir).toString, name)) = df.schema
+  }
+
+  /** Construct a sidecar read, memoizing the sidecar's SCHEMA per verb
+    * chain so repeat constructions skip parquet schema inference. The
+    * data itself stays a fresh lazy frame every time. */
+  private def readSidecar(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val path = s"$dir/$name"
+    val c = sidecarCtx.get
+    if (c == null) spark.read.parquet(path)
+    else c.sidecarSchema.get((new Path(dir).toString, name)) match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None =>
+        val df = spark.read.parquet(path)
+        c.sidecarSchema((new Path(dir).toString, name)) = df.schema
+        df
+    }
+  }
+
   /** CONCURRENT-WRITER SAFETY — the asserted writer lease every mutation
     * of a sharded table runs under. Two simultaneous mutators (an
     * `appendSharded` racing a `compactSharded` or `deleteByKeys`) would
@@ -226,29 +311,36 @@ object Scan {
       if (cur != null && cur._1 >= now) waitOrFail()
       else if (cur != null) jvmLeases.remove(key, cur)
       else if (jvmLeases.putIfAbsent(key, slot) == null) {
-        // layer 2: the cross-process lock file, under the JVM slot
+        // layer 2: the cross-process lock file, under the JVM slot.
+        // The outer finally guarantees the slot is released whenever
+        // acquisition does not complete — including NON-IOException
+        // throws from fs.create (which the catch below does not see);
+        // without it a single failed acquire would block every
+        // same-process writer on this table until the slot expires.
         try {
-          val out = fs.create(lock, false)
-          out.write(s"${System.currentTimeMillis() + leaseMs}|$token"
-            .getBytes("UTF-8"))
-          out.close()
-          acquired = true
-        } catch {
-          case _: java.io.IOException =>
-            // lock exists: stale (expired) → break it and re-race; live
-            // → wait if allowed, else fail loudly. An unreadable or
-            // still-empty body is treated as LIVE (a racing writer is
-            // between its create and its write). The JVM slot is
-            // released before waiting so a same-process writer is not
-            // starved by a foreign process's lock.
-            val expired = lockBody()
-              .flatMap(_.split('|').headOption)
-              .flatMap(s => scala.util.Try(s.toLong).toOption)
-              .exists(_ < System.currentTimeMillis())
-            if (expired) fs.delete(lock, false)
-            jvmLeases.remove(key, slot)
-            if (!expired) waitOrFail()
-        }
+          try {
+            val out = fs.create(lock, false)
+            out.write(s"${System.currentTimeMillis() + leaseMs}|$token"
+              .getBytes("UTF-8"))
+            out.close()
+            acquired = true
+          } catch {
+            case _: java.io.IOException =>
+              // lock exists: stale (expired) → break it and re-race; live
+              // → wait if allowed, else fail loudly. An unreadable or
+              // still-empty body is treated as LIVE (a racing writer is
+              // between its create and its write). The JVM slot is
+              // released before waiting so a same-process writer is not
+              // starved by a foreign process's lock.
+              val expired = lockBody()
+                .flatMap(_.split('|').headOption)
+                .flatMap(s => scala.util.Try(s.toLong).toOption)
+                .exists(_ < System.currentTimeMillis())
+              if (expired) fs.delete(lock, false)
+              jvmLeases.remove(key, slot)
+              if (!expired) waitOrFail()
+          }
+        } finally if (!acquired) jvmLeases.remove(key, slot)
         if (!acquired) () // re-race both layers
       }
     }
@@ -278,6 +370,30 @@ object Scan {
       bloomM: Int, bloomK: Int, zTotalBits: Option[Int],
       nShards: Option[Int])
 
+  /** The meta sidecar's schema is FIXED by construction ([[writeMeta]]
+    * always writes these eight columns) — supplying it to the read
+    * skips parquet schema inference, which is a ~25 ms Spark JOB per
+    * `spark.read.parquet` construction (measured in the x175 job
+    * profile); the 1-row collect is then the chain's only meta job. */
+  private val MetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("stat_cols",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("shard_col",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sort_col",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bloom_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bloom_m",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bloom_k",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("z_total_bits",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_shards",
+      org.apache.spark.sql.types.IntegerType)))
+
   private def writeMeta(spark: SparkSession, tableDir: String,
       meta: TableMeta): Unit = {
     import spark.implicits._
@@ -291,11 +407,20 @@ object Scan {
 
   private[graft] def readMeta(spark: SparkSession,
       dir: String): Option[TableMeta] = {
+    val c = sidecarCtx.get
+    if (c == null) readMetaNow(spark, dir)
+    else c.meta.getOrElseUpdate(new Path(dir).toString,
+      readMetaNow(spark, dir))
+  }
+
+  private def readMetaNow(spark: SparkSession,
+      dir: String): Option[TableMeta] = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/$MetaSidecar"))) None
     else {
-      val r = spark.read.parquet(s"$dir/$MetaSidecar").head()
+      val r = spark.read.schema(MetaSchema)
+        .parquet(s"$dir/$MetaSidecar").head()
       def optInt(c: String) =
         if (r.isNullAt(r.fieldIndex(c))) None
         else Some(r.getAs[Int](c))
@@ -315,7 +440,7 @@ object Scan {
   private[graft] def statColsOf(spark: SparkSession,
       dir: String): Seq[String] =
     readMeta(spark, dir).map(_.statCols).getOrElse(
-      spark.read.parquet(s"$dir/$StatsSidecar").columns.toSeq
+      statsManifest(spark, dir).columns.toSeq
         .filter(_.endsWith("_min")).map(_.dropRight(4)))
 
   /** The table's bloom configuration (key column, m, k) — from the meta
@@ -330,7 +455,7 @@ object Scan {
       val fs = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
-      else spark.read.parquet(s"$dir/$BloomSidecar")
+      else bloomManifest(spark, dir)
         .select("key_col", "m", "k").limit(1).collect().headOption
         .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
     }
@@ -379,6 +504,7 @@ object Scan {
       maxRecordsPerFile: Long = 0L,
       dicts: Map[String, DataFrame] = Map.empty): Unit = {
     require(statCols.nonEmpty, "need at least one stats column")
+    withSidecarCtx {
     withWriterLease(spark, dir) {
     graft.dw.Merge.atomicOverwriteDir(spark, dir) { tmp =>
       // meta FIRST: recover promotes on the DATA write's _SUCCESS, so
@@ -394,11 +520,10 @@ object Scan {
       // meta/dicts/schema-before-data crash-safety ordering holds:
       // recover promotes on the DATA write's _SUCCESS, so every
       // recoverable state still carries its configuration
-      {
+      locally {
         import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
+        val futs: Seq[Future[Unit]] = Seq(
           Future(writeMeta(spark, tmp, TableMeta(statCols, shardCol,
             sortCol, bloomKeyCol, bloomM, bloomK, zTotalBits,
             nShards))),
@@ -420,7 +545,17 @@ object Scan {
           dicts.toSeq.map { case (c, d) =>
             Future(d.coalesce(1).write.mode("overwrite")
               .parquet(s"$tmp/$DictSidecar/col=$c"))
-          }), Duration.Inf)
+          }
+        // await each INDIVIDUALLY (not a fail-fast Future.sequence) so a
+        // failed sidecar never unwinds while siblings still write into
+        // tmp — tmp is quiescent when the error-path cleanup runs; the
+        // FIRST failure is rethrown after the drain. Finite timeout,
+        // bounded under the lease term: a hung sidecar write must fail
+        // the publish loudly before the lease expires and a second
+        // writer breaks it.
+        val done = futs.map(f => scala.util.Try(
+          Await.result(f, SidecarAwait)))
+        done.collectFirst { case scala.util.Failure(e) => throw e }
       }
       val parted = laid.repartition(col(shardCol))
       val sorted = sortCol.fold(parted)(c =>
@@ -445,9 +580,13 @@ object Scan {
       writeManifests(spark, tmp, statCols, shardCol, bloomKeyCol,
         bloomM, bloomK)
     }
+    // the swap replaced the whole table — a caller's chain (compact,
+    // re-shard) must re-read meta/schema from the NEW version
+    invalidateSidecarCtx(dir)
     logEntry(spark, dir, "publish",
       s"shards=${nShards.getOrElse(-1)} stat_cols=${statCols.mkString("+")}" +
         bloomKeyCol.fold("")(k => s" bloom=$k"))
+    }
     }
   }
 
@@ -502,7 +641,8 @@ object Scan {
     */
   def appendSharded(spark: SparkSession, laidBatch: DataFrame,
       dir: String, idCol: String,
-      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+      shardCol: String = "shard"): Unit =
+      withSidecarCtx { withWriterLease(spark, dir) {
     // every mutation rolls an interrupted delete forward first (the
     // id probe's readShards would too, but the manifest fold must
     // never read a pre-roll-forward sidecar)
@@ -533,7 +673,7 @@ object Scan {
         val kc = bloomConfigOf(spark, dir).map(_._1).getOrElse(
           sys.error(s"appendSharded: $dir has a deletion-vector " +
             "sidecar but no recoverable bloom config"))
-        val dv = spark.read.parquet(s"$dir/$DvSidecar")
+        val dv = dvManifest(spark, dir)
           .select(col("shard").cast("int").as("_dv_shard"),
             col("key").as("_dv_key"))
         val collisions = b0.join(broadcast(dv),
@@ -558,7 +698,7 @@ object Scan {
         // 2a. stats fold: old rows + batch-side exact stats per shard
         val batchStats = graft.ext.Corpus.shardStats(batch, shardCol,
           statCols)
-        val old = spark.read.parquet(s"$dir/$StatsSidecar")
+        val old = statsManifest(spark, dir)
         val bb = batchStats.columns.foldLeft(batchStats)((d, c) =>
           if (c == shardCol) d else d.withColumnRenamed(c, s"_b_$c"))
         // pre-staleness manifests lack `_stale_rows`; treat as 0
@@ -582,11 +722,9 @@ object Scan {
                   coalesce(col(s"_b_${c}_ndv"), lit(0L)))
                   .as(s"${c}_ndv"))
             }: _*)
-        graft.dw.Merge.atomicOverwrite(spark, merged,
-          s"$dir/$StatsSidecar")
         // 2b. bloom fold: bitwise union per shard (wider = safe)
-        if (hasBloom) {
-          val ob = spark.read.parquet(s"$dir/$BloomSidecar")
+        val mergedBloom = if (!hasBloom) None else Some {
+          val ob = bloomManifest(spark, dir)
           val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
             s"appendSharded: $dir has a bloom sidecar but no " +
               "recoverable bloom config (empty sidecar, no meta)"))
@@ -595,7 +733,7 @@ object Scan {
             .select(col("shard"), col("n_keys").as("_b_n_keys"),
               col("_bits").as("_b_bits"))
           val empty = array().cast("array<long>")
-          val mergedBloom = ob.join(nb, Seq("shard"), "full_outer")
+          ob.join(nb, Seq("shard"), "full_outer")
             .select(col("shard"),
               (coalesce(col("n_keys"), lit(0L)) +
                 coalesce(col("_b_n_keys"), lit(0L))).as("n_keys"),
@@ -603,8 +741,34 @@ object Scan {
                 coalesce(col("_bits"), empty),
                 coalesce(col("_b_bits"), empty)))).as("_bits"),
               lit(m).as("m"), lit(k).as("k"), lit(kc).as("key_col"))
-          graft.dw.Merge.atomicOverwrite(spark, mergedBloom,
-            s"$dir/$BloomSidecar")
+        }
+        // both folds are independent aggregations over the persisted
+        // batch with distinct sidecar outputs — submitted concurrently
+        // (guide §2.6: the append pays max(stats, bloom) instead of the
+        // sum), both awaited before the data lands so the
+        // manifest-before-data crash ordering holds: a crash anywhere
+        // here leaves envelopes/bit sets wider-never-narrower (one fold
+        // landed, neither landed — either way the manifests still cover
+        // every landed row, because the batch has not landed).
+        // Both frames were CONSTRUCTED on this thread (the sidecar memo
+        // is thread-local); the futures only execute the swaps.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val folds = Seq(
+            Future(graft.dw.Merge.atomicOverwrite(spark, merged,
+              s"$dir/$StatsSidecar"))) ++
+            mergedBloom.map(mb => Future(graft.dw.Merge.atomicOverwrite(
+              spark, mb, s"$dir/$BloomSidecar")))
+          val done = folds.map(f => scala.util.Try(
+            Await.result(f, SidecarAwait)))
+          // the folds rewrote both sidecars (and may have ADDED
+          // `_stale_rows` to a pre-staleness manifest) — the on-disk
+          // schemas are now exactly the written frames'
+          noteSidecarSchema(dir, StatsSidecar, merged)
+          mergedBloom.foreach(mb =>
+            noteSidecarSchema(dir, BloomSidecar, mb))
+          done.collectFirst { case scala.util.Failure(e) => throw e }
         }
         // 3. data lands last — the manifests already cover it; one file
         // per touched shard per batch (shard-keyed exchange), so file
@@ -615,7 +779,7 @@ object Scan {
           s"rows=$nRows shards=${touched.size}")
       } finally batch.unpersist()
     } finally b0.unpersist()
-  }
+  } }
 
   /** Recompute and atomically replace a table's manifest sidecars from
     * its CURRENT files — the maintenance call after any rewrite that
@@ -628,7 +792,8 @@ object Scan {
   def refreshManifests(spark: SparkSession, dir: String,
       statCols: Seq[String] = Nil, shardCol: String = "shard",
       bloomKeyCol: Option[String] = None, bloomM: Int = 4096,
-      bloomK: Int = 3): Unit = withWriterLease(spark, dir) {
+      bloomK: Int = 3): Unit =
+      withSidecarCtx { withWriterLease(spark, dir) {
     val meta = readMeta(spark, dir)
     val sc =
       if (statCols.nonEmpty) statCols
@@ -641,7 +806,7 @@ object Scan {
       .orElse {
         if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
         else {
-          val r = spark.read.parquet(s"$dir/$BloomSidecar")
+          val r = bloomManifest(spark, dir)
             .select("key_col", "m", "k").limit(1).head()
           Some((r.getString(0), r.getInt(1), r.getInt(2)))
         }
@@ -659,7 +824,7 @@ object Scan {
     val masked: Option[DataFrame] =
       if (!fs.exists(new Path(s"$dir/$DvSidecar"))) None
       else bloomCfg.map { case (kc, _, _) =>
-        val dv = spark.read.parquet(s"$dir/$DvSidecar")
+        val dv = dvManifest(spark, dir)
           .select(col("shard").cast("int").as("_dv_shard"),
             col("key").as("_dv_key"))
         back.join(broadcast(dv),
@@ -678,15 +843,30 @@ object Scan {
           coalesce(col("_masked_rows"), lit(0L)))
         .drop("_m_shard", "_masked_rows")
     }
-    graft.dw.Merge.atomicOverwrite(spark, stats, s"$dir/$StatsSidecar")
-    bloomCfg.foreach { case (kc, m, k) =>
-      graft.dw.Merge.atomicOverwrite(spark,
+    // the two sidecar swaps are independent full-table aggregations
+    // with distinct outputs — concurrent (§2.6), the refresh pays
+    // max(stats, bloom) instead of the sum; both frames constructed on
+    // this thread (thread-local sidecar memo), futures only execute
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val mb = bloomCfg.map { case (kc, m, k) =>
         graft.ext.Corpus.bloomBitsTable(back, shardCol, kc, m, k)
-          .withColumn("key_col", lit(kc)),
-        s"$dir/$BloomSidecar")
+          .withColumn("key_col", lit(kc))
+      }
+      val swaps = Seq(
+        Future(graft.dw.Merge.atomicOverwrite(spark, stats,
+          s"$dir/$StatsSidecar"))) ++
+        mb.map(df => Future(graft.dw.Merge.atomicOverwrite(spark, df,
+          s"$dir/$BloomSidecar")))
+      val done = swaps.map(f => scala.util.Try(
+        Await.result(f, SidecarAwait)))
+      noteSidecarSchema(dir, StatsSidecar, stats)
+      mb.foreach(df => noteSidecarSchema(dir, BloomSidecar, df))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
     }
     logEntry(spark, dir, "refresh", s"stat_cols=${sc.mkString("+")}")
-  }
+  } }
 
   /** TARGETED manifest refresh — recompute ONLY the named shards'
     * stats (and bloom) rows exactly from their files, leaving every
@@ -703,13 +883,13 @@ object Scan {
     * unnamed shards, none is written at all.
     */
   def refreshShards(spark: SparkSession, dir: String, shards: Seq[Int],
-      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+      shardCol: String = "shard"): Unit =
+      withSidecarCtx { withWriterLease(spark, dir) {
     if (shards.isEmpty) return
     recoverPendingDelete(spark, dir, shardCol)
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val existing = shards.filter(s =>
-      fs.exists(new Path(s"$dir/$shardCol=$s")))
+    val existing = existingShards(fs, dir, shards, shardCol)
     val statCols = statColsOf(spark, dir)
     val raw =
       if (existing.isEmpty) None
@@ -718,7 +898,7 @@ object Scan {
     val masked: Option[DataFrame] = raw.flatMap { r =>
       if (!hasDv) None
       else bloomConfigOf(spark, dir).map { case (kc, _, _) =>
-        val dv = spark.read.parquet(s"$dir/$DvSidecar")
+        val dv = dvManifest(spark, dir)
           .select(col("shard").cast("int").as("_dv_shard"),
             col("key").as("_dv_key"))
         r.join(broadcast(dv),
@@ -746,21 +926,38 @@ object Scan {
           .drop("_m_shard", "_masked_rows")
       }
     }
-    graft.dw.Merge.atomicOverwrite(spark,
-      fresh.fold(keep)(keep.unionByName(_)), s"$dir/$StatsSidecar")
-    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
-      bloomConfigOf(spark, dir).foreach { case (kc, m, k) =>
-        val ob = bloomManifest(spark, dir)
-          .filter(!col("shard").cast("int").isin(shards: _*))
-        val nb = raw.map(r =>
-          graft.ext.Corpus.bloomBitsTable(r, shardCol, kc, m, k)
-            .withColumn("key_col", lit(kc)))
-        graft.dw.Merge.atomicOverwrite(spark,
-          nb.fold(ob)(ob.unionByName(_)), s"$dir/$BloomSidecar")
+    // independent sidecar swaps, concurrent (§2.6) — same shape and
+    // rationale as [[refreshManifests]]; frames built on this thread
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val statsSwap = {
+        val df = fresh.fold(keep)(keep.unionByName(_))
+        Future(graft.dw.Merge.atomicOverwrite(spark, df,
+          s"$dir/$StatsSidecar"))
       }
+      val bloomSwap =
+        if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
+        else bloomConfigOf(spark, dir).map { case (kc, m, k) =>
+          val ob = bloomManifest(spark, dir)
+            .filter(!col("shard").cast("int").isin(shards: _*))
+          val nb = raw.map(r =>
+            graft.ext.Corpus.bloomBitsTable(r, shardCol, kc, m, k)
+              .withColumn("key_col", lit(kc)))
+          val df = nb.fold(ob)(ob.unionByName(_))
+          Future(graft.dw.Merge.atomicOverwrite(spark, df,
+            s"$dir/$BloomSidecar"))
+        }
+      val done = (Seq(statsSwap) ++ bloomSwap).map(f =>
+        scala.util.Try(Await.result(f, SidecarAwait)))
+      // the written frames' schemas are now on disk; the bloom swap is
+      // conditional, so only note it when it ran
+      invalidateSidecarSchema(dir, StatsSidecar)
+      if (bloomSwap.isDefined) invalidateSidecarSchema(dir, BloomSidecar)
+      done.collectFirst { case scala.util.Failure(e) => throw e }
     }
     logEntry(spark, dir, "refresh_shards", s"shards=${shards.size}")
-  }
+  } }
 
   private def writeManifests(spark: SparkSession, tableDir: String,
       statCols: Seq[String], shardCol: String,
@@ -788,18 +985,30 @@ object Scan {
         .withColumn("key_col", lit(kc))
         .write.mode("overwrite").parquet(s"$tableDir/$BloomSidecar"))
     }
-    graft.ext.Corpus.shardStats(back, shardCol, statCols)
-      .withColumn("_stale_rows", lit(0L))
-      .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
-    bloomFut.foreach(f => scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf))
+    // the bloom future is awaited even when the stats pass THROWS — no
+    // orphaned job keeps writing into the table dir while the caller
+    // unwinds; the stats failure stays primary, a bloom-only failure
+    // surfaces as its own. Finite timeout: see [[SidecarAwait]].
+    var primary: Throwable = null
+    try {
+      graft.ext.Corpus.shardStats(back, shardCol, statCols)
+        .withColumn("_stale_rows", lit(0L))
+        .write.mode("overwrite").parquet(s"$tableDir/$StatsSidecar")
+    } catch { case t: Throwable => primary = t; throw t }
+    finally bloomFut.foreach { f =>
+      try scala.concurrent.Await.result(f, SidecarAwait)
+      catch { case t: Throwable => if (primary == null) throw t }
+    }
   }
 
   def statsManifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/$StatsSidecar")
+    readSidecar(spark, dir, StatsSidecar)
 
   def bloomManifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/$BloomSidecar")
+    readSidecar(spark, dir, BloomSidecar)
+
+  private def dvManifest(spark: SparkSession, dir: String): DataFrame =
+    readSidecar(spark, dir, DvSidecar)
 
   /** Candidate shards for a conjunction of closed ranges
     * `col ∈ [lo, hi]`: manifest rows whose `[min, max]` envelope
@@ -850,13 +1059,25 @@ object Scan {
     * join shape is flat in the key count and stays shards-bounded on
     * the scan side. */
   def candidateShardsByKeys(bloom: DataFrame, keys: Seq[Any],
+      shardCol: String = "shard"): Seq[Int] =
+    candidateShardsByKeysCfg(bloom, keys, None, shardCol)
+
+  /** [[candidateShardsByKeys]] with the bloom geometry supplied by the
+    * caller (from the 1-row meta sidecar): skips the manifest's own
+    * (m, k) probe — one collect-limit-1 job per verb call that the
+    * mutation verbs, which already hold the config, need not pay. An
+    * empty manifest still yields no candidates (the coverage
+    * filter-collect over zero rows returns nothing). */
+  private[graft] def candidateShardsByKeysCfg(bloom: DataFrame,
+      keys: Seq[Any], mkKnown: Option[(Int, Int)],
       shardCol: String = "shard"): Seq[Int] = {
     require(keys.nonEmpty, "need at least one key")
-    // a zero-row manifest (every shard emptied) has no candidates
-    val cfg0 = bloom.select("m", "k").limit(1).collect().headOption
-    if (cfg0.isEmpty) return Nil
-    val cfg = cfg0.get
-    val (m, k) = (cfg.getInt(0), cfg.getInt(1))
+    val (m, k) = mkKnown.getOrElse {
+      // a zero-row manifest (every shard emptied) has no candidates
+      val cfg0 = bloom.select("m", "k").limit(1).collect().headOption
+      if (cfg0.isEmpty) return Nil
+      (cfg0.get.getInt(0), cfg0.get.getInt(1))
+    }
     if (keys.size <= 64) {
       val covered = keys.map { key =>
         size(array_except(graft.ext.Corpus.bloomPositions(lit(key), m,
@@ -898,7 +1119,8 @@ object Scan {
   def evolveAddColumn(spark: SparkSession, dir: String, colName: String,
       dataType: org.apache.spark.sql.types.DataType,
       addToStats: Boolean = true,
-      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+      shardCol: String = "shard"): Unit =
+      withSidecarCtx { withWriterLease(spark, dir) {
     recoverPendingDelete(spark, dir, shardCol)
     val schema = tableSchemaOf(spark, dir).getOrElse(sys.error(
       s"evolveAddColumn: $dir has no $SchemaSidecar declared-schema " +
@@ -913,6 +1135,7 @@ object Scan {
           .withColumn(s"${colName}_ndv", lit(0L))
         graft.dw.Merge.atomicOverwrite(spark, widened,
           s"$dir/$StatsSidecar")
+        invalidateSidecarSchema(dir, StatsSidecar)
       }
     }
     // 2. declared schema gains the column — from here every read
@@ -922,6 +1145,7 @@ object Scan {
         .withColumn(colName, lit(null).cast(dataType))
       graft.dw.Merge.atomicOverwrite(spark, widened,
         s"$dir/$SchemaSidecar")
+      invalidateSidecarCtx(dir) // the declared schema just changed
     }
     // 3. meta stat_cols names it — appends start folding its stats
     if (addToStats) readMeta(spark, dir).foreach { m =>
@@ -935,10 +1159,11 @@ object Scan {
               "bloom_m", "bloom_k", "z_total_bits", "n_shards")
             .coalesce(1),
           s"$dir/$MetaSidecar")
+        invalidateSidecarCtx(dir) // the meta just changed
       }
     }
     logEntry(spark, dir, "evolve_add", s"col=$colName")
-  }
+  } }
 
   /** SCHEMA EVOLUTION, drop side — remove a column WITHOUT republishing
     * (the ALTER TABLE DROP COLUMN contract at 100 TB): the declared
@@ -962,7 +1187,8 @@ object Scan {
     * harmless), declared schema last (reads narrow). */
   def evolveDropColumn(spark: SparkSession, dir: String,
       colName: String,
-      shardCol: String = "shard"): Unit = withWriterLease(spark, dir) {
+      shardCol: String = "shard"): Unit =
+      withSidecarCtx { withWriterLease(spark, dir) {
     recoverPendingDelete(spark, dir, shardCol)
     val schema = tableSchemaOf(spark, dir).getOrElse(sys.error(
       s"evolveDropColumn: $dir has no $SchemaSidecar declared-schema " +
@@ -988,21 +1214,25 @@ object Scan {
               "bloom_m", "bloom_k", "z_total_bits", "n_shards")
             .coalesce(1),
           s"$dir/$MetaSidecar")
+        invalidateSidecarCtx(dir) // the meta just changed
       }
     }
     // 2. stats manifest drops its envelope columns
     val man = statsManifest(spark, dir)
     val manCols = Seq(s"${colName}_min", s"${colName}_max",
       s"${colName}_ndv").filter(man.columns.contains)
-    if (manCols.nonEmpty)
+    if (manCols.nonEmpty) {
       graft.dw.Merge.atomicOverwrite(spark, man.drop(manCols: _*),
         s"$dir/$StatsSidecar")
+      invalidateSidecarSchema(dir, StatsSidecar)
+    }
     // 3. declared schema narrows — reads project the column away
     graft.dw.Merge.atomicOverwrite(spark,
       spark.read.parquet(s"$dir/$SchemaSidecar").drop(colName),
       s"$dir/$SchemaSidecar")
+    invalidateSidecarCtx(dir) // the declared schema just changed
     logEntry(spark, dir, "evolve_drop", s"col=$colName")
-  }
+  } }
 
   val PendingDelete = "_pending_delete"
 
@@ -1044,17 +1274,17 @@ object Scan {
   def deleteByKeys(spark: SparkSession, dir: String, keys: Seq[Any],
       shardCol: String = "shard",
       sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
-      withWriterLease(spark, dir) {
+      withSidecarCtx { withWriterLease(spark, dir) {
     require(keys.nonEmpty, "need at least one key")
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
-    val bloom = bloomManifest(spark, dir)
-    val keyCol = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
+    val (keyCol, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
       s"deleteByKeys: $dir has no recoverable bloom config"))
-    // an empty bloom manifest (every shard previously emptied) has no
-    // candidates by construction — nothing to delete
-    if (bloom.isEmpty) return (Nil, Nil, 0L)
-    val cands = candidateShardsByKeys(bloom, keys, shardCol)
+    // an empty bloom manifest (every shard previously emptied) yields
+    // no candidates from the coverage filter itself — no separate
+    // isEmpty probe job; the known (m, k) skips the geometry probe too
+    val cands = candidateShardsByKeysCfg(bloomManifest(spark, dir),
+      keys, Some((m, k)), shardCol)
     val matchPred =
       if (keys.size == 1) col(keyCol) === lit(keys.head)
       else col(keyCol).isin(keys: _*)
@@ -1062,7 +1292,7 @@ object Scan {
     if (r._2.nonEmpty) logEntry(spark, dir, "delete_keys",
       s"keys=${keys.size} removed=${r._3} shards=${r._2.size}")
     r
-      }
+      } }
 
   def deleteByKey(spark: SparkSession, dir: String, key: Any,
       shardCol: String = "shard",
@@ -1104,16 +1334,18 @@ object Scan {
     */
   def deleteByKeysDeferred(spark: SparkSession, dir: String,
       keys: Seq[Any], shardCol: String = "shard")
-      : (Seq[Int], Seq[Int], Long) = withWriterLease(spark, dir) {
+      : (Seq[Int], Seq[Int], Long) =
+      withSidecarCtx { withWriterLease(spark, dir) {
     require(keys.nonEmpty, "need at least one key")
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
-    val keyCol = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
+    val (keyCol, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
       s"deleteByKeysDeferred: $dir has no recoverable bloom config — " +
         "deletion vectors key on the bloom column"))
-    val bloom = bloomManifest(spark, dir)
-    if (bloom.isEmpty) return (Nil, Nil, 0L)
-    val cands = candidateShardsByKeys(bloom, keys, shardCol)
+    // empty manifest → no candidates from the coverage filter; known
+    // (m, k) skips the geometry probe (see deleteByKeys)
+    val cands = candidateShardsByKeysCfg(bloomManifest(spark, dir),
+      keys, Some((m, k)), shardCol)
     if (cands.isEmpty) return (cands, Nil, 0L)
     val matchPred =
       if (keys.size == 1) col(keyCol) === lit(keys.head)
@@ -1140,6 +1372,7 @@ object Scan {
             .distinct())
       graft.dw.Merge.atomicOverwrite(spark, newDv.coalesce(1),
         s"$dir/$DvSidecar")
+      invalidateSidecarSchema(dir, DvSidecar)
       // advisory staleness fold: masked rows are manifest looseness,
       // exactly like append-folded rows — the compaction trigger. The
       // per-shard bumps join in as a FLAT shards-sized frame: a nested
@@ -1160,11 +1393,12 @@ object Scan {
             coalesce(oldStale, lit(0L)) + coalesce(col("_b_n"), lit(0L)))
           .drop("_b_shard", "_b_n"),
         s"$dir/$StatsSidecar")
+      invalidateSidecarSchema(dir, StatsSidecar)
       logEntry(spark, dir, "delete_deferred",
         s"keys=${keys.size} masked=$removed shards=${touched.size}")
       (cands, touched, removed)
     } finally delta.unpersist()
-  }
+  } }
 
   /** Apply the table's deletion vector PHYSICALLY: rewrite exactly the
     * shards the vector names (kept rows = raw files minus masked
@@ -1177,16 +1411,17 @@ object Scan {
     * removed). */
   def applyDeletionVectors(spark: SparkSession, dir: String,
       shardCol: String = "shard", sortCol: Option[String] = None)
-      : (Seq[Int], Long) = withWriterLease(spark, dir) {
+      : (Seq[Int], Long) =
+      withSidecarCtx { withWriterLease(spark, dir) {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/$DvSidecar"))) return (Nil, 0L)
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
-    val dvShards = spark.read.parquet(s"$dir/$DvSidecar")
-      .select(col("shard").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-      .filter(s => fs.exists(new Path(s"$dir/$shardCol=$s")))
+    val dvShards = existingShards(fs, dir,
+      dvManifest(spark, dir)
+        .select(col("shard").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted, shardCol)
     if (dvShards.isEmpty) {
       fs.delete(new Path(s"$dir/$DvSidecar"), true)
       return (Nil, 0L)
@@ -1198,7 +1433,7 @@ object Scan {
     logEntry(spark, dir, "dv_apply",
       s"removed=$removed shards=${dvShards.size}")
     (dvShards, removed)
-  }
+  } }
 
   /** The shared TARGETED-REWRITE core: republish exactly `shards` from
     * their logical rows (deletion vector applied — any pending mask on
@@ -1272,7 +1507,7 @@ object Scan {
       laidBatch: DataFrame, idCol: String, shardCol: String = "shard",
       sortCol: Option[String] = None,
       maxKeys: Int = 100000): (Seq[Int], Seq[Int], Long) =
-      withWriterLease(spark, dir) {
+      withSidecarCtx { withWriterLease(spark, dir) {
     val kc = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
       s"upsertSharded: $dir has no bloom index — a pruned MERGE " +
         "routes old versions through the key bloom"))
@@ -1294,7 +1529,7 @@ object Scan {
         s"keys=${keys.size} replaced=$removed shards=${touched.size}")
       (cands, touched, removed)
     } finally b.unpersist()
-  }
+  } }
 
   /** [[deleteByKeys]] routed by the STATS envelopes instead of the
     * bloom — the retention-expiry shape (`DELETE WHERE ts < cutoff`,
@@ -1309,7 +1544,7 @@ object Scan {
   def deleteByRange(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)], shardCol: String = "shard",
       sortCol: Option[String] = None): (Seq[Int], Seq[Int], Long) =
-      withWriterLease(spark, dir) {
+      withSidecarCtx { withWriterLease(spark, dir) {
     require(ranges.nonEmpty, "need at least one range")
     graft.dw.Merge.recover(spark, dir)
     recoverPendingDelete(spark, dir, shardCol)
@@ -1323,7 +1558,7 @@ object Scan {
       s"cols=${ranges.map(_._1).mkString("+")} removed=${r._3} " +
         s"shards=${r._2.size}")
     r
-      }
+      } }
 
   /** The shared delete core (steps 1–2 of the protocol; see
     * [[deleteByKeys]]): probe the candidate shards for matches, land
@@ -1345,8 +1580,7 @@ object Scan {
       sortCol: Option[String]): (Seq[Int], Seq[Int], Long) = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val cands = cands0.filter(s =>
-      fs.exists(new Path(s"$dir/$shardCol=$s")))
+    val cands = existingShards(fs, dir, cands0, shardCol)
     if (cands.isEmpty) return (cands, Nil, 0L)
     val sort = sortCol.orElse(readMeta(spark, dir).flatMap(_.sortCol))
     val back = readShards(spark, dir, cands, shardCol)
@@ -1442,23 +1676,37 @@ object Scan {
       if (existing.isEmpty) None
       else Some(graft.ext.Corpus.shardStats(backRead(),
         shardCol, statCols).withColumn("_stale_rows", lit(0L)))
-    graft.dw.Merge.atomicOverwrite(spark,
-      newStats.fold(keepStats)(keepStats.unionByName(_)),
-      s"$dir/$StatsSidecar")
-    if (fs.exists(new Path(s"$dir/$BloomSidecar"))) {
-      val ob = bloomManifest(spark, dir)
-      val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
-        s"applyPendingDelete: $dir has a bloom sidecar but no " +
-          "recoverable bloom config (empty sidecar, no meta)"))
-      val keepBloom = ob.filter(!col("shard").isin(touched: _*))
-      // a fully-emptied shard simply has no bloom row anymore
-      val newBloom =
-        if (existing.isEmpty) None
-        else Some(graft.ext.Corpus.bloomBitsTable(backRead(),
-          shardCol, kc, m, k).withColumn("key_col", lit(kc)))
-      graft.dw.Merge.atomicOverwrite(spark,
-        newBloom.fold(keepBloom)(keepBloom.unionByName(_)),
-        s"$dir/$BloomSidecar")
+    val statsDf = newStats.fold(keepStats)(keepStats.unionByName(_))
+    val bloomDf =
+      if (!fs.exists(new Path(s"$dir/$BloomSidecar"))) None
+      else Some {
+        val ob = bloomManifest(spark, dir)
+        val (kc, m, k) = bloomConfigOf(spark, dir).getOrElse(sys.error(
+          s"applyPendingDelete: $dir has a bloom sidecar but no " +
+            "recoverable bloom config (empty sidecar, no meta)"))
+        val keepBloom = ob.filter(!col("shard").isin(touched: _*))
+        // a fully-emptied shard simply has no bloom row anymore
+        val newBloom =
+          if (existing.isEmpty) None
+          else Some(graft.ext.Corpus.bloomBitsTable(backRead(),
+            shardCol, kc, m, k).withColumn("key_col", lit(kc)))
+        newBloom.fold(keepBloom)(keepBloom.unionByName(_))
+      }
+    // the two rebuilds read the SAME post-swap files into distinct
+    // sidecar outputs — concurrent (§2.6), pays max() not the sum;
+    // frames built on this thread, futures only execute the swaps
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val swaps = Seq(Future(graft.dw.Merge.atomicOverwrite(spark,
+          statsDf, s"$dir/$StatsSidecar"))) ++
+        bloomDf.map(df => Future(graft.dw.Merge.atomicOverwrite(spark,
+          df, s"$dir/$BloomSidecar")))
+      val done = swaps.map(f => scala.util.Try(
+        Await.result(f, SidecarAwait)))
+      noteSidecarSchema(dir, StatsSidecar, statsDf)
+      bloomDf.foreach(df => noteSidecarSchema(dir, BloomSidecar, df))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
     }
     // deletion-vector entries for the rewritten shards are now applied
     // physically (every rewrite path computes kept rows DV-filtered —
@@ -1467,11 +1715,12 @@ object Scan {
     // the sidecar so readers stop anti-joining. Idempotent on
     // recovery re-runs (filtering already-cleared shards is a no-op).
     if (fs.exists(new Path(s"$dir/$DvSidecar"))) {
-      val rest = spark.read.parquet(s"$dir/$DvSidecar")
+      val rest = dvManifest(spark, dir)
         .filter(!col("shard").cast("int").isin(touched: _*))
       if (rest.isEmpty) fs.delete(new Path(s"$dir/$DvSidecar"), true)
       else graft.dw.Merge.atomicOverwrite(spark, rest.coalesce(1),
         s"$dir/$DvSidecar")
+      invalidateSidecarSchema(dir, DvSidecar)
     }
     // the pending area must by now be fully consumed for kept shards: a
     // shard dir still present there but NOT in the kept list means the
@@ -1547,7 +1796,7 @@ object Scan {
     * directory yet" means exactly "no rows there yet".
     */
   def readShards(spark: SparkSession, dir: String, shards: Seq[Int],
-      shardCol: String = "shard"): DataFrame = {
+      shardCol: String = "shard"): DataFrame = withSidecarCtx {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // the one delete-protocol window a reader could observe (a shard
@@ -1574,8 +1823,7 @@ object Scan {
       shards: Seq[Int], shardCol: String = "shard"): DataFrame = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val existing = shards.filter(s =>
-      fs.exists(new Path(s"$dir/$shardCol=$s")))
+    val existing = existingShards(fs, dir, shards, shardCol)
     if (existing.isEmpty) emptyTableFrame(spark, dir, shardCol)
     else {
       // declared schema (one tiny sidecar footer) so shards written
@@ -1586,6 +1834,27 @@ object Scan {
         .parquet(existing.map(s => s"$dir/$shardCol=$s"): _*)
     }
   }
+
+  /** Filter `shards` to the ones whose `shard=<s>` directory exists —
+    * ONE directory listing instead of a per-shard existence probe when
+    * the candidate set is wide (guide §6: on an object store N HEADs
+    * lose to one LIST past a handful; on local FS both are cheap). A
+    * narrow set keeps the per-shard probes — listing a 10k-shard table
+    * dir to check 2 candidates would invert the saving. */
+  private def existingShards(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, shards: Seq[Int], shardCol: String): Seq[Int] =
+    if (shards.size <= 4)
+      shards.filter(s => fs.exists(new Path(s"$dir/$shardCol=$s")))
+    else {
+      val present =
+        try fs.listStatus(new Path(dir)).iterator.collect {
+          case st if st.isDirectory => st.getPath.getName
+        }.toSet
+        catch { // missing table dir ≡ no shards, as the probes read it
+          case _: java.io.FileNotFoundException => Set.empty[String]
+        }
+      shards.filter(s => present(s"$shardCol=$s"))
+    }
 
   /** Apply the table's DELETION VECTOR to a frame read from its files:
     * rows whose (shard, key) pair the `_graft_dv` sidecar names are
@@ -1601,7 +1870,7 @@ object Scan {
       val kc = bloomConfigOf(spark, dir).map(_._1).getOrElse(sys.error(
         s"$dir has a deletion-vector sidecar but no recoverable bloom " +
           "config — the DV keys are bloom-key-typed by construction"))
-      val dv = spark.read.parquet(s"$dir/$DvSidecar")
+      val dv = dvManifest(spark, dir)
         .select(col("shard").cast("int").as("_dv_shard"),
           col("key").as("_dv_key"))
       df.join(broadcast(dv),
@@ -1616,7 +1885,7 @@ object Scan {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/$DvSidecar"))) None
-    else Some(spark.read.parquet(s"$dir/$DvSidecar"))
+    else Some(dvManifest(spark, dir))
   }
 
   /** The table's DECLARED schema — the 0-row schema sidecar's, when
@@ -1628,6 +1897,14 @@ object Scan {
     * file's footer at random and silently drop or surface the new
     * column depending on which). */
   private[graft] def tableSchemaOf(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val c = sidecarCtx.get
+    if (c == null) tableSchemaOfNow(spark, dir)
+    else c.schema.getOrElseUpdate(new Path(dir).toString,
+      tableSchemaOfNow(spark, dir))
+  }
+
+  private def tableSchemaOfNow(spark: SparkSession,
       dir: String): Option[org.apache.spark.sql.types.StructType] = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -1664,7 +1941,7 @@ object Scan {
     */
   def readPrunedByRange(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)],
-      shardCol: String = "shard"): DataFrame = {
+      shardCol: String = "shard"): DataFrame = withSidecarCtx {
     val cands = candidateShardsByStats(statsManifest(spark, dir), ranges,
       shardCol)
     val residual = ranges.map { case (c, lo, hi) =>
@@ -1679,9 +1956,13 @@ object Scan {
     * bloom says maybe (false-positive shards cost I/O, never rows).
     */
   def readPrunedByKey(spark: SparkSession, dir: String, keyCol: String,
-      key: Any, shardCol: String = "shard"): DataFrame = {
-    val cands = candidateShardsByKey(bloomManifest(spark, dir), key,
-      shardCol)
+      key: Any, shardCol: String = "shard"): DataFrame = withSidecarCtx {
+    // geometry from the 1-row meta when available — skips the bloom
+    // manifest's own (m, k) probe job (pre-meta tables keep the probe)
+    val mk = readMeta(spark, dir).flatMap(m =>
+      m.bloomKey.map(_ => (m.bloomM, m.bloomK)))
+    val cands = candidateShardsByKeysCfg(bloomManifest(spark, dir),
+      Seq(key), mk, shardCol)
     readShards(spark, dir, cands, shardCol)
       .filter(col(keyCol) === lit(key))
   }
@@ -1734,7 +2015,7 @@ object Scan {
     * (row-identical to a full scan with the same predicate). */
   def readPrunedByPrefix(spark: SparkSession, dir: String,
       prefixCol: String, prefix: String,
-      shardCol: String = "shard"): DataFrame = {
+      shardCol: String = "shard"): DataFrame = withSidecarCtx {
     val cands = candidateShardsByPrefix(statsManifest(spark, dir),
       prefixCol, prefix, shardCol)
     readShards(spark, dir, cands, shardCol)
@@ -1757,7 +2038,8 @@ object Scan {
     */
   def readPruned(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)] = Nil,
-      keys: Seq[Any] = Nil, shardCol: String = "shard"): DataFrame = {
+      keys: Seq[Any] = Nil,
+      shardCol: String = "shard"): DataFrame = withSidecarCtx {
     require(ranges.nonEmpty || keys.nonEmpty,
       "need at least one predicate (ranges and/or keys)")
     // FUSED planning: bloom key/m/k come from the 1-row meta sidecar
@@ -1806,8 +2088,9 @@ object Scan {
     def side(s: Int): Seq[Int] =
       rows.filter(_.getInt(1) == s).map(_.getInt(0)).toSeq.sorted
     val bloomCands: Option[Seq[Int]] =
-      if (bigList) Some(candidateShardsByKeys(
-        bloomManifest(spark, dir), keys, shardCol))
+      if (bigList) Some(candidateShardsByKeysCfg(
+        bloomManifest(spark, dir), keys,
+        keyed.map { case (_, m, k) => (m, k) }, shardCol))
       else if (bloomSide.isDefined) Some(side(1))
       else None
     val cands = (statsSide, bloomCands) match {
@@ -1849,7 +2132,7 @@ object Scan {
     */
   def vacuumTable(spark: SparkSession, dir: String,
       shardCol: String = "shard"): (Seq[String], Long) =
-      withWriterLease(spark, dir) {
+      withSidecarCtx { withWriterLease(spark, dir) {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     graft.dw.Merge.recover(spark, dir)
@@ -1880,6 +2163,9 @@ object Scan {
         drop(new Path(s"$dir/${b}__swap_new"))
         drop(new Path(s"$dir/${b}__swap_old"))
       }
+      // a promoted meta/schema swap changed what the sidecars say
+      if (bases.exists(b => b == MetaSidecar || b == SchemaSidecar))
+        invalidateSidecarCtx(dir)
     }
     // history-log truncation: keep the newest LogKeep entries (a
     // streaming mount writes one per batch — unbounded without this);
@@ -1891,7 +2177,7 @@ object Scan {
       entries.dropRight(LogKeep).foreach(st => drop(st.getPath))
     }
     (removed.map(_._1).toSeq, removed.map(_._2).sum)
-      }
+      } }
 
   /** SNAPSHOT — a consistent point-in-time copy of the table (data
     * files, every `_graft_*` sidecar, and the history log) into
@@ -1942,7 +2228,8 @@ object Scan {
     * new mutation, not a rewind; the snapshot's own log ships inside
     * it as `_graft_snapshot_log` for audit). */
   def restoreTable(spark: SparkSession, dir: String,
-      snapDir: String): Unit = withWriterLease(spark, dir) {
+      snapDir: String): Unit =
+      withSidecarCtx { withWriterLease(spark, dir) {
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = new Path(snapDir)
     val fs = snap.getFileSystem(conf)
@@ -1960,8 +2247,9 @@ object Scan {
       val ok = fs.create(new Path(tmp, "_SUCCESS"), true)
       ok.close()
     }
+    invalidateSidecarCtx(dir) // the swap replaced the whole table
     logEntry(spark, dir, "restore", s"from=$snapDir")
-  }
+  } }
 
   /** One [[fsckTable]] finding: `severity` is "error" (the reads-
     * through-manifests contract is broken — rows can be MISSED),
@@ -2000,7 +2288,7 @@ object Scan {
     */
   def fsckTable(spark: SparkSession, dir: String,
       shardCol: String = "shard",
-      deep: Boolean = false): Seq[FsckFinding] = {
+      deep: Boolean = false): Seq[FsckFinding] = withSidecarCtx {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = scala.collection.mutable.Buffer.empty[FsckFinding]
@@ -2068,7 +2356,7 @@ object Scan {
         f("error", "dv_config", None,
           "deletion-vector sidecar but no bloom config — masked " +
             "keys cannot be typed/applied")
-      else spark.read.parquet(s"$dir/$DvSidecar")
+      else dvManifest(spark, dir)
         .select(col("shard").cast("int")).distinct()
         .collect().map(_.getInt(0)).filterNot(dataShards)
         .sorted.foreach(s =>

@@ -371,6 +371,38 @@ class DedupSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("dupClusters: pointer doubling converges within maxIters on a long " +
+    "chain and matches a reference union-find exactly") {
+    import spark.implicits._
+    // adversarial chain: a 60-node path (diameter 59). The single-hop
+    // form needs ~59 rounds and would FAIL the default maxIters=30;
+    // pointer doubling must converge in O(log d) ≈ 7 rounds.
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(out.keySet === (1L to 60L).toSet)
+    assert(out.values.forall(_ == 1L))
+    // multiset equality vs a driver-side union-find reference on an
+    // adversarial mix: two interleaved chains whose min ids sit at the
+    // ends, a star, a duplicate edge, and out-of-order ids
+    val mix = Seq((7L, 8L), (8L, 9L), (9L, 10L), (2L, 5L), (5L, 3L),
+      (3L, 4L), (20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L),
+      (30L, 31L), (40L, 41L), (35L, 41L))
+    val got = Dedup.dupClusters(mix.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mix.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keySet.map(x => (find(x), x)).toSet
+    assert(got === want)
+  }
+
   test("dedupByClusters: keeps canonicals and untouched docs, drops other members") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

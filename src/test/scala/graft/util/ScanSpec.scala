@@ -704,6 +704,36 @@ class ScanSpec extends SparkSpec {
     assert(Scan.readShards(spark, dir, Seq(10)).count() === 1L)
   }
 
+  test("sidecar memo: within one verb-chain scope meta/schema reads are " +
+    "stable, and an evolve or republish invalidates them — a chained " +
+    "reader never sees a pre-mutation config") {
+    val dir = freshDir()
+    publish(dir)
+    Scan.withSidecarCtx {
+      val s0 = Scan.tableSchemaOf(spark, dir).get
+      assert(!s0.fieldNames.contains("score"))
+      val m0 = Scan.readMeta(spark, dir).get
+      // memoized re-read returns the identical config
+      assert(Scan.readMeta(spark, dir).get === m0)
+      // a nested evolve (re-entrant scope) must invalidate BOTH entries:
+      // the chain's next reads see the post-evolution schema and meta
+      Scan.evolveAddColumn(spark, dir, "score",
+        org.apache.spark.sql.types.LongType)
+      assert(Scan.tableSchemaOf(spark, dir).get.fieldNames
+        .contains("score"))
+      assert(Scan.readMeta(spark, dir).get.statCols.contains("score"))
+      // a whole-table republish invalidates too (nShards changes)
+      Scan.writeSharded(spark, laid.withColumn("score", lit(7L)), dir,
+        statCols = Seq("user_id"), sortCol = Some("zvalue"),
+        bloomKeyCol = Some("user_id"), zTotalBits = Some(32),
+        nShards = Some(10))
+      assert(Scan.readMeta(spark, dir).get.nShards === Some(10))
+      assert(Scan.readMeta(spark, dir).get.statCols === Seq("user_id"))
+    }
+    // outside any scope reads are uncached — current state, as before
+    assert(Scan.readMeta(spark, dir).get.nShards === Some(10))
+  }
+
   test("writer lease: a second mutator aborts LOUDLY while the lease " +
     "is held, succeeds after release, and a crashed writer's expired " +
     "lease is broken — never a silent last-swap-wins") {
