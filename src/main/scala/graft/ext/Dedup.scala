@@ -748,6 +748,12 @@ object Dedup {
     * at any corpus size — this is the iterative-join connected-components
     * shape, not a driver-side union-find.
     */
+  /** Member count past which the pointer-doubling hop join can pay for
+    * its extra per-round stage (~a few hundred rows per core of real
+    * work — below it a round is scheduling fixed cost and the hop only
+    * deepens the DAG; measured both ways, see the loop comment). */
+  private val HopMinMembers = 8192L
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     // Each round is materialized with localCheckpoint to TRUNCATE LINEAGE:
     // round N's plan references round N−1 twice (union + join), so without
@@ -761,31 +767,54 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prev = labelSum(labels)
+    // one job returns BOTH convergence scalars: the exact label sum
+    // (strictly decreasing until fixed point) and the member count —
+    // the count feeds the size-aware pointer-doubling trigger below at
+    // zero extra cost (same aggregate, same job)
+    def labelStats(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var (prev, nLabels) = labelStats(labels)
     var iters = 0
     var converged = prev == null // no pairs → no members, nothing to iterate
     while (!converged && iters < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "_d"), col("d") === col("_d"))
         .select(col("s").as("id"), col("label"))
-      // POINTER DOUBLING (guide §2.4 — every round is a shuffle plus a
-      // checkpoint, so fewer rounds is the lever): alongside the edge
-      // hop, follow the LABEL link one hop — label(label(id)) — which
-      // squares the distance labels travel per round and turns the
-      // round count from O(diameter) into O(log diameter) on chain
-      // components. Correctness is unchanged: a label is always the id
-      // of a node reachable from `id` inside its component (initially
-      // itself; edge hops extend by one edge; label hops compose two
+      // SIZE-AWARE POINTER DOUBLING (guide §2.4 — every round is a
+      // shuffle plus a checkpoint, so fewer rounds is the lever): from
+      // round 4 on, and only when the member table is big enough that a
+      // round's cost is DATA rather than scheduling, follow the LABEL
+      // link one extra hop — label(label(id)) — which compounds the
+      // distance labels travel per round and cuts the round count on
+      // chain components. Both gates are measured, not aesthetic
+      // (interleaved idle A/Bs, BASELINE.md round 17):
+      //  - an ALWAYS-ON hop regressed every CC query at sf0.1 by
+      //    10–40% (x64 +22–42%): with ~3.5k members the per-round cost
+      //    is pure driver/scheduling fixed cost and the extra join per
+      //    round only deepens the DAG, while at sf1 (~25k members,
+      //    15 rounds) the same hop won −17% (x29 −27%, x97 −16%) —
+      //    rounds saved are real work there;
+      //  - the round delay keeps the 2–3-round graphs (most near-dup
+      //    batches) on the exact single-hop plan.
+      // HopMinMembers ≈ a few hundred rows per core of useful work per
+      // round (the minimum at which an extra stage amortizes, same
+      // class of cost-model constant as a broadcast threshold); the
+      // member count rides the convergence aggregate for free. At
+      // corpus scale (millions of members) the hop is always on.
+      // Correctness is unchanged: a label is always the id of a node
+      // reachable from `id` inside its component (initially itself;
+      // edge hops extend by one edge; label hops compose two
       // reachabilities), min() keeps the invariant, and labels only
       // ever DECREASE — so the label-sum convergence test still means
       // "no label changed", and a state stable under BOTH hops is in
       // particular stable under edge propagation alone, which forces
-      // one label per component (spec-pinned against the single-hop
-      // form on adversarial chain graphs in DedupSpec).
-      // round 1's hop is the identity (label(id) == id), skip its join
+      // one label per component (spec-pinned against a driver-side
+      // union-find on adversarial chain graphs in DedupSpec).
       val withHop =
-        if (iters == 0) labels.unionByName(prop)
+        if (iters < 3 || nLabels < HopMinMembers)
+          labels.unionByName(prop)
         else {
           val hop = labels.as("la")
             .join(labels.as("lb"), col("la.label") === col("lb.id"))
@@ -795,8 +824,9 @@ object Dedup {
       val next = withHop
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val cur = labelSum(next)
+      val (cur, n) = labelStats(next)
       labels = next
+      nLabels = n
       converged = cur.compareTo(prev) == 0
       prev = cur
       iters += 1
@@ -804,7 +834,8 @@ object Dedup {
     // rounds-executed evidence for the optimization record (gated: the
     // env flag costs nothing in normal runs)
     if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
-      System.err.println(s"[dupClusters] converged=$converged rounds=$iters")
+      System.err.println(
+        s"[dupClusters] converged=$converged rounds=$iters members=$nLabels")
     // a silent early exit would split components across two canonicals
     // with no signal — fail loudly instead (raise maxIters for graphs
     // with diameter > 30, which near-dup chains never reach in practice)

@@ -1957,12 +1957,14 @@ object Scan {
     */
   def readPrunedByKey(spark: SparkSession, dir: String, keyCol: String,
       key: Any, shardCol: String = "shard"): DataFrame = withSidecarCtx {
-    // geometry from the 1-row meta when available — skips the bloom
-    // manifest's own (m, k) probe job (pre-meta tables keep the probe)
-    val mk = readMeta(spark, dir).flatMap(m =>
-      m.bloomKey.map(_ => (m.bloomM, m.bloomK)))
-    val cands = candidateShardsByKeysCfg(bloomManifest(spark, dir),
-      Seq(key), mk, shardCol)
+    // the bloom manifest's own (m, k) probe is KEPT here (unlike the
+    // mutation verbs, which already hold the meta): swapping it for a
+    // meta read measured consistently slightly SLOWER on x167 (+4–6%
+    // across three interleaved A/Bs at two scales) — the meta read is
+    // exists-probe + footer + collect where the geometry probe rides
+    // the manifest the coverage filter reads anyway
+    val cands = candidateShardsByKey(bloomManifest(spark, dir), key,
+      shardCol)
     readShards(spark, dir, cands, shardCol)
       .filter(col(keyCol) === lit(key))
   }

@@ -374,13 +374,16 @@ class DedupSpec extends SparkSpec {
   test("dupClusters: pointer doubling converges within maxIters on a long " +
     "chain and matches a reference union-find exactly") {
     import spark.implicits._
-    // adversarial chain: a 60-node path (diameter 59). The single-hop
-    // form needs ~59 rounds and would FAIL the default maxIters=30;
-    // pointer doubling must converge in O(log d) ≈ 7 rounds.
-    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // adversarial chain: a 10,000-node path (diameter 9,999 — members
+    // over the size gate, so the hop fires from round 4). The
+    // single-hop form needs ~10k rounds and would FAIL the default
+    // maxIters=30; size-gated pointer doubling must converge in
+    // O(log d) rounds.
+    val chain = (1L until 10000L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
     val out = Dedup.dupClusters(chain).collect()
       .map(r => r.getLong(1) -> r.getLong(0)).toMap
-    assert(out.keySet === (1L to 60L).toSet)
+    assert(out.keySet === (1L to 10000L).toSet)
     assert(out.values.forall(_ == 1L))
     // multiset equality vs a driver-side union-find reference on an
     // adversarial mix: two interleaved chains whose min ids sit at the
