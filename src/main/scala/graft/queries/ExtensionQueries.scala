@@ -538,11 +538,20 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 20)
         .filter(col("query_id") % 101 === 0)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      // persist the fused head: it feeds the result-doc set, BOTH sides
-      // of the domination join, and the final anti-join — without this
-      // the whole BM25+cosine chain replays four times (x47's
-      // persisted-head pattern; Verify/Bench clearCache per query)
-      val fused = Corpus.rrfFuse(Seq(lex, sem), k = 10).persist()
+      // localCheckpoint (eager) on the fused head: it feeds the
+      // result-doc set, BOTH sides of the domination join, and the
+      // final anti-join. A persist() stopped the four consumers from
+      // RE-EXECUTING the BM25+cosine chain, but each still re-PLANNED
+      // its full lineage (~2k printed plan nodes): the r17 job profile
+      // put x106 at 6.9 s wall with only 1.6 s of summed job time —
+      // ~5 s of per-consumer driver planning gaps (guide §3.3: very
+      // wide plans make planning itself the bottleneck; materialize an
+      // intermediate to truncate). The head is fusion-sized (top-10 per
+      // query), so the checkpoint is one tiny job and every consumer
+      // now plans against a LogicalRDD. Measured: 6.9 → ~2.5 s, rows
+      // identical (oracle-verified).
+      val fused = Corpus.rrfFuse(Seq(lex, sem), k = 10)
+        .localCheckpoint(true)
       val resDocs = d.join(fused.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       val pairs = Dedup.simhashNearDups(resDocs, "text", "doc_id")
@@ -623,10 +632,16 @@ object ExtensionQueries {
       val exact = Dedup.exact(
         d.filter(TextAnalysis.langId(col("text")) === "en"),
         "text", "doc_id").persist()
+      // eager localCheckpoint on the kept slice: the curated corpus is
+      // compact (post-filter survivors), and its three consumers
+      // (simhash signatures, the cluster anti-join, budget sampling)
+      // otherwise each re-PLAN the langId-filter + dedup + gopher-join
+      // lineage — the x106 planning-gap class (guide §3.3); the
+      // checkpoint truncates them all to a LogicalRDD
       val kept = exact.join(
         Corpus.gopherQualityFilter(exact, "text", "doc_id")
           .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "leftsemi")
+        Seq("doc_id"), "leftsemi").localCheckpoint(true)
       val pairs = Dedup.simhashNearDups(kept, "text", "doc_id",
         bits = 48, bands = 4, maxHam = 3)
       val curated = Dedup.dedupByClusters(kept, "doc_id", pairs)
